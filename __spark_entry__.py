@@ -1,38 +1,919 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Registry of every implemented operator (SURVEY.md §2) as a
+(spark query, DuckDB oracle SQL) pair.  Conventions that keep the
+driver's order-insensitive value-hash comparison stable:
+
+* every computed column aliased identically on both sides;
+* double-valued aggregates rounded (2dp money, 4dp ratios) on both
+  sides so float summation order can't flip the hash;
+* deterministic tie-breaks on every window/top-k ordering;
+* counts cast to bigint on the oracle side (DuckDB sums ints to
+  HUGEINT otherwise).
+
+Queries marked "rows-only" (no oracle entry) are the genuinely
+non-SQL-expressible ones: approximate LSH ops and pandas_udf
+enrichment.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from youtube_podcast_data_pipeline_azure_spark.enrichment import DeterministicClassifier, enrich_comments
+from youtube_podcast_data_pipeline_azure_spark.functions.durations import iso8601_duration_seconds
+from youtube_podcast_data_pipeline_azure_spark.functions.text import (
+    language_id,
+    language_id_sql,
+    quality_score,
+    quality_score_sql,
+    token_count_bpe,
+    tokenize,
+    word_count,
+)
+from youtube_podcast_data_pipeline_azure_spark.functions.vectors import cosine_similarity, l2_norm
+from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+from youtube_podcast_data_pipeline_azure_spark.operators import dedup, medallion, similarity
+from youtube_podcast_data_pipeline_azure_spark.streaming.events_stream import (
+    sessionized_counts,
+    tumbling_counts,
+)
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# reference-surface queries (SURVEY.md §2.A on the driver fixtures)
+# ---------------------------------------------------------------------------
+
+
+def q_kpi_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 — normalized hash group-by count (final_kpis.py:41-46)."""
+    return medallion.normalized_counts(
+        _t(spark, sf_dir, "events"), "event_type", alias="event_type"
+    )
+
+
+def q_kpi_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14+A16 — multi-source totals assembled into one KPI row
+    (final_kpis.py:25-58, minus the wall-clock timestamp)."""
+    orders = _t(spark, sf_dir, "orders").agg(F.count("*").alias("total_orders"))
+    lineitem = _t(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("total_lineitems")
+    )
+    return orders.crossJoin(lineitem)
+
+
+def q_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — trim + drop-empty filter (silver_clean_comments.py:45-47)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("text", F.trim(F.coalesce(F.col("text"), F.lit(""))))
+        .where(F.length("text") > 0)
+        .select("doc_id", "text", "lang")
+    )
+
+
+def q_safe_cast_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — null-on-error cast (safe_int) + JSON extraction with default
+    (gold_sentiment_comments.py:46-50 fallback shape)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.coalesce(k, F.lit(-1)).alias("k_or_default"),
+    )
+
+
+def q_per_group_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — per-group limit as window top-k (function_app.py:99,114)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("user_id", "event_id", "ts", "rn")
+    )
+
+
+def q_iso_duration_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY.md §7 hard-part: ISO-8601 duration parsing, exercised on
+    durations synthesized from fixture ints (PT{m}M{s}S)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("PT"),
+            (F.col("n_chars") % 60).cast("string"),
+            F.lit("M"),
+            (F.col("doc_id") % 60).cast("string"),
+            F.lit("S"),
+        ).alias("duration"),
+    )
+    return docs.select(
+        "doc_id",
+        "duration",
+        iso8601_duration_seconds("duration").alias("duration_seconds"),
+    )
+
+
+def q_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 — partitioned overwrite sink + pruned re-read.  Writes events
+    partitioned by event_date to a temp dir, re-reads with a partition
+    filter (Catalyst prunes to one directory), aggregates."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="spark_graft_sink_")
+    ev = _t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    back = spark.read.parquet(out).where(F.col("event_date") == "2024-01-01")
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational completeness (SURVEY.md §2.B)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-agg groupBy with filter pushdown."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, small dim side broadcast, top-10."""
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(
+            F.broadcast(orders), li.l_orderkey == orders.o_orderkey
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join; dims broadcast, facts shuffled
+    once on the join keys."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(revenue, 2).alias("revenue"))
+    )
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy + limit (TakeOrderedAndProject, no full sort)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full aggregate suite incl. distinct counts and stddev."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.stddev_samp("l_discount"), 4).alias("sd_disc"),
+    )
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over orders dims."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders (NOT EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: suppliers that shipped something (EXISTS)."""
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    return supp.join(li, supp.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+def q_outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + per-customer order stats (nulls -> 0)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT branches tagged and unioned."""
+    cust = _t(spark, sf_dir, "customer")
+    buyers = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    both = building.intersect(buyers).withColumn("tag", F.lit("building_buyer"))
+    never = building.exceptAll(buyers.distinct()).withColumn(
+        "tag", F.lit("building_no_orders")
+    )
+    return both.unionByName(never)
+
+
+def q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (shuffle on the projected key only)."""
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String pack: case, substring, length, concat, replace, regexp, like."""
+    p = _t(spark, sf_dir, "part")
+    return p.where(F.col("p_name").like("%a%")).select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", "a", "@").alias("name_subbed"),
+        F.regexp_extract("p_name", r"^\w+", 0).alias("first_word"),
+    )
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date pack: extract, trunc-to-month grouping, datediff."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.to_date("o_orderdate")).alias("first_day"),
+            F.max(F.to_date("o_orderdate")).alias("last_day"),
+            F.max(
+                F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01"))
+            ).alias("max_days_since_95"),
+        )
+    )
+
+
+def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math pack over lineitem expressions."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.least("l_quantity", F.lit(25.0)).alias("qty_capped"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+    )
+
+
+def q_case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN banding + group-by."""
+    o = _t(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return o.groupBy(band.alias("price_band")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + rank per customer (deterministic tiebreak)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            2,
+        ).alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + delta per customer order sequence."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.coalesce(prev, F.lit(0.0)), 2).alias("prev_price"),
+        F.round(F.coalesce(F.col("o_totalprice") - prev, F.lit(0.0)), 2).alias(
+            "price_delta"
+        ),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type count matrix."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "signup", "purchase", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: customers above average balance."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"))
+    )
+
+
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode (UNNEST) + re-aggregate: global token frequencies."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokenize("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming-parity windows (batch mode here; stream mode in tests)
+# ---------------------------------------------------------------------------
+
+
+def q_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows (same transform runs in streaming)."""
+    return tumbling_counts(_t(spark, sf_dir, "events"))
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user."""
+    return sessionized_counts(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup / similarity (north-star extensions)
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats: docs, words, BPE-ish tokens, chars."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_words", word_count("text"))
+        .withColumn("n_tokens", token_count_bpe("text"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", language_id("text").alias("lang_pred"))
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality score per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by md5 fingerprint (min-id representative)."""
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_token_set_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive near-dup: same distinct-token *set* (a word-level
+    Jaccard=1.0 detector, the exact end of the near-dup spectrum)."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokenize("text"))))
+    ).alias("tokenset_key")
+    return (
+        docs.select("doc_id", key)
+        .groupBy("tokenset_key")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector math sanity surface: l2 norms of embeddings."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", F.round(l2_norm("embedding"), 4).alias("norm"))
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for the first 5 vectors as queries."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return similarity.knn_bruteforce(corpus, queries, k=10)
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (approximate: rows-only check)."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.5
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (approximate: rows-only check)."""
+    return dedup.simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only).
+
+    Threshold 0.35: the fixture embeddings are random unit vectors
+    (max pairwise cosine ≈ 0.48), so a production-style 0.9 threshold
+    would trivially return zero rows; 0.35 exercises the full
+    bucket-join + verify path."""
+    return similarity.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), cosine_threshold=0.35
+    )
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate KNN (rows-only: approximate recall)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return similarity.knn_lsh(corpus, queries, k=10, multiprobe=2)
+
+
+def q_enrich_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11/A13 — deterministic-classifier enrichment over document text
+    (pandas_udf batch path; rows-only: UDF not SQL-expressible)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text")
+    )
+    return enrich_comments(docs, DeterministicClassifier(), text_col="text")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1 pricing summary at sf0.001 (driver smoke)."""
+    return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # reference surface
+        "kpi_event_type_counts": q_kpi_event_type_counts,
+        "kpi_totals": q_kpi_totals,
+        "clean_documents": q_clean_documents,
+        "safe_cast_props": q_safe_cast_props,
+        "per_group_limit": q_per_group_limit,
+        "iso_duration_parse": q_iso_duration_parse,
+        "partitioned_sink_roundtrip": q_partitioned_sink_roundtrip,
+        # relational completeness
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "top_orders": q_top_orders,
+        "agg_suite": q_agg_suite,
+        "rollup_agg": q_rollup_agg,
+        "cube_agg": q_cube_agg,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "outer_join_agg": q_outer_join_agg,
+        "set_ops": q_set_ops,
+        "distinct_segments": q_distinct_segments,
+        "string_functions": q_string_functions,
+        "date_functions": q_date_functions,
+        "math_functions": q_math_functions,
+        "case_when_bucketing": q_case_when_bucketing,
+        "window_running": q_window_running,
+        "window_lag_lead": q_window_lag_lead,
+        "pivot_event_types": q_pivot_event_types,
+        "scalar_subquery": q_scalar_subquery,
+        "explode_tokens": q_explode_tokens,
+        # streaming parity (batch mode)
+        "tumbling_windows": q_tumbling_windows,
+        "session_windows": q_session_windows,
+        # text / dedup / similarity
+        "text_stats": q_text_stats,
+        "language_id": q_language_id,
+        "quality_scores": q_quality_scores,
+        "exact_dedup": q_exact_dedup,
+        "token_set_dedup": q_token_set_dedup,
+        "embedding_norms": q_embedding_norms,
+        "knn_bruteforce": q_knn_bruteforce,
+        # approximate / UDF (rows-only)
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_near_dup": q_simhash_near_dup,
+        "embedding_near_dup": q_embedding_near_dup,
+        "knn_lsh": q_knn_lsh,
+        "enrich_documents": q_enrich_documents,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qual = quality_score_sql("text")
+    lang = language_id_sql("text")
+    tokens = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+    bpe = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))"
+    fingerprint = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+    cos = (
+        "list_dot_product(c.embedding, q.embedding) / "
+        "(sqrt(list_dot_product(c.embedding, c.embedding)) * "
+        "sqrt(list_dot_product(q.embedding, q.embedding)))"
+    )
+    return {
+        "kpi_event_type_counts": """
+            SELECT lower(coalesce(event_type, 'unknown')) AS event_type,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "kpi_totals": """
+            SELECT (SELECT count(*) FROM orders) AS total_orders,
+                   (SELECT count(*) FROM lineitem) AS total_lineitems
+        """,
+        "clean_documents": """
+            SELECT doc_id, trim(coalesce(text, '')) AS text, lang
+            FROM documents
+            WHERE length(trim(coalesce(text, ''))) > 0
+        """,
+        "safe_cast_props": """
+            SELECT event_id,
+                   try_cast(json_extract_string(props, '$.k') AS int) AS k,
+                   coalesce(try_cast(json_extract_string(props, '$.k') AS int),
+                            -1) AS k_or_default
+            FROM events
+        """,
+        "per_group_limit": """
+            SELECT user_id, event_id, ts, rn FROM (
+                SELECT user_id, event_id, ts,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id ASC) AS rn
+                FROM events) WHERE rn <= 5
+        """,
+        "iso_duration_parse": """
+            SELECT doc_id,
+                   'PT' || (n_chars % 60) || 'M' || (doc_id % 60) || 'S'
+                       AS duration,
+                   (n_chars % 60) * 60 + (doc_id % 60) AS duration_seconds
+            FROM documents
+        """,
+        "partitioned_sink_roundtrip": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events WHERE cast(ts AS date) = date '2024-01-01'
+            GROUP BY event_type
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                       AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < timestamp '1995-03-15 00:00:00'
+              AND l_shipdate > timestamp '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "agg_suite": """
+            SELECT count(*) AS n_rows,
+                   count(DISTINCT l_orderkey) AS n_orders,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   round(min(l_quantity), 2) AS min_qty,
+                   round(max(l_quantity), 2) AS max_qty,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   round(stddev_samp(l_discount), 4) AS sd_disc
+            FROM lineitem
+        """,
+        "rollup_agg": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube_agg": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "semi_join": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        """,
+        "outer_join_agg": """
+            SELECT c_custkey,
+                   count(o_orderkey) AS n_orders,
+                   round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+            FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey
+        """,
+        "set_ops": """
+            SELECT c_custkey, 'building_buyer' AS tag FROM (
+                SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+                INTERSECT SELECT o_custkey FROM orders)
+            UNION ALL
+            SELECT c_custkey, 'building_no_orders' AS tag FROM (
+                SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+                EXCEPT SELECT o_custkey FROM orders)
+        """,
+        "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "string_functions": r"""
+            SELECT p_partkey,
+                   upper(p_name) AS name_upper,
+                   lower(p_brand) AS brand_lower,
+                   substring(p_type, 1, 5) AS type_prefix,
+                   cast(length(p_name) AS bigint) AS name_len,
+                   concat_ws('|', p_brand, p_type) AS brand_type,
+                   regexp_replace(p_name, 'a', '@', 'g') AS name_subbed,
+                   coalesce(regexp_extract(p_name, '^\w+'), '') AS first_word
+            FROM part WHERE p_name LIKE '%a%'
+        """,
+        "date_functions": """
+            SELECT year(o_orderdate) AS order_year,
+                   month(o_orderdate) AS order_month,
+                   count(*) AS n,
+                   min(cast(o_orderdate AS date)) AS first_day,
+                   max(cast(o_orderdate AS date)) AS last_day,
+                   max(date_diff('day', date '1995-01-01',
+                                 cast(o_orderdate AS date))) AS max_days_since_95
+            FROM orders GROUP BY 1, 2
+        """,
+        "math_functions": """
+            SELECT l_orderkey, l_linenumber,
+                   round(abs(l_discount - 0.05), 4) AS disc_dev,
+                   cast(ceil(l_quantity) AS bigint) AS qty_ceil,
+                   cast(floor(l_quantity) AS bigint) AS qty_floor,
+                   round(sqrt(l_extendedprice), 4) AS price_sqrt,
+                   l_orderkey % 7 AS key_mod,
+                   least(l_quantity, 25.0) AS qty_capped,
+                   greatest(l_tax, l_discount) AS max_rate
+            FROM lineitem
+        """,
+        "case_when_bucketing": """
+            SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                        WHEN o_totalprice < 150000 THEN 'medium'
+                        ELSE 'large' END AS price_band,
+                   count(*) AS n,
+                   round(avg(o_totalprice), 2) AS avg_price
+            FROM orders GROUP BY 1
+        """,
+        "window_running": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                       AS running_spend,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey)
+                       AS order_seq
+            FROM orders
+        """,
+        "window_lag_lead": """
+            SELECT o_custkey, o_orderkey,
+                   round(coalesce(lag(o_totalprice) OVER w, 0.0), 2)
+                       AS prev_price,
+                   round(coalesce(o_totalprice - lag(o_totalprice) OVER w, 0.0), 2)
+                       AS price_delta,
+                   lead(o_orderkey) OVER w AS next_orderkey
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        """,
+        "pivot_event_types": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'view') AS view,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'error') AS error
+            FROM events GROUP BY user_id
+        """,
+        "scalar_subquery": """
+            SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        """,
+        "explode_tokens": f"""
+            SELECT token, count(*) AS freq FROM (
+                SELECT unnest({tokens}) AS token FROM documents)
+            GROUP BY token
+        """,
+        "tumbling_windows": """
+            SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+                   event_type, count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "session_windows": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts)
+                                 > INTERVAL '30 minutes'
+                            OR lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events),
+            numbered AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS session_id
+                FROM flagged)
+            SELECT min(ts) AS session_start,
+                   max(ts) + INTERVAL '30 minutes' AS session_end,
+                   user_id, count(*) AS n_events
+            FROM numbered GROUP BY user_id, session_id
+        """,
+        "text_stats": f"""
+            SELECT lang, count(*) AS n_docs,
+                   cast(sum(len({tokens})) AS bigint) AS total_words,
+                   cast(sum({bpe}) AS bigint) AS total_tokens,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "language_id": f"SELECT doc_id, lang, {lang} AS lang_pred FROM documents",
+        "quality_scores": f"SELECT doc_id, {qual} AS quality FROM documents",
+        "exact_dedup": f"""
+            SELECT {fingerprint} AS fingerprint,
+                   min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "token_set_dedup": f"""
+            SELECT md5(array_to_string(list_sort(list_distinct({tokens})), ' '))
+                       AS tokenset_key,
+                   min(doc_id) AS doc_id, count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   round(sqrt(list_dot_product(embedding, embedding)), 4) AS norm
+            FROM embeddings
+        """,
+        "knn_bruteforce": f"""
+            SELECT query_id, neighbor_id, rank, cosine FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round({cos}, 4) AS cosine,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round({cos}, 4) DESC, c.vec_id ASC) AS rank
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 5 AND c.vec_id >= 5)
+            WHERE rank <= 10
+        """,
+        # minhash_near_dup / simhash_near_dup / embedding_near_dup /
+        # knn_lsh / enrich_documents: intentionally omitted — approximate
+        # or UDF-backed; the driver records the weaker rows-only check.
+    }

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock over the headline set (lower is
+better).  Each query is executed to completion via a count/collect so
+the whole plan runs; timings include Catalyst planning but exclude
+session startup and warmup (a warmup pass primes the JVM/codegen).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "kpi_event_type_counts",
+    "per_group_limit",
+    "window_running",
+    "tumbling_windows",
+    "session_windows",
+    "text_stats",
+    "exact_dedup",
+    "token_set_dedup",
+    "minhash_near_dup",
+    "knn_bruteforce",
+    "enrich_documents",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from youtube_podcast_data_pipeline_azure_spark import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="youtube_podcast_data_pipeline_azure_spark-bench")
+
+    qs = entrymod.queries()
+    # Warmup: prime JVM, codegen, and the parquet footer cache.
+    qs["pricing_summary"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        # collect() executes the complete plan including the final
+        # stage's result exchange (count() could let Spark skip
+        # projections).
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

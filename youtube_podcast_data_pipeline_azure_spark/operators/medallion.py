@@ -1,0 +1,144 @@
+"""Medallion-layer transforms: the reference's operator surface as pure
+``DataFrame -> DataFrame`` functions (no I/O inside operators).
+
+Each function cites the reference behavior it reproduces (SURVEY.md §2.A
+operator ids).  All are built-in-expression-only — Catalyst sees the
+whole plan, so pruning/pushdown/codegen apply end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from youtube_podcast_data_pipeline_azure_spark.functions.durations import iso8601_duration_seconds
+
+
+def explode_envelope(df: DataFrame, items_col: str = "items") -> DataFrame:
+    """A18/A19 — unwrap an envelope DataFrame (one row per blob) into one
+    row per record (reference final_kpis.py:33-34 shape sniffing, done
+    declaratively)."""
+    return df.select(F.explode(items_col).alias("_item")).select("_item.*")
+
+
+def bronze_videos_to_silver(bronze_items: DataFrame) -> DataFrame:
+    """A6 + A7 — flatten nested video structs and null-on-error cast the
+    string statistics to longs (reference silver_transform_videos.py:23-38,
+    safe_int :12-16).
+
+    Input: one row per raw video item (BRONZE_VIDEO_ITEM shape).
+    Spark's ``try_cast`` to long is the exact semantic twin of
+    ``safe_int`` (null on unparsable).  The engine additionally upgrades
+    ``publishedAt`` to a real timestamp and derives ``duration_seconds``
+    from the ISO-8601 duration string (SURVEY.md §1.2).
+    """
+    return bronze_items.select(
+        F.col("id").alias("video_id"),
+        F.col("snippet.title").alias("title"),
+        F.to_timestamp(F.col("snippet.publishedAt")).alias("published_at"),
+        F.col("snippet.channelTitle").alias("channel_title"),
+        F.col("contentDetails.duration").alias("duration"),
+        iso8601_duration_seconds(F.col("contentDetails.duration")).alias(
+            "duration_seconds"
+        ),
+        F.col("statistics.viewCount").try_cast("long").alias("view_count"),
+        F.col("statistics.likeCount").try_cast("long").alias("like_count"),
+        F.col("statistics.commentCount").try_cast("long").alias("comment_count"),
+    )
+
+
+def bronze_comments_to_silver(bronze_items: DataFrame) -> DataFrame:
+    """A8 + A9 + A10 — clean raw comment records (reference
+    silver_clean_comments.py:41-56):
+
+    * drop records carrying an ``error`` field (:42-43),
+    * trim text and drop rows whose text is null/whitespace-only (:45-47),
+    * re-project with ``likes`` defaulted to 0 (:54).
+
+    The cheap filters sit *before* any downstream enrichment UDF, the
+    reference's filter-before-expensive-call ordering
+    (gold_sentiment_comments.py:70-72).
+    """
+    cleaned_text = F.trim(F.coalesce(F.col("text"), F.lit("")))
+    return (
+        bronze_items.where(F.col("error").isNull())
+        .withColumn("text", cleaned_text)
+        .where(F.length("text") > 0)
+        .select(
+            "videoId",
+            "commentId",
+            "author",
+            "text",
+            F.coalesce(F.col("likes"), F.lit(0)).cast("long").alias("likes"),
+            F.to_timestamp(F.col("publishedAt")).alias("publishedAt"),
+        )
+    )
+
+
+def normalized_counts(
+    df: DataFrame, col: Column | str, alias: str = "sentiment"
+) -> DataFrame:
+    """A15 — hash group-by count with key normalization (reference
+    final_kpis.py:41-46): key = lower(coalesce(col, 'unknown')).
+
+    Spark executes this as partial (map-side) + final HashAggregate —
+    the shuffle carries one row per distinct key per partition, so at
+    100 TB the shuffle volume is O(distinct keys), not O(rows).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    key = F.lower(F.coalesce(c, F.lit("unknown"))).alias(alias)
+    return df.groupBy(key).agg(F.count("*").alias("n"))
+
+
+def kpis(videos_gold: DataFrame, comments_gold: DataFrame) -> DataFrame:
+    """A14 + A16 — assemble the single-row KPI record (reference
+    final_kpis.py:25-58): total counts per source plus per-sentiment
+    count maps, stamped with generation time.
+
+    Each input collapses to a 1-row aggregate before the final join, so
+    the "join" is three 1-row DataFrames — Catalyst broadcasts them; no
+    real shuffle regardless of input size.
+    """
+    v_counts = normalized_counts(videos_gold, "sentiment")
+    c_counts = normalized_counts(comments_gold, "sentiment")
+
+    def as_map(counts: DataFrame, out: str) -> DataFrame:
+        return counts.agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("sentiment", "n")))
+            ).alias(out)
+        )
+
+    totals_v = videos_gold.agg(F.count("*").alias("total_videos"))
+    totals_c = comments_gold.agg(F.count("*").alias("total_comments"))
+    return (
+        totals_v.crossJoin(totals_c)
+        .crossJoin(as_map(v_counts, "video_sentiment_counts"))
+        .crossJoin(as_map(c_counts, "comment_sentiment_counts"))
+        .withColumn("generated_at_utc", F.current_timestamp())
+    )
+
+
+def per_group_top_k(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_col: Column | str,
+    k: int,
+    ascending: bool = False,
+    rank_alias: str = "rn",
+) -> DataFrame:
+    """A3 generalized — per-group limit (reference caps comments per
+    video at the source, function_app.py:99,114) as the Spark-native
+    window top-k: ``row_number`` over a partitioned window.
+
+    One shuffle on the partition keys; AQE handles skewed groups."""
+    from pyspark.sql import Window
+
+    c = F.col(order_col) if isinstance(order_col, str) else order_col
+    w = Window.partitionBy(*partition_cols).orderBy(
+        c.asc() if ascending else c.desc()
+    )
+    return (
+        df.withColumn(rank_alias, F.row_number().over(w))
+        .where(F.col(rank_alias) <= k)
+    )

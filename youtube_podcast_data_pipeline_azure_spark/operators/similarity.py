@@ -1,0 +1,192 @@
+"""Similarity search over ``array<float>`` embedding columns.
+
+North-star extension (BASELINE.json).  Two tiers:
+
+* :func:`knn_bruteforce` — exact cosine top-k: broadcast the (small)
+  query set, score every corpus row with JVM-side expressions, window
+  top-k.  The correctness baseline, and the right plan whenever the
+  query side fits in a broadcast (it almost always does).
+* :func:`knn_lsh` — random-hyperplane LSH bucketing: corpus rows and
+  queries hash to sign-bit buckets; scoring happens only within a
+  bucket (+ optional multi-probe neighbors), so corpus-side work drops
+  from O(n·q) to O(bucket·q).  The 100 TB path: bucket assignment is a
+  narrow map, the join is a hash-shuffle on bucket id.
+* :func:`embedding_near_dup_pairs` — corpus self-dedup at a cosine
+  threshold via the same LSH buckets.
+
+Hyperplanes are generated from a seeded ``numpy`` RNG at plan-build
+time and embedded as literals — deterministic across runs, no state on
+executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from youtube_podcast_data_pipeline_azure_spark.functions.vectors import cosine_similarity
+
+
+def _normalize(vec: Column) -> Column:
+    """Unit-normalize an array<float> (double elements); null if zero-norm."""
+    norm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+    return F.when(norm > 0, F.transform(vec, lambda x: x.cast("double") / norm))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    ``broadcast(queries)`` makes the crossJoin a broadcast
+    nested-loop over corpus partitions — no shuffle of the corpus; the
+    only shuffle is the final window top-k on query_id, which carries
+    q·n score rows.  Ties broken by corpus id for determinism.
+    Returns (query_id, neighbor_id, rank, cosine rounded to 4dp).
+    """
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    ).crossJoin(F.broadcast(q))
+    scored = scored.withColumn(
+        "cosine", F.round(cosine_similarity("_cvec", "_qvec"), 4)
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "rank", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane bucket id: sign bit per plane packed into a long."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(p) for p in plane]),
+                lambda x, p: x.cast("double") * p,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return bucket
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    multiprobe: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: score only within matching LSH buckets.
+
+    ``multiprobe`` flips up to that many single bits of each *query's*
+    bucket (standard multi-probe LSH) to recover neighbors that straddle
+    a hyperplane; probing the query side keeps the big corpus side
+    single-bucketed.  Same output shape as :func:`knn_bruteforce`; may
+    return fewer than k per query (approximate by design).
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    # Probe mask 0 = the query's own bucket; mask 1<<i flips plane i
+    # (multi-probe).  Masks are literals, XOR'd after the explode.
+    probe_masks = F.array(
+        F.lit(0).cast("long"),
+        *[F.lit(1 << i).cast("long") for i in range(max(multiprobe, 0))],
+    )
+    q = (
+        queries.select(
+            F.col(query_id),
+            F.col(vec_col).alias("_qvec"),
+            lsh_bucket(F.col(vec_col), planes).alias("_qbucket"),
+        )
+        .withColumn("_mask", F.explode(probe_masks))
+        .withColumn("bucket", F.col("_qbucket").bitwiseXOR(F.col("_mask")))
+        .select(query_id, "_qvec", "bucket")
+    )
+    scored = c.join(F.broadcast(q), "bucket").withColumn(
+        "cosine", F.round(cosine_similarity("_cvec", "_qvec"), 4)
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.dropDuplicates([query_id, "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "rank", "cosine")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus self near-dup pairs at a cosine threshold.
+
+    Bucket by random hyperplanes, pair only within buckets (hash-join on
+    bucket id, id_a < id_b), verify with exact cosine.  High thresholds
+    (≥0.9) live comfortably inside one bucket for 8 planes.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    l, r = b.alias("a"), b.alias("b")
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine_similarity("a._vec", "b._vec"), 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= cosine_threshold)
+    )
