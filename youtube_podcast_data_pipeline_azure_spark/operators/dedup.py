@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from youtube_podcast_data_pipeline_azure_spark.functions.text import rolling_fingerprint, tokenize
+from youtube_podcast_data_pipeline_azure_spark.operators.util import spread
 
 
 # ---------------------------------------------------------------------------
@@ -67,20 +68,37 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(sliced)
 
 
+LONG_MAX = (1 << 63) - 1
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 128) -> Column:
     """MinHash signature: array of ``num_hashes`` longs.
 
-    Hash function *i* is ``xxhash64(shingle, i)`` — xxhash64 with a
-    distinct literal seed column per slot; the signature slot is the min
-    over shingles.  All built-in, codegen'd, no UDF.
+    Kirsch-Mitzenmacher construction: per shingle only TWO string hashes
+    are computed (``xxhash64(s)`` and ``xxhash64(s, seed)``); slot *i*'s
+    hash is ``h1 + i*h2`` (odd h2 ⇒ a permutation of Z/2⁶⁴).  Built as
+    two narrow passes — (1) map each shingle to its (h1, h2) struct,
+    (2) fold the slot-wise min with ``aggregate``+``zip_with`` — so cost
+    is O(shingles · 2 string-hashes + shingles · k integer-ops), vs the
+    naive k string-hashes per shingle.  All built-in expressions,
+    JVM-side, no UDF.
     """
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
-            for i in range(num_hashes)
-        ]
+    hashed = F.transform(
+        shingle_col,
+        lambda s: F.struct(
+            F.xxhash64(s).alias("h1"),
+            F.xxhash64(s, F.lit(7)).bitwiseOR(F.lit(1)).alias("h2"),
+        ),
+    )
+    idx = F.array(*[F.lit(i).cast("long") for i in range(num_hashes)])
+    return F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(LONG_MAX).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(idx, lambda i: h.getField("h1") + i * h.getField("h2")),
+            lambda a, b: F.least(a, b),
+        ),
     )
 
 
@@ -89,8 +107,8 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
-    num_hashes: int = 128,
-    bands: int = 32,
+    num_hashes: int = 96,
+    bands: int = 24,
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH, verified with exact Jaccard.
@@ -104,42 +122,55 @@ def minhash_lsh_pairs(
          AQE skew-join handles hot buckets)
       4. exact Jaccard on the candidates' shingle sets; keep >= threshold.
 
-    With b=32, r=4 (128 hashes) the S-curve threshold is
-    (1/b)^(1/r) ≈ 0.42 — candidates are recalled well above
+    With b=24, r=4 (96 hashes) the S-curve threshold is
+    (1/b)^(1/r) ≈ 0.45 — candidates are recalled well above
     ``jaccard_threshold=0.5`` and the exact filter removes false
-    positives.  Returns (id_a, id_b, jaccard) with id_a < id_b.
+    positives.  (96/24 rather than the classic 128/32: same r, ~25%
+    less signature compute, measurably faster plan compile, identical
+    pair set on the fixtures.)  Returns (id_a, id_b, jaccard) with
+    id_a < id_b.
     """
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
 
-    docs = df.select(
-        F.col(id_col),
-        shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    docs = spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    # Shingle sets are needed twice (banding + exact verify); cache the
+    # narrow (id, shingles) projection rather than recomputing the
+    # tokenizer twice.
+    docs = docs.persist()
 
-    banded = docs.select(
-        id_col,
-        "sh",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",", F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                        )
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("band"),
-    ).select(id_col, "sh", "band.band_id", "band.band_hash")
+    # Band keys only — the heavy shingle arrays must NOT ride through the
+    # band explode + self-join shuffle (ids and two longs do).
+    banded = (
+        docs.select(
+            id_col, minhash_signature(F.col("sh"), num_hashes).alias("sig")
+        )
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                            )
+                        ).alias("band_hash"),
+                    ),
+                )
+            ).alias("band"),
+        )
+        .select(id_col, "band.band_id", "band.band_hash")
+    )
 
-    left = banded.alias("a")
-    right = banded.alias("b")
     cand = (
-        left.join(
-            right,
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
             on=[
                 F.col("a.band_id") == F.col("b.band_id"),
                 F.col("a.band_hash") == F.col("b.band_hash"),
@@ -149,18 +180,21 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    # Exact verify on the (few) candidates: re-attach shingle sets by id.
+    a_sh = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b_sh = docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     jac = (
         F.size(F.array_intersect("sh_a", "sh_b"))
         / F.size(F.array_union("sh_a", "sh_b"))
     ).alias("jaccard")
     return (
-        cand.select("id_a", "id_b", jac)
+        cand.join(a_sh, "id_a")
+        .join(b_sh, "id_b")
+        .select("id_a", "id_b", jac)
         .where(F.col("jaccard") >= jaccard_threshold)
     )
 
@@ -284,7 +318,9 @@ def simhash_near_dup_pairs(
     chunk_bits = bits // blocks
     mask = (1 << chunk_bits) - 1
 
-    sigs = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("sig"))
+    sigs = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col), simhash(F.col(text_col), bits).alias("sig")
+    )
     # literal shift amounts per chunk (shiftright requires int literals)
     chunked = sigs.select(
         id_col,

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from youtube_podcast_data_pipeline_azure_spark.functions.vectors import cosine_similarity
+from youtube_podcast_data_pipeline_azure_spark.operators.util import spread
 
 
 def _normalize(vec: Column) -> Column:
@@ -55,8 +56,11 @@ def knn_bruteforce(
     q = queries.select(
         F.col(query_id), F.col(vec_col).alias("_qvec")
     )
-    scored = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    scored = spread(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        ),
+        "neighbor_id",
     ).crossJoin(F.broadcast(q))
     scored = scored.withColumn(
         "cosine", F.round(cosine_similarity("_cvec", "_qvec"), 4)
@@ -118,7 +122,7 @@ def knn_lsh(
     return fewer than k per query (approximate by design).
     """
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
+    c = spread(corpus, corpus_id).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
@@ -169,7 +173,7 @@ def embedding_near_dup_pairs(
     (≥0.9) live comfortably inside one bucket for 8 planes.
     """
     planes = _hyperplanes(dim, n_planes, seed)
-    b = df.select(
+    b = spread(df, id_col).select(
         F.col(id_col),
         F.col(vec_col).alias("_vec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
