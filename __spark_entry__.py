@@ -32,13 +32,21 @@ from youtube_podcast_data_pipeline_azure_spark.functions.text import (
     quality_score_sql,
     token_count_bpe,
     tokenize,
+    winnowing_fingerprints,
     word_count,
 )
 from youtube_podcast_data_pipeline_azure_spark.functions.vectors import cosine_similarity, l2_norm
 from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
-from youtube_podcast_data_pipeline_azure_spark.operators import dedup, medallion, similarity
+from youtube_podcast_data_pipeline_azure_spark.operators import (
+    dedup,
+    joins,
+    medallion,
+    multimodal,
+    similarity,
+)
 from youtube_podcast_data_pipeline_azure_spark.streaming.events_stream import (
     sessionized_counts,
+    streaming_dedup,
     tumbling_counts,
 )
 
@@ -144,6 +152,138 @@ def q_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# medallion pipeline end-to-end (SURVEY.md §2.A pipeline DAG)
+#
+# The fixture tables carry no nested YouTube-API shapes, so each pipeline
+# query first *builds* the bronze layer deterministically from fixture
+# columns (nested structs, unparsable stats, error records, blank text —
+# the exact hazards the reference defends against), then runs the real
+# medallion transform.  The oracle computes the same result from the flat
+# columns directly, which verifies the flatten/cast/filter semantics.
+# ---------------------------------------------------------------------------
+
+
+def _bronze_videos_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic BRONZE_VIDEO_ITEM rows synthesized from ``orders``.
+
+    Hazards injected: every 97th video's viewCount is unparsable ('N/A'
+    → try_cast yields null, the safe_int semantics of reference
+    silver_transform_videos.py:12-16); likeCount is null every 5th row.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.concat(F.lit("vid"), F.col("o_orderkey")).alias("id"),
+        F.struct(
+            F.concat(
+                F.col("o_orderpriority"), F.lit(" order "), F.col("o_orderkey")
+            ).alias("title"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                "publishedAt"
+            ),
+            F.concat(F.lit("chan"), F.col("o_custkey") % 10).alias(
+                "channelTitle"
+            ),
+        ).alias("snippet"),
+        F.struct(
+            F.when((F.col("o_orderkey") % 97) == 0, F.lit("N/A"))
+            .otherwise(F.col("o_totalprice").cast("bigint").cast("string"))
+            .alias("viewCount"),
+            F.when((F.col("o_orderkey") % 5) == 0, F.lit(None).cast("string"))
+            .otherwise((F.col("o_orderkey") % 1000).cast("string"))
+            .alias("likeCount"),
+            (F.col("o_custkey") % 100).cast("string").alias("commentCount"),
+        ).alias("statistics"),
+        F.struct(
+            F.concat(
+                F.lit("PT"),
+                (F.col("o_orderkey") % 60).cast("string"),
+                F.lit("M"),
+                (F.col("o_custkey") % 60).cast("string"),
+                F.lit("S"),
+            ).alias("duration")
+        ).alias("contentDetails"),
+    )
+
+
+def q_videos_bronze_to_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6/A7 — full nested-flatten + null-on-error cast Silver hop
+    (reference silver_transform_videos.py:23-38) on synthesized bronze."""
+    return medallion.bronze_videos_to_silver(
+        _bronze_videos_from_orders(spark, sf_dir)
+    )
+
+
+def _bronze_comments_from_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic BRONZE_COMMENT_ITEM rows synthesized from
+    ``documents``.  Hazards injected: whitespace-only text (every 13th),
+    null text (every 17th), error records (every 19th), null likes
+    (every 5th) — the cases silver_clean_comments.py:41-56 handles."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(F.lit("vid"), F.col("doc_id") % 100).alias("videoId"),
+        F.concat(F.lit("c"), F.col("doc_id")).alias("commentId"),
+        F.concat(F.lit("user"), F.col("doc_id") % 50).alias("author"),
+        F.when((F.col("doc_id") % 13) == 0, F.lit("   "))
+        .when((F.col("doc_id") % 17) == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when((F.col("doc_id") % 5) == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("doc_id") % 200)
+        .alias("likes"),
+        F.date_format(
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(mins=F.col("doc_id").cast("int")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("publishedAt"),
+        F.when((F.col("doc_id") % 19) == 0, F.lit("quotaExceeded"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("error"),
+    )
+
+
+def q_comments_bronze_to_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/A9/A10 — error-record drop, trim+drop-empty, likes default
+    (reference silver_clean_comments.py:41-56) on synthesized bronze."""
+    return medallion.bronze_comments_to_silver(
+        _bronze_comments_from_documents(spark, sf_dir)
+    )
+
+
+def q_envelope_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18/A19 — envelope unwrap: collect synthesized comment items into
+    per-video envelope rows (metadata + items array), then explode back
+    to records (reference final_kpis.py:33-34 done declaratively)."""
+    items = _bronze_comments_from_documents(spark, sf_dir)
+    envelopes = items.groupBy("videoId").agg(
+        F.count("*").alias("comment_count"),
+        F.array_sort(
+            F.collect_list(F.struct("commentId", "author", "text", "likes"))
+        ).alias("items"),
+    )
+    return medallion.explode_envelope(envelopes)
+
+
+def q_medallion_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14/A15/A16 full-pipeline KPI row: bronze → silver → deterministic
+    gold enrichment → single KPI record (reference final_kpis.py:25-58).
+    Rows-only: the pandas_udf classifier and the wall-clock stamp are not
+    SQL-expressible; the timestamp column is dropped for stability."""
+    videos_silver = q_videos_bronze_to_silver(spark, sf_dir)
+    comments_silver = q_comments_bronze_to_silver(spark, sf_dir)
+    videos_gold = enrich_comments(
+        videos_silver.select("video_id", F.col("title").alias("text")),
+        DeterministicClassifier(),
+        text_col="text",
+    )
+    comments_gold = enrich_comments(
+        comments_silver, DeterministicClassifier(), text_col="text"
+    )
+    return medallion.kpis(videos_gold, comments_gold).drop("generated_at_utc")
+
+
+# ---------------------------------------------------------------------------
 # relational completeness (SURVEY.md §2.B)
 # ---------------------------------------------------------------------------
 
@@ -207,6 +347,63 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(F.round(revenue, 2).alias("revenue"))
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase event, the most recent prior (or
+    simultaneous) view by the same user.  Union-merge strategy: ONE
+    shuffle on user_id, no range explosion (operators/joins.py).
+
+    Right side deduped to one view per (user, ts) — max event_id wins —
+    so the as-of pick is well-defined on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("view_event_id"),
+            F.max("value").alias("view_value"),
+        )
+    )
+    out = joins.asof_join_backward(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_view_event_id").alias("view_event_id"),
+        F.round("asof_view_value", 2).alias("view_value"),
+    )
+
+
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: orders priced into inline [lo, hi) bands;
+    band side broadcast (BroadcastNestedLoop over 6 rows, not a shuffled
+    cartesian)."""
+    bands = spark.createDataFrame(
+        [
+            ("band_0_50k", 0.0, 50_000.0),
+            ("band_50_100k", 50_000.0, 100_000.0),
+            ("band_100_150k", 100_000.0, 150_000.0),
+            ("band_150_200k", 150_000.0, 200_000.0),
+            ("band_200_300k", 200_000.0, 300_000.0),
+            ("band_300k_up", 300_000.0, 1e9),
+        ],
+        "band string, lo double, hi double",
+    )
+    o = _t(spark, sf_dir, "orders")
+    return (
+        joins.range_join(o, bands, "o_totalprice")
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
     )
 
 
@@ -436,9 +633,140 @@ def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with explicit schema (null on malformed — the engine's
+    LLM-output fallback semantics) + to_json re-serialization."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.from_json("props", "k int").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.to_json(F.struct("event_id", F.col("p.k").alias("k"))).alias("j"),
+    )
+
+
+def q_array_agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array pack: collect_set → sort, size, contains, slice, join."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"))
+        .select(
+            "o_custkey",
+            "priorities",
+            F.size("priorities").alias("n_distinct"),
+            F.array_contains("priorities", "1-URGENT").alias("has_urgent"),
+            F.slice("priorities", 1, 2).alias("top2"),
+            F.array_join("priorities", ",").alias("joined"),
+        )
+    )
+
+
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map pack: per-bucket order-status → count map + sorted key list."""
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy(
+        (F.col("o_custkey") % 10).alias("bucket"), "o_orderstatus"
+    ).agg(F.count("*").alias("n"))
+    # The map is built and consumed (map_keys / size / entries) but the
+    # comparison surface is entry structs: Spark maps and DuckDB MAPs
+    # normalize differently in result sets, entries identically.
+    return (
+        counts.groupBy("bucket")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("o_orderstatus", "n")))
+            ).alias("m")
+        )
+        .select(
+            "bucket",
+            F.array_sort(F.map_entries("m")).alias("status_counts"),
+            F.map_keys("m").alias("statuses"),
+            F.size("m").alias("n_statuses"),
+        )
+    )
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: two-level aggregation — orders per customer,
+    then customers per order-count."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: join + group + HAVING on the aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+
+
+def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-unit-price supplier (correlated
+    min as a deterministic window rank).
+
+    Price is compared/output as floor-of-cents: floor() of IEEE-
+    identical doubles is bit-stable across engines, unlike decimal
+    round() of a derived quotient (HALF_UP vs banker's at boundaries).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    unit_cents = F.floor(
+        (F.col("l_extendedprice") / F.col("l_quantity")) * 100
+    ).cast("long")
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_cents").asc(), F.col("l_suppkey").asc()
+    )
+    return (
+        li.select("l_partkey", "l_suppkey", unit_cents.alias("unit_cents"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_partkey", "l_suppkey", "unit_cents")
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the Spark SQL surface."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming-parity windows (batch mode here; stream mode in tests)
 # ---------------------------------------------------------------------------
+
+
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping event-time windows (10 min window, 5 min slide) —
+    each event lands in exactly two windows."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
 
 
 def q_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -503,6 +831,22 @@ def q_token_set_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join (prefix filtering, lossless
+    recall — the deterministic complement of minhash_near_dup)."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints, one row per (doc, fingerprint)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(winnowing_fingerprints("text")).alias("fp")
+    )
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector math sanity surface: l2 norms of embeddings."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -555,6 +899,78 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_lsh(corpus, queries, k=10, multiprobe=2)
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate KNN: k-means coarse quantizer + inverted
+    lists, nprobe=4 of 8 (rows-only: approximate recall)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return similarity.knn_ivf(
+        corpus, queries, k=10, n_centroids=8, nprobe=4
+    )
+
+
+def _media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize MEDIA_ASSETS rows from ``documents``: the text bytes
+    stand in for an opaque media payload (no codecs in this container);
+    modality cycles deterministically, videos get a duration."""
+    d = _t(spark, sf_dir, "documents")
+    modality = (
+        F.when((F.col("doc_id") % 3) == 0, "image")
+        .when((F.col("doc_id") % 3) == 1, "audio")
+        .otherwise("video")
+    )
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        modality.alias("modality"),
+        F.col("text").cast("binary").alias("payload"),
+        F.when((F.col("doc_id") % 3) == 2, F.col("n_chars") * 100)
+        .cast("long")
+        .alias("duration_ms"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature-extract plumbing (mapInPandas over binary
+    payloads).  The digest columns are oracle-checkable; the stub
+    feature vector is exercised but projected out (its determinism is
+    unit-tested in tests/test_multimodal.py)."""
+    feats = multimodal.extract_features(_media_assets(spark, sf_dir))
+    return feats.select("asset_id", "modality", "n_bytes", "sha256")
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: 1-in/N-out mapInPandas explode; stub frames
+    are payload+timestamp digests, so fully oracle-checkable."""
+    frames = multimodal.sample_frames(
+        _media_assets(spark, sf_dir), every_ms=1000
+    )
+    return frames.select(
+        "asset_id",
+        "frame_index",
+        "frame_ms",
+        F.lower(F.hex("frame")).alias("frame_sha"),
+    )
+
+
+def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery simulation: union events with itself, then
+    exactly-once dedup on event_id (streaming twin uses
+    dropDuplicatesWithinWatermark; batch/stream parity in tests)."""
+    ev = _t(spark, sf_dir, "events")
+    doubled = ev.unionByName(ev)
+    return (
+        streaming_dedup(doubled)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 def q_enrich_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11/A13 — deterministic-classifier enrichment over document text
     (pandas_udf batch path; rows-only: UDF not SQL-expressible)."""
@@ -584,10 +1000,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_group_limit": q_per_group_limit,
         "iso_duration_parse": q_iso_duration_parse,
         "partitioned_sink_roundtrip": q_partitioned_sink_roundtrip,
+        # medallion pipeline end-to-end
+        "videos_bronze_to_silver": q_videos_bronze_to_silver,
+        "comments_bronze_to_silver": q_comments_bronze_to_silver,
+        "envelope_explode": q_envelope_explode,
+        "medallion_kpis": q_medallion_kpis,
         # relational completeness
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
+        "asof_join": q_asof_join,
+        "range_join_bands": q_range_join_bands,
         "top_orders": q_top_orders,
         "agg_suite": q_agg_suite,
         "rollup_agg": q_rollup_agg,
@@ -606,8 +1029,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_types": q_pivot_event_types,
         "scalar_subquery": q_scalar_subquery,
         "explode_tokens": q_explode_tokens,
+        "json_roundtrip": q_json_roundtrip,
+        "array_agg_functions": q_array_agg_functions,
+        "map_functions": q_map_functions,
+        "customer_order_distribution": q_customer_order_distribution,
+        "large_orders": q_large_orders,
+        "min_price_supplier": q_min_price_supplier,
+        "grouping_sets": q_grouping_sets,
         # streaming parity (batch mode)
         "tumbling_windows": q_tumbling_windows,
+        "sliding_windows": q_sliding_windows,
         "session_windows": q_session_windows,
         # text / dedup / similarity
         "text_stats": q_text_stats,
@@ -615,13 +1046,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "exact_dedup": q_exact_dedup,
         "token_set_dedup": q_token_set_dedup,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
         "embedding_norms": q_embedding_norms,
         "knn_bruteforce": q_knn_bruteforce,
+        "media_features": q_media_features,
+        "media_frame_sample": q_media_frame_sample,
+        "stream_dedup_counts": q_stream_dedup_counts,
         # approximate / UDF (rows-only)
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "embedding_near_dup": q_embedding_near_dup,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "enrich_documents": q_enrich_documents,
     }
 
@@ -678,6 +1115,57 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE cast(ts AS date) = date '2024-01-01'
             GROUP BY event_type
         """,
+        "videos_bronze_to_silver": """
+            SELECT 'vid' || o_orderkey AS video_id,
+                   o_orderpriority || ' order ' || o_orderkey AS title,
+                   cast(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                        AS timestamp) AS published_at,
+                   'chan' || (o_custkey % 10) AS channel_title,
+                   'PT' || (o_orderkey % 60) || 'M' || (o_custkey % 60) || 'S'
+                       AS duration,
+                   (o_orderkey % 60) * 60 + (o_custkey % 60)
+                       AS duration_seconds,
+                   CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                        ELSE cast(floor(o_totalprice) AS bigint) END
+                       AS view_count,
+                   CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                        ELSE o_orderkey % 1000 END AS like_count,
+                   o_custkey % 100 AS comment_count
+            FROM orders
+        """,
+        "comments_bronze_to_silver": """
+            WITH b AS (
+                SELECT 'vid' || (doc_id % 100) AS videoId,
+                       'c' || doc_id AS commentId,
+                       'user' || (doc_id % 50) AS author,
+                       CASE WHEN doc_id % 13 = 0 THEN '   '
+                            WHEN doc_id % 17 = 0 THEN NULL
+                            ELSE text END AS text,
+                       CASE WHEN doc_id % 5 = 0 THEN NULL
+                            ELSE doc_id % 200 END AS likes,
+                       timestamp '2024-01-01 00:00:00'
+                           + doc_id * INTERVAL 1 MINUTE AS publishedAt,
+                       CASE WHEN doc_id % 19 = 0 THEN 'quotaExceeded'
+                            END AS error
+                FROM documents)
+            SELECT videoId, commentId, author,
+                   trim(coalesce(text, '')) AS text,
+                   cast(coalesce(likes, 0) AS bigint) AS likes,
+                   publishedAt
+            FROM b
+            WHERE error IS NULL
+              AND length(trim(coalesce(text, ''))) > 0
+        """,
+        "envelope_explode": """
+            SELECT 'c' || doc_id AS commentId,
+                   'user' || (doc_id % 50) AS author,
+                   CASE WHEN doc_id % 13 = 0 THEN '   '
+                        WHEN doc_id % 17 = 0 THEN NULL
+                        ELSE text END AS text,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL
+                        ELSE doc_id % 200 END AS likes
+            FROM documents
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -718,6 +1206,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
             GROUP BY n_name
+        """,
+        "asof_join": """
+            WITH purchases AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'),
+            views AS (
+                SELECT user_id, ts, max(event_id) AS view_event_id,
+                       max(value) AS view_value
+                FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.view_event_id, round(r.view_value, 2) AS view_value
+            FROM purchases l
+            ASOF LEFT JOIN views r
+                ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join_bands": """
+            WITH bands(band, lo, hi) AS (VALUES
+                ('band_0_50k', 0.0, 50000.0),
+                ('band_50_100k', 50000.0, 100000.0),
+                ('band_100_150k', 100000.0, 150000.0),
+                ('band_150_200k', 150000.0, 200000.0),
+                ('band_200_300k', 200000.0, 300000.0),
+                ('band_300k_up', 300000.0, 1e9))
+            SELECT band, count(*) AS n,
+                   round(avg(o_totalprice), 2) AS avg_price
+            FROM orders JOIN bands
+                ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY band
         """,
         "top_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice
@@ -850,6 +1366,84 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest({tokens}) AS token FROM documents)
             GROUP BY token
         """,
+        "json_roundtrip": """
+            SELECT event_id,
+                   cast(json_extract(props, '$.k') AS int) AS k,
+                   to_json(struct_pack(
+                       event_id := event_id,
+                       k := cast(json_extract(props, '$.k') AS int))) AS j
+            FROM events
+        """,
+        "array_agg_functions": """
+            WITH p AS (
+                SELECT o_custkey,
+                       list_sort(list(DISTINCT o_orderpriority)) AS priorities
+                FROM orders GROUP BY o_custkey)
+            SELECT o_custkey, priorities,
+                   len(priorities) AS n_distinct,
+                   list_contains(priorities, '1-URGENT') AS has_urgent,
+                   priorities[1:2] AS top2,
+                   array_to_string(priorities, ',') AS joined
+            FROM p
+        """,
+        "map_functions": """
+            WITH c AS (
+                SELECT o_custkey % 10 AS bucket, o_orderstatus,
+                       count(*) AS n
+                FROM orders GROUP BY 1, 2)
+            SELECT bucket,
+                   list_sort(list(row(o_orderstatus, n))) AS status_counts,
+                   list_sort(list(o_orderstatus)) AS statuses,
+                   count(*) AS n_statuses
+            FROM c GROUP BY bucket
+        """,
+        "customer_order_distribution": """
+            SELECT n_orders, count(*) AS n_customers FROM (
+                SELECT c_custkey, count(o_orderkey) AS n_orders
+                FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+                GROUP BY c_custkey)
+            GROUP BY n_orders
+        """,
+        "large_orders": """
+            SELECT o_orderkey, o_orderdate, o_totalprice,
+                   round(sum(l_quantity), 2) AS total_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey, o_orderdate, o_totalprice
+            HAVING round(sum(l_quantity), 2) > 150
+        """,
+        "min_price_supplier": """
+            SELECT l_partkey, l_suppkey, unit_cents FROM (
+                SELECT l_partkey, l_suppkey,
+                       cast(floor((l_extendedprice / l_quantity) * 100)
+                            AS bigint) AS unit_cents,
+                       row_number() OVER (
+                           PARTITION BY l_partkey
+                           ORDER BY cast(floor((l_extendedprice / l_quantity)
+                                               * 100) AS bigint) ASC,
+                                    l_suppkey ASC) AS rn
+                FROM lineitem)
+            WHERE rn = 1
+        """,
+        "grouping_sets": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        "sliding_windows": """
+            WITH w AS (
+                SELECT ts, value,
+                       unnest([time_bucket(INTERVAL '5 minutes', ts),
+                               time_bucket(INTERVAL '5 minutes', ts)
+                                   - INTERVAL '5 minutes']) AS window_start
+                FROM events)
+            SELECT window_start, count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM w
+            WHERE ts >= window_start
+              AND ts < window_start + INTERVAL '10 minutes'
+            GROUP BY window_start
+        """,
         "tumbling_windows": """
             SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
                    event_type, count(*) AS n,
@@ -897,6 +1491,55 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS doc_id, count(*) AS n_docs
             FROM documents GROUP BY 1
         """,
+        "ngram_jaccard_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS tokens FROM documents),
+            docs AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(tokens[i:i+2], ' ')
+                           for i in generate_series(
+                               1, greatest(len(tokens)-3, 0)+1)]) AS sh
+                FROM toks),
+            pref AS (
+                SELECT doc_id,
+                       (list_sort(list_transform(sh, s -> md5(s))))
+                           [1 : cast(len(sh) - ceil(0.5 * len(sh)) + 1
+                                     AS bigint)] AS pkeys
+                FROM docs),
+            expl AS (
+                SELECT doc_id, unnest(pkeys) AS pkey FROM pref),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM expl a JOIN expl b
+                    ON a.pkey = b.pkey AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b,
+                   round(cast(len(list_intersect(da.sh, db.sh)) AS double)
+                         / (len(da.sh) + len(db.sh)
+                            - len(list_intersect(da.sh, db.sh))), 4)
+                       AS jaccard
+            FROM cand
+            JOIN docs da ON da.doc_id = id_a
+            JOIN docs db ON db.doc_id = id_b
+            WHERE jaccard >= 0.5
+        """,
+        "winnowing_fingerprints": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS tokens FROM documents),
+            hashes AS (
+                SELECT doc_id,
+                       list_transform(
+                           [array_to_string(tokens[i:i+2], ' ')
+                            for i in generate_series(
+                                1, greatest(len(tokens)-3, 0)+1)],
+                           g -> md5(g)[1:16]) AS h
+                FROM toks)
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       [list_aggregate(h[i:i+3], 'min')
+                        for i in generate_series(
+                            1, greatest(len(h)-4, 0)+1)])) AS fp
+            FROM hashes
+        """,
         "embedding_norms": """
             SELECT vec_id,
                    round(sqrt(list_dot_product(embedding, embedding)), 4) AS norm
@@ -913,7 +1556,35 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id < 5 AND c.vec_id >= 5)
             WHERE rank <= 10
         """,
+        "media_features": """
+            SELECT doc_id AS asset_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   cast(octet_length(encode(coalesce(text, ''))) AS bigint)
+                       AS n_bytes,
+                   sha256(coalesce(text, '')) AS sha256
+            FROM documents
+        """,
+        "media_frame_sample": """
+            WITH v AS (
+                SELECT doc_id AS asset_id, coalesce(text, '') AS payload,
+                       greatest(n_chars * 100, 1) AS dur
+                FROM documents WHERE doc_id % 3 = 2)
+            SELECT asset_id,
+                   cast(ms // 1000 AS int) AS frame_index,
+                   ms AS frame_ms,
+                   sha256(payload || cast(ms AS varchar)) AS frame_sha
+            FROM v, unnest(generate_series(0, cast(dur - 1 AS bigint), 1000))
+                        AS t(ms)
+        """,
+        "stream_dedup_counts": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type
+        """,
         # minhash_near_dup / simhash_near_dup / embedding_near_dup /
-        # knn_lsh / enrich_documents: intentionally omitted — approximate
-        # or UDF-backed; the driver records the weaker rows-only check.
+        # knn_lsh / knn_ivf / enrich_documents / medallion_kpis:
+        # intentionally omitted — approximate or UDF-backed; the driver
+        # records the weaker rows-only check.
     }

@@ -94,9 +94,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    attempted = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        attempted += 1
         try:
             ok, detail = compare_query(spark, duck, name, fn, oracles.get(name), sf_dir)
         except Exception as e:  # noqa: BLE001
@@ -104,7 +106,7 @@ def main() -> int:
         status = "ok " if ok else "FAIL"
         print(f"[{status}] {name}: {detail}")
         failures += 0 if ok else 1
-    print(f"\n{len(qs) - failures}/{len(qs)} passed")
+    print(f"\n{attempted - failures}/{attempted} passed")
     return 1 if failures else 0
 
 

@@ -124,3 +124,101 @@ def test_embedding_near_dup_pairs_verified(embeddings):
     for r in out:
         assert r["cosine"] >= 0.3
         assert r["id_a"] < r["id_b"]
+
+
+# ---------------------------------------------------------------------------
+# ngram_jaccard_pairs (exact prefix-filtering join) + winnowing
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(spark):
+    """Prefix filtering must be lossless: same pairs as the O(n²) brute
+    force at the same threshold."""
+    from itertools import combinations
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import ngram_jaccard_pairs
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy cat tonight"),
+        (3, "a completely different document about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog tonight"),
+        (5, "spark engines process completely different document layouts"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+
+    def sh(t: str, n: int = 3) -> set[str]:
+        toks = t.lower().split()
+        if len(toks) <= n:
+            return {" ".join(toks[:n])}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    expect = set()
+    for (ia, ta), (ib, tb) in combinations(texts, 2):
+        a, b = sh(ta), sh(tb)
+        if len(a & b) / len(a | b) >= 0.5:
+            expect.add((min(ia, ib), max(ia, ib)))
+    assert got == expect
+    assert (1, 4) in got  # identical docs
+    assert (1, 2) in got  # one-word difference
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Two docs sharing a run of >= window + k - 1 words must share at
+    least one winnowing fingerprint (Schleimer '03 guarantee)."""
+    from youtube_podcast_data_pipeline_azure_spark.functions.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = window(4)+k(3)-1
+    df = spark.createDataFrame(
+        [
+            (1, f"unrelated prefix words here {shared} and a suffix"),
+            (2, f"{shared} totally other trailing content follows now"),
+            (3, "nothing in common with either document at all"),
+        ],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    fps = {
+        r.doc_id: set(r.fps)
+        for r in df.select(
+            "doc_id", winnowing_fingerprints("text").alias("fps")
+        ).collect()
+    }
+    assert fps[1] & fps[2], "shared 6-word run must yield a shared fingerprint"
+    assert not (fps[1] & fps[3] and fps[2] & fps[3])
+
+
+def test_ivf_recall_reasonable_and_deterministic(spark, sf_dir):
+    """IVF with nprobe=n_centroids must equal brute force (every list is
+    probed); lower nprobe trades recall, and results are deterministic."""
+    from pyspark.sql import functions as F
+
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+    from youtube_podcast_data_pipeline_azure_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.where(F.col("vec_id") >= 3)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_bruteforce(c, q, k=5).collect()
+    }
+    full_probe = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.knn_ivf(
+            c, q, k=5, n_centroids=4, nprobe=4, iters=1
+        ).collect()
+    }
+    assert full_probe == exact  # nprobe == n_centroids → exhaustive
+
+    a = similarity.knn_ivf(c, q, k=5, n_centroids=4, nprobe=2).collect()
+    b = similarity.knn_ivf(c, q, k=5, n_centroids=4, nprobe=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic

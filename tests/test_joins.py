@@ -1,0 +1,155 @@
+"""Unit tests for as-of and range join operators (operators/joins.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from youtube_podcast_data_pipeline_azure_spark.operators import joins
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01 10:00:00")),
+            (2, "u1", _ts("2024-01-01 12:00:00")),
+            (3, "u2", _ts("2024-01-01 09:00:00")),  # before any right row
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 09:30:00"), 100),
+            ("u1", _ts("2024-01-01 11:00:00"), 200),
+            ("u2", _ts("2024-01-01 09:30:00"), 300),
+        ],
+        "user_id string, ts timestamp, val long",
+    )
+    out = joins.asof_join_backward(left, right, on=["user_id"]).orderBy(
+        "event_id"
+    )
+    rows = out.collect()
+    assert [r.asof_val for r in rows] == [100, 200, None]
+    # the matched right timestamp rides along
+    assert rows[1].asof_ts == _ts("2024-01-01 11:00:00")
+
+
+def test_asof_equal_ts_matches_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01 10:00:00"))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 10:00:00"), 42)],
+        "user_id string, ts timestamp, val long",
+    )
+    out = joins.asof_join_backward(left, right, on=["user_id"]).collect()
+    assert out[0].asof_val == 42
+
+
+def test_asof_null_field_in_matched_row_is_preserved(spark):
+    """A matched right row with a null payload field must NOT see through
+    to an older non-null row (struct propagation, not per-column last)."""
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01 12:00:00"))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 10:00:00"), 7),
+            ("u1", _ts("2024-01-01 11:00:00"), None),
+        ],
+        "user_id string, ts timestamp, val long",
+    )
+    out = joins.asof_join_backward(left, right, on=["user_id"]).collect()
+    assert out[0].asof_val is None
+    assert out[0].asof_ts == _ts("2024-01-01 11:00:00")
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01 12:00:00"))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 10:00:00"), 7)],
+        "user_id string, ts timestamp, val long",
+    )
+    hit = joins.asof_join_backward(
+        left, right, on=["user_id"], tolerance_seconds=3 * 3600
+    ).collect()
+    assert hit[0].asof_val == 7
+    miss = joins.asof_join_backward(
+        left, right, on=["user_id"], tolerance_seconds=3600
+    ).collect()
+    assert miss[0].asof_val is None
+
+
+def test_asof_single_shuffle_plan(spark):
+    """The union-merge as-of must shuffle once (on the key), not build a
+    join product: exactly one Exchange below the window."""
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01 10:00:00"))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 09:00:00"), 1)],
+        "user_id string, ts timestamp, val long",
+    )
+    plan = (
+        joins.asof_join_backward(left, right, on=["user_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_assigns_bands(spark):
+    facts = spark.createDataFrame(
+        [(1, 10.0), (2, 55.0), (3, 100.0)], "id long, v double"
+    )
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 100.0), ("high", 100.0, 200.0)],
+        "band string, lo double, hi double",
+    )
+    out = (
+        joins.range_join(facts, bands, "v")
+        .select("id", "band")
+        .orderBy("id")
+        .collect()
+    )
+    assert [(r.id, r.band) for r in out] == [
+        (1, "low"),
+        (2, "mid"),
+        (3, "high"),  # hi-exclusive: 100 falls in [100, 200)
+    ]
+
+
+def test_bucketed_range_join_matches_broadcast_variant(spark):
+    facts = spark.createDataFrame(
+        [(i, float(i * 37 % 500)) for i in range(100)], "id long, v double"
+    )
+    bands = spark.createDataFrame(
+        [("a", 0.0, 120.0), ("b", 120.0, 340.0), ("c", 340.0, 500.0)],
+        "band string, lo double, hi double",
+    )
+    expect = {
+        (r.id, r.band)
+        for r in joins.range_join(facts, bands, "v").select("id", "band").collect()
+    }
+    got = {
+        (r.id, r.band)
+        for r in joins.bucketed_range_join(
+            facts, bands, "v", bucket_width=100.0
+        )
+        .select("id", "band")
+        .collect()
+    }
+    assert got == expect

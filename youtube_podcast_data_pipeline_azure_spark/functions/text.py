@@ -171,3 +171,33 @@ def rolling_fingerprint(col: Column | str) -> Column:
 def rolling_fingerprint_sql(col_sql: str) -> str:
     """DuckDB twin of :func:`rolling_fingerprint`."""
     return f"md5(lower(regexp_replace(trim({col_sql}), '\\s+', ' ', 'g')))"
+
+
+def winnowing_fingerprints(
+    col: Column | str, k: int = 3, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD '03):
+    hash every positional word ``k``-gram, slide a ``window`` over the
+    hash sequence, keep each window's minimum; the distinct minima are
+    the document's fingerprint set (array<string>).
+
+    Guarantee: any shared run of ``window + k - 1`` consecutive words
+    between two documents produces at least one shared fingerprint —
+    the local, position-robust property rolling content hashes are for.
+
+    Hashes are the first 16 hex chars of md5 so the selection order
+    (lexicographic min) is reproducible in the DuckDB oracle; all
+    built-in expressions, JVM-side.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokenize(c)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    hashes = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16))
+    wins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(hashes) - window, F.lit(0))),
+        lambda i: F.array_min(F.slice(hashes, i + 1, window)),
+    )
+    return F.array_distinct(wins)

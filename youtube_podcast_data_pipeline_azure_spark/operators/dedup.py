@@ -358,3 +358,76 @@ def simhash_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard similarity join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join via prefix filtering
+    (PPJoin family — Chaudhuri et al. '06 / Bayardo et al. '07).
+
+    Unlike MinHash-LSH (:func:`minhash_lsh_pairs`, probabilistic recall)
+    this is *lossless*: under a global canonical order of shingles, any
+    pair with Jaccard >= t must share at least one shingle within each
+    side's first ``|s| - ceil(t*|s|) + 1`` shingles (pigeonhole), so
+    equi-joining on prefix shingle-hashes generates a candidate superset
+    — then the exact Jaccard filter keeps truth only.
+
+    Scale shape: shuffle keys are 32-char md5 prefixes (md5 rather than
+    xxhash64 so the canonical order is oracle-reproducible in DuckDB);
+    candidate volume is O(matching prefixes), not O(n²), and shrinks as
+    the threshold rises.  Returns (id_a, id_b, jaccard), id_a < id_b.
+    """
+    docs = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+    ).persist()
+
+    sz = F.size("sh")
+    prefix_len = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
+    pref = docs.select(
+        id_col,
+        F.explode(
+            F.slice(
+                F.array_sort(F.transform("sh", lambda s: F.md5(s))),
+                F.lit(1),
+                prefix_len,
+            )
+        ).alias("pkey"),
+    )
+
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            on=[
+                F.col("a.pkey") == F.col("b.pkey"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    a_sh = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b_sh = docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = F.round(
+        inter / (F.size("sh_a") + F.size("sh_b") - inter).cast("double"), 4
+    ).alias("jaccard")
+    return (
+        cand.join(a_sh, "id_a")
+        .join(b_sh, "id_b")
+        .select("id_a", "id_b", jac)
+        .where(F.col("jaccard") >= threshold)
+    )

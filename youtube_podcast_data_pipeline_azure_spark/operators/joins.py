@@ -1,0 +1,150 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+range (interval) join.
+
+The reference never joins its datasets (SURVEY.md §2.B: videos and
+comments share keys but are only aggregated side-by-side,
+final_kpis.py:25-58), so these are engine extensions mandated by the
+relational-completeness goal.
+
+Scale design:
+
+* **as-of join** is implemented as the *union-merge* strategy — tag both
+  sides, union, one shuffle on the join key, and propagate the most
+  recent right-side row with a running ``last(ignorenulls)`` window.
+  This is O(n log n) per key with a SINGLE shuffle and no range
+  explosion, unlike the naive ``left.join(right, key).where(rts <= lts)``
+  + top-1 approach whose intermediate is |left| × |matching right| (at
+  100 TB the naive product is the difference between a job that runs and
+  one that never finishes).  Equal timestamps match (right row sorts
+  before the left row at the same instant — inclusive as-of, the same
+  semantics as DuckDB/pandas ``ASOF JOIN`` with ``>=``).
+* **range join** broadcasts the (small) band side so the inequality join
+  is a BroadcastNestedLoopJoin over a dimension of a few hundred rows
+  instead of a shuffled cartesian.  For two LARGE sides, pre-bucket both
+  on ``floor(value / bucket_width)`` and equi-join on the bucket id
+  first (``bucketed_range_join``) — the equality key turns the plan into
+  a plain shuffled hash join with per-bucket residual predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_seconds: int | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the most recent right row whose
+    ``right_ts <= left_ts`` within the same ``on`` key (left-outer: no
+    match → nulls).  Right payload columns come back prefixed.
+
+    ``tolerance_seconds`` nulls out matches older than the given horizon
+    (pandas ``merge_asof(tolerance=...)`` semantics).
+    """
+    r_payload = [c for c in right.columns if c not in set(on)]
+    rv = F.struct(
+        F.col(right_ts).alias(right_ts),
+        *[F.col(c) for c in r_payload if c != right_ts],
+    )
+    rt = right.select(
+        *on,
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        rv.alias("_rv"),
+    )
+    lt = left.select(
+        "*",
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(rt.schema["_rv"].dataType).alias("_rv"),
+    )
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = lt.unionByName(rt)
+
+    # Right rows sort before left rows at the same timestamp → inclusive
+    # as-of.  The running last(ignorenulls) propagates the whole right
+    # payload as one struct, so per-field nulls inside a matched right
+    # row are preserved (they don't "see through" to older rows).
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = F.last("_rv", ignorenulls=True).over(w)
+    if tolerance_seconds is not None:
+        horizon = F.col("_t").cast("long") - matched.getField(
+            right_ts
+        ).cast("long")
+        matched = F.when(horizon <= tolerance_seconds, matched)
+
+    out_fields = [right_ts] + [c for c in r_payload if c != right_ts]
+    return (
+        u.withColumn("_m", matched)
+        .where(F.col("_side") == 1)
+        .select(
+            *left.columns,
+            *[
+                F.col("_m").getField(c).alias(f"{prefix}{c}")
+                for c in out_fields
+            ],
+        )
+    )
+
+
+def range_join(
+    facts: DataFrame,
+    bands: DataFrame,
+    value_col: str | Column,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    how: str = "inner",
+) -> DataFrame:
+    """Join each fact row to the band whose [lo, hi) interval contains
+    its value.  The band side is broadcast — correct physical plan when
+    bands is a small dimension (the common case)."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    cond = (v >= bands[lo_col]) & (v < bands[hi_col])
+    return facts.join(F.broadcast(bands), cond, how)
+
+
+def bucketed_range_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float = 1000.0,
+) -> DataFrame:
+    """Range join for two LARGE sides: explode each interval into the
+    integer buckets it overlaps, equi-join on the bucket id (plain
+    shuffled hash join), then apply the residual containment predicate.
+    Shuffle volume is O(|facts| + Σ interval_width/bucket_width) instead
+    of a cartesian.  Requires bounded interval width for a sane bucket
+    fan-out (width/bucket_width buckets per interval)."""
+    b = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width).cast("long"),
+                F.floor((F.col(hi_col) - 1e-9) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    f = facts.withColumn(
+        "_bucket", F.floor(F.col(value_col) / bucket_width).cast("long")
+    )
+    cond = (
+        (f["_bucket"] == b["_bucket"])
+        & (f[value_col] >= b[lo_col])
+        & (f[value_col] < b[hi_col])
+    )
+    return f.join(b, cond).drop("_bucket")

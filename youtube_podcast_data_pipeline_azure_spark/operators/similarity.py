@@ -194,3 +194,154 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= cosine_threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def _centroid_array(centroids: DataFrame) -> Column:
+    """Collapse (centroid_id, vec) rows into one array<struct> literal-ish
+    column suitable for broadcasting into a crossJoin."""
+    return F.array_sort(
+        F.collect_list(F.struct(F.col("centroid_id"), F.col("vec")))
+    )
+
+
+def _nearest_centroid(vec: Column, cents: Column) -> Column:
+    """centroid_id of the max-cosine centroid for ``vec`` (ties → lowest
+    id, via struct max on (sim, -id))."""
+    best = F.array_max(
+        F.transform(
+            cents,
+            lambda c: F.struct(
+                F.round(cosine_similarity(vec, c.getField("vec")), 6).alias("sim"),
+                (-c.getField("centroid_id")).alias("neg_id"),
+            ),
+        )
+    )
+    return (-best.getField("neg_id")).alias("centroid_id")
+
+
+def ivf_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over DataFrame ops → (centroid_id,
+    vec) coarse quantizer.
+
+    Init is the ``n_centroids`` lowest-id corpus vectors (deterministic,
+    resumable — no RNG state).  Each iteration: assign every vector to
+    its nearest centroid (broadcast of the tiny centroid set, narrow
+    map), then recompute means via posexplode + per-(centroid, dim)
+    partial aggregation — one shuffle of O(n·dim) scalar rows per iter,
+    which is the textbook scalable k-means shape (no driver loops over
+    data, only over ``iters``).
+    """
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias(
+                "centroid_id"
+            ),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+    )
+    vecs = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    for _ in range(iters):
+        carr = cents.agg(_centroid_array(cents).alias("_cents"))
+        assigned = vecs.crossJoin(F.broadcast(carr)).select(
+            "_v", _nearest_centroid(F.col("_v"), F.col("_cents"))
+        )
+        cents = (
+            assigned.select(
+                "centroid_id", F.posexplode("_v").alias("pos", "x")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("x"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "x"))
+                ).alias("_px")
+            )
+            .select(
+                "centroid_id",
+                F.transform("_px", lambda s: s.getField("x")).alias("vec"),
+            )
+        )
+    return cents
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in per-centroid
+    inverted lists; each query scores only the ``nprobe`` nearest lists.
+
+    Scale shape: centroid assignment is a broadcast map on both sides;
+    the candidate join is a hash-shuffle on centroid_id touching
+    ~nprobe/n_centroids of the corpus per query — the standard
+    IVF-Flat recall/latency dial (FAISS-style), in pure DataFrame ops.
+    """
+    cents = ivf_train(corpus, corpus_id, vec_col, n_centroids, iters)
+    carr = cents.agg(_centroid_array(cents).alias("_cents"))
+
+    inv = corpus.crossJoin(F.broadcast(carr)).select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        _nearest_centroid(F.col(vec_col), F.col("_cents")),
+    )
+
+    probes = queries.crossJoin(F.broadcast(carr)).select(
+        F.col(query_id),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.transform(
+                            "_cents",
+                            lambda c: F.struct(
+                                F.round(
+                                    cosine_similarity(
+                                        F.col(vec_col), c.getField("vec")
+                                    ),
+                                    6,
+                                ).alias("sim"),
+                                c.getField("centroid_id").alias("centroid_id"),
+                            ),
+                        )
+                    )
+                ),
+                1,
+                nprobe,
+            )
+        ).alias("_probe"),
+    ).select(query_id, "_qvec", F.col("_probe.centroid_id").alias("centroid_id"))
+
+    scored = inv.join(F.broadcast(probes), "centroid_id").withColumn(
+        "cosine", F.round(cosine_similarity("_cvec", "_qvec"), 4)
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "rank", "cosine")
+    )
