@@ -37,6 +37,7 @@ from youtube_podcast_data_pipeline_azure_spark.functions.text import (
 )
 from youtube_podcast_data_pipeline_azure_spark.functions.vectors import cosine_similarity, l2_norm
 from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+from youtube_podcast_data_pipeline_azure_spark.io.writers import write_partitioned
 from youtube_podcast_data_pipeline_azure_spark.operators import (
     dedup,
     joins,
@@ -49,6 +50,7 @@ from youtube_podcast_data_pipeline_azure_spark.streaming.events_stream import (
     streaming_dedup,
     tumbling_counts,
 )
+from youtube_podcast_data_pipeline_azure_spark.streaming.stateful import user_running_totals
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -148,6 +150,30 @@ def q_partitioned_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(out).where(F.col("event_date") == "2024-01-01")
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+def q_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17/A18 JSON flavor — partitioned JSON sink, schema'd JSON source
+    re-read with partition pruning, aggregate."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="spark_graft_json_")
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "ingest_date",
+        F.concat(F.lit("2024-01-0"), (1 + F.col("doc_id") % 3).cast("string")),
+    )
+    write_partitioned(docs, out, "ingest_date", fmt="json")
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, ingest_date string"
+    )
+    back = spark.read.schema(schema).json(out).where(
+        F.col("ingest_date") == "2024-01-02"
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
     )
 
 
@@ -633,6 +659,49 @@ def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the approx_percentile
+    twin is exercised in tests; exact form is oracle-comparable)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return li.groupBy("l_returnflag").agg(
+        F.round(pct.getItem(0), 4).alias("p25"),
+        F.round(pct.getItem(1), 4).alias("p50"),
+        F.round(pct.getItem(2), 4).alias("p75"),
+    )
+
+
+def q_window_ntile_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartiles + first/last value over a full-partition frame."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("o_orderkey").over(wf).alias("cheapest_orderkey"),
+        F.last("o_orderkey").over(wf).alias("priciest_orderkey"),
+    )
+
+
+def q_exists_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a non-equi correlated condition —
+    orders having a lineitem shipped >60 days after the order date."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.date_add(o.o_orderdate, 60)
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
 def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json with explicit schema (null on malformed — the engine's
     LLM-output fallback semantics) + to_json re-serialization."""
@@ -908,7 +977,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.where(F.col("vec_id") >= 5)
     return similarity.knn_ivf(
-        corpus, queries, k=10, n_centroids=8, nprobe=4
+        corpus, queries, k=10, n_centroids=8, nprobe=4, train_sample=1024
     )
 
 
@@ -952,6 +1021,18 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_index",
         "frame_ms",
         F.lower(F.hex("frame")).alias("frame_sha"),
+    )
+
+
+def q_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator, batch mode (streaming twin is
+    applyInPandasWithState — parity pinned in tests/test_streaming.py)."""
+    out = user_running_totals(_t(spark, sf_dir, "events"))
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+        "last_ts",
     )
 
 
@@ -1000,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_group_limit": q_per_group_limit,
         "iso_duration_parse": q_iso_duration_parse,
         "partitioned_sink_roundtrip": q_partitioned_sink_roundtrip,
+        "json_sink_roundtrip": q_json_sink_roundtrip,
         # medallion pipeline end-to-end
         "videos_bronze_to_silver": q_videos_bronze_to_silver,
         "comments_bronze_to_silver": q_comments_bronze_to_silver,
@@ -1030,6 +1112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_subquery": q_scalar_subquery,
         "explode_tokens": q_explode_tokens,
         "json_roundtrip": q_json_roundtrip,
+        "percentiles": q_percentiles,
+        "window_ntile_firstlast": q_window_ntile_firstlast,
+        "exists_inequality": q_exists_inequality,
         "array_agg_functions": q_array_agg_functions,
         "map_functions": q_map_functions,
         "customer_order_distribution": q_customer_order_distribution,
@@ -1053,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
         "stream_dedup_counts": q_stream_dedup_counts,
+        "user_running_totals": q_user_running_totals,
         # approximate / UDF (rows-only)
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -1114,6 +1200,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events WHERE cast(ts AS date) = date '2024-01-01'
             GROUP BY event_type
+        """,
+        "json_sink_roundtrip": """
+            SELECT lang, count(*) AS n_docs,
+                   cast(sum(n_chars) AS bigint) AS total_chars
+            FROM documents WHERE doc_id % 3 = 1
+            GROUP BY lang
         """,
         "videos_bronze_to_silver": """
             SELECT 'vid' || o_orderkey AS video_id,
@@ -1577,6 +1669,41 @@ def oracle_sql() -> dict[str, str]:
                    sha256(payload || cast(ms AS varchar)) AS frame_sha
             FROM v, unnest(generate_series(0, cast(dur - 1 AS bigint), 1000))
                         AS t(ms)
+        """,
+        "percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "window_ntile_firstlast": """
+            SELECT o_orderkey, o_orderstatus,
+                   ntile(4) OVER w AS quartile,
+                   first_value(o_orderkey) OVER wf AS cheapest_orderkey,
+                   last_value(o_orderkey) OVER wf AS priciest_orderkey
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderstatus
+                         ORDER BY o_totalprice ASC, o_orderkey ASC),
+                   wf AS (PARTITION BY o_orderstatus
+                          ORDER BY o_totalprice ASC, o_orderkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING)
+        """,
+        "exists_inequality": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "user_running_totals": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 2) AS total_value,
+                   max(ts) AS last_ts
+            FROM events GROUP BY user_id
         """,
         "stream_dedup_counts": """
             SELECT event_type, count(*) AS n,

@@ -27,13 +27,16 @@ HEADLINE = [
     "kpi_event_type_counts",
     "per_group_limit",
     "window_running",
+    "asof_join",
     "tumbling_windows",
     "session_windows",
     "text_stats",
     "exact_dedup",
     "token_set_dedup",
     "minhash_near_dup",
+    "ngram_jaccard_pairs",
     "knn_bruteforce",
+    "knn_ivf",
     "enrich_documents",
 ]
 

@@ -98,3 +98,32 @@ def test_stream_is_actually_streaming(spark, events_dir):
     stream = read_events_stream(spark, events_dir)
     assert stream.isStreaming
     assert tumbling_counts(stream).isStreaming
+
+
+def test_stateful_running_totals_stream_equals_batch(spark, events_dir):
+    """applyInPandasWithState across several micro-batches must converge
+    to the batch aggregation (final update per user == batch totals)."""
+    from youtube_podcast_data_pipeline_azure_spark.streaming.stateful import user_running_totals
+
+    batch = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["last_ts"])
+        for r in user_running_totals(spark.read.parquet(events_dir)).collect()
+    }
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    run_stream_to_memory(user_running_totals(stream), "stateful_out", "update")
+
+    rows = spark.sql("SELECT * FROM stateful_out").collect()
+    # update mode emits one row per (user, micro-batch); n_events is
+    # monotonic, so the final state is the max-n row per user.
+    final: dict = {}
+    for r in rows:
+        if r["user_id"] not in final or r["n_events"] > final[r["user_id"]][0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"], r["last_ts"])
+
+    assert set(final) == set(batch)
+    for uid, (n, total, last_ts) in batch.items():
+        fn, ftotal, fts = final[uid]
+        assert fn == n
+        assert ftotal == pytest.approx(total, rel=1e-9)  # float order differs
+        assert fts == last_ts

@@ -229,6 +229,7 @@ def ivf_train(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     iters: int = 2,
+    train_sample: int | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means over DataFrame ops → (centroid_id,
     vec) coarse quantizer.
@@ -240,43 +241,55 @@ def ivf_train(
     partial aggregation — one shuffle of O(n·dim) scalar rows per iter,
     which is the textbook scalable k-means shape (no driver loops over
     data, only over ``iters``).
+
+    ``train_sample``: quantizer quality needs only a representative
+    sample, not the corpus — the standard IVF practice (FAISS trains on
+    ~(30-256)·n_centroids points).  When set, training collects a
+    deterministic hash-sample of about that many vectors to the driver
+    and runs Lloyd's there in numpy — sample size (and therefore driver
+    memory and train cost) is *bounded and independent of corpus size*,
+    which is why this is not a driver-side-loop scale smell: at 100 TB
+    the sample is still ~train_sample rows.  With ``train_sample=None``
+    the whole corpus trains the same way — only sensible for small
+    corpora; prefer a sample.
+
+    The returned centroids are a literal local relation, so downstream
+    consumers (corpus assignment, query probing) broadcast them without
+    re-executing any training lineage.
     """
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            (F.row_number().over(Window.orderBy(id_col)) - 1).alias(
-                "centroid_id"
-            ),
-            F.col(vec_col).cast("array<double>").alias("vec"),
+    sample = corpus
+    if train_sample:
+        total = corpus.count()
+        if total > train_sample:
+            stride = max(total // train_sample, 1)
+            sample = corpus.where(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
+            )
+    rows = (
+        sample.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
         )
+        .orderBy(id_col)
+        .collect()
     )
-    vecs = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    )
+    x = np.array([r.v for r in rows])  # (m, dim)
+    k = min(n_centroids, len(rows))
+    cents = x[:k].copy()  # deterministic init: lowest-id sample vectors
     for _ in range(iters):
-        carr = cents.agg(_centroid_array(cents).alias("_cents"))
-        assigned = vecs.crossJoin(F.broadcast(carr)).select(
-            "_v", _nearest_centroid(F.col("_v"), F.col("_cents"))
+        # cosine assignment: normalize rows, argmax of x_hat @ c_hat.T
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cn = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
         )
-        cents = (
-            assigned.select(
-                "centroid_id", F.posexplode("_v").alias("pos", "x")
-            )
-            .groupBy("centroid_id", "pos")
-            .agg(F.avg("x").alias("x"))
-            .groupBy("centroid_id")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "x"))
-                ).alias("_px")
-            )
-            .select(
-                "centroid_id",
-                F.transform("_px", lambda s: s.getField("x")).alias("vec"),
-            )
-        )
-    return cents
+        assign = np.argmax(xn @ cn.T, axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return corpus.sparkSession.createDataFrame(
+        [(int(j), [float(v) for v in cents[j]]) for j in range(k)],
+        "centroid_id int, vec array<double>",
+    )
 
 
 def knn_ivf(
@@ -289,6 +302,7 @@ def knn_ivf(
     n_centroids: int = 16,
     nprobe: int = 4,
     iters: int = 2,
+    train_sample: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in per-centroid
     inverted lists; each query scores only the ``nprobe`` nearest lists.
@@ -298,10 +312,12 @@ def knn_ivf(
     ~nprobe/n_centroids of the corpus per query — the standard
     IVF-Flat recall/latency dial (FAISS-style), in pure DataFrame ops.
     """
-    cents = ivf_train(corpus, corpus_id, vec_col, n_centroids, iters)
+    cents = ivf_train(
+        corpus, corpus_id, vec_col, n_centroids, iters, train_sample
+    )
     carr = cents.agg(_centroid_array(cents).alias("_cents"))
 
-    inv = corpus.crossJoin(F.broadcast(carr)).select(
+    inv = spread(corpus, corpus_id).crossJoin(F.broadcast(carr)).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         _nearest_centroid(F.col(vec_col), F.col("_cents")),
