@@ -44,6 +44,7 @@ from youtube_podcast_data_pipeline_azure_spark.operators import (
     medallion,
     multimodal,
     similarity,
+    skew,
 )
 from youtube_podcast_data_pipeline_azure_spark.streaming.events_stream import (
     sessionized_counts,
@@ -702,6 +703,47 @@ def q_exists_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated shuffled join (salt-and-replicate) — semantically
+    identical to the plain join, hot keys spread over 8 reducers."""
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("type_avg")
+    )
+    out = skew.salted_join(
+        ev.select("event_id", "event_type", "value"),
+        dim,
+        on="event_type",
+        buckets=8,
+        salt_from="event_id",
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        "type_avg",
+        F.round(F.col("value") - F.col("type_avg"), 4).alias("value_dev"),
+    )
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch (rows-only: approximate by
+    design; accuracy vs exact pinned in tests/test_functions.py).  The
+    100 TB path for distinct counts that don't need to be exact — one
+    pass, constant memory per group."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    )
+
+
+def q_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact skew-resilient COUNT(DISTINCT) via two-phase salted dedup."""
+    return skew.salted_distinct_count(
+        _t(spark, sf_dir, "events"), key="event_type", value="user_id",
+        out_col="n_users",
+    )
+
+
 def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json with explicit schema (null on malformed — the engine's
     LLM-output fallback semantics) + to_json re-serialization."""
@@ -1112,6 +1154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_subquery": q_scalar_subquery,
         "explode_tokens": q_explode_tokens,
         "json_roundtrip": q_json_roundtrip,
+        "salted_join": q_salted_join,
+        "salted_distinct_users": q_salted_distinct_users,
+        "approx_distinct_users": q_approx_distinct_users,
         "percentiles": q_percentiles,
         "window_ntile_firstlast": q_window_ntile_firstlast,
         "exists_inequality": q_exists_inequality,
@@ -1669,6 +1714,18 @@ def oracle_sql() -> dict[str, str]:
                    sha256(payload || cast(ms AS varchar)) AS frame_sha
             FROM v, unnest(generate_series(0, cast(dur - 1 AS bigint), 1000))
                         AS t(ms)
+        """,
+        "salted_join": """
+            WITH dim AS (
+                SELECT event_type, round(avg(value), 4) AS type_avg
+                FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type, d.type_avg,
+                   round(e.value - d.type_avg, 4) AS value_dev
+            FROM events e JOIN dim d USING (event_type)
+        """,
+        "salted_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         "percentiles": """
             SELECT l_returnflag,

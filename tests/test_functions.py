@@ -114,3 +114,26 @@ def test_parse_json_with_fallback(spark):
     assert rows[0]["sentiment"] == "positive" and rows[0]["score"] == 0.5
     assert rows[1]["sentiment"] == "neutral" and rows[1]["score"] == 0.0
     assert rows[1]["summary"] == "```not json```"  # raw preserved, truncated
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    """HLL++ sketch must land within ~3x the configured rsd of exact."""
+    from pyspark.sql import functions as F
+
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.06 * n)

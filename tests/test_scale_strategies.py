@@ -1,0 +1,108 @@
+"""Scale-strategy operators: salted skew mitigation and bucketed joins.
+
+These pin the *physical* properties (salt spreads keys, bucketing
+removes the shuffle) as well as semantic equivalence to the naive plans.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from youtube_podcast_data_pipeline_azure_spark.operators import skew
+
+
+@pytest.fixture()
+def skewed(spark):
+    # one hot key (90%) + a tail
+    rows = [(i, "hot" if i % 10 else f"cold{i}", i % 7) for i in range(1000)]
+    return spark.createDataFrame(rows, "id long, k string, v long")
+
+
+def test_salted_join_matches_plain_join(spark, skewed):
+    dim = spark.createDataFrame(
+        [("hot", 1.5), ("cold10", 2.0), ("cold20", 3.0)],
+        "k string, weight double",
+    )
+    plain = {
+        (r.id, r.weight)
+        for r in skewed.join(dim, "k").select("id", "weight").collect()
+    }
+    salted = {
+        (r.id, r.weight)
+        for r in skew.salted_join(skewed, dim, on="k", salt_from="id")
+        .select("id", "weight")
+        .collect()
+    }
+    assert salted == plain
+    assert len(salted) > 0
+
+
+def test_salted_join_left_outer(spark, skewed):
+    dim = spark.createDataFrame([("hot", 1.5)], "k string, weight double")
+    out = skew.salted_join(skewed, dim, on="k", salt_from="id", how="left")
+    plain = skewed.join(dim, "k", "left")
+    assert out.count() == plain.count() == 1000
+    assert (
+        out.where(F.col("weight").isNull()).count()
+        == plain.where(F.col("weight").isNull()).count()
+    )
+
+
+def test_salted_join_spreads_hot_key(spark, skewed):
+    """The hot key's fact rows must land in several salt buckets."""
+    f = skewed.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("id")), F.lit(8)).cast("int")
+    )
+    n_buckets = (
+        f.where(F.col("k") == "hot").select("_salt").distinct().count()
+    )
+    assert n_buckets == 8
+
+
+def test_salted_distinct_count_exact(spark, skewed):
+    got = {
+        r.k: r.n_distinct
+        for r in skew.salted_distinct_count(skewed, "k", "v").collect()
+    }
+    expected = {
+        r.k: r.n
+        for r in skewed.groupBy("k")
+        .agg(F.countDistinct("v").alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Tables bucketed on the join key sort-merge-join WITHOUT a shuffle:
+    the co-location contract that pre-bucketing buys at 100 TB."""
+    n_buckets = 4
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(0, 10_000).withColumn(
+            "a", (F.col("id") % 97).cast("long")
+        )
+        right = spark.range(0, 2_000).withColumn(
+            "b", (F.col("id") % 31).cast("long")
+        )
+        for name, df in [("bkt_left", left), ("bkt_right", right)]:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.bucketBy(n_buckets, "id")
+                .sortBy("id")
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # bucketing co-locates
+        assert joined.count() == 2_000
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        for name in ("bkt_left", "bkt_right"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -127,3 +127,53 @@ def test_stateful_running_totals_stream_equals_batch(spark, events_dir):
         assert fn == n
         assert ftotal == pytest.approx(total, rel=1e-9)  # float order differs
         assert fts == last_ts
+
+
+def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
+    """Rows older than (max event time - watermark) must be discarded by
+    the stateful aggregation — the engine's late-data policy."""
+    import datetime
+
+    from youtube_podcast_data_pipeline_azure_spark.streaming.events_stream import EVENTS_SCHEMA
+
+    out = str(tmp_path / "late_events")
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def _write(rows):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(out)
+
+    # batch 1: two events at noon
+    _write([(1, t0, 1, "click", 1.0, "{}"), (2, t0, 2, "click", 1.0, "{}")])
+
+    stream = read_events_stream(spark, out, max_files_per_trigger=1)
+    q = (
+        tumbling_counts(stream, window_dur="10 minutes", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: advance the watermark far past noon
+        _write([(3, t0 + datetime.timedelta(hours=6), 1, "click", 1.0, "{}")])
+        q.processAllAvailable()
+        # batch 3: a LATE row back at noon — beyond the 1h watermark now
+        _write([(4, t0, 3, "click", 99.0, "{}")])
+        q.processAllAvailable()
+        # batch 4: flush sentinel so every live window finalizes
+        _write([(5, t0 + datetime.timedelta(days=2), 1, "flush", 0.0, "{}")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM late_out").collect()
+    }
+    # the noon window holds ONLY the two on-time rows; the late row
+    # (event_id 4, value 99) was dropped, not merged and not re-emitted
+    assert rows[(t0, "click")] == 2
+    assert all(et != "click" or n <= 2 for (_, et), n in rows.items())

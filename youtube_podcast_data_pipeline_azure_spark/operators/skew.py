@@ -1,0 +1,78 @@
+"""Skew mitigation operators.
+
+AQE's skew-join splitting (on in session.py) is the first line of
+defense; these are the explicit tools for when the skew is known ahead
+of time or AQE can't help (e.g., a shuffled join against a dimension too
+big to broadcast, with a handful of hot keys).
+
+* :func:`salted_join` — classic salt-and-replicate: the fact side gets a
+  deterministic salt in [0, buckets), the dimension side is replicated
+  ``buckets`` times, and the join key becomes (key, salt).  A hot key's
+  rows now spread over ``buckets`` reducers instead of one.  Cost:
+  dimension shuffle volume × buckets — use only when dim ≪ facts.
+* :func:`salted_distinct_count` — two-phase distinct count for a skewed
+  group key: phase 1 dedupes on (key, salt, value) partitions, phase 2
+  merges per-key.  Exact (not a sketch), but never funnels one key's
+  whole value set through a single reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    buckets: int = 8,
+    salt_from: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Shuffled equi-join with the fact side salted across ``buckets``.
+
+    ``salt_from`` names a fact column whose hash spreads rows uniformly
+    (default: the join key's row content via all columns is overkill —
+    use a unique id).  Deterministic: same input → same salt → same
+    plan, no RNG.  Semantically identical to ``facts.join(dim, on,
+    how)`` — the salt never leaks into the output.
+    """
+    salt_src = F.col(salt_from) if salt_from else F.spark_partition_id()
+    f = facts.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_src), F.lit(buckets)).cast("int")
+    )
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    out = f.join(d, on=[on, "_salt"], how=how)
+    return out.drop("_salt")
+
+
+def salted_distinct_count(
+    df: DataFrame,
+    key: str,
+    value: str,
+    buckets: int = 16,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Exact COUNT(DISTINCT value) per key, skew-resilient.
+
+    Phase 1 shuffles on (key, salt(value)) and dedupes values inside
+    each salt bucket; phase 2 sums the per-bucket distinct counts — a
+    value always lands in the same bucket, so the sum is exact.  The
+    hot key's distinct set is processed by ``buckets`` reducers.
+    """
+    salted = df.select(
+        key,
+        F.col(value).alias("_v"),
+        F.pmod(F.xxhash64(F.col(value)), F.lit(buckets)).cast("int").alias(
+            "_salt"
+        ),
+    )
+    per_bucket = (
+        salted.dropDuplicates([key, "_salt", "_v"])
+        .groupBy(key, "_salt")
+        .agg(F.count("*").alias("_n"))
+    )
+    return per_bucket.groupBy(key).agg(F.sum("_n").alias(out_col))
