@@ -68,35 +68,49 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(sliced)
 
 
-LONG_MAX = (1 << 63) - 1
+MASK32 = (1 << 32) - 1
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 128) -> Column:
-    """MinHash signature: array of ``num_hashes`` longs.
+    """MinHash signature: array of ``num_hashes`` longs (32-bit values).
 
     Kirsch-Mitzenmacher construction: per shingle only TWO string hashes
-    are computed (``xxhash64(s)`` and ``xxhash64(s, seed)``); slot *i*'s
-    hash is ``h1 + i*h2`` (odd h2 ⇒ a permutation of Z/2⁶⁴).  Built as
-    two narrow passes — (1) map each shingle to its (h1, h2) struct,
-    (2) fold the slot-wise min with ``aggregate``+``zip_with`` — so cost
-    is O(shingles · 2 string-hashes + shingles · k integer-ops), vs the
-    naive k string-hashes per shingle.  All built-in expressions,
-    JVM-side, no UDF.
+    are computed (``xxhash64(s)`` and ``xxhash64(s, seed)``), reduced to
+    32-bit lanes; slot *i*'s hash is ``(h1 + i*h2) & 0xffffffff`` (odd
+    h2 ⇒ a permutation of Z/2³²).  32-bit lanes on purpose: ``h1 +
+    i*h2`` stays < 2⁴⁰, so the arithmetic can never overflow a long —
+    the construction is safe under ANSI mode (the driver harness runs a
+    default session, where Spark 4 ANSI overflow would otherwise throw).
+    32-bit min-hash values are the same granularity spark.ml's
+    MinHashLSH uses; collision probability per slot is 2⁻³² — noise for
+    banding purposes.  Built as two narrow passes — (1) map each shingle
+    to its (h1, h2) struct, (2) fold the slot-wise min with
+    ``aggregate``+``zip_with`` — so cost is O(shingles · 2 string-hashes
+    + shingles · k integer-ops), vs the naive k string-hashes per
+    shingle.  All built-in expressions, JVM-side, no UDF.
     """
     hashed = F.transform(
         shingle_col,
         lambda s: F.struct(
-            F.xxhash64(s).alias("h1"),
-            F.xxhash64(s, F.lit(7)).bitwiseOR(F.lit(1)).alias("h2"),
+            F.xxhash64(s).bitwiseAND(F.lit(MASK32)).alias("h1"),
+            F.xxhash64(s, F.lit(7))
+            .bitwiseAND(F.lit(MASK32))
+            .bitwiseOR(F.lit(1))
+            .alias("h2"),
         ),
     )
     idx = F.array(*[F.lit(i).cast("long") for i in range(num_hashes)])
     return F.aggregate(
         hashed,
-        F.array_repeat(F.lit(LONG_MAX).cast("long"), num_hashes),
+        F.array_repeat(F.lit(MASK32).cast("long"), num_hashes),
         lambda acc, h: F.zip_with(
             acc,
-            F.transform(idx, lambda i: h.getField("h1") + i * h.getField("h2")),
+            F.transform(
+                idx,
+                lambda i: (h.getField("h1") + i * h.getField("h2")).bitwiseAND(
+                    F.lit(MASK32)
+                ),
+            ),
             lambda a, b: F.least(a, b),
         ),
     )
