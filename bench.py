@@ -50,8 +50,15 @@ def main() -> None:
     spark = get_spark(app_name="youtube_podcast_data_pipeline_azure_spark-bench")
 
     qs = entrymod.queries()
-    # Warmup: prime JVM, codegen, and the parquet footer cache.
+    # Warmup: prime JVM/codegen, every table's parquet footer, and the
+    # Python worker pool (pandas_udf queries otherwise pay worker spawn
+    # on their first use) — bench measures steady-state query time.
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import TABLES, load_table
+
     qs["pricing_summary"](spark, sf_dir).collect()
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+    qs["enrich_documents"](spark, sf_dir).limit(64).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
