@@ -851,6 +851,37 @@ def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-flag aggregates to (flag, metric, val)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue from returned items per customer, top 20."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS through the Spark SQL surface."""
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
@@ -1165,6 +1196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_distribution": q_customer_order_distribution,
         "large_orders": q_large_orders,
         "min_price_supplier": q_min_price_supplier,
+        "unpivot_metrics": q_unpivot_metrics,
+        "returned_items": q_returned_items,
         "grouping_sets": q_grouping_sets,
         # streaming parity (batch mode)
         "tumbling_windows": q_tumbling_windows,
@@ -1560,6 +1593,26 @@ def oracle_sql() -> dict[str, str]:
                                     l_suppkey ASC) AS rn
                 FROM lineitem)
             WHERE rn = 1
+        """,
+        "unpivot_metrics": """
+            WITH agg AS (
+                SELECT l_returnflag,
+                       round(sum(l_quantity), 2) AS sum_qty,
+                       round(sum(l_extendedprice), 2) AS sum_price
+                FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, metric, val
+            FROM agg UNPIVOT (val FOR metric IN (sum_qty, sum_price))
+        """,
+        "returned_items": """
+            SELECT c_custkey, c_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
         """,
         "grouping_sets": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -1,0 +1,88 @@
+"""Physical-plan regression pins for the headline queries.
+
+Correct *results* aren't enough at 100 TB — these tests pin the plan
+properties that keep the queries scalable: dimension broadcasts, filter
+and projection pushdown into the parquet scan, map-side partial
+aggregation, and bounded shuffle counts.  If a refactor silently turns
+a broadcast join into a shuffled sort-merge or drops a pushed filter,
+these fail even though results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = entry.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q5_broadcasts_all_dimensions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") == 5  # supp/orders/cust/nation/region
+    assert "SortMergeJoin" not in plan
+    # lineitem scan pruned to the 4 needed columns
+    assert "ReadSchema: struct<l_orderkey" in plan
+
+
+def test_q1_filter_pushdown_and_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_kpi_counts_scan_prunes_to_one_column(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "kpi_event_type_counts")
+    assert "ReadSchema: struct<event_type:string>" in plan
+
+
+def test_top_orders_uses_take_ordered_not_full_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "top_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_is_single_shuffle_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "asof_join")
+    assert "Join" not in plan  # union-merge, never a join product
+    # one exchange for the as-of window + one inside the right-side
+    # dedup aggregate — nothing else
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_knn_bruteforce_broadcasts_queries(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "knn_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_band_join_carries_no_shingles(spark, sf_dir):
+    """The LSH self-join input must be (id, band_id, band_hash) only —
+    shingle arrays re-attach after candidate dedup."""
+    import re
+
+    plan = _plan(spark, sf_dir, "minhash_near_dup")
+    band_joins = [
+        ln
+        for ln in plan.splitlines()
+        if "Join" in ln and "band_hash" in ln
+    ]
+    assert band_joins, "expected a band-key join"
+    # shingle columns print as sh#N / sh_a#N / sh_b#N ("band_hash#N"
+    # must not false-positive on the sh# suffix)
+    shingle_ref = re.compile(r"(?<![\w])sh(_[ab])?#")
+    assert all(not shingle_ref.search(ln) for ln in band_joins)
+
+
+def test_enrichment_udf_not_reordered_before_filter(spark, sf_dir):
+    """The cheap empty-text filter must sit below (execute before) the
+    nondeterministic enrichment UDF — the reference's
+    filter-before-expensive-call contract."""
+    plan = _plan(spark, sf_dir, "enrich_documents")
+    eval_pos = plan.find("ArrowEvalPython")
+    filter_pos = max(plan.find("Filter ("), plan.find("PushedFilters"))
+    assert eval_pos != -1
+    # deeper in the printed tree = executes earlier
+    assert filter_pos > eval_pos

@@ -166,13 +166,21 @@ def minhash_lsh_pairs(
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0), F.lit(bands - 1)),
+                    # Band key = masked polynomial fold of the slice —
+                    # pure integer ops (no per-band string building),
+                    # ANSI-overflow-safe: acc stays < 2^32, so
+                    # acc*31 + x < 2^38.  Collisions only cost extra
+                    # verify work (false candidates), never correctness.
                     lambda b: F.struct(
                         b.alias("band_id"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                            )
+                        F.aggregate(
+                            F.slice(
+                                "sig", b * rows_per_band + 1, rows_per_band
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: (acc * 31 + x).bitwiseAND(
+                                F.lit(MASK32)
+                            ),
                         ).alias("band_hash"),
                     ),
                 )
