@@ -23,7 +23,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from youtube_podcast_data_pipeline_azure_spark.enrichment import DeterministicClassifier, enrich_comments
+from youtube_podcast_data_pipeline_azure_spark.enrichment import (
+    DeterministicClassifier,
+    enrich_comments,
+    enrich_videos,
+)
 from youtube_podcast_data_pipeline_azure_spark.functions.durations import iso8601_duration_seconds
 from youtube_podcast_data_pipeline_azure_spark.functions.text import (
     language_id,
@@ -299,10 +303,10 @@ def q_medallion_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible; the timestamp column is dropped for stability."""
     videos_silver = q_videos_bronze_to_silver(spark, sf_dir)
     comments_silver = q_comments_bronze_to_silver(spark, sf_dir)
-    videos_gold = enrich_comments(
-        videos_silver.select("video_id", F.col("title").alias("text")),
+    videos_gold = enrich_videos(
+        videos_silver.select("video_id", "title"),
         DeterministicClassifier(),
-        text_col="text",
+        text_col="title",
     )
     comments_gold = enrich_comments(
         comments_silver, DeterministicClassifier(), text_col="text"
@@ -1139,6 +1143,22 @@ def q_enrich_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_enrich_video_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12/A13 — video-mode enrichment: struct with array fields
+    (emotions<=5, topics<=8) appended to each title row (rows-only:
+    pandas_udf).  Exercises the arrays-from-UDF schema path."""
+    videos = q_videos_bronze_to_silver(spark, sf_dir).select(
+        "video_id", "title"
+    )
+    out = enrich_videos(videos, DeterministicClassifier(), text_col="title")
+    return out.select(
+        "video_id",
+        "sentiment",
+        F.size("emotions").alias("n_emotions"),
+        F.size("topics").alias("n_topics"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 pricing summary at sf0.001 (driver smoke)."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1224,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "enrich_documents": q_enrich_documents,
+        "enrich_video_titles": q_enrich_video_titles,
     }
 
 

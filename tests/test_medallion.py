@@ -184,3 +184,35 @@ def test_per_group_top_k(spark):
         capped.groupBy("videoId").agg(F.count("*").alias("c")).collect()
     )
     assert {r["videoId"]: r["c"] for r in counts} == {"v1": 5, "v2": 3}
+
+
+def test_dynamic_partition_overwrite_is_per_partition_idempotent(spark, tmp_path):
+    """A17 — re-running one ingest_date must overwrite ONLY that
+    partition (reference overwrites one blob per run,
+    function_app.py:22-29); siblings survive untouched."""
+    from pyspark.sql import functions as F
+
+    from youtube_podcast_data_pipeline_azure_spark.io.writers import write_partitioned
+
+    out = str(tmp_path / "medallion_sink")
+    day1 = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-01")],
+        "id long, v string, ingest_date string",
+    )
+    day2 = spark.createDataFrame(
+        [(3, "c", "2024-01-02")], "id long, v string, ingest_date string"
+    )
+    write_partitioned(day1, out)
+    write_partitioned(day2, out)
+    # re-run day1 with corrected data; overwrite mode + dynamic
+    # partitionOverwriteMode must keep day2 intact
+    day1_fixed = spark.createDataFrame(
+        [(1, "a2", "2024-01-01")], "id long, v string, ingest_date string"
+    )
+    write_partitioned(day1_fixed, out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    # partition values come back type-inferred (DateType) — compare as str
+    rows = {str(r.ingest_date): r.v for r in back.collect()}
+    assert rows == {"2024-01-01": "a2", "2024-01-02": "c"}
