@@ -9,7 +9,10 @@ driver's order-insensitive value-hash comparison stable:
   sides so float summation order can't flip the hash;
 * deterministic tie-breaks on every window/top-k ordering;
 * counts cast to bigint on the oracle side (DuckDB sums ints to
-  HUGEINT otherwise).
+  HUGEINT otherwise);
+* int-returning Spark expressions (row_number, ntile, size, year,
+  datediff) cast to long wherever the oracle column is BIGINT, so the
+  two result schemas agree scalar-for-scalar.
 
 Queries marked "rows-only" (no oracle entry) are the genuinely
 non-SQL-expressible ones: approximate LSH ops and pandas_udf
@@ -117,7 +120,7 @@ def q_per_group_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").desc(), F.col("event_id").asc()
     )
     return (
-        ev.withColumn("rn", F.row_number().over(w))
+        ev.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= 5)
         .select("user_id", "event_id", "ts", "rn")
     )
@@ -554,8 +557,8 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy(
-            F.year("o_orderdate").alias("order_year"),
-            F.month("o_orderdate").alias("order_month"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
         )
         .agg(
             F.count("*").alias("n"),
@@ -563,7 +566,7 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.to_date("o_orderdate")).alias("last_day"),
             F.max(
                 F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01"))
-            ).alias("max_days_since_95"),
+            ).cast("long").alias("max_days_since_95"),
         )
     )
 
@@ -611,7 +614,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             2,
         ).alias("running_spend"),
-        F.row_number().over(w).alias("order_seq"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
     )
 
 
@@ -686,7 +689,7 @@ def q_window_ntile_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_orderstatus",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.first("o_orderkey").over(wf).alias("cheapest_orderkey"),
         F.last("o_orderkey").over(wf).alias("priciest_orderkey"),
     )
@@ -772,7 +775,7 @@ def q_array_agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "priorities",
-            F.size("priorities").alias("n_distinct"),
+            F.size("priorities").cast("long").alias("n_distinct"),
             F.array_contains("priorities", "1-URGENT").alias("has_urgent"),
             F.slice("priorities", 1, 2).alias("top2"),
             F.array_join("priorities", ",").alias("joined"),
@@ -800,7 +803,7 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             F.array_sort(F.map_entries("m")).alias("status_counts"),
             F.map_keys("m").alias("statuses"),
-            F.size("m").alias("n_statuses"),
+            F.size("m").cast("long").alias("n_statuses"),
         )
     )
 

@@ -69,7 +69,7 @@ def knn_bruteforce(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(query_id, "neighbor_id", "rank", "cosine")
     )
@@ -151,7 +151,7 @@ def knn_lsh(
     )
     return (
         scored.dropDuplicates([query_id, "neighbor_id"])
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(query_id, "neighbor_id", "rank", "cosine")
     )
@@ -357,7 +357,7 @@ def knn_ivf(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(query_id, "neighbor_id", "rank", "cosine")
     )
