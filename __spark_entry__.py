@@ -903,6 +903,425 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H completion pack (Q6-Q22 shapes, adapted to the trimmed fixture
+# schema: no partsupp / shipmode / commit-receipt dates — the missing
+# tables' roles are played by lineitem-derived aggregates so every
+# classic plan shape is still exercised and oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight scan-side predicate (date range + discount
+    band + quantity cap) into a single global aggregate.  All three
+    predicates push to the Parquet scan — zero shuffle, one partial+final
+    agg."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_discount").between(0.02, 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
+    year.  Nation filters are applied to the supplier/customer sides
+    BEFORE the fact joins so only qualifying keys flow into the big
+    lineitem-orders shuffle; both dim sides broadcast."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    nations = ["NATION_3", "NATION_8"]
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(nations))
+        .select(
+            F.col("n_nationkey").alias("s_nkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(nations))
+        .select(
+            F.col("n_nationkey").alias("c_nkey"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey")
+    )
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: market share of one supplier nation within a
+    customer region, per order year.  Share emitted as basis points via
+    floor() of a quotient of two already-2dp-rounded sums — bit-stable
+    across engines (see min_price_supplier rationale)."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    promo = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    )
+    cust_in_region = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(promo), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_in_region, orders.o_custkey == F.col("c_custkey"), "left_semi")
+    )
+    agg = joined.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(0.0)),
+            2,
+        ).alias("nation_volume"),
+        F.round(F.sum(volume), 2).alias("total_volume"),
+    )
+    return agg.select(
+        "o_year",
+        F.floor(F.col("nation_volume") / F.col("total_volume") * 10000)
+        .cast("long")
+        .alias("mkt_share_bp"),
+        "nation_volume",
+        "total_volume",
+    )
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year over a
+    name-matched part subset.  partsupp is absent from the fixtures, so
+    supply cost is modeled as half the part list price — the 5-way join
+    + two-level group-by plan is what's exercised."""
+    parts = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
+        F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    # Per-row floor-to-cents, then an exact integer sum: the profit
+    # expression lands on exact (half-)cent boundaries where any
+    # post-aggregation rounding — round() OR floor() — flips with
+    # summation-order ulp noise.  Per-row floor of bit-identical doubles
+    # is stable, and integer sums are order-independent on both engines.
+    amount_cents = F.floor(amount * 100).cast("long")
+    return (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount_cents).alias("profit_cents"))
+    )
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value from one nation's suppliers,
+    HAVING value > fraction-of-total (scalar subquery via broadcast
+    cross-join of a 1-row aggregate — no driver collect)."""
+    nation3 = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation3), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("part_value")
+        )
+    )
+    total = per_part.agg(F.sum("part_value").alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > F.lit(0.001) * F.col("total_value"))
+        .select("l_partkey", "part_value")
+    )
+
+
+def q_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late-shipment priority split.  shipmode is
+    absent, so lines group by l_linestatus; "late" = shipped >60 days
+    after order date (no commit/receipt dates in fixtures)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(li.l_shipdate > F.date_add(o.o_orderdate, 60))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-type revenue share for one ship month,
+    emitted as basis points (floor of a quotient of 2dp-rounded sums)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.round(
+            F.sum(F.when(F.col("p_type") == "PROMO", volume).otherwise(0.0)), 2
+        ).alias("promo_revenue"),
+        F.round(F.sum(volume), 2).alias("total_revenue"),
+    )
+    return agg.select(
+        F.floor(F.col("promo_revenue") / F.col("total_revenue") * 10000)
+        .cast("long")
+        .alias("promo_share_bp"),
+        "promo_revenue",
+        "total_revenue",
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    the classic view + scalar-max pattern, as an agg + broadcast 1-row
+    max + equality filter (ties all returned, like the spec)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size) with
+    NOT-filters and an IN size list.  partsupp is absent; the
+    part-supplier relation is derived from lineitem."""
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity lines of one brand,
+    where "small" is a correlated per-part average — expressed as a
+    window avg over the part key (no second scan, no shuffle beyond the
+    part grouping).  Quantities are integral doubles so their sums are
+    exact and the threshold is order-independent across engines."""
+    brand = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#2")
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    joined = (
+        li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+        .withColumn("part_avg_qty", F.avg("l_quantity").over(w))
+        .where(F.col("l_quantity") < 0.2 * F.col("part_avg_qty"))
+    )
+    return joined.agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR of three conjunctive brand/size/quantity
+    bands — one join, one pass; Catalyst extracts the common
+    l_partkey=p_partkey conjunct so this stays a hash join, not a
+    nested-loop filter."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(band).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose 1996 PROMO-part shipped volume
+    exceeds 1.2x the all-supplier average — nested IN-subquery plan
+    (agg -> scalar threshold -> semi join), fully distributed."""
+    promo = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    per_supp = (
+        li.join(F.broadcast(promo), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("promo_qty"))
+    )
+    thresh = per_supp.agg(
+        (F.lit(1.2) * F.avg("promo_qty")).alias("qty_threshold")
+    )
+    qual = (
+        per_supp.crossJoin(F.broadcast(thresh))
+        .where(F.col("promo_qty") > F.col("qty_threshold"))
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return supp.join(
+        qual, supp.s_suppkey == qual.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    multi-supplier finished orders.  The classic EXISTS / NOT-EXISTS
+    pair collapses to one per-order aggregate (distinct suppliers,
+    distinct LATE suppliers) joined back to the late lines — one
+    shuffle on orderkey instead of three correlated scans; "late" =
+    shipped >90 days after order date."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    lif = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late", li.l_shipdate > F.date_add(o.o_orderdate, 90)
+    )
+    per_order = lif.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    sole_late = (
+        lif.where(F.col("is_late"))
+        .join(per_order, F.col("l_orderkey") == F.col("agg_orderkey"))
+        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        sole_late.groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers in selected
+    country codes with no RECENT orders — scalar avg subquery +
+    anti-join + group-by.  Country code is nationkey mod 5 (no phone
+    column in fixtures); "dormant" = no orders since 2000 (every fixture
+    customer has some order, unlike TPC-H's sparser orders relation)."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "cntrycode", (F.col("c_nationkey") % 5).cast("long")
+    )
+    pos_avg = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    return (
+        cust.where(F.col("cntrycode").isin(1, 3))
+        .crossJoin(F.broadcast(pos_avg))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming-parity windows (batch mode here; stream mode in tests)
 # ---------------------------------------------------------------------------
 
@@ -1222,6 +1641,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_metrics": q_unpivot_metrics,
         "returned_items": q_returned_items,
         "grouping_sets": q_grouping_sets,
+        # TPC-H completion pack (Q6-Q22 shapes on the trimmed schema)
+        "forecast_revenue": q_forecast_revenue,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
+        "product_type_profit": q_product_type_profit,
+        "important_parts": q_important_parts,
+        "shipping_delay": q_shipping_delay,
+        "promo_revenue": q_promo_revenue,
+        "top_supplier": q_top_supplier,
+        "supplier_part_counts": q_supplier_part_counts,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "promo_part_suppliers": q_promo_part_suppliers,
+        "waiting_suppliers": q_waiting_suppliers,
+        "dormant_customers": q_dormant_customers,
         # streaming parity (batch mode)
         "tumbling_windows": q_tumbling_windows,
         "sliding_windows": q_sliding_windows,
@@ -1643,6 +2077,213 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice), 2) AS sum_price
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        "forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= timestamp '1996-01-01'
+              AND l_shipdate < timestamp '1997-01-01'
+              AND l_discount BETWEEN 0.02 AND 0.04
+              AND l_quantity < 24
+        """,
+        "volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name IN ('NATION_3', 'NATION_8')
+              AND n2.n_name IN ('NATION_3', 'NATION_8')
+              AND n1.n_name <> n2.n_name
+              AND l_shipdate BETWEEN timestamp '1996-01-01'
+                                 AND timestamp '1997-12-31'
+            GROUP BY 1, 2, 3
+        """,
+        "market_share": """
+            WITH agg AS (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       round(sum(CASE WHEN n1.n_name = 'NATION_3'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0 END), 2) AS nation_volume,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_volume
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderdate >= timestamp '1996-01-01'
+                  AND o_orderdate < timestamp '1998-01-01'
+                  AND o_custkey IN (
+                      SELECT c_custkey FROM customer
+                      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                      JOIN region ON n2.n_regionkey = r_regionkey
+                      WHERE r_name = 'ASIA')
+                GROUP BY 1)
+            SELECT o_year,
+                   CAST(floor(nation_volume / total_volume * 10000) AS BIGINT)
+                       AS mkt_share_bp,
+                   nation_volume, total_volume
+            FROM agg
+        """,
+        "product_type_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(floor((l_extendedprice * (1 - l_discount)
+                              - 0.5 * p_retailprice * l_quantity) * 100))
+                        AS BIGINT) AS profit_cents
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2
+        """,
+        "important_parts": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS part_value
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_3'
+                GROUP BY l_partkey)
+            SELECT l_partkey, part_value FROM per_part
+            WHERE part_value > 0.001 * (SELECT sum(part_value) FROM per_part)
+        """,
+        "shipping_delay": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= timestamp '1996-01-01'
+              AND l_shipdate < timestamp '1997-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY l_linestatus
+        """,
+        "promo_revenue": """
+            WITH agg AS (
+                SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0 END), 2) AS promo_revenue,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= timestamp '1996-03-01'
+                  AND l_shipdate < timestamp '1996-04-01')
+            SELECT CAST(floor(promo_revenue / total_revenue * 10000) AS BIGINT)
+                       AS promo_share_bp,
+                   promo_revenue, total_revenue
+            FROM agg
+        """,
+        "top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= timestamp '1996-01-01'
+                  AND l_shipdate < timestamp '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "supplier_part_counts": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+            GROUP BY 1, 2, 3
+        """,
+        "small_quantity_revenue": """
+            WITH j AS (
+                SELECT l.* FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                           AND p.p_brand = 'Brand#2')
+            SELECT round(sum(l_extendedprice), 2) AS sum_price,
+                   count(*) AS n_lines
+            FROM j
+            WHERE l_quantity < (SELECT 0.2 * avg(j2.l_quantity)
+                                FROM j j2 WHERE j2.l_partkey = j.l_partkey)
+        """,
+        "disjunctive_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "promo_part_suppliers": """
+            WITH per_supp AS (
+                SELECT l_suppkey, sum(l_quantity) AS promo_qty
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE p_type = 'PROMO'
+                  AND l_shipdate >= timestamp '1996-01-01'
+                  AND l_shipdate < timestamp '1997-01-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE s_suppkey IN (
+                SELECT l_suppkey FROM per_supp
+                WHERE promo_qty > (SELECT 1.2 * avg(promo_qty) FROM per_supp))
+        """,
+        "waiting_suppliers": """
+            SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+            FROM lineitem l1
+            JOIN orders ON o_orderkey = l1.l_orderkey
+            JOIN supplier ON s_suppkey = l1.l_suppkey
+            WHERE o_orderstatus = 'F'
+              AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                  SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 10
+        """,
+        "dormant_customers": """
+            WITH cand AS (
+                SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+                       c_custkey, c_acctbal
+                FROM customer
+                WHERE c_nationkey % 5 IN (1, 3)
+                  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                                   WHERE c_acctbal > 0))
+            SELECT cntrycode, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM cand
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = cand.c_custkey
+                                AND o_orderdate >= timestamp '2000-01-01')
+            GROUP BY cntrycode
         """,
         "sliding_windows": """
             WITH w AS (

@@ -24,6 +24,9 @@ HEADLINE = [
     "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",
+    "product_type_profit",
+    "market_share",
+    "waiting_suppliers",
     "kpi_event_type_counts",
     "per_group_limit",
     "window_running",
