@@ -54,6 +54,9 @@ from youtube_podcast_data_pipeline_azure_spark.operators import (
     skew,
 )
 from youtube_podcast_data_pipeline_azure_spark.streaming.events_stream import (
+    enrich_with_category,
+    event_type_dim,
+    purchase_view_attribution,
     sessionized_counts,
     streaming_dedup,
     tumbling_counts,
@@ -1551,6 +1554,22 @@ def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join, batch mode: events enriched from a broadcast
+    static dimension (streaming twin in tests/test_streaming.py —
+    identical code path, shuffle-free and stateless on the stream)."""
+    return enrich_with_category(
+        _t(spark, sf_dir, "events"), event_type_dim(spark)
+    )
+
+
+def q_purchase_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-bounded self-join, batch mode: purchases
+    attributed to same-user views in the preceding 30 minutes (streaming
+    twin with watermarked state in tests/test_streaming.py)."""
+    return purchase_view_attribution(_t(spark, sf_dir, "events"))
+
+
 def q_enrich_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11/A13 — deterministic-classifier enrichment over document text
     (pandas_udf batch path; rows-only: UDF not SQL-expressible)."""
@@ -1674,6 +1693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "stream_dedup_counts": q_stream_dedup_counts,
         "user_running_totals": q_user_running_totals,
+        "stream_static_enrich": q_stream_static_enrich,
+        "purchase_view_attribution": q_purchase_view_attribution,
         # approximate / UDF (rows-only)
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -2325,6 +2346,24 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) + INTERVAL '30 minutes' AS session_end,
                    user_id, count(*) AS n_events
             FROM numbered GROUP BY user_id, session_id
+        """,
+        "stream_static_enrich": """
+            WITH dim(event_type, category) AS (VALUES
+                ('view', 'browse'), ('click', 'browse'),
+                ('purchase', 'transact'), ('refund', 'transact'),
+                ('signup', 'account'), ('login', 'account'))
+            SELECT event_id, e.event_type,
+                   coalesce(d.category, 'other') AS category, value
+            FROM events e LEFT JOIN dim d ON e.event_type = d.event_type
+        """,
+        "purchase_view_attribution": """
+            SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+                   p.user_id, p.ts AS purchase_ts, v.ts AS view_ts
+            FROM events p
+            JOIN events v ON v.user_id = p.user_id
+                         AND v.ts <= p.ts
+                         AND v.ts >= p.ts - INTERVAL '30 minutes'
+            WHERE p.event_type = 'purchase' AND v.event_type = 'view'
         """,
         "text_stats": f"""
             SELECT lang, count(*) AS n_docs,

@@ -129,6 +129,59 @@ def test_stateful_running_totals_stream_equals_batch(spark, events_dir):
         assert fts == last_ts
 
 
+def test_stream_static_join_stream_equals_batch(spark, events_dir):
+    """Stream-static join: streaming result == batch result, and the
+    stream side plan stays stateless (no aggregation state)."""
+    from youtube_podcast_data_pipeline_azure_spark.streaming.events_stream import (
+        enrich_with_category,
+        event_type_dim,
+    )
+
+    dim = event_type_dim(spark)
+    batch = {
+        (r["event_id"], r["category"])
+        for r in enrich_with_category(
+            spark.read.parquet(events_dir), dim
+        ).collect()
+    }
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    run_stream_to_memory(
+        enrich_with_category(stream, dim), "static_join_out", "append"
+    )
+    got = {
+        (r["event_id"], r["category"])
+        for r in spark.sql("SELECT * FROM static_join_out").collect()
+    }
+    assert got == batch
+
+
+def test_stream_stream_join_stream_equals_batch(spark, events_dir):
+    """Stream-stream time-bounded self-join: every batch-mode
+    (purchase, view) attribution pair is also emitted by the streaming
+    run with watermarked state."""
+    from youtube_podcast_data_pipeline_azure_spark.streaming.events_stream import (
+        purchase_view_attribution,
+    )
+
+    batch = {
+        (r["purchase_id"], r["view_id"])
+        for r in purchase_view_attribution(
+            spark.read.parquet(events_dir)
+        ).collect()
+    }
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    run_stream_to_memory(
+        purchase_view_attribution(stream), "ss_join_out", "append"
+    )
+    got = {
+        (r["purchase_id"], r["view_id"])
+        for r in spark.sql("SELECT * FROM ss_join_out").collect()
+    }
+    assert got == batch
+
+
 def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
     """Rows older than (max event time - watermark) must be discarded by
     the stateful aggregation — the engine's late-data policy."""

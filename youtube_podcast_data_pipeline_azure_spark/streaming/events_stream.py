@@ -100,6 +100,84 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.dropDuplicates(["event_id"])
 
 
+EVENT_TYPE_CATEGORIES = [
+    ("view", "browse"),
+    ("click", "browse"),
+    ("purchase", "transact"),
+    ("refund", "transact"),
+    ("signup", "account"),
+    ("login", "account"),
+]
+
+
+def event_type_dim(spark: SparkSession) -> DataFrame:
+    """Static event_type → category lookup (the stream-static join's
+    dimension side; tiny, always broadcast)."""
+    return spark.createDataFrame(
+        EVENT_TYPE_CATEGORIES, "event_type string, category string"
+    )
+
+
+def enrich_with_category(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: each (possibly streaming) event row enriched
+    from a static dimension.  The static side is broadcast to every
+    task, so the stream stays shuffle-free and stateless — the 100 TB/day
+    pattern for slowly-changing lookups.  Works identically in batch
+    (that run is the DuckDB-oracle-checked one)."""
+    return (
+        events.join(F.broadcast(dim), "event_type", "left")
+        .select(
+            "event_id",
+            "event_type",
+            F.coalesce("category", F.lit("other")).alias("category"),
+            "value",
+        )
+    )
+
+
+def purchase_view_attribution(
+    events: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream self-join: every purchase attributed to the same
+    user's views within the preceding ``horizon``.
+
+    Streaming mode: both sides watermarked; the time-bound join
+    condition lets Spark expire view-side state once it can no longer
+    match any future purchase — state is O(horizon), not O(stream).
+    Batch mode (oracle-checked) is the identical interval join.
+    """
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    if events.isStreaming:
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+        views = views.withWatermark("view_ts", watermark)
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")
+        )
+    )
+    return purchases.join(views, cond).select(
+        "purchase_id",
+        "view_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "view_ts",
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> None:
