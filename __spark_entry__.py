@@ -44,7 +44,7 @@ from youtube_podcast_data_pipeline_azure_spark.functions.text import (
 )
 from youtube_podcast_data_pipeline_azure_spark.functions.vectors import cosine_similarity, l2_norm
 from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
-from youtube_podcast_data_pipeline_azure_spark.io.writers import write_partitioned
+from youtube_podcast_data_pipeline_azure_spark.io.writers import write_clustered, write_partitioned
 from youtube_podcast_data_pipeline_azure_spark.operators import (
     dedup,
     joins,
@@ -1410,6 +1410,143 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style CDC apply: a deterministic update batch (every 10th
+    event, bumped ts + value) upserted into the base table; per key the
+    highest-version row survives, updates winning ties.  One shuffle on
+    the merge key (operators/medallion.py:upsert_latest_wins)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    updates = (
+        ev.where(F.col("event_id") % 10 == 0)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+        .withColumn("value", F.col("value") + 100)
+    )
+    merged = medallion.upsert_latest_wins(
+        ev, updates, keys=["event_id"], version_col="ts"
+    )
+    return merged.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+    )
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the documents table: per-column row /
+    null / distinct counts in ONE scan (wide agg + stack unpivot — no
+    per-column passes, no driver-side assembly)."""
+    return medallion.profile_table(
+        _t(spark, sf_dir, "documents"), ["doc_id", "text", "lang", "source"]
+    )
+
+
+def q_clustered_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered write layout (repartitionByRange +
+    sortWithinPartitions) re-read with a range predicate — the files
+    outside the date range are skipped via Parquet footer stats
+    (disjoint-range property pinned in test_scale_strategies.py)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="spark_graft_clustered_")
+    orders = _t(spark, sf_dir, "orders")
+    write_clustered(orders, out, "o_orderdate", n_files=8)
+    back = spark.read.parquet(out).where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: each user's event stream
+    becomes validity intervals [effective_from, effective_to) with an
+    is_current flag — one window (lead) over (user_id, ts), the
+    standard Spark way to construct dimension history tables."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w).alias("effective_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas — transform / filter / aggregate
+    (fold) / exists over a per-customer price array.  The fold runs over
+    an array_sort'ed array, so its summation order is deterministic and
+    engine-independent."""
+    o = _t(spark, sf_dir, "orders")
+    arr = o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list(F.round("o_totalprice", 2))).alias("prices")
+    )
+    return arr.select(
+        "o_custkey",
+        F.size(F.filter("prices", lambda p: p > 200_000))
+        .cast("long")
+        .alias("n_big"),
+        F.round(
+            F.aggregate(
+                "prices", F.lit(0.0), lambda acc, p: acc + p
+            ),
+            2,
+        ).alias("total_price"),
+        # floor-of-cents: p*0.9 lands on exact half-cents where round()
+        # semantics diverge across engines
+        F.floor(
+            F.element_at(F.transform("prices", lambda p: p * 0.9), 1) * 100
+        )
+        .cast("long")
+        .alias("min_discounted_cents"),
+        F.exists("prices", lambda p: p > 300_000).alias("has_monster"),
+    )
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink — header'd, explicitly schema'd read (never
+    inferSchema: a schema-inference pass doubles the scan at 100 TB),
+    null-on-malformed PERMISSIVE mode, then an aggregate."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="spark_graft_csv_")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    cust.write.mode("overwrite").option("header", True).csv(out)
+    schema = (
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    )
+    back = spark.read.schema(schema).option("header", True).csv(out)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+    )
+
+
+def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact n-gram-Jaccard near-dup
+    graph: every document assigned a duplicate-cluster id (min reachable
+    doc id) via iterative min-label propagation — the step that turns
+    pair lists into keep-one-per-cluster dedup decisions.  Oracle is a
+    recursive CTE over the same pair list."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs)
+    return dedup.duplicate_clusters(docs, pairs)
+
+
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints, one row per (doc, fingerprint)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1686,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "token_set_dedup": q_token_set_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "duplicate_clusters": q_duplicate_clusters,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "embedding_norms": q_embedding_norms,
         "knn_bruteforce": q_knn_bruteforce,
@@ -1695,6 +1833,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_running_totals": q_user_running_totals,
         "stream_static_enrich": q_stream_static_enrich,
         "purchase_view_attribution": q_purchase_view_attribution,
+        "higher_order_funcs": q_higher_order_funcs,
+        "csv_roundtrip": q_csv_roundtrip,
+        "clustered_roundtrip": q_clustered_roundtrip,
+        "scd2_intervals": q_scd2_intervals,
+        "upsert_latest_wins": q_upsert_latest_wins,
+        "profile_table": q_profile_table,
         # approximate / UDF (rows-only)
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -1717,6 +1861,39 @@ def oracle_sql() -> dict[str, str]:
         "(sqrt(list_dot_product(c.embedding, c.embedding)) * "
         "sqrt(list_dot_product(q.embedding, q.embedding)))"
     )
+    # Shared by ngram_jaccard_pairs and duplicate_clusters (the latter
+    # wraps it in a recursive CTE); a CTE body may carry its own WITH.
+    ngram_pairs = f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS tokens FROM documents),
+            docs AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(tokens[i:i+2], ' ')
+                           for i in generate_series(
+                               1, greatest(len(tokens)-3, 0)+1)]) AS sh
+                FROM toks),
+            pref AS (
+                SELECT doc_id,
+                       (list_sort(list_transform(sh, s -> md5(s))))
+                           [1 : cast(len(sh) - ceil(0.5 * len(sh)) + 1
+                                     AS bigint)] AS pkeys
+                FROM docs),
+            expl AS (
+                SELECT doc_id, unnest(pkeys) AS pkey FROM pref),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM expl a JOIN expl b
+                    ON a.pkey = b.pkey AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b,
+                   round(cast(len(list_intersect(da.sh, db.sh)) AS double)
+                         / (len(da.sh) + len(db.sh)
+                            - len(list_intersect(da.sh, db.sh))), 4)
+                       AS jaccard
+            FROM cand
+            JOIN docs da ON da.doc_id = id_a
+            JOIN docs db ON db.doc_id = id_b
+            WHERE jaccard >= 0.5
+    """
     return {
         "kpi_event_type_counts": """
             SELECT lower(coalesce(event_type, 'unknown')) AS event_type,
@@ -2347,6 +2524,86 @@ def oracle_sql() -> dict[str, str]:
                    user_id, count(*) AS n_events
             FROM numbered GROUP BY user_id, session_id
         """,
+        "upsert_latest_wins": """
+            WITH base AS (
+                SELECT event_id, ts, user_id, event_type, value,
+                       0 AS src_rank
+                FROM events),
+            updates AS (
+                SELECT event_id, ts + INTERVAL 1 DAY AS ts, user_id,
+                       event_type, value + 100 AS value, 1 AS src_rank
+                FROM events WHERE event_id % 10 = 0),
+            unioned AS (
+                SELECT * FROM base UNION ALL SELECT * FROM updates),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_id
+                    ORDER BY ts DESC, src_rank DESC) AS rn
+                FROM unioned)
+            SELECT event_id, ts, user_id, event_type,
+                   round(value, 2) AS value
+            FROM ranked WHERE rn = 1
+        """,
+        "profile_table": """
+            SELECT 'doc_id' AS column_name, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   count(DISTINCT doc_id) AS n_distinct
+            FROM documents
+            UNION ALL
+            SELECT 'text', count(*),
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   count(DISTINCT text)
+            FROM documents
+            UNION ALL
+            SELECT 'lang', count(*),
+                   CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   count(DISTINCT lang)
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(*),
+                   CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   count(DISTINCT source)
+            FROM documents
+        """,
+        "clustered_roundtrip": """
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            WHERE o_orderdate >= timestamp '1996-01-01'
+              AND o_orderdate < timestamp '1997-01-01'
+            GROUP BY o_orderstatus
+        """,
+        "scd2_intervals": """
+            SELECT user_id, event_id, event_type AS state,
+                   ts AS effective_from,
+                   lead(ts) OVER w AS effective_to,
+                   lead(ts) OVER w IS NULL AS is_current
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        """,
+        "higher_order_funcs": """
+            WITH arr AS (
+                SELECT o_custkey,
+                       list_sort(list(round(o_totalprice, 2))) AS prices
+                FROM orders GROUP BY o_custkey)
+            SELECT o_custkey,
+                   CAST(len(list_filter(prices, p -> p > 200000)) AS BIGINT)
+                       AS n_big,
+                   round(list_aggregate(prices, 'sum'), 2) AS total_price,
+                   CAST(floor(list_transform(prices, p -> p * 0.9)[1] * 100)
+                        AS BIGINT) AS min_discounted_cents,
+                   len(list_filter(prices, p -> p > 300000)) > 0 AS has_monster
+            FROM arr
+        """,
+        "csv_roundtrip": """
+            SELECT c_mktsegment, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS total_balance
+            FROM customer GROUP BY c_mktsegment
+        """,
         "stream_static_enrich": """
             WITH dim(event_type, category) AS (VALUES
                 ('view', 'browse'), ('click', 'browse'),
@@ -2385,36 +2642,19 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS doc_id, count(*) AS n_docs
             FROM documents GROUP BY 1
         """,
-        "ngram_jaccard_pairs": f"""
-            WITH toks AS (
-                SELECT doc_id, {tokens} AS tokens FROM documents),
-            docs AS (
-                SELECT doc_id,
-                       list_distinct([array_to_string(tokens[i:i+2], ' ')
-                           for i in generate_series(
-                               1, greatest(len(tokens)-3, 0)+1)]) AS sh
-                FROM toks),
-            pref AS (
-                SELECT doc_id,
-                       (list_sort(list_transform(sh, s -> md5(s))))
-                           [1 : cast(len(sh) - ceil(0.5 * len(sh)) + 1
-                                     AS bigint)] AS pkeys
-                FROM docs),
-            expl AS (
-                SELECT doc_id, unnest(pkeys) AS pkey FROM pref),
-            cand AS (
-                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM expl a JOIN expl b
-                    ON a.pkey = b.pkey AND a.doc_id < b.doc_id)
-            SELECT id_a, id_b,
-                   round(cast(len(list_intersect(da.sh, db.sh)) AS double)
-                         / (len(da.sh) + len(db.sh)
-                            - len(list_intersect(da.sh, db.sh))), 4)
-                       AS jaccard
-            FROM cand
-            JOIN docs da ON da.doc_id = id_a
-            JOIN docs db ON db.doc_id = id_b
-            WHERE jaccard >= 0.5
+        "ngram_jaccard_pairs": ngram_pairs,
+        "duplicate_clusters": f"""
+            WITH RECURSIVE pairs AS ({ngram_pairs}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs),
+            reach(id, comp) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
+            SELECT id AS doc_id, min(comp) AS component
+            FROM reach GROUP BY id
         """,
         "winnowing_fingerprints": f"""
             WITH toks AS (

@@ -222,3 +222,48 @@ def test_ivf_recall_reasonable_and_deterministic(spark, sf_dir):
     a = similarity.knn_ivf(c, q, k=5, n_centroids=4, nprobe=2).collect()
     b = similarity.knn_ivf(c, q, k=5, n_centroids=4, nprobe=2).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+
+
+def test_blocked_jaccard_agrees_with_ppjoin(docs):
+    """The O(n²) blocked baseline and the PPJoin prefix-filtered path
+    must produce identical (pair, jaccard) sets — independent
+    implementations cross-validating each other."""
+    ppjoin = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs_blocked(docs, block_on=None).collect()
+    }
+    assert ppjoin == blocked
+    assert ppjoin  # non-empty: the planted dups are found
+
+
+def test_duplicate_clusters_chain_and_triangle(spark):
+    """Label propagation must close transitive chains (1-2, 2-3 => one
+    component) across >1 iteration, keep disjoint cliques apart, and
+    label singletons as their own component."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "doc_id long"
+    )
+    # chain 1-2-3-4 (diameter 3 -> needs several rounds), triangle 5-6-7
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.doc_id: r.component
+        for r in dedup.duplicate_clusters(docs, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5}
+
+
+def test_duplicate_clusters_all_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in (10, 20, 30)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r.doc_id: r.component
+        for r in dedup.duplicate_clusters(docs, pairs).collect()
+    }
+    assert got == {10: 10, 20: 20, 30: 30}

@@ -216,3 +216,29 @@ def test_dynamic_partition_overwrite_is_per_partition_idempotent(spark, tmp_path
     # partition values come back type-inferred (DateType) — compare as str
     rows = {str(r.ingest_date): r.v for r in back.collect()}
     assert rows == {"2024-01-01": "a2", "2024-01-02": "c"}
+
+
+def test_upsert_latest_wins_semantics(spark):
+    """Update batch must win on version ties, lose to newer base rows,
+    and insert brand-new keys."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.medallion import upsert_latest_wins
+
+    base = spark.createDataFrame(
+        [(1, 10, "old"), (2, 20, "keep-newer"), (3, 30, "only-base")],
+        "k long, v long, payload string",
+    )
+    updates = spark.createDataFrame(
+        [(1, 10, "tie-update-wins"), (2, 15, "stale-update"),
+         (4, 40, "brand-new")],
+        "k long, v long, payload string",
+    )
+    got = {
+        r.k: r.payload
+        for r in upsert_latest_wins(base, updates, ["k"], "v").collect()
+    }
+    assert got == {
+        1: "tie-update-wins",   # same version: update side ranks higher
+        2: "keep-newer",        # base row has the higher version
+        3: "only-base",         # untouched key passes through
+        4: "brand-new",         # pure insert
+    }

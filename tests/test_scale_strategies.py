@@ -106,3 +106,36 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         )
         for name in ("bkt_left", "bkt_right"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_clustered_write_produces_disjoint_ranges(spark, sf_dir, tmp_path):
+    """write_clustered must produce files whose cluster-key min/max
+    ranges do not interleave — the property that makes Parquet footer
+    stats skip whole files for range predicates."""
+    import glob
+
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+    from youtube_podcast_data_pipeline_azure_spark.io.writers import write_clustered
+
+    out = str(tmp_path / "orders_clustered")
+    orders = load_table(spark, sf_dir, "orders")
+    write_clustered(orders, out, "o_orderdate", n_files=4)
+
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) >= 3  # range partitioner actually split the data
+    ranges = []
+    for f in files:
+        row = (
+            spark.read.parquet(f)
+            .agg(
+                F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+            )
+            .collect()[0]
+        )
+        ranges.append((row["lo"], row["hi"]))
+    ranges.sort()
+    for (_, prev_hi), (next_lo, _) in zip(ranges, ranges[1:]):
+        assert prev_hi <= next_lo  # no interleaving across files
+
+    # row-for-row identical content after the layout rewrite
+    assert spark.read.parquet(out).count() == orders.count()

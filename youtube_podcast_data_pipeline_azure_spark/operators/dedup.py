@@ -221,7 +221,7 @@ def minhash_lsh_pairs(
     )
 
 
-def ngram_jaccard_pairs(
+def ngram_jaccard_pairs_blocked(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -229,13 +229,14 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     block_on: str | None = "lang",
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs (the no-approximation
-    baseline the MinHash path is validated against).
+    """Naive exact n-gram Jaccard pairs: O(n²) join within a block.
 
-    O(n²) within a block — ``block_on`` (e.g. language) bounds the
-    quadratic blow-up; at scale you run this only on LSH candidates.
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 4
-    decimals for oracle-stable floats.
+    The production path is :func:`ngram_jaccard_pairs` (PPJoin prefix
+    filtering, below) — this quadratic variant exists as its
+    independent cross-validation baseline (tests assert identical
+    output) and for small LSH-candidate re-scoring where the quadratic
+    term is already bounded.  Returns (id_a, id_b, jaccard), id_a <
+    id_b, jaccard rounded to 4 decimals.
     """
     docs = df.select(
         F.col(id_col), F.col(block_on) if block_on else F.lit(1).alias("_blk"),
@@ -453,3 +454,76 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", jac)
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters (connected components over the near-dup pair graph)
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Assign every document to a duplicate cluster: connected
+    components over the near-duplicate pair graph, component id = the
+    minimum doc id reachable.  This is the step that turns pair lists
+    (MinHash / SimHash / n-gram Jaccard output) into keep-one-per-
+    cluster dedup decisions.
+
+    Algorithm: iterative min-label propagation.  Each round, every node
+    takes the min of its own label and its neighbors' labels; a round is
+    one shuffle on the edge endpoints, and convergence takes
+    O(graph diameter) rounds — near-dup graphs are overwhelmingly tiny
+    cliques, so 2-3 rounds in practice.  Each round's labels are
+    localCheckpoint'ed: the plan stays O(1) deep instead of O(rounds)
+    (lineage blow-up is the classic iterative-algorithm failure mode on
+    Spark).  At 100 TB the same loop holds — state is one (id, label)
+    row per document and edges are never materialized driver-side; for
+    pathological long-chain graphs, switch to large-star/small-star
+    (Kiveris et al. '14) which squares the propagation distance per
+    round.
+
+    Returns (id_col, component) for EVERY input document (singletons are
+    their own component).
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    edges = edges.persist()
+
+    labels = (
+        docs.select(F.col(id_col).alias("id"))
+        .dropDuplicates(["id"])
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))

@@ -8,7 +8,7 @@ whole plan, so pruning/pushdown/codegen apply end to end.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from youtube_podcast_data_pipeline_azure_spark.functions.durations import iso8601_duration_seconds
@@ -141,4 +141,63 @@ def per_group_top_k(
     return (
         df.withColumn(rank_alias, F.row_number().over(w))
         .where(F.col(rank_alias) <= k)
+    )
+
+
+def upsert_latest_wins(
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    version_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """MERGE-style incremental upsert without a table format: union the
+    base table with the update batch and keep, per key, the row with the
+    highest ``version_col`` (updates win ties via a source-rank column).
+
+    This is the engine's change-data-capture apply step: at scale it is
+    ONE shuffle on the merge keys (window + filter), after which the
+    result is re-written with dynamic partition overwrite (writers.py) —
+    the classic pre-Delta/Iceberg upsert pattern, and the same plan a
+    MERGE INTO compiles to for full-partition rewrites.
+
+    ``tiebreak`` (extra deterministic orderer, e.g. a unique id) makes
+    the survivor well-defined when (keys, version, source) collide.
+    """
+    src = existing.withColumn("_src_rank", F.lit(0)).unionByName(
+        updates.withColumn("_src_rank", F.lit(1))
+    )
+    order = [F.col(version_col).desc(), F.col("_src_rank").desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        src.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_src_rank")
+    )
+
+
+def profile_table(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Data-quality profile: one output row per column with row count,
+    null count, and approx + exact distinct counts folded into a single
+    pass shape (per-column aggregates computed together, then unpivoted
+    — ONE scan regardless of column count, driver assembles nothing).
+    """
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                f"{c}__nulls"
+            ),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct" for c in columns
+    )
+    return wide.selectExpr(
+        f"stack({len(columns)}, {stack_args}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct)"
     )
