@@ -50,6 +50,7 @@ from youtube_podcast_data_pipeline_azure_spark.operators import (
     joins,
     medallion,
     multimodal,
+    sampling,
     similarity,
     skew,
 )
@@ -1561,6 +1562,46 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", F.round(l2_norm("embedding"), 4).alias("norm"))
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 25% corpus subsample gated on a content-id hash —
+    membership is a pure function of (doc_id, seed), so retries and
+    repartitions select identical rows (operators/sampling.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, "doc_id", rate=0.25, seed=7).select(
+        "doc_id", "source", "lang"
+    )
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture weighting (pretraining data mix): CASE-gated
+    hash sampling, one scan, zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
+    return sampling.mixture_sample(
+        docs, "source", rates, "doc_id", seed=3, default_rate=0.2
+    ).select("doc_id", "source")
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token windows (RAG / pretraining chunk
+    prep): narrow posexplode, no shuffle."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokenize("text").alias("tokens")
+    )
+    return sampling.chunk_documents(docs, "tokens", chunk_size=50, stride=40)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into ~2048-token bins per source group via a
+    single running-sum window (one shuffle on the group key)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", word_count("text").alias("tok")
+    )
+    return sampling.pack_sequences(
+        docs, "tok", group_col="source", budget=2048
+    )
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors for the first 5 vectors as queries."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1826,6 +1867,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_clusters": q_duplicate_clusters,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "embedding_norms": q_embedding_norms,
+        # sampling / mixing / sequence prep
+        "hash_sample": q_hash_sample,
+        "mixture_sample": q_mixture_sample,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
         "knn_bruteforce": q_knn_bruteforce,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
@@ -2678,6 +2724,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    round(sqrt(list_dot_product(embedding, embedding)), 4) AS norm
             FROM embeddings
+        """,
+        "hash_sample": """
+            SELECT doc_id, source, lang FROM documents
+            WHERE ((doc_id + 7) * 2654435761) % 4294967296 < 1073741824
+        """,
+        "mixture_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE ((doc_id + 3) * 2654435761) % 4294967296 <
+                  CASE source WHEN 'src0' THEN 4294967296
+                              WHEN 'src1' THEN 2147483648
+                              WHEN 'src2' THEN 429496729
+                              ELSE 858993459 END
+        """,
+        "chunk_documents": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS tokens FROM documents),
+            st AS (
+                SELECT doc_id, tokens,
+                       generate_series(1, greatest(len(tokens), 1), 40)
+                           AS starts
+                FROM toks),
+            ex AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, len(starts) - 1))
+                           AS chunk_idx,
+                       unnest(list_transform(
+                           starts, s -> list_slice(tokens, s, s + 49)))
+                           AS chunk_toks
+                FROM st)
+            SELECT doc_id, cast(chunk_idx AS bigint) AS chunk_idx,
+                   array_to_string(chunk_toks, ' ') AS chunk_text,
+                   cast(len(chunk_toks) AS bigint) AS n_tokens
+            FROM ex WHERE len(chunk_toks) > 0
+        """,
+        "pack_sequences": f"""
+            WITH d AS (
+                SELECT source, doc_id,
+                       cast(len({tokens}) AS bigint) AS n_tokens
+                FROM documents)
+            SELECT source, doc_id, n_tokens,
+                   cast(floor(coalesce(sum(n_tokens) OVER (
+                            PARTITION BY source ORDER BY doc_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0)
+                        / 2048.0) AS bigint) AS pack_id
+            FROM d
         """,
         "knn_bruteforce": f"""
             SELECT query_id, neighbor_id, rank, cosine FROM (

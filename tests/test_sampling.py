@@ -1,0 +1,134 @@
+"""Properties of the sampling / mixing / sequence-prep operators.
+
+The load-bearing guarantee is reproducibility: sample membership must be
+a pure function of (id, seed) — invariant under repartitioning, retries,
+and cluster size — because at 100 TB any partitioning-dependent sample
+silently changes between runs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from youtube_podcast_data_pipeline_azure_spark.operators.sampling import (
+    _KNUTH,
+    _MOD,
+    chunk_documents,
+    hash_sample,
+    mixture_sample,
+    pack_sequences,
+)
+
+
+def _doc_ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_hash_sample_invariant_under_repartition(docs):
+    base = _doc_ids(hash_sample(docs, "doc_id", rate=0.3, seed=11))
+    shuffled = _doc_ids(
+        hash_sample(docs.repartition(7, "source"), "doc_id", rate=0.3, seed=11)
+    )
+    assert base == shuffled and len(base) > 0
+
+
+def test_hash_sample_rate_and_seed(docs):
+    n = docs.count()
+    kept = hash_sample(docs, "doc_id", rate=0.25, seed=7).count()
+    # binomial-ish tolerance: 0.25*500 = 125 +- ~4 sd
+    assert abs(kept / n - 0.25) < 0.1
+    # a different seed selects a different (but same-sized-ish) subset
+    a = set(_doc_ids(hash_sample(docs, "doc_id", rate=0.25, seed=7)))
+    b = set(_doc_ids(hash_sample(docs, "doc_id", rate=0.25, seed=8)))
+    assert a != b
+
+
+def test_mixture_sample_membership_is_pure_hash_function(docs):
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
+    got = {
+        (r.doc_id, r.source)
+        for r in mixture_sample(
+            docs, "source", rates, "doc_id", seed=3, default_rate=0.2
+        )
+        .select("doc_id", "source")
+        .collect()
+    }
+    rows = docs.select("doc_id", "source").collect()
+    want = {
+        (r.doc_id, r.source)
+        for r in rows
+        if ((r.doc_id + 3) * _KNUTH) % _MOD
+        < int(rates.get(r.source, 0.2) * _MOD)
+    }
+    assert got == want
+    # rate-1.0 stratum is kept in full
+    n_src0 = sum(1 for r in rows if r.source == "src0")
+    assert sum(1 for _, s in got if s == "src0") == n_src0
+
+
+def test_chunk_documents_exact_partition_when_stride_equals_size(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, toks=[f"t{i}" for i in range(10)]),
+         Row(doc_id=2, toks=["a"]),
+         Row(doc_id=3, toks=[])]
+    )
+    out = chunk_documents(df, "toks", id_col="doc_id", chunk_size=4, stride=4)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # doc 1: 10 tokens -> chunks of 4,4,2; concatenation restores the doc
+    assert rows[(1, 0)].chunk_text == "t0 t1 t2 t3"
+    assert rows[(1, 1)].chunk_text == "t4 t5 t6 t7"
+    assert rows[(1, 2)].chunk_text == "t8 t9"
+    assert rows[(1, 2)].n_tokens == 2
+    assert rows[(2, 0)].chunk_text == "a"
+    # empty docs produce no chunks
+    assert not any(d == 3 for d, _ in rows)
+
+
+def test_chunk_documents_overlap(spark):
+    df = spark.createDataFrame([Row(doc_id=1, toks=list("abcdefgh"))])
+    out = chunk_documents(df, "toks", id_col="doc_id", chunk_size=4, stride=2)
+    texts = [
+        r.chunk_text
+        for r in out.orderBy("chunk_idx").collect()
+    ]
+    assert texts == ["a b c d", "c d e f", "e f g h", "g h"]
+
+
+def test_pack_sequences_matches_running_sum(spark):
+    data = [
+        Row(src="x", doc_id=i, tok=t)
+        for i, t in enumerate([100, 900, 600, 600, 2500, 10])
+    ] + [Row(src="y", doc_id=i, tok=500) for i in range(5)]
+    df = spark.createDataFrame(data)
+    out = pack_sequences(df, "tok", id_col="doc_id", group_col="src",
+                         budget=1000)
+    got = {(r.src, r.doc_id): r.pack_id for r in out.collect()}
+    # recompute floor(cumsum-before / budget) per group in plain python
+    want, running = {}, {}
+    for r in sorted(data, key=lambda r: (r.src, r.doc_id)):
+        before = running.get(r.src, 0)
+        want[(r.src, r.doc_id)] = before // 1000
+        running[r.src] = before + r.tok
+    assert got == want
+    # oversized doc (2500 tokens) still lands in exactly one bin
+    assert got[("x", 4)] == 2  # before = 2200
+    assert got[("x", 5)] == 4  # before = 4700 -> next doc skips bin 3
+
+
+def test_pack_preserves_all_rows_and_tokens(docs):
+    from youtube_podcast_data_pipeline_azure_spark.functions.text import word_count
+
+    base = docs.select("source", "doc_id", word_count("text").alias("tok"))
+    out = pack_sequences(base, "tok", group_col="source", budget=2048)
+    assert out.count() == docs.count()
+    assert (
+        out.agg(F.sum("n_tokens")).first()[0]
+        == base.agg(F.sum("tok")).first()[0]
+    )

@@ -1,0 +1,122 @@
+"""Reproducible sampling, data mixing, and sequence-prep operators.
+
+The training-data-pipeline counterpart to dedup/similarity: once a corpus
+is cleaned and deduplicated, a pretraining run needs (a) reproducible
+subsampling, (b) per-source mixture weighting, (c) long-document
+chunking, and (d) sequence packing into fixed token budgets.  None of
+these exist in the reference (batch ETL only, SURVEY.md §2.B); all are
+expressed as deterministic built-in-expression plans so identical inputs
+give identical samples on any cluster size — `df.sample()` is
+seed-stable only per partitioning, which re-shuffles at 100 TB, so
+content-hash gating is the reproducible form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Knuth multiplicative hash constant (2^32 / phi); the bucket arithmetic
+# stays below 2^63 for any bigint id after the mod, so it is ANSI-safe.
+_KNUTH = 2654435761
+_MOD = 4_294_967_296  # 2^32
+
+
+def hash_bucket(id_col: Column | str, seed: int = 0) -> Column:
+    """Deterministic pseudo-uniform bucket in [0, 2^32) from a numeric
+    id — pure integer arithmetic, reproducible on any engine (the DuckDB
+    oracle computes the identical expression; xxhash64 would be
+    Spark-only).  For string keys, pre-hash to a number first."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return ((c + F.lit(seed)) * F.lit(_KNUTH)) % F.lit(_MOD)
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, rate: float, seed: int = 0
+) -> DataFrame:
+    """Keep a reproducible ``rate`` fraction of rows, gated on the row's
+    content-id hash — membership is a pure function of (id, seed), so
+    re-runs, retries, and different partitionings all select the same
+    rows, and the filter pushes down to the scan."""
+    return df.where(hash_bucket(id_col, seed) < int(rate * _MOD))
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Stratified mixture sampling: per-stratum keep rates (the data-
+    mixing step of a pretraining pipeline — e.g. upweight wiki, downweight
+    crawl).  One scan, no shuffle: the per-stratum threshold is a CASE
+    expression over the same hash gate as :func:`hash_sample`."""
+    thresh = F.lit(int(default_rate * _MOD))
+    for value, rate in sorted(rates.items()):
+        thresh = (
+            F.when(F.col(strata_col) == value, F.lit(int(rate * _MOD)))
+            .otherwise(thresh)
+        )
+    return df.where(hash_bucket(id_col, seed) < thresh)
+
+
+def chunk_documents(
+    df: DataFrame,
+    tokens_col: Column | str,
+    id_col: str = "doc_id",
+    chunk_size: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Split token arrays into overlapping fixed-size chunks (RAG /
+    pretraining window prep): chunk i covers tokens
+    [1 + i*stride, 1 + i*stride + chunk_size).  Narrow explode — no
+    shuffle; output is (id, chunk_idx, chunk_text, n_tokens)."""
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride)
+    )
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_size))
+    exploded = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_toks")
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", "chunk_toks").alias("chunk_text"),
+        F.size("chunk_toks").cast("long").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_count_col: str,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    budget: int = 2048,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packing bins (sequence
+    packing for pretraining batches): documents are laid out in
+    deterministic id order and cut into bins of ~``budget`` tokens via a
+    running-sum window — bin = floor(cumulative_tokens_before / budget).
+
+    This is the shuffle-once approximation of greedy first-fit packing
+    (which is inherently sequential): one window over ``group_col``
+    keeps per-group state bounded; at 100 TB you pack within natural
+    groups (shard/source) so no global ordering is needed.
+    """
+    parts = [group_col] if group_col else []
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(token_count_col).over(w), F.lit(0))
+    cols = [F.col(group_col)] if group_col else []
+    return df.select(
+        *cols,
+        F.col(id_col),
+        F.col(token_count_col).alias("n_tokens"),
+        F.floor(before / F.lit(budget)).cast("long").alias("pack_id"),
+    )
