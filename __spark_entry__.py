@@ -46,6 +46,7 @@ from youtube_podcast_data_pipeline_azure_spark.functions.vectors import cosine_s
 from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
 from youtube_podcast_data_pipeline_azure_spark.io.writers import write_clustered, write_partitioned
 from youtube_podcast_data_pipeline_azure_spark.operators import (
+    analytics,
     dedup,
     joins,
     medallion,
@@ -1351,6 +1352,50 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionized_counts(_t(spark, sf_dir, "events"))
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix over the event stream — the
+    shuffle carries only distinct (user, week) pairs
+    (operators/analytics.py)."""
+    return analytics.cohort_retention(_t(spark, sf_dir, "events"))
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view→click→purchase funnel: all step times are
+    conditional window-mins over ONE user-partitioned exchange."""
+    return analytics.funnel_conversion(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+def q_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled per-user daily series (zero rows on idle days) via
+    span sequence-explode + left join at (user, day) grain."""
+    return analytics.resample_daily(_t(spark, sf_dir, "events"))
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink — the third columnar-ecosystem format beside
+    Parquet and CSV: write a projection, read it back with an explicit
+    schema, aggregate."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="spark_graft_orc_")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.write.mode("overwrite").orc(out)
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double"
+    )
+    back = spark.read.schema(schema).orc(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .alias("total_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis / dedup / similarity (north-star extensions)
 # ---------------------------------------------------------------------------
@@ -1882,6 +1927,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "higher_order_funcs": q_higher_order_funcs,
         "csv_roundtrip": q_csv_roundtrip,
         "clustered_roundtrip": q_clustered_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
+        # event analytics
+        "cohort_retention": q_cohort_retention,
+        "funnel_conversion": q_funnel_conversion,
+        "resample_daily": q_resample_daily,
         "scd2_intervals": q_scd2_intervals,
         "upsert_latest_wins": q_upsert_latest_wins,
         "profile_table": q_profile_table,
@@ -2649,6 +2699,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, count(*) AS n_customers,
                    round(sum(c_acctbal), 2) AS total_balance
             FROM customer GROUP BY c_mktsegment
+        """,
+        "orc_roundtrip": """
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint))
+                        AS bigint) AS total_cents
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "cohort_retention": """
+            WITH activity AS (
+                SELECT DISTINCT user_id,
+                       cast(date_trunc('week', ts) AS date) AS week
+                FROM events),
+            c AS (
+                SELECT week,
+                       min(week) OVER (PARTITION BY user_id) AS cohort_week
+                FROM activity)
+            SELECT cohort_week,
+                   cast((week - cohort_week) / 7 AS bigint) AS week_offset,
+                   count(*) AS active_users
+            FROM c GROUP BY 1, 2
+        """,
+        "funnel_conversion": """
+            WITH s0 AS (
+                SELECT user_id, event_type, ts,
+                       min(CASE WHEN event_type = 'view' THEN ts END)
+                           OVER (PARTITION BY user_id) AS t0
+                FROM events),
+            s1 AS (
+                SELECT *, min(CASE WHEN event_type = 'click' AND ts > t0
+                                   THEN ts END)
+                              OVER (PARTITION BY user_id) AS t1
+                FROM s0),
+            s2 AS (
+                SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1
+                                   THEN ts END)
+                              OVER (PARTITION BY user_id) AS t2
+                FROM s1),
+            per_user AS (
+                SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
+                FROM s2 GROUP BY user_id),
+            reached AS (
+                SELECT count(t0) AS c0, count(t1) AS c1, count(t2) AS c2
+                FROM per_user)
+            SELECT cast(0 AS bigint) AS step_idx, 'view' AS step,
+                   c0 AS users FROM reached
+            UNION ALL SELECT 1, 'click', c1 FROM reached
+            UNION ALL SELECT 2, 'purchase', c2 FROM reached
+        """,
+        "resample_daily": """
+            WITH daily AS (
+                SELECT user_id, cast(ts AS date) AS day,
+                       count(*) AS n_events,
+                       cast(sum(cast(floor(value * 100 + 0.5) AS bigint))
+                            AS bigint) AS value_cents
+                FROM events GROUP BY 1, 2),
+            span AS (
+                SELECT user_id, min(day) AS d0, max(day) AS d1
+                FROM daily GROUP BY 1),
+            grid_ts AS (
+                SELECT user_id,
+                       unnest(generate_series(cast(d0 AS timestamp),
+                                              cast(d1 AS timestamp),
+                                              INTERVAL 1 DAY)) AS day_ts
+                FROM span),
+            grid AS (
+                SELECT user_id, cast(day_ts AS date) AS day FROM grid_ts)
+            SELECT g.user_id, g.day,
+                   coalesce(d.n_events, 0) AS n_events,
+                   coalesce(d.value_cents, 0) AS value_cents
+            FROM grid g LEFT JOIN daily d USING (user_id, day)
         """,
         "stream_static_enrich": """
             WITH dim(event_type, category) AS (VALUES

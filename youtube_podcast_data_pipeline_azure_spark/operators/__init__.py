@@ -1,4 +1,5 @@
 from youtube_podcast_data_pipeline_azure_spark.operators import (
+    analytics,
     dedup,
     medallion,
     multimodal,
@@ -6,4 +7,11 @@ from youtube_podcast_data_pipeline_azure_spark.operators import (
     similarity,
 )
 
-__all__ = ["dedup", "medallion", "multimodal", "sampling", "similarity"]
+__all__ = [
+    "analytics",
+    "dedup",
+    "medallion",
+    "multimodal",
+    "sampling",
+    "similarity",
+]

@@ -1,0 +1,141 @@
+"""Event-analytics operators: cohort retention, funnels, gap-filled
+resampling.
+
+The reference's terminal computation is a one-level KPI rollup
+(reference final_kpis.py:41-46); a production analytics layer over the
+same event stream needs the classic user-behavior shapes built on it.
+All three operators here are pure DataFrame compositions (no UDFs) so
+Catalyst keeps them in whole-stage codegen, and each narrows the data
+*before* its shuffle — at 100 TB the events table is the big one, so
+every plan reduces to (user_id, period)-grained rows as early as
+possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _week(ts_col: str) -> Column:
+    return F.date_trunc("week", F.col(ts_col)).cast("date")
+
+
+def cohort_retention(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Weekly cohort-retention matrix: for each signup cohort (the week
+    a user was first seen), how many of its users were active 0, 1, 2,
+    ... weeks later.
+
+    Plan shape (scale posture): project to (user, week) and
+    ``dropDuplicates`` FIRST — the only full-table shuffle carries two
+    small columns and map-side partial aggregation collapses each
+    user-week to one row before the exchange.  The cohort week is a
+    window-min over the already-tiny distinct activity set, and because
+    (user, week) rows are distinct and cohort is functionally dependent
+    on user, the final rollup is a plain ``count(*)`` — no expensive
+    count-distinct expansion.
+    """
+    activity = (
+        events.select(F.col(user_col), _week(ts_col).alias("week"))
+        .dropDuplicates()
+    )
+    cohort = F.min("week").over(Window.partitionBy(user_col))
+    return (
+        activity.withColumn("cohort_week", cohort)
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strictly-ordered funnel: a user reaches step *i* at the earliest
+    event of type ``steps[i]`` that happens AFTER their step *i-1* time.
+    Returns one row per step: ``(step_idx, step, users)``.
+
+    Plan shape: all step times are conditional window-mins over the same
+    ``partitionBy(user)`` — Catalyst plans ONE exchange and chains the
+    Window execs on the sorted partitions, so an N-step funnel costs a
+    single shuffle of (user, type, ts) triples regardless of N.  The
+    per-user collapse and final unpivot run on one row per user.
+    """
+    base = events.select(user_col, type_col, ts_col)
+    w = Window.partitionBy(user_col)
+    prev: Column | None = None
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        name = f"t{i}"
+        base = base.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = name
+    per_user = base.groupBy(user_col).agg(
+        *[F.max(f"t{i}").alias(f"t{i}") for i in range(len(steps))]
+    )
+    reached = per_user.agg(
+        *[
+            F.count(f"t{i}").cast("long").alias(f"t{i}")
+            for i in range(len(steps))
+        ]
+    )
+    stack = ", ".join(
+        f"{i}L, '{s}', t{i}" for i, s in enumerate(steps)
+    )
+    return reached.select(
+        F.expr(f"stack({len(steps)}, {stack})").alias(
+            "step_idx", "step", "users"
+        )
+    )
+
+
+def resample_daily(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-filled per-user daily activity: one row for EVERY day between
+    a user's first and last event, zero-filled on idle days — the
+    time-series resample that turns an irregular event log into a dense
+    per-user series (for rolling features, anomaly baselines, etc.).
+
+    Plan shape: aggregate to (user, day) grain first, derive each
+    user's [min_day, max_day] span from that small aggregate, then
+    ``sequence``-explode the span and left-join the daily grain back on
+    (user, day).  The explode creates rows proportional to user-days,
+    never to raw events.  Money-ish sums are per-row half-up-to-cents
+    integer sums (order-independent, oracle-exact).
+    """
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    daily = events.groupBy(
+        F.col(user_col), F.to_date(ts_col).alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(cents).alias("value_cents"),
+    )
+    grid = (
+        daily.groupBy(user_col)
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            user_col,
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    return grid.join(daily, [user_col, "day"], "left").select(
+        user_col,
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("value_cents", F.lit(0)).cast("long").alias("value_cents"),
+    )
