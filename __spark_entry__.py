@@ -54,6 +54,7 @@ from youtube_podcast_data_pipeline_azure_spark.operators import (
     sampling,
     similarity,
     skew,
+    text_mining,
 )
 from youtube_podcast_data_pipeline_azure_spark.streaming.events_stream import (
     enrich_with_category,
@@ -1423,6 +1424,21 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", language_id("text").alias("lang_pred"))
 
 
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document by the integer TF-IDF
+    analog tf*N*1000 // df (log-free, bit-exact on any engine —
+    operators/text_mining.py)."""
+    return text_mining.distinctive_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus collocations by integer lift (the monotone PMI
+    analog c_xy*T*1000 // (c_x*c_y)), min pair count 3."""
+    return text_mining.collocations(
+        _t(spark, sf_dir, "documents"), min_count=3, top=50
+    )
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic quality score per document."""
     docs = _t(spark, sf_dir, "documents")
@@ -1906,6 +1922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "language_id": q_language_id,
         "quality_scores": q_quality_scores,
+        "distinctive_terms": q_distinctive_terms,
+        "collocations": q_collocations,
         "exact_dedup": q_exact_dedup,
         "token_set_dedup": q_token_set_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -2797,6 +2815,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "language_id": f"SELECT doc_id, lang, {lang} AS lang_pred FROM documents",
         "quality_scores": f"SELECT doc_id, {qual} AS quality FROM documents",
+        "distinctive_terms": f"""
+            WITH tfc AS (
+                SELECT doc_id, unnest({tokens}) AS term FROM documents),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM tfc GROUP BY 1, 2),
+            dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            ranked AS (
+                SELECT doc_id, term, tf, df,
+                       tf * n_docs * 1000 // df AS score_milli,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY tf * n_docs * 1000 // df DESC, term ASC
+                       ) AS rank
+                FROM tf JOIN dfc USING (term) CROSS JOIN n)
+            SELECT doc_id, cast(rank AS bigint) AS rank, term, tf, df,
+                   score_milli
+            FROM ranked WHERE rank <= 3
+        """,
+        "collocations": f"""
+            WITH toks AS (SELECT {tokens} AS toks FROM documents),
+            bg AS (
+                SELECT unnest(toks[1:len(toks)-1]) AS word_a,
+                       unnest(toks[2:len(toks)]) AS word_b
+                FROM toks WHERE len(toks) >= 2),
+            pairs AS (
+                SELECT word_a, word_b, count(*) AS pair_count
+                FROM bg GROUP BY 1, 2),
+            uni AS (
+                SELECT unnest(toks) AS w FROM toks),
+            unic AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+            t AS (SELECT cast(sum(pair_count) AS bigint) AS t_pairs
+                  FROM pairs)
+            SELECT word_a, word_b, pair_count,
+                   pair_count * t_pairs * 1000 // (ca.c * cb.c)
+                       AS lift_milli
+            FROM pairs
+            JOIN unic ca ON pairs.word_a = ca.w
+            JOIN unic cb ON pairs.word_b = cb.w
+            CROSS JOIN t
+            WHERE pair_count >= 3
+            ORDER BY lift_milli DESC, word_a ASC, word_b ASC
+            LIMIT 50
+        """,
         "exact_dedup": f"""
             SELECT {fingerprint} AS fingerprint,
                    min(doc_id) AS doc_id, count(*) AS n_copies

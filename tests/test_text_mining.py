@@ -1,0 +1,76 @@
+"""Exact-arithmetic semantics of the text-mining operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import (
+    collocations,
+    distinctive_terms,
+)
+
+
+def test_distinctive_terms_scores_and_ranking(spark):
+    # 4 docs; "the" appears everywhere (df=4), "zebra" only in doc 1.
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="the zebra the zebra crossing"),
+        Row(doc_id=2, text="the cat"),
+        Row(doc_id=3, text="the dog"),
+        Row(doc_id=4, text="the bird"),
+    ])
+    out = distinctive_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    top1 = by_doc[1][0]
+    # zebra: tf=2, df=1, N=4 -> 2*4*1000//1 = 8000; beats "the"
+    # (tf=2, df=4 -> 2000) and "crossing" (1*4*1000//1 = 4000).
+    assert (top1.term, top1.tf, top1.df, top1.score_milli) == (
+        "zebra", 2, 1, 8000
+    )
+    assert by_doc[1][1].term == "crossing"
+    # every doc gets at most k rows, ranks are 1..k
+    assert all([r.rank for r in v] == list(range(1, len(v) + 1))
+               for v in by_doc.values())
+
+
+def test_distinctive_terms_tie_breaks_by_term(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="beta alpha"),
+        Row(doc_id=2, text="other words"),
+    ])
+    out = [r.term for r in distinctive_terms(docs, k=2).collect()
+           if r.doc_id == 1]
+    # identical scores (tf=1, df=1) -> alphabetical order
+    assert out == ["alpha", "beta"]
+
+
+def test_collocations_exact_lift(spark):
+    # "new york" appears 3x adjacently; "the" is frequent filler.
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="new york is the city of new york"),
+        Row(doc_id=2, text="i love new york and the city"),
+        Row(doc_id=3, text="the city the city"),
+    ])
+    rows = {(r.word_a, r.word_b): r
+            for r in collocations(docs, min_count=2, top=10).collect()}
+    ny = rows[("new", "york")]
+    # corpus: T = total bigrams = 7 + 6 + 3 = 16; c(new)=3, c(york)=3
+    assert ny.pair_count == 3
+    assert ny.lift_milli == 3 * 16 * 1000 // (3 * 3)
+    # "the city" (pair 4x, c(the)=4, c(city)=4) has lower lift
+    tc = rows[("the", "city")]
+    assert tc.pair_count == 4
+    assert tc.lift_milli == 4 * 16 * 1000 // (4 * 4)
+    assert ny.lift_milli > tc.lift_milli
+
+
+def test_collocations_min_count_and_short_docs(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="one"),          # no bigrams
+        Row(doc_id=2, text=""),             # no tokens
+        Row(doc_id=3, text="a b a b a b"),  # (a,b)x3, (b,a)x2
+    ])
+    got = {(r.word_a, r.word_b): r.pair_count
+           for r in collocations(docs, min_count=3, top=10).collect()}
+    assert got == {("a", "b"): 3}

@@ -1,0 +1,137 @@
+"""Corpus-statistics text mining: distinctive terms and collocations.
+
+Extends the text-analysis pack (functions/text.py — language ID,
+quality, token stats; reference has none of this, SURVEY.md §2.B) with
+the two corpus-level shapes a training-data pipeline reports on: which
+terms characterize a document (TF-IDF family) and which word pairs are
+collocations (PMI family).
+
+Both scores are deliberately *integer-exact*: classic TF-IDF and PMI
+take logarithms, whose low bits may differ between engines, so instead
+we use the monotone-equivalent rational forms
+
+    term score  = tf * N_docs * 1000 // df          (per-doc TF-IDF analog)
+    bigram lift = c_xy * T * 1000 // (c_x * c_y)    (PMI analog, no log)
+
+computed entirely in 64-bit integer arithmetic — bit-identical on any
+engine, so the DuckDB oracle checks exact values, and rankings match
+what log-space scoring would produce (log is monotone).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from youtube_podcast_data_pipeline_azure_spark.functions.text import tokenize
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` most distinctive terms per document by the integer
+    TF-IDF analog ``tf * N * 1000 // df`` (ties broken by term asc).
+
+    Plan shape: explode once, aggregate to (doc, term) grain — the wide
+    shuffle carries (id, term) pairs only.  Document frequency is a
+    second aggregate OVER THE (doc, term) GRAIN (already distinct, so a
+    plain count — no count-distinct expansion), and joins back on term;
+    the term dictionary is vocabulary-sized, far smaller than the
+    corpus, and broadcast.  Corpus size N is a 1-row aggregate,
+    cross-joined (broadcast) as a scalar.
+    """
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            F.expr("tf * n_docs * 1000 div df").alias("score_milli"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_milli").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df", "score_milli")
+    )
+
+
+def _bigrams(tokens: Column) -> Column:
+    """Adjacent token pairs as structs; empty for 0/1-token docs."""
+    n = F.size(tokens)
+    return F.arrays_zip(
+        F.slice(tokens, 1, F.greatest(n - 1, F.lit(0))).alias("a"),
+        F.slice(tokens, 2, F.greatest(n - 1, F.lit(0))).alias("b"),
+    )
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+    top: int = 50,
+) -> DataFrame:
+    """Corpus-wide collocation mining: the ``top`` adjacent word pairs
+    by the integer lift score ``c_xy * T * 1000 // (c_x * c_y)`` (the
+    monotone PMI analog), among pairs seen at least ``min_count`` times.
+
+    Plan shape: one explode for bigram counts, one for unigram counts
+    (both aggregate map-side before their shuffles); unigram counts are
+    a vocabulary-sized table broadcast twice (left word, right word);
+    total-bigram count T is a broadcast scalar.  Final deterministic
+    top-N is a global ``TakeOrderedAndProject`` on the already-tiny
+    filtered pair list.
+    """
+    toks = docs.select(tokenize(text_col).alias("toks"))
+    pairs = (
+        toks.select(F.explode(_bigrams(F.col("toks"))).alias("bg"))
+        .select(F.col("bg.a").alias("word_a"), F.col("bg.b").alias("word_b"))
+        .groupBy("word_a", "word_b")
+        .agg(F.count("*").alias("pair_count"))
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    t = pairs.agg(F.sum("pair_count").alias("t_pairs"))
+    scored = (
+        pairs.where(F.col("pair_count") >= min_count)
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("word_a"), F.col("c").alias("c_a"))),
+            "word_a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("word_b"), F.col("c").alias("c_b"))),
+            "word_b",
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            "word_a",
+            "word_b",
+            "pair_count",
+            F.expr("pair_count * t_pairs * 1000 div (c_a * c_b)").alias(
+                "lift_milli"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_milli").desc(),
+        F.col("word_a").asc(),
+        F.col("word_b").asc(),
+    ).limit(top)
