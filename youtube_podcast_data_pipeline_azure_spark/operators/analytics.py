@@ -28,22 +28,26 @@ def cohort_retention(
     a user was first seen), how many of its users were active 0, 1, 2,
     ... weeks later.
 
-    Plan shape (scale posture): project to (user, week) and
-    ``dropDuplicates`` FIRST — the only full-table shuffle carries two
-    small columns and map-side partial aggregation collapses each
-    user-week to one row before the exchange.  The cohort week is a
-    window-min over the already-tiny distinct activity set, and because
-    (user, week) rows are distinct and cohort is functionally dependent
-    on user, the final rollup is a plain ``count(*)`` — no expensive
-    count-distinct expansion.
+    Plan shape (scale posture): TWO exchanges total.  The only
+    full-table shuffle is a ``collect_set(week)`` keyed on user —
+    partial (map-side) object-hash aggregation dedups user-weeks before
+    the exchange, and each user's state is bounded by the number of
+    distinct weeks in the corpus, not their event count.  The cohort is
+    then just ``array_min`` (no window, no second user-keyed sort), and
+    because weeks are distinct per user and cohort is functionally
+    dependent on user, the final rollup is a plain ``count(*)`` — no
+    expensive count-distinct expansion.
     """
-    activity = (
+    per_user = (
         events.select(F.col(user_col), _week(ts_col).alias("week"))
-        .dropDuplicates()
+        .groupBy(user_col)
+        .agg(F.collect_set("week").alias("weeks"))
     )
-    cohort = F.min("week").over(Window.partitionBy(user_col))
     return (
-        activity.withColumn("cohort_week", cohort)
+        per_user.select(
+            F.array_min("weeks").alias("cohort_week"),
+            F.explode("weeks").alias("week"),
+        )
         .groupBy(
             "cohort_week",
             (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
