@@ -200,14 +200,6 @@ def embedding_near_dup_pairs(
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # ---------------------------------------------------------------------------
 
-def _centroid_array(centroids: DataFrame) -> Column:
-    """Collapse (centroid_id, vec) rows into one array<struct> literal-ish
-    column suitable for broadcasting into a crossJoin."""
-    return F.array_sort(
-        F.collect_list(F.struct(F.col("centroid_id"), F.col("vec")))
-    )
-
-
 def _nearest_centroid(vec: Column, cents: Column) -> Column:
     """centroid_id of the max-cosine centroid for ``vec`` (ties → lowest
     id, via struct max on (sim, -id))."""
@@ -244,34 +236,55 @@ def ivf_train(
 
     ``train_sample``: quantizer quality needs only a representative
     sample, not the corpus — the standard IVF practice (FAISS trains on
-    ~(30-256)·n_centroids points).  When set, training collects a
-    deterministic hash-sample of about that many vectors to the driver
-    and runs Lloyd's there in numpy — sample size (and therefore driver
-    memory and train cost) is *bounded and independent of corpus size*,
-    which is why this is not a driver-side-loop scale smell: at 100 TB
-    the sample is still ~train_sample rows.  With ``train_sample=None``
-    the whole corpus trains the same way — only sensible for small
-    corpora; prefer a sample.
+    ~(30-256)·n_centroids points).  When set, training takes the
+    ``train_sample`` vectors with the smallest id-hash — a deterministic
+    pseudo-random sample that Spark executes as ONE
+    ``TakeOrderedAndProject`` job (per-partition top-N, no global sort,
+    no separate count pass) — and runs Lloyd's on the driver in numpy.
+    Sample size (and therefore driver memory and train cost) is
+    *bounded and independent of corpus size*, which is why this is not
+    a driver-side-loop scale smell: at 100 TB the sample is still
+    ~train_sample rows.  With ``train_sample=None`` the whole corpus
+    trains the same way — only sensible for small corpora; prefer a
+    sample.
 
     The returned centroids are a literal local relation, so downstream
     consumers (corpus assignment, query probing) broadcast them without
     re-executing any training lineage.
     """
+    cents = _lloyd(
+        _train_sample_rows(corpus, id_col, vec_col, train_sample),
+        n_centroids,
+        iters,
+    )
+    return corpus.sparkSession.createDataFrame(
+        [(int(j), [float(v) for v in cents[j]]) for j in range(len(cents))],
+        "centroid_id int, vec array<double>",
+    )
+
+
+def _train_sample_rows(
+    corpus: DataFrame, id_col: str, vec_col: str, train_sample: int | None
+) -> list:
+    """Deterministic bounded training sample, collected in ONE job
+    (per-partition top-N by id-hash — no global sort, no count pass);
+    returned in id order so centroid init is reproducible."""
     sample = corpus
     if train_sample:
-        total = corpus.count()
-        if total > train_sample:
-            stride = max(total // train_sample, 1)
-            sample = corpus.where(
-                F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
-            )
-    rows = (
+        sample = corpus.orderBy(
+            F.xxhash64(F.col(id_col)), F.col(id_col)
+        ).limit(train_sample)
+    return sorted(
         sample.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-        )
-        .orderBy(id_col)
-        .collect()
+        ).collect(),
+        key=lambda r: r[0],
     )
+
+
+def _lloyd(rows: list, n_centroids: int, iters: int) -> "np.ndarray":
+    """Driver-side Lloyd's over the bounded sample (cosine assignment,
+    lowest-id deterministic init)."""
     x = np.array([r.v for r in rows])  # (m, dim)
     k = min(n_centroids, len(rows))
     cents = x[:k].copy()  # deterministic init: lowest-id sample vectors
@@ -286,9 +299,22 @@ def ivf_train(
             members = x[assign == j]
             if len(members):
                 cents[j] = members.mean(axis=0)
-    return corpus.sparkSession.createDataFrame(
-        [(int(j), [float(v) for v in cents[j]]) for j in range(k)],
-        "centroid_id int, vec array<double>",
+    return cents
+
+
+def _centroid_literal(cents: "np.ndarray") -> Column:
+    """The trained centroid set as a pure plan literal
+    (array<struct<centroid_id,vec>>): folds into every consumer's plan
+    with ZERO extra jobs — no agg, no broadcast-subquery execution —
+    because the quantizer is tiny by construction (n_centroids rows)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(j)).cast("int").alias("centroid_id"),
+                F.array(*[F.lit(float(v)) for v in cents[j]]).alias("vec"),
+            )
+            for j in range(len(cents))
+        ]
     )
 
 
@@ -307,23 +333,28 @@ def knn_ivf(
     """IVF approximate top-k: corpus vectors live in per-centroid
     inverted lists; each query scores only the ``nprobe`` nearest lists.
 
-    Scale shape: centroid assignment is a broadcast map on both sides;
-    the candidate join is a hash-shuffle on centroid_id touching
-    ~nprobe/n_centroids of the corpus per query — the standard
-    IVF-Flat recall/latency dial (FAISS-style), in pure DataFrame ops.
+    Scale shape: the trained quantizer folds into both plans as a pure
+    literal (no agg job, no broadcast-subquery execution), so centroid
+    assignment is a narrow map on both sides; the candidate join is a
+    hash-shuffle on centroid_id touching ~nprobe/n_centroids of the
+    corpus per query — the standard IVF-Flat recall/latency dial
+    (FAISS-style), in pure DataFrame ops.
     """
-    cents = ivf_train(
-        corpus, corpus_id, vec_col, n_centroids, iters, train_sample
+    cents_col = _centroid_literal(
+        _lloyd(
+            _train_sample_rows(corpus, corpus_id, vec_col, train_sample),
+            n_centroids,
+            iters,
+        )
     )
-    carr = cents.agg(_centroid_array(cents).alias("_cents"))
 
-    inv = spread(corpus, corpus_id).crossJoin(F.broadcast(carr)).select(
+    inv = spread(corpus, corpus_id).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
-        _nearest_centroid(F.col(vec_col), F.col("_cents")),
+        _nearest_centroid(F.col(vec_col), cents_col),
     )
 
-    probes = queries.crossJoin(F.broadcast(carr)).select(
+    probes = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("_qvec"),
         F.explode(
@@ -331,7 +362,7 @@ def knn_ivf(
                 F.reverse(
                     F.array_sort(
                         F.transform(
-                            "_cents",
+                            cents_col,
                             lambda c: F.struct(
                                 F.round(
                                     cosine_similarity(
