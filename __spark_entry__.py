@@ -1374,6 +1374,21 @@ def q_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.resample_daily(_t(spark, sf_dir, "events"))
 
 
+def q_rolling_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling features per (user, day) — RANGE frame
+    over an integer day number on the gap-filled series."""
+    return analytics.rolling_activity(_t(spark, sf_dir, "events"), days=7)
+
+
+def q_fuzzy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dictionary canonicalization of part names: Levenshtein ≤ 3
+    pairs over the distinct vocabulary (broadcast-sized self-join with
+    length prefilter), more-frequent spelling suggested as canonical."""
+    return text_mining.fuzzy_vocab_pairs(
+        _t(spark, sf_dir, "part"), "p_name", max_dist=3
+    )
+
+
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink — the third columnar-ecosystem format beside
     Parquet and CSV: write a projection, read it back with an explicit
@@ -1950,6 +1965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "funnel_conversion": q_funnel_conversion,
         "resample_daily": q_resample_daily,
+        "rolling_activity": q_rolling_activity,
+        "fuzzy_vocab": q_fuzzy_vocab,
         "scd2_intervals": q_scd2_intervals,
         "upsert_latest_wins": q_upsert_latest_wins,
         "profile_table": q_profile_table,
@@ -2787,6 +2804,50 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(d.n_events, 0) AS n_events,
                    coalesce(d.value_cents, 0) AS value_cents
             FROM grid g LEFT JOIN daily d USING (user_id, day)
+        """,
+        "rolling_activity": """
+            WITH daily AS (
+                SELECT user_id, cast(ts AS date) AS day,
+                       count(*) AS n_events,
+                       cast(sum(cast(floor(value * 100 + 0.5) AS bigint))
+                            AS bigint) AS value_cents
+                FROM events GROUP BY 1, 2),
+            span AS (
+                SELECT user_id, min(day) AS d0, max(day) AS d1
+                FROM daily GROUP BY 1),
+            grid_ts AS (
+                SELECT user_id,
+                       unnest(generate_series(cast(d0 AS timestamp),
+                                              cast(d1 AS timestamp),
+                                              INTERVAL 1 DAY)) AS day_ts
+                FROM span),
+            grid AS (
+                SELECT user_id, cast(day_ts AS date) AS day FROM grid_ts),
+            dense AS (
+                SELECT g.user_id, g.day,
+                       coalesce(d.n_events, 0) AS n_events,
+                       coalesce(d.value_cents, 0) AS value_cents
+                FROM grid g LEFT JOIN daily d USING (user_id, day))
+            SELECT user_id, day, n_events,
+                   cast(sum(n_events) OVER w AS bigint) AS n_events_7d,
+                   cast(sum(value_cents) OVER w AS bigint) AS cents_7d
+            FROM dense
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY (day - DATE '1970-01-01')
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "fuzzy_vocab": """
+            WITH vocab AS (
+                SELECT p_name AS name, count(*) AS n FROM part GROUP BY 1)
+            SELECT a.name AS name_a, b.name AS name_b,
+                   cast(levenshtein(a.name, b.name) AS bigint) AS dist,
+                   a.n AS n_a, b.n AS n_b,
+                   CASE WHEN b.n > a.n THEN b.name ELSE a.name END
+                       AS canonical
+            FROM vocab a JOIN vocab b
+              ON a.name < b.name
+             AND abs(len(a.name) - len(b.name)) <= 3
+            WHERE levenshtein(a.name, b.name) <= 3
         """,
         "stream_static_enrich": """
             WITH dim(event_type, category) AS (VALUES

@@ -123,3 +123,22 @@ def test_resample_preserves_totals(spark, sf_dir):
              (F.datediff(F.max("day"), F.min("day")) + 1).alias("span"))
     )
     assert n_days.where(F.col("n") != F.col("span")).count() == 0
+
+
+def test_rolling_activity_range_frame(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.analytics import rolling_activity
+
+    df = spark.createDataFrame([
+        _ev(1, "view", "2024-01-01T10:00:00", 1.00),
+        _ev(1, "view", "2024-01-05T10:00:00", 2.00),
+        _ev(1, "view", "2024-01-09T10:00:00", 4.00),
+    ])
+    got = {str(r.day): (r.n_events_7d, r.cents_7d)
+           for r in rolling_activity(df, days=7).collect()}
+    # day 5 window covers days 1..5 (both events); day 9 covers 3..9
+    # (only days 5 and 9); gap days carry the trailing sum forward
+    assert got["2024-01-01"] == (1, 100)
+    assert got["2024-01-05"] == (2, 300)
+    assert got["2024-01-07"] == (2, 300)   # 1..7 still includes day 1
+    assert got["2024-01-08"] == (1, 200)   # 2..8 drops day 1
+    assert got["2024-01-09"] == (2, 600)

@@ -74,3 +74,19 @@ def test_collocations_min_count_and_short_docs(spark):
     got = {(r.word_a, r.word_b): r.pair_count
            for r in collocations(docs, min_count=3, top=10).collect()}
     assert got == {("a", "b"): 3}
+
+
+def test_fuzzy_vocab_canonical_prefers_frequent(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import fuzzy_vocab_pairs
+
+    df = spark.createDataFrame(
+        [Row(name="widget")] * 5
+        + [Row(name="widgot")] * 1
+        + [Row(name="bolt")] * 2
+    )
+    rows = fuzzy_vocab_pairs(df, "name", max_dist=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # pair is ordered lexicographically; canonical is the frequent form
+    assert (r.name_a, r.name_b, r.dist) == ("widget", "widgot", 1)
+    assert (r.n_a, r.n_b, r.canonical) == (5, 1, "widget")

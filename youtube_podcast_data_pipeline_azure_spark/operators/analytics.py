@@ -143,3 +143,39 @@ def resample_daily(
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
         F.coalesce("value_cents", F.lit(0)).cast("long").alias("value_cents"),
     )
+
+
+def rolling_activity(
+    events: DataFrame,
+    days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trailing ``days``-day rolling features over the gap-filled daily
+    series (the standard ML-feature / anomaly-baseline shape): for every
+    (user, day), event count and value-cents summed over a RANGE frame
+    of the preceding ``days`` days.
+
+    Built on :func:`resample_daily`; the window is a *range* frame over
+    an integer day number, so the frame is defined by event-time
+    distance, not row position — correct even if the input series were
+    sparse.  Spark plans one window exchange on user (the resample
+    output is already at (user, day) grain, tiny relative to raw
+    events); sums stay integer end-to-end (order-independent,
+    oracle-exact).
+    """
+    dense = resample_daily(events, user_col, ts_col, value_col)
+    day_num = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(day_num)
+        .rangeBetween(-(days - 1), 0)
+    )
+    return dense.select(
+        user_col,
+        "day",
+        "n_events",
+        F.sum("n_events").over(w).cast("long").alias(f"n_events_{days}d"),
+        F.sum("value_cents").over(w).cast("long").alias(f"cents_{days}d"),
+    )

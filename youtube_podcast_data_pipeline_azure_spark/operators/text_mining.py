@@ -135,3 +135,52 @@ def collocations(
         F.col("word_a").asc(),
         F.col("word_b").asc(),
     ).limit(top)
+
+
+def fuzzy_vocab_pairs(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Fuzzy dictionary canonicalization: near-identical value pairs in
+    a column's vocabulary by Levenshtein distance, with a suggested
+    canonical form (the more frequent spelling; ties → lexicographically
+    smaller) — the typo-merge step of entity/dimension cleanup.
+
+    Scale posture: the self-join runs over the DISTINCT vocabulary with
+    frequencies (one map-side-combined aggregation of the big table),
+    never over raw rows — a column's vocabulary is orders of magnitude
+    smaller than the table, so the quadratic step is broadcast-sized.
+    A length-difference prefilter (``|len a − len b| ≤ d`` is necessary
+    for distance ≤ d) prunes candidates before the expensive
+    ``levenshtein`` evaluates.
+    """
+    vocab = df.groupBy(F.col(col).alias("name")).agg(
+        F.count("*").alias("n")
+    )
+    a = vocab.select(F.col("name").alias("name_a"), F.col("n").alias("n_a"))
+    b = vocab.select(F.col("name").alias("name_b"), F.col("n").alias("n_b"))
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("name_a") < F.col("name_b"))
+        & (
+            F.abs(F.length("name_a") - F.length("name_b"))
+            <= F.lit(max_dist)
+        ),
+    ).withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+    better_b = (F.col("n_b") > F.col("n_a")) | (
+        (F.col("n_b") == F.col("n_a")) & (F.col("name_b") < F.col("name_a"))
+    )
+    return (
+        pairs.where(F.col("dist") <= max_dist)
+        .select(
+            "name_a",
+            "name_b",
+            "dist",
+            "n_a",
+            "n_b",
+            F.when(better_b, F.col("name_b"))
+            .otherwise(F.col("name_a"))
+            .alias("canonical"),
+        )
+    )
