@@ -1613,6 +1613,55 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches: batch 1 lands with a v1
+    schema, batch 2 adds a column; ``mergeSchema`` reconciles at read
+    (missing fields → null, the same tolerance the reference gets from
+    dict.get defaults, reference silver_transform_videos.py:24-27) and
+    the aggregate normalizes nulls away."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="spark_graft_evo_")
+    orders = _t(spark, sf_dir, "orders")
+    orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(f"{out}/b1")
+    orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    ).write.mode("overwrite").parquet(f"{out}/b2")
+    merged = spark.read.option("mergeSchema", True).parquet(
+        f"{out}/b1", f"{out}/b2"
+    )
+    return merged.groupBy(
+        F.coalesce("o_orderstatus", F.lit("unknown")).alias("status")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("total_cents"),
+    )
+
+
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type p99 outlier flagging: exact percentile per event_type
+    (tiny aggregate, broadcast back), strict-greater filter — the
+    anomaly-gate shape of a monitoring pipeline."""
+    ev = _t(spark, sf_dir, "events")
+    th = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.99).alias("p99")
+    )
+    return (
+        ev.join(F.broadcast(th), "event_type")
+        .where(F.col("value") > F.col("p99"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("p99", 4).alias("p99"),
+        )
+    )
+
+
 def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the exact n-gram-Jaccard near-dup
     graph: every document assigned a duplicate-cluster id (min reachable
@@ -1961,6 +2010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip": q_csv_roundtrip,
         "clustered_roundtrip": q_clustered_roundtrip,
         "orc_roundtrip": q_orc_roundtrip,
+        "schema_evolution": q_schema_evolution,
+        "value_outliers": q_value_outliers,
         # event analytics
         "cohort_retention": q_cohort_retention,
         "funnel_conversion": q_funnel_conversion,
@@ -2740,6 +2791,22 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint))
                         AS bigint) AS total_cents
             FROM orders GROUP BY o_orderstatus
+        """,
+        "schema_evolution": """
+            SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+                        ELSE 'unknown' END AS status,
+                   count(*) AS n_orders,
+                   cast(sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint))
+                        AS bigint) AS total_cents
+            FROM orders GROUP BY 1
+        """,
+        "value_outliers": """
+            WITH th AS (
+                SELECT event_type, quantile_cont(value, 0.99) AS p99
+                FROM events GROUP BY event_type)
+            SELECT event_id, e.event_type, value, round(p99, 4) AS p99
+            FROM events e JOIN th ON e.event_type = th.event_type
+            WHERE value > p99
         """,
         "cohort_retention": """
             WITH activity AS (
