@@ -1786,6 +1786,18 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster profile over the embedding corpus: per-cluster
+    size and mean cosine cohesion (deterministic training; rows-only —
+    Lloyd's is not SQL-expressible, determinism pinned by unit test)."""
+    return similarity.cluster_profile(
+        _t(spark, sf_dir, "embeddings"),
+        n_centroids=8,
+        iters=2,
+        train_sample=1024,
+    )
+
+
 def _media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize MEDIA_ASSETS rows from ``documents``: the text bytes
     stand in for an opaque media payload (no codecs in this container);
@@ -2000,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "knn_bruteforce": q_knn_bruteforce,
+        "embedding_clusters": q_embedding_clusters,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
         "stream_dedup_counts": q_stream_dedup_counts,

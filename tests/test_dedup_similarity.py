@@ -267,3 +267,20 @@ def test_duplicate_clusters_all_singletons(spark):
         for r in dedup.duplicate_clusters(docs, pairs).collect()
     }
     assert got == {10: 10, 20: 20, 30: 30}
+
+
+def test_cluster_profile_deterministic_and_complete(spark, sf_dir):
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+    from youtube_podcast_data_pipeline_azure_spark.operators.similarity import cluster_profile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = cluster_profile(emb, n_centroids=4, iters=2, train_sample=256).collect()
+    b = cluster_profile(
+        emb.repartition(7), n_centroids=4, iters=2, train_sample=256
+    ).collect()
+    # deterministic under repartitioning (seedless: init = lowest-id
+    # hash-sample vectors, fixed iteration count)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # every vector lands in exactly one cluster
+    assert sum(r.n_members for r in a) == emb.count()
+    assert all(-1.0 <= r.mean_cosine <= 1.0 for r in a)

@@ -392,3 +392,53 @@ def knn_ivf(
         .where(F.col("rank") <= k)
         .select(query_id, "neighbor_id", "rank", "cosine")
     )
+
+
+def cluster_profile(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    iters: int = 2,
+    train_sample: int | None = None,
+) -> DataFrame:
+    """K-means clustering as a first-class profiling operator: train the
+    deterministic quantizer (bounded sample, driver-side Lloyd's), assign
+    EVERY vector to its nearest centroid in one narrow JVM-side map (the
+    centroid set folds in as a plan literal), and aggregate per-cluster
+    size and cohesion (mean cosine to the centroid, 4dp).
+
+    One exchange total (the final per-centroid rollup, n_centroids
+    groups).  Deterministic end-to-end but not SQL-expressible (the
+    oracle cannot run Lloyd's) -> rows-only driver check; determinism is
+    pinned by unit test instead.
+    """
+    cents = _lloyd(
+        _train_sample_rows(corpus, id_col, vec_col, train_sample),
+        n_centroids,
+        iters,
+    )
+    cents_col = _centroid_literal(cents)
+    assigned = spread(corpus, id_col).select(
+        _nearest_centroid(F.col(vec_col), cents_col),
+        F.col(vec_col).alias("_v"),
+    ).withColumn(
+        "_cos",
+        F.round(
+            cosine_similarity(
+                F.col("_v"),
+                F.element_at(cents_col, F.col("centroid_id") + 1).getField(
+                    "vec"
+                ),
+            ),
+            6,
+        ),
+    )
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("_cos"), 4).alias("mean_cosine"),
+        )
+        .orderBy("centroid_id")
+    )
