@@ -1374,6 +1374,15 @@ def q_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.resample_daily(_t(spark, sf_dir, "events"))
 
 
+def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session conversion by session-size band: gap-based island
+    sessionization (lag + cumulative boundary sum, one user exchange),
+    session-grain collapse, banded rollup — integer-exact throughout."""
+    return analytics.session_conversion(
+        _t(spark, sf_dir, "events"), gap_minutes=30
+    )
+
+
 def q_rolling_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day rolling features per (user, day) — RANGE frame
     over an integer day number on the gap-filled series."""
@@ -2031,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_daily": q_resample_daily,
         "rolling_activity": q_rolling_activity,
         "fuzzy_vocab": q_fuzzy_vocab,
+        "session_conversion": q_session_conversion,
         "scd2_intervals": q_scd2_intervals,
         "upsert_latest_wins": q_upsert_latest_wins,
         "profile_table": q_profile_table,
@@ -2915,6 +2925,34 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id
                          ORDER BY (day - DATE '1970-01-01')
                          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "session_conversion": """
+            WITH marked AS (
+                SELECT user_id, event_type, ts, event_id,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                    > 30 * 60000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+                SELECT user_id, event_type,
+                       sum(is_new) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                           AS session_id
+                FROM marked),
+            per_session AS (
+                SELECT user_id, session_id, count(*) AS n_events,
+                       max(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS converted
+                FROM sess GROUP BY 1, 2)
+            SELECT CASE WHEN n_events = 1 THEN '1'
+                        WHEN n_events <= 4 THEN '2-4'
+                        ELSE '5+' END AS size_band,
+                   count(*) AS n_sessions,
+                   cast(sum(converted) AS bigint) AS n_converted
+            FROM per_session GROUP BY 1
         """,
         "fuzzy_vocab": """
             WITH vocab AS (

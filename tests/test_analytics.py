@@ -142,3 +142,51 @@ def test_rolling_activity_range_frame(spark):
     assert got["2024-01-07"] == (2, 300)   # 1..7 still includes day 1
     assert got["2024-01-08"] == (1, 200)   # 2..8 drops day 1
     assert got["2024-01-09"] == (2, 600)
+
+
+def test_sessionize_island_detection(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.analytics import (
+        session_conversion,
+        sessionize,
+    )
+
+    rows = [
+        # u1: 3 events within 30 min = one session (with a purchase),
+        # then a 31-min gap -> second session of one event
+        Row(event_id=1, user_id=1, event_type="view",
+            ts=datetime.fromisoformat("2024-01-01T10:00:00")),
+        Row(event_id=2, user_id=1, event_type="purchase",
+            ts=datetime.fromisoformat("2024-01-01T10:20:00")),
+        Row(event_id=3, user_id=1, event_type="view",
+            ts=datetime.fromisoformat("2024-01-01T10:45:00")),
+        Row(event_id=4, user_id=1, event_type="view",
+            ts=datetime.fromisoformat("2024-01-01T11:16:00")),
+        # u2: single event
+        Row(event_id=5, user_id=2, event_type="view",
+            ts=datetime.fromisoformat("2024-01-01T10:00:00")),
+    ]
+    df = spark.createDataFrame(rows)
+    sess = {r.event_id: r.session_id
+            for r in sessionize(df, gap_minutes=30).collect()}
+    assert sess == {1: 0, 2: 0, 3: 0, 4: 1, 5: 0}
+    conv = {r.size_band: (r.n_sessions, r.n_converted)
+            for r in session_conversion(df, gap_minutes=30).collect()}
+    assert conv == {"2-4": (1, 1), "1": (2, 0)}
+
+
+def test_sessionize_gap_boundary_is_strict(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.analytics import sessionize
+
+    df = spark.createDataFrame([
+        Row(event_id=1, user_id=1, event_type="view",
+            ts=datetime.fromisoformat("2024-01-01T10:00:00")),
+        # exactly 30:00 later -> same session (strict >)
+        Row(event_id=2, user_id=1, event_type="view",
+            ts=datetime.fromisoformat("2024-01-01T10:30:00")),
+        # 30:00.000001 after event 2 -> new session
+        Row(event_id=3, user_id=1, event_type="view",
+            ts=datetime.fromisoformat("2024-01-01T11:00:00.000001")),
+    ])
+    sess = {r.event_id: r.session_id
+            for r in sessionize(df, gap_minutes=30).collect()}
+    assert sess == {1: 0, 2: 0, 3: 1}

@@ -145,6 +145,66 @@ def resample_daily(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Assign a per-user session id by gap-based island detection: a new
+    session starts when the time since the previous event exceeds
+    ``gap_minutes``.  Adds ``session_id`` (0-based per user) to the
+    input rows.
+
+    This is the batch twin of ``session_window`` expressed as the
+    classic lag + cumulative-sum-of-boundaries shape — useful when the
+    session id itself must land on rows (joins, per-session features),
+    which the struct-valued ``session_window`` aggregate can't do.  One
+    user-keyed exchange; both window functions share its sort.  Gap
+    comparison is integer microseconds end-to-end (no truncation-
+    boundary drift between engines).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    micros = F.unix_micros(F.col(ts_col))
+    prev = F.lag(micros).over(w)
+    is_new = F.when(
+        prev.isNull() | (micros - prev > gap_minutes * 60_000_000), 1
+    ).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        (F.sum(is_new).over(w) - 1).cast("long"),
+    )
+
+
+def session_conversion(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    purchase_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Conversion funnel by session size: sessionize, collapse to one
+    row per session (event count + converted flag), then roll up session
+    and conversion counts per size band.  All counts integer-exact."""
+    sess = sessionize(events, gap_minutes, user_col)
+    per_session = sess.groupBy(user_col, "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.max(
+            F.when(F.col(type_col) == purchase_type, 1).otherwise(0)
+        ).alias("converted"),
+    )
+    band = (
+        F.when(F.col("n_events") == 1, F.lit("1"))
+        .when(F.col("n_events") <= 4, F.lit("2-4"))
+        .otherwise(F.lit("5+"))
+    )
+    return per_session.groupBy(band.alias("size_band")).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+
+
 def rolling_activity(
     events: DataFrame,
     days: int = 7,
