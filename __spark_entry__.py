@@ -1716,6 +1716,16 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional weighted sampling: keep probability =
+    min(n_chars, 2000)/2000 per document, same pure hash gate."""
+    docs = _t(spark, sf_dir, "documents")
+    weight = F.least(F.col("n_chars"), F.lit(2000)) / F.lit(2000.0)
+    return sampling.weighted_sample(docs, "doc_id", weight, seed=5).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping fixed-size token windows (RAG / pretraining chunk
     prep): narrow posexplode, no shuffle."""
@@ -2018,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampling / mixing / sequence prep
         "hash_sample": q_hash_sample,
         "mixture_sample": q_mixture_sample,
+        "weighted_sample": q_weighted_sample,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "knn_bruteforce": q_knn_bruteforce,
@@ -3097,6 +3108,12 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'src1' THEN 2147483648
                               WHEN 'src2' THEN 429496729
                               ELSE 858993459 END
+        """,
+        "weighted_sample": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE ((doc_id + 5) * 2654435761) % 4294967296 <
+                  cast(floor(least(n_chars, 2000) / 2000.0 * 4294967296.0)
+                       AS bigint)
         """,
         "chunk_documents": f"""
             WITH toks AS (

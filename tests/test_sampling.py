@@ -132,3 +132,21 @@ def test_pack_preserves_all_rows_and_tokens(docs):
         out.agg(F.sum("n_tokens")).first()[0]
         == base.agg(F.sum("tok")).first()[0]
     )
+
+
+def test_weighted_sample_extremes_and_reproducibility(spark, docs):
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    # weight 1.0 keeps everything; weight 0.0 keeps nothing
+    assert weighted_sample(docs, "doc_id", F.lit(1.0)).count() == docs.count()
+    assert weighted_sample(docs, "doc_id", F.lit(0.0)).count() == 0
+    # out-of-range weights clamp
+    assert weighted_sample(docs, "doc_id", F.lit(7.5)).count() == docs.count()
+    assert weighted_sample(docs, "doc_id", F.lit(-3.0)).count() == 0
+    # membership is repartition-invariant
+    w = F.col("n_chars") / F.lit(2000.0)
+    a = _doc_ids(weighted_sample(docs, "doc_id", w, seed=5))
+    b = _doc_ids(weighted_sample(docs.repartition(5), "doc_id", w, seed=5))
+    assert a == b and 0 < len(a) < docs.count()

@@ -62,6 +62,21 @@ def mixture_sample(
     return df.where(hash_bucket(id_col, seed) < thresh)
 
 
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: Column | str, seed: int = 0
+) -> DataFrame:
+    """Per-row weighted sampling: keep each row with probability equal
+    to its (clamped to [0, 1]) weight expression — e.g. quality scores
+    or length-proportional upweighting in a pretraining mix.  Same
+    reproducibility contract as :func:`hash_sample`: membership is a
+    pure function of (id, seed, weight), a scan-pushable filter with
+    zero shuffles."""
+    wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    clamped = F.least(F.greatest(wc.cast("double"), F.lit(0.0)), F.lit(1.0))
+    thresh = F.floor(clamped * F.lit(float(_MOD))).cast("long")
+    return df.where(hash_bucket(id_col, seed) < thresh)
+
+
 def chunk_documents(
     df: DataFrame,
     tokens_col: Column | str,
