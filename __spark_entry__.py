@@ -44,7 +44,12 @@ from youtube_podcast_data_pipeline_azure_spark.functions.text import (
 )
 from youtube_podcast_data_pipeline_azure_spark.functions.vectors import cosine_similarity, l2_norm
 from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
-from youtube_podcast_data_pipeline_azure_spark.io.writers import write_clustered, write_partitioned
+from youtube_podcast_data_pipeline_azure_spark.io.writers import (
+    write_clustered,
+    write_partitioned,
+    zorder_key,
+    zorder_key_sql,
+)
 from youtube_podcast_data_pipeline_azure_spark.operators import (
     analytics,
     dedup,
@@ -1374,6 +1379,22 @@ def q_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.resample_daily(_t(spark, sf_dir, "events"))
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton Z-order cluster key over (user_id, day): the
+    multi-dimensional locality key for write_clustered — pure
+    shift/and/or integer expression, bit-identical cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    day_num = F.datediff(
+        F.to_date("ts"), F.lit("1970-01-01").cast("date")
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        day_num.cast("long").alias("day_num"),
+        zorder_key(F.col("user_id"), day_num, 16).alias("z_key"),
+    )
+
+
 def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-session conversion by session-size band: gap-based island
     sessionization (lag + cumulative boundary sum, one user exchange),
@@ -2052,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_activity": q_rolling_activity,
         "fuzzy_vocab": q_fuzzy_vocab,
         "session_conversion": q_session_conversion,
+        "zorder_key": q_zorder_key,
         "scd2_intervals": q_scd2_intervals,
         "upsert_latest_wins": q_upsert_latest_wins,
         "profile_table": q_profile_table,
@@ -2936,6 +2958,17 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id
                          ORDER BY (day - DATE '1970-01-01')
                          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "zorder_key": f"""
+            SELECT event_id, user_id,
+                   cast(cast(ts AS date) - DATE '1970-01-01' AS bigint)
+                       AS day_num,
+                   cast({zorder_key_sql(
+                       "user_id",
+                       "(cast(ts AS date) - DATE '1970-01-01')",
+                       16,
+                   )} AS bigint) AS z_key
+            FROM events
         """,
         "session_conversion": """
             WITH marked AS (

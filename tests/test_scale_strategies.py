@@ -139,3 +139,25 @@ def test_clustered_write_produces_disjoint_ranges(spark, sf_dir, tmp_path):
 
     # row-for-row identical content after the layout rewrite
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_zorder_key_is_invertible_morton_interleave(spark, sf_dir):
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+    from youtube_podcast_data_pipeline_azure_spark.io.writers import zorder_key
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    rows = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("day_num"),
+        zorder_key("user_id", F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ), 16).alias("z"),
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # deinterleave: even bits -> user_id, odd bits -> day_num
+        a = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+        b = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert a == r.user_id & 0xFFFF and b == r.day_num & 0xFFFF

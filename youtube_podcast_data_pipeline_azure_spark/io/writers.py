@@ -64,3 +64,39 @@ def write_clustered(
         .format(fmt)
         .save(path)
     )
+
+
+def zorder_key(col_a, col_b, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative int columns into
+    one 2·``bits``-wide cluster key: bit i of each input lands at
+    positions 2i / 2i+1, so rows close in BOTH dimensions are close in
+    the key.  Feed the result to :func:`write_clustered` to get
+    multi-dimensional data skipping from ordinary footer min/max stats —
+    the declarative Z-ORDER of lakehouse engines, as a pure expression.
+
+    Inputs are masked to ``bits`` bits (callers rank/scale dims first);
+    pure shift/and/or integer ops — ANSI-safe (result < 2^(2·bits)) and
+    bit-identical on any engine, so it is DuckDB-oracle-checkable.
+    """
+    from pyspark.sql import functions as F
+
+    a = (col_a if not isinstance(col_a, str) else F.col(col_a)).cast("long")
+    b = (col_b if not isinstance(col_b, str) else F.col(col_b)).cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = key.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return key
+
+
+def zorder_key_sql(col_a: str, col_b: str, bits: int = 16) -> str:
+    """The identical Morton interleave as ANSI SQL text (DuckDB oracle
+    twin of :func:`zorder_key`)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({col_a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({col_b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
