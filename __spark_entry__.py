@@ -1469,6 +1469,27 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", language_id("text").alias("lang_pred"))
 
 
+def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters per language: top-5 tokens by frequency
+    (ties → token asc) — explode aggregates map-side to (lang, token)
+    grain before its shuffle; the top-k window runs on the tiny count
+    table partitioned by language."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(tokenize("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("lang", "rank", "token", "n")
+    )
+
+
 def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 distinctive terms per document by the integer TF-IDF
     analog tf*N*1000 // df (log-free, bit-exact on any engine —
@@ -2040,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "distinctive_terms": q_distinctive_terms,
         "collocations": q_collocations,
+        "top_tokens_per_lang": q_top_tokens_per_lang,
         "exact_dedup": q_exact_dedup,
         "token_set_dedup": q_token_set_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -3038,6 +3060,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "language_id": f"SELECT doc_id, lang, {lang} AS lang_pred FROM documents",
         "quality_scores": f"SELECT doc_id, {qual} AS quality FROM documents",
+        "top_tokens_per_lang": f"""
+            WITH tok AS (
+                SELECT lang, unnest({tokens}) AS token FROM documents),
+            counts AS (
+                SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2),
+            ranked AS (
+                SELECT lang, token, n,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n DESC, token ASC)
+                           AS rank
+                FROM counts)
+            SELECT lang, cast(rank AS bigint) AS rank, token, n
+            FROM ranked WHERE rank <= 5
+        """,
         "distinctive_terms": f"""
             WITH tfc AS (
                 SELECT doc_id, unnest({tokens}) AS term FROM documents),
