@@ -50,6 +50,7 @@ from youtube_podcast_data_pipeline_azure_spark.io.writers import (
     zorder_key,
     zorder_key_sql,
 )
+from youtube_podcast_data_pipeline_azure_spark.operators.util import spread
 from youtube_podcast_data_pipeline_azure_spark.operators import (
     analytics,
     dedup,
@@ -1847,6 +1848,41 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality eval: exact nearest-neighbor (self excluded)
+    label agreement per class — broadcast the bounded query set, score
+    JVM-side, top-1 window, integer rollup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("_q"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("_c"),
+        F.col("label").alias("nlabel"),
+    )
+    scored = (
+        spread(c, "nid")
+        .crossJoin(F.broadcast(q))
+        .where(F.col("nid") != F.col("qid"))
+        .withColumn("cosine", F.round(cosine_similarity("_c", "_q"), 4))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("nid").asc()
+    )
+    top1 = scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") == 1
+    )
+    return top1.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count("*").alias("n_queries"),
+        F.sum(
+            F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0)
+        ).cast("long").alias("n_correct"),
+    )
+
+
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means cluster profile over the embedding corpus: per-cluster
     size and mean cosine cohesion (deterministic training; rows-only —
@@ -2075,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "knn_bruteforce": q_knn_bruteforce,
+        "knn_label_accuracy": q_knn_label_accuracy,
         "embedding_clusters": q_embedding_clusters,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
@@ -3217,6 +3254,23 @@ def oracle_sql() -> dict[str, str]:
                                      AND 1 PRECEDING), 0)
                         / 2048.0) AS bigint) AS pack_id
             FROM d
+        """,
+        "knn_label_accuracy": f"""
+            WITH sc AS (
+                SELECT q.vec_id AS qid, q.label AS qlabel,
+                       c.label AS nlabel, c.vec_id AS nid,
+                       round({cos}, 4) AS cosine
+                FROM embeddings q
+                JOIN embeddings c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < 200),
+            r AS (
+                SELECT *, row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, nid ASC) AS rk
+                FROM sc)
+            SELECT qlabel AS label, count(*) AS n_queries,
+                   cast(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+                        AS bigint) AS n_correct
+            FROM r WHERE rk = 1 GROUP BY 1
         """,
         "knn_bruteforce": f"""
             SELECT query_id, neighbor_id, rank, cosine FROM (
