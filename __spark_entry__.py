@@ -314,8 +314,9 @@ def q_envelope_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_medallion_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14/A15/A16 full-pipeline KPI row: bronze → silver → deterministic
     gold enrichment → single KPI record (reference final_kpis.py:25-58).
-    Rows-only: the pandas_udf classifier and the wall-clock stamp are not
-    SQL-expressible; the timestamp column is dropped for stability."""
+    The wall-clock stamp is dropped and the sentiment-count maps are
+    serialized to sorted `k=v,...` strings so the result surface is
+    canonicalizer-safe; the lexicon classifier is oracle-expressible."""
     videos_silver = q_videos_bronze_to_silver(spark, sf_dir)
     comments_silver = q_comments_bronze_to_silver(spark, sf_dir)
     videos_gold = enrich_videos(
@@ -326,7 +327,23 @@ def q_medallion_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     comments_gold = enrich_comments(
         comments_silver, DeterministicClassifier(), text_col="text"
     )
-    return medallion.kpis(videos_gold, comments_gold).drop("generated_at_utc")
+    kpi = medallion.kpis(videos_gold, comments_gold).drop("generated_at_utc")
+
+    def map_csv(col: str):
+        return F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries(col)),
+                lambda e: F.concat_ws("=", e["key"], e["value"]),
+            ),
+            ",",
+        ).alias(col)
+
+    return kpi.select(
+        "total_videos",
+        "total_comments",
+        map_csv("video_sentiment_counts"),
+        map_csv("comment_sentiment_counts"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -779,17 +796,19 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_array_agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array pack: collect_set → sort, size, contains, slice, join."""
+    """Array pack: collect_set → sort, size, contains, slice, join.
+    Array-valued intermediates are exercised but serialized to strings at
+    the result surface (the driver canonicalizer can't sort raw arrays)."""
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
         .agg(F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"))
         .select(
             "o_custkey",
-            "priorities",
+            F.array_join("priorities", "|").alias("priorities_csv"),
             F.size("priorities").cast("long").alias("n_distinct"),
             F.array_contains("priorities", "1-URGENT").alias("has_urgent"),
-            F.slice("priorities", 1, 2).alias("top2"),
+            F.array_join(F.slice("priorities", 1, 2), "|").alias("top2_csv"),
             F.array_join("priorities", ",").alias("joined"),
         )
     )
@@ -802,8 +821,9 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") % 10).alias("bucket"), "o_orderstatus"
     ).agg(F.count("*").alias("n"))
     # The map is built and consumed (map_keys / size / entries) but the
-    # comparison surface is entry structs: Spark maps and DuckDB MAPs
-    # normalize differently in result sets, entries identically.
+    # comparison surface is strings: Spark maps and DuckDB MAPs normalize
+    # differently in result sets (and the driver canonicalizer can't sort
+    # raw map/array cells), serialized entries identically.
     return (
         counts.groupBy("bucket")
         .agg(
@@ -813,8 +833,14 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "bucket",
-            F.array_sort(F.map_entries("m")).alias("status_counts"),
-            F.map_keys("m").alias("statuses"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.map_entries("m")),
+                    lambda e: F.concat_ws("=", e["key"], e["value"]),
+                ),
+                ",",
+            ).alias("status_counts"),
+            F.array_join(F.map_keys("m"), ",").alias("statuses"),
             F.size("m").cast("long").alias("n_statuses"),
         )
     )
@@ -1984,7 +2010,8 @@ def q_purchase_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_enrich_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11/A13 — deterministic-classifier enrichment over document text
-    (pandas_udf batch path; rows-only: UDF not SQL-expressible)."""
+    (pandas_udf batch path; oracle: the classifier is a pure function of
+    the text, re-expressed in DuckDB lexicon SQL)."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.col("text")
     )
@@ -1998,8 +2025,9 @@ def q_enrich_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_enrich_video_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12/A13 — video-mode enrichment: struct with array fields
-    (emotions<=5, topics<=8) appended to each title row (rows-only:
-    pandas_udf).  Exercises the arrays-from-UDF schema path."""
+    (emotions<=5, topics<=8) appended to each title row; exercises the
+    arrays-from-UDF schema path.  Oracle-backed: the md5-derived emotion
+    picks equal DuckDB md5_number_upper arithmetic."""
     videos = q_videos_bronze_to_silver(spark, sf_dir).select(
         "video_id", "title"
     )
@@ -2007,8 +2035,9 @@ def q_enrich_video_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "video_id",
         "sentiment",
-        F.size("emotions").alias("n_emotions"),
-        F.size("topics").alias("n_topics"),
+        F.array_join("emotions", "|").alias("emotions_csv"),
+        F.size("emotions").cast("long").alias("n_emotions"),
+        F.size("topics").cast("long").alias("n_topics"),
     )
 
 
@@ -2018,8 +2047,90 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order is a verification rotation, not taxonomy: the
+    driver's per-round correctness check covers the FIRST 50 entries, so
+    each round front-loads oracle-backed queries that have not yet been
+    driver-verified (r01 checked the old positions 1-50; r02 fronts the
+    families r01 never saw).  Rows-only queries sit at the back — they
+    can never hash-match and would waste a checked slot."""
     return {
-        # reference surface
+        # --- r02 window: r01-fixed canonicalizer errs, now string-surfaced
+        "medallion_kpis": q_medallion_kpis,
+        "array_agg_functions": q_array_agg_functions,
+        "map_functions": q_map_functions,
+        # --- r02 window: TPC-H completion pack (Q6-Q22 shapes)
+        "forecast_revenue": q_forecast_revenue,
+        "market_share": q_market_share,
+        "product_type_profit": q_product_type_profit,
+        "important_parts": q_important_parts,
+        "shipping_delay": q_shipping_delay,
+        "promo_revenue": q_promo_revenue,
+        "top_supplier": q_top_supplier,
+        "supplier_part_counts": q_supplier_part_counts,
+        "waiting_suppliers": q_waiting_suppliers,
+        "dormant_customers": q_dormant_customers,
+        # --- r02 window: streaming parity (batch twins)
+        "tumbling_windows": q_tumbling_windows,
+        "session_windows": q_session_windows,
+        "stream_dedup_counts": q_stream_dedup_counts,
+        "stream_static_enrich": q_stream_static_enrich,
+        "purchase_view_attribution": q_purchase_view_attribution,
+        # --- r02 window: text analysis
+        "text_stats": q_text_stats,
+        "language_id": q_language_id,
+        "quality_scores": q_quality_scores,
+        "distinctive_terms": q_distinctive_terms,
+        # --- r02 window: dedup / similarity
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "duplicate_clusters": q_duplicate_clusters,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
+        "embedding_norms": q_embedding_norms,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_label_accuracy": q_knn_label_accuracy,
+        # --- r02 window: sampling / mixing / sequence prep
+        "hash_sample": q_hash_sample,
+        "weighted_sample": q_weighted_sample,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        # --- r02 window: multimodal plumbing (digest-checked)
+        "media_features": q_media_features,
+        "media_frame_sample": q_media_frame_sample,
+        # --- r02 window: functions / sinks not in the r01 window
+        "higher_order_funcs": q_higher_order_funcs,
+        "csv_roundtrip": q_csv_roundtrip,
+        "clustered_roundtrip": q_clustered_roundtrip,
+        "schema_evolution": q_schema_evolution,
+        # --- r02 window: event analytics
+        "value_outliers": q_value_outliers,
+        "cohort_retention": q_cohort_retention,
+        "funnel_conversion": q_funnel_conversion,
+        "fuzzy_vocab": q_fuzzy_vocab,
+        "session_conversion": q_session_conversion,
+        "zorder_key": q_zorder_key,
+        "scd2_intervals": q_scd2_intervals,
+        "upsert_latest_wins": q_upsert_latest_wins,
+        "profile_table": q_profile_table,
+        # --- r02 window: enrichment (newly oracle-backed: lexicon + md5
+        #     picks re-expressed in DuckDB)
+        "enrich_documents": q_enrich_documents,
+        "enrich_video_titles": q_enrich_video_titles,
+        # ================= end of driver's 50-slot window =================
+        # oracle-backed, never driver-checked — rotate into the window r03
+        "volume_shipping": q_volume_shipping,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "promo_part_suppliers": q_promo_part_suppliers,
+        "sliding_windows": q_sliding_windows,
+        "user_running_totals": q_user_running_totals,
+        "collocations": q_collocations,
+        "top_tokens_per_lang": q_top_tokens_per_lang,
+        "token_set_dedup": q_token_set_dedup,
+        "mixture_sample": q_mixture_sample,
+        "orc_roundtrip": q_orc_roundtrip,
+        "resample_daily": q_resample_daily,
+        "rolling_activity": q_rolling_activity,
+        # oracle-backed, driver-green in r01 (CORRECTNESS_r01.json)
         "kpi_event_type_counts": q_kpi_event_type_counts,
         "kpi_totals": q_kpi_totals,
         "clean_documents": q_clean_documents,
@@ -2028,12 +2139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iso_duration_parse": q_iso_duration_parse,
         "partitioned_sink_roundtrip": q_partitioned_sink_roundtrip,
         "json_sink_roundtrip": q_json_sink_roundtrip,
-        # medallion pipeline end-to-end
         "videos_bronze_to_silver": q_videos_bronze_to_silver,
         "comments_bronze_to_silver": q_comments_bronze_to_silver,
         "envelope_explode": q_envelope_explode,
-        "medallion_kpis": q_medallion_kpis,
-        # relational completeness
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
@@ -2060,96 +2168,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_roundtrip": q_json_roundtrip,
         "salted_join": q_salted_join,
         "salted_distinct_users": q_salted_distinct_users,
-        "approx_distinct_users": q_approx_distinct_users,
         "percentiles": q_percentiles,
         "window_ntile_firstlast": q_window_ntile_firstlast,
         "exists_inequality": q_exists_inequality,
-        "array_agg_functions": q_array_agg_functions,
-        "map_functions": q_map_functions,
         "customer_order_distribution": q_customer_order_distribution,
         "large_orders": q_large_orders,
         "min_price_supplier": q_min_price_supplier,
         "unpivot_metrics": q_unpivot_metrics,
         "returned_items": q_returned_items,
         "grouping_sets": q_grouping_sets,
-        # TPC-H completion pack (Q6-Q22 shapes on the trimmed schema)
-        "forecast_revenue": q_forecast_revenue,
-        "volume_shipping": q_volume_shipping,
-        "market_share": q_market_share,
-        "product_type_profit": q_product_type_profit,
-        "important_parts": q_important_parts,
-        "shipping_delay": q_shipping_delay,
-        "promo_revenue": q_promo_revenue,
-        "top_supplier": q_top_supplier,
-        "supplier_part_counts": q_supplier_part_counts,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "promo_part_suppliers": q_promo_part_suppliers,
-        "waiting_suppliers": q_waiting_suppliers,
-        "dormant_customers": q_dormant_customers,
-        # streaming parity (batch mode)
-        "tumbling_windows": q_tumbling_windows,
-        "sliding_windows": q_sliding_windows,
-        "session_windows": q_session_windows,
-        # text / dedup / similarity
-        "text_stats": q_text_stats,
-        "language_id": q_language_id,
-        "quality_scores": q_quality_scores,
-        "distinctive_terms": q_distinctive_terms,
-        "collocations": q_collocations,
-        "top_tokens_per_lang": q_top_tokens_per_lang,
-        "exact_dedup": q_exact_dedup,
-        "token_set_dedup": q_token_set_dedup,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "duplicate_clusters": q_duplicate_clusters,
-        "winnowing_fingerprints": q_winnowing_fingerprints,
-        "embedding_norms": q_embedding_norms,
-        # sampling / mixing / sequence prep
-        "hash_sample": q_hash_sample,
-        "mixture_sample": q_mixture_sample,
-        "weighted_sample": q_weighted_sample,
-        "chunk_documents": q_chunk_documents,
-        "pack_sequences": q_pack_sequences,
-        "knn_bruteforce": q_knn_bruteforce,
-        "knn_label_accuracy": q_knn_label_accuracy,
+        # rows-only (approximate / sample-trained — no hash-match possible)
+        "approx_distinct_users": q_approx_distinct_users,
         "embedding_clusters": q_embedding_clusters,
-        "media_features": q_media_features,
-        "media_frame_sample": q_media_frame_sample,
-        "stream_dedup_counts": q_stream_dedup_counts,
-        "user_running_totals": q_user_running_totals,
-        "stream_static_enrich": q_stream_static_enrich,
-        "purchase_view_attribution": q_purchase_view_attribution,
-        "higher_order_funcs": q_higher_order_funcs,
-        "csv_roundtrip": q_csv_roundtrip,
-        "clustered_roundtrip": q_clustered_roundtrip,
-        "orc_roundtrip": q_orc_roundtrip,
-        "schema_evolution": q_schema_evolution,
-        "value_outliers": q_value_outliers,
-        # event analytics
-        "cohort_retention": q_cohort_retention,
-        "funnel_conversion": q_funnel_conversion,
-        "resample_daily": q_resample_daily,
-        "rolling_activity": q_rolling_activity,
-        "fuzzy_vocab": q_fuzzy_vocab,
-        "session_conversion": q_session_conversion,
-        "zorder_key": q_zorder_key,
-        "scd2_intervals": q_scd2_intervals,
-        "upsert_latest_wins": q_upsert_latest_wins,
-        "profile_table": q_profile_table,
-        # approximate / UDF (rows-only)
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "embedding_near_dup": q_embedding_near_dup,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
-        "enrich_documents": q_enrich_documents,
-        "enrich_video_titles": q_enrich_video_titles,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     qual = quality_score_sql("text")
     lang = language_id_sql("text")
+
+    # DeterministicClassifier's lexicon sentiment (classifier.py:68-76)
+    # re-expressed in DuckDB: word-split on whitespace, strip '.,!?'
+    # punctuation, count +/- lexicon hits.
+    _pos_words = (
+        "'good','great','love','excellent','amazing','awesome','best',"
+        "'happy','wonderful','fantastic','nice','perfect','cool','win','fast'"
+    )
+    _neg_words = (
+        "'bad','terrible','hate','awful','worst','sad','horrible','poor',"
+        "'broken','slow','fail','wrong','boring','angry'"
+    )
+
+    def _lexicon(col: str) -> tuple[str, str, str]:
+        words = (
+            f"list_filter(string_split_regex(lower({col}), '\\s+'),"
+            " t -> t <> '')"
+        )
+        pos = f"len(list_filter({words}, w -> trim(w, '.,!?') IN ({_pos_words})))"
+        neg = f"len(list_filter({words}, w -> trim(w, '.,!?') IN ({_neg_words})))"
+        return words, pos, neg
+
+    def sentiment_case(col: str) -> str:
+        _, pos, neg = _lexicon(col)
+        return (
+            f"CASE WHEN {pos} > {neg} THEN 'positive' "
+            f"WHEN {neg} > {pos} THEN 'negative' ELSE 'neutral' END"
+        )
+
+    # DeterministicClassifier's hash-derived picks (classifier.py:81-89):
+    # h == DuckDB md5_number_upper('<seed>:' || text) by construction.
+    _emolist = (
+        "['joy','anger','sadness','fear','surprise','disgust','neutral']"
+    )
     tokens = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
     bpe = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))"
     fingerprint = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
@@ -2288,6 +2363,43 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 5 = 0 THEN NULL
                         ELSE doc_id % 200 END AS likes
             FROM documents
+        """,
+        "medallion_kpis": f"""
+            WITH videos AS (
+                SELECT o_orderpriority || ' order ' || o_orderkey AS title
+                FROM orders),
+            cb AS (
+                SELECT CASE WHEN doc_id % 13 = 0 THEN '   '
+                            WHEN doc_id % 17 = 0 THEN NULL
+                            ELSE text END AS rawtext,
+                       CASE WHEN doc_id % 19 = 0 THEN 'quotaExceeded'
+                            END AS error
+                FROM documents),
+            comments AS (
+                SELECT trim(coalesce(rawtext, '')) AS text FROM cb
+                WHERE error IS NULL
+                  AND length(trim(coalesce(rawtext, ''))) > 0),
+            vs AS (
+                SELECT {sentiment_case('title')} AS sentiment, count(*) AS n
+                FROM videos GROUP BY 1),
+            cs AS (
+                SELECT {sentiment_case('text')} AS sentiment, count(*) AS n
+                FROM comments GROUP BY 1),
+            va AS (
+                SELECT cast(sum(n) AS bigint) AS total_videos,
+                       string_agg(sentiment || '=' || n, ','
+                                  ORDER BY sentiment)
+                           AS video_sentiment_counts
+                FROM vs),
+            ca AS (
+                SELECT cast(sum(n) AS bigint) AS total_comments,
+                       string_agg(sentiment || '=' || n, ','
+                                  ORDER BY sentiment)
+                           AS comment_sentiment_counts
+                FROM cs)
+            SELECT total_videos, total_comments,
+                   video_sentiment_counts, comment_sentiment_counts
+            FROM va, ca
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -2502,10 +2614,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_custkey,
                        list_sort(list(DISTINCT o_orderpriority)) AS priorities
                 FROM orders GROUP BY o_custkey)
-            SELECT o_custkey, priorities,
+            SELECT o_custkey,
+                   array_to_string(priorities, '|') AS priorities_csv,
                    len(priorities) AS n_distinct,
                    list_contains(priorities, '1-URGENT') AS has_urgent,
-                   priorities[1:2] AS top2,
+                   array_to_string(priorities[1:2], '|') AS top2_csv,
                    array_to_string(priorities, ',') AS joined
             FROM p
         """,
@@ -2515,8 +2628,10 @@ def oracle_sql() -> dict[str, str]:
                        count(*) AS n
                 FROM orders GROUP BY 1, 2)
             SELECT bucket,
-                   list_sort(list(row(o_orderstatus, n))) AS status_counts,
-                   list_sort(list(o_orderstatus)) AS statuses,
+                   string_agg(o_orderstatus || '=' || n, ','
+                              ORDER BY o_orderstatus) AS status_counts,
+                   string_agg(o_orderstatus, ','
+                              ORDER BY o_orderstatus) AS statuses,
                    count(*) AS n_statuses
             FROM c GROUP BY bucket
         """,
@@ -3357,8 +3472,51 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY event_type
         """,
+        # The pandas_udf enrichment path is oracle-expressible because
+        # DeterministicClassifier is a pure function of the text: lexicon
+        # sentiment + md5-derived picks (h == md5_number_upper).
+        "enrich_documents": f"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       {_lexicon('text')[1]} AS pos,
+                       {_lexicon('text')[2]} AS neg
+                FROM documents
+                WHERE length(trim(coalesce(text, ''))) > 0)
+            SELECT doc_id, text,
+                   CASE WHEN pos > neg THEN 'positive'
+                        WHEN neg > pos THEN 'negative'
+                        ELSE 'neutral' END AS sentiment,
+                   round(CASE WHEN pos > neg THEN least(1.0, 0.25*(pos - neg))
+                              WHEN neg > pos
+                                  THEN greatest(-1.0, -0.25*(neg - pos))
+                              ELSE 0.0 END, 2) AS sentiment_score,
+                   CASE WHEN pos > neg THEN 'joy'
+                        WHEN neg > pos THEN 'anger'
+                        ELSE 'neutral' END AS emotion,
+                   substr(text, 1, 80) AS summary
+            FROM t
+        """,
+        "enrich_video_titles": f"""
+            WITH v AS (
+                SELECT 'vid' || o_orderkey AS video_id,
+                       o_orderpriority || ' order ' || o_orderkey AS title
+                FROM orders),
+            h AS (
+                SELECT video_id, title,
+                       md5_number_upper('42:' || title) AS h
+                FROM v)
+            SELECT video_id,
+                   {sentiment_case('title')} AS sentiment,
+                   array_to_string(list_slice(
+                       [{_emolist}[cast(h % 7 AS int) + 1],
+                        {_emolist}[cast((h // 7) % 7 AS int) + 1]],
+                       1, cast(h % 2 AS int) + 1), '|') AS emotions_csv,
+                   cast(h % 2 AS bigint) + 1 AS n_emotions,
+                   cast(least(len(list_distinct(
+                       {_lexicon('title')[0]})), 8) AS bigint) AS n_topics
+            FROM h
+        """,
         # minhash_near_dup / simhash_near_dup / embedding_near_dup /
-        # knn_lsh / knn_ivf / enrich_documents / medallion_kpis:
-        # intentionally omitted — approximate or UDF-backed; the driver
-        # records the weaker rows-only check.
+        # knn_lsh / knn_ivf: intentionally omitted — approximate or
+        # sample-trained; the driver records the weaker rows-only check.
     }

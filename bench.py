@@ -63,25 +63,44 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
     qs["enrich_documents"](spark, sf_dir).limit(64).collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        # collect() executes the complete plan including the final
-        # stage's result exchange (count() could let Spark skip
-        # projections).
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # Median-of-N per query: this machine's run-to-run noise is ±30%,
+    # which would otherwise swamp real regressions round-over-round.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    per_run: list[dict[str, float]] = []
+    for _ in range(runs):
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            # collect() executes the complete plan including the final
+            # stage's result exchange (count() could let Spark skip
+            # projections).
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        per_run.append(timings)
 
-    total = round(sum(timings.values()), 3)
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+    med = {
+        name: round(median([r[name] for r in per_run]), 3)
+        for name in HEADLINE
+    }
+    run_totals = [round(sum(r.values()), 3) for r in per_run]
+    total = round(sum(med.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": med,
                 "sf": sf,
+                "runs": runs,
+                "run_totals": run_totals,
+                "spread_sec": round(max(run_totals) - min(run_totals), 3),
             }
         )
     )

@@ -242,3 +242,41 @@ def test_upsert_latest_wins_semantics(spark):
         3: "only-base",         # untouched key passes through
         4: "brand-new",         # pure insert
     }
+
+
+def test_classifier_deterministic_across_processes():
+    """Classifier outputs must be content-stable regardless of Python's
+    per-process hash randomization (the old builtin-hash seed bug): two
+    subprocesses with different PYTHONHASHSEED must agree byte-for-byte."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    prog = (
+        "from youtube_podcast_data_pipeline_azure_spark.enrichment import DeterministicClassifier;"
+        "import json;"
+        "c = DeterministicClassifier();"
+        "print(json.dumps(c.classify_batch("
+        "['great video', 'terrible audio', 'an order 42'], 'video')))"
+    )
+    outs = []
+    for seed in ("1", "271828"):
+        env = dict(os.environ, PYTHONHASHSEED=seed)
+        env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(
+            [sys.executable, "-c", prog],
+            capture_output=True, text=True, env=env, check=True,
+        )
+        outs.append(json.loads(r.stdout))
+    assert outs[0] == outs[1]
+    # and the hash-derived picks line up with the DuckDB oracle identity
+    import duckdb
+    import hashlib
+
+    t = "great video"
+    h_py = int.from_bytes(hashlib.md5(f"42:{t}".encode()).digest()[:8], "little")
+    h_duck = duckdb.sql(
+        "select md5_number_upper('42:' || ?)", params=[t]
+    ).fetchone()[0]
+    assert h_py == h_duck

@@ -86,3 +86,44 @@ def test_enrichment_udf_not_reordered_before_filter(spark, sf_dir):
     assert eval_pos != -1
     # deeper in the printed tree = executes earlier
     assert filter_pos > eval_pos
+
+
+def test_knn_bruteforce_partial_topk_before_query_shuffle(spark, sf_dir):
+    """The per-partition bounded top-k (MapInPandas) must sit BELOW the
+    query_id exchange: the only shuffle ranks q·k(+ties) rows per
+    partition, never all q·n corpus scores on one reducer per query."""
+    plan = _plan(spark, sf_dir, "knn_bruteforce")
+    i_map = plan.find("MapInPandas")
+    i_ex = plan.find("Exchange hashpartitioning(query_id")
+    assert i_map != -1 and i_ex != -1
+    # deeper in the printed tree = executes earlier
+    assert i_map > i_ex
+
+
+def test_waiting_suppliers_broadcasts_dims_and_pushes_filters(spark, sf_dir):
+    """TPC-H Q21 shape: dimension sides broadcast and the F-status
+    filter reaches the orders scan.  Exactly one SortMergeJoin is
+    allowed — the lineitem↔orders fact-to-fact join, where a broadcast
+    would be wrong at scale."""
+    plan = _plan(spark, sf_dir, "waiting_suppliers")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_market_share_broadcasts_dims_and_pushes_date_range(spark, sf_dir):
+    """TPC-H Q8 shape: all dimension sides broadcast; the order-date
+    range filter is pushed into the orders scan.  One fact-to-fact
+    SortMergeJoin (lineitem↔orders) is the scale-correct residue."""
+    plan = _plan(spark, sf_dir, "market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert plan.count("SortMergeJoin") <= 1
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_product_type_profit_broadcasts_part_filter(spark, sf_dir):
+    """TPC-H Q9 shape: the part-name filter prunes before the join and
+    the part side broadcasts."""
+    plan = _plan(spark, sf_dir, "product_type_profit")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -24,6 +24,7 @@ byte-compatible with the reference regardless of backend.
 
 from __future__ import annotations
 
+import hashlib
 import json
 from collections.abc import Sequence
 from dataclasses import dataclass
@@ -74,7 +75,14 @@ class DeterministicClassifier(Classifier):
             sentiment, score = "negative", max(-1.0, -0.25 * (neg - pos))
         else:
             sentiment, score = "neutral", 0.0
-        h = hash((self.seed, text))
+        # Content hash, stable across processes (builtin str hash is
+        # PYTHONHASHSEED-randomized outside executors).  Little-endian
+        # first 8 digest bytes == DuckDB md5_number_upper(seed || ':' ||
+        # text), keeping hash-derived outputs oracle-expressible.
+        h = int.from_bytes(
+            hashlib.md5(f"{self.seed}:{text or ''}".encode()).digest()[:8],
+            "little",
+        )
         if mode == "video":
             # contract: emotions <=5, topics <=8 (reference
             # gold_sentiment_videos.py:41-42)

@@ -150,10 +150,14 @@ def minhash_lsh_pairs(
     docs = spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
     )
-    # Shingle sets are needed twice (banding + exact verify); cache the
-    # narrow (id, shingles) projection rather than recomputing the
-    # tokenizer twice.
-    docs = docs.persist()
+    # The (id, shingles) projection is consumed three times (banding +
+    # both sides of the exact verify).  No persist(): at 100 TB caching
+    # full shingle arrays would spill cluster-wide, and all three
+    # consumers sit in ONE final plan, so the spread() shuffle is
+    # computed once and reused (ReusedExchange with AQE off; AQE's
+    # stage cache otherwise — verified: 4 of 10 stages skipped, one
+    # scan).  Only the cheap shingle projection above the exchange is
+    # re-evaluated per consumer.
 
     # Band keys only — the heavy shingle arrays must NOT ride through the
     # band explode + self-join shuffle (ids and two longs do).

@@ -48,11 +48,24 @@ def knn_bruteforce(
     """Exact cosine top-k neighbors for each query vector.
 
     ``broadcast(queries)`` makes the crossJoin a broadcast
-    nested-loop over corpus partitions — no shuffle of the corpus; the
-    only shuffle is the final window top-k on query_id, which carries
-    q·n score rows.  Ties broken by corpus id for determinism.
+    nested-loop over corpus partitions — no shuffle of the corpus.
+    Scoring and 4dp rounding are JVM expressions (whole-stage codegen);
+    a ``mapInPandas`` pass then reduces each corpus partition to its
+    local top-k rows per query BEFORE the only shuffle, so the final
+    window on query_id ranks at most q·k(+ties) rows per partition
+    instead of shipping all q·n scores to one reducer per query.
+
+    The partial top-k keeps every row tied with the partition's k-th
+    rounded cosine (global tie-break is neighbor_id asc, which a
+    partition cannot decide locally), so the result is exactly the
+    single-phase answer.  Null cosines (zero-norm vectors) sort last in
+    the final window; up to k of them per (partition, query) are
+    retained in case a query has fewer than k scorable neighbors.
+    Ties broken by corpus id for determinism.
     Returns (query_id, neighbor_id, rank, cosine rounded to 4dp).
     """
+    import pandas as pd
+
     q = queries.select(
         F.col(query_id), F.col(vec_col).alias("_qvec")
     )
@@ -64,12 +77,36 @@ def knn_bruteforce(
     ).crossJoin(F.broadcast(q))
     scored = scored.withColumn(
         "cosine", F.round(cosine_similarity("_cvec", "_qvec"), 4)
-    )
+    ).select(query_id, "neighbor_id", "cosine")
+
+    def partial_topk(batches):
+        state = None
+        for pdf in batches:
+            df = pd.concat([state, pdf]) if state is not None else pdf
+            nn = df[df["cosine"].notna()]
+            if len(nn):
+                thr = nn.groupby(query_id)["cosine"].transform(
+                    lambda s: s.nlargest(min(k, len(s))).min()
+                )
+                nn = nn[nn["cosine"] >= thr]
+            nulls = df[df["cosine"].isna()]
+            if len(nulls):
+                nulls = (
+                    nulls.sort_values([query_id, "neighbor_id"])
+                    .groupby(query_id)
+                    .head(k)
+                )
+            state = pd.concat([nn, nulls])
+        if state is not None:
+            yield state
+
+    reduced = scored.mapInPandas(partial_topk, scored.schema)
+
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        reduced.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(query_id, "neighbor_id", "rank", "cosine")
     )
