@@ -43,6 +43,7 @@ from youtube_podcast_data_pipeline_azure_spark.functions.text import (
     word_count,
 )
 from youtube_podcast_data_pipeline_azure_spark.functions.vectors import cosine_similarity, l2_norm
+from youtube_podcast_data_pipeline_azure_spark.io import rest
 from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
 from youtube_podcast_data_pipeline_azure_spark.io.writers import (
     write_clustered,
@@ -309,6 +310,131 @@ def q_envelope_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("items"),
     )
     return medallion.explode_envelope(envelopes)
+
+
+def _canned_youtube_transport(sf_dir: str) -> rest.CannedTransport:
+    """Deterministic YouTube-API fixture transport built from the
+    parquet tables (driver-side pyarrow read of metadata-sized columns).
+    Response shapes are the reference's (function_app.py:46-70 video
+    3-step, :94-105 comment threads); row content mirrors the synthetic
+    bronze builders so the silver oracles stay byte-comparable."""
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            "o_orderpriority",
+            "o_totalprice",
+        ],
+    ).to_pylist()
+    orders.sort(key=lambda r: r["o_orderkey"])
+
+    def video_item(r: dict) -> dict:
+        k, c = r["o_orderkey"], r["o_custkey"]
+        return {
+            "id": f"vid{k}",
+            "snippet": {
+                "title": f"{r['o_orderpriority']} order {k}",
+                "publishedAt": r["o_orderdate"].strftime("%Y-%m-%d %H:%M:%S"),
+                "channelTitle": f"chan{c % 10}",
+            },
+            "statistics": {
+                "viewCount": "N/A" if k % 97 == 0 else str(int(r["o_totalprice"])),
+                "likeCount": None if k % 5 == 0 else str(k % 1000),
+                "commentCount": str(c % 100),
+            },
+            "contentDetails": {"duration": f"PT{k % 60}M{c % 60}S"},
+        }
+
+    by_vid = {f"vid{r['o_orderkey']}": r for r in orders}
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    docs.sort(key=lambda r: r["doc_id"])
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    threads: dict[str, list[dict]] = {}
+    for r in docs:
+        d = r["doc_id"]
+        text = "   " if d % 13 == 0 else (None if d % 17 == 0 else r["text"])
+        threads.setdefault(f"vid{d % 100}", []).append(
+            {
+                "snippet": {
+                    "topLevelComment": {
+                        "id": f"c{d}",
+                        "snippet": {
+                            "authorDisplayName": f"user{d % 50}",
+                            "textDisplay": text,
+                            "likeCount": None if d % 5 == 0 else d % 200,
+                            "publishedAt": (
+                                base + timedelta(minutes=d)
+                            ).strftime("%Y-%m-%d %H:%M:%S"),
+                        },
+                    }
+                }
+            }
+        )
+
+    return rest.CannedTransport(
+        routes={
+            "channels": lambda p: {
+                "items": [
+                    {
+                        "contentDetails": {
+                            "relatedPlaylists": {"uploads": "UU_uploads"}
+                        }
+                    }
+                ]
+            },
+            "playlistItems": lambda p: {
+                "items": [
+                    {"contentDetails": {"videoId": f"vid{r['o_orderkey']}"}}
+                    for r in orders[: int(p["maxResults"])]
+                ]
+            },
+            "videos": lambda p: {
+                "items": [
+                    video_item(by_vid[v])
+                    for v in p["id"].split(",")
+                    if v in by_vid
+                ]
+            },
+            "commentThreads": lambda p: {
+                "items": threads.get(p["videoId"], [])[: int(p["maxResults"])]
+            },
+        }
+    )
+
+
+def q_rest_ingest_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — the 3-step REST video ingest (channel → playlist → batched
+    details, reference function_app.py:46-70) through the transport
+    seam, then the silver flatten.  Limit pushdown: maxResults=500 is
+    applied BY the source (the oracle takes the 500 lowest orderkeys);
+    projection pushdown: only the parts BRONZE_VIDEO_ITEM keeps are
+    requested."""
+    src = rest.YouTubeSource(
+        _canned_youtube_transport(sf_dir), api_key="canned"
+    )
+    bronze = rest.ingest_videos(spark, src, "chan-main", max_results=500)
+    return medallion.bronze_videos_to_silver(bronze)
+
+
+def q_rest_ingest_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — per-video comment-thread ingest (reference
+    function_app.py:94-105, 127-138) distributed over executors via
+    mapInPandas; flatten parity with :131-138.  maxResults capped at
+    100 per request (the API limit the reference also applies)."""
+    src = rest.YouTubeSource(
+        _canned_youtube_transport(sf_dir), api_key="canned"
+    )
+    ids = [f"vid{i}" for i in range(100)]
+    return rest.ingest_comments(spark, src, ids, max_comments_per_video=100)
 
 
 def q_medallion_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2117,6 +2243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_video_titles": q_enrich_video_titles,
         # ================= end of driver's 50-slot window =================
         # oracle-backed, never driver-checked — rotate into the window r03
+        "rest_ingest_videos": q_rest_ingest_videos,
+        "rest_ingest_comments": q_rest_ingest_comments,
         "volume_shipping": q_volume_shipping,
         "small_quantity_revenue": q_small_quantity_revenue,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -2312,6 +2440,41 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(n_chars) AS bigint) AS total_chars
             FROM documents WHERE doc_id % 3 = 1
             GROUP BY lang
+        """,
+        "rest_ingest_videos": """
+            SELECT 'vid' || o_orderkey AS video_id,
+                   o_orderpriority || ' order ' || o_orderkey AS title,
+                   cast(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                        AS timestamp) AS published_at,
+                   'chan' || (o_custkey % 10) AS channel_title,
+                   'PT' || (o_orderkey % 60) || 'M' || (o_custkey % 60) || 'S'
+                       AS duration,
+                   (o_orderkey % 60) * 60 + (o_custkey % 60)
+                       AS duration_seconds,
+                   CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                        ELSE cast(floor(o_totalprice) AS bigint) END
+                       AS view_count,
+                   CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                        ELSE o_orderkey % 1000 END AS like_count,
+                   o_custkey % 100 AS comment_count
+            FROM orders
+            WHERE o_orderkey IN (
+                SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 500)
+        """,
+        "rest_ingest_comments": """
+            SELECT 'vid' || (doc_id % 100) AS videoId,
+                   'c' || doc_id AS commentId,
+                   'user' || (doc_id % 50) AS author,
+                   CASE WHEN doc_id % 13 = 0 THEN '   '
+                        WHEN doc_id % 17 = 0 THEN NULL
+                        ELSE text END AS text,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL
+                        ELSE doc_id % 200 END AS likes,
+                   strftime(timestamp '2024-01-01 00:00:00'
+                            + doc_id * INTERVAL 1 MINUTE,
+                            '%Y-%m-%d %H:%M:%S') AS publishedAt,
+                   cast(NULL AS varchar) AS error
+            FROM documents
         """,
         "videos_bronze_to_silver": """
             SELECT 'vid' || o_orderkey AS video_id,

@@ -1,0 +1,191 @@
+"""REST ingestion source: choreography, pushdowns, error containment.
+
+Mirrors reference function_app.py behavior with zero network — the
+CannedTransport records every request so the tests can assert that the
+``part=`` projection and ``maxResults`` limit actually reached the
+request parameters (the reference's pushdowns, function_app.py:49,58,
+66,97-99)."""
+
+from __future__ import annotations
+
+import pytest
+
+from youtube_podcast_data_pipeline_azure_spark.io import rest
+
+
+def _video_fixture_transport():
+    details = {
+        f"v{i}": {
+            "id": f"v{i}",
+            "snippet": {
+                "title": f"title {i}",
+                "publishedAt": f"2024-01-{i + 1:02d} 00:00:00",
+                "channelTitle": "chan",
+            },
+            "statistics": {
+                "viewCount": str(100 * i),
+                "likeCount": None if i % 2 else str(i),
+                "commentCount": str(i),
+            },
+            "contentDetails": {"duration": f"PT{i}M0S"},
+        }
+        for i in range(120)
+    }
+    return rest.CannedTransport(
+        routes={
+            "channels": lambda p: {
+                "items": [
+                    {
+                        "contentDetails": {
+                            "relatedPlaylists": {"uploads": "UPLOADS"}
+                        }
+                    }
+                ]
+            },
+            "playlistItems": lambda p: {
+                "items": [
+                    {"contentDetails": {"videoId": f"v{i}"}}
+                    for i in range(int(p["maxResults"]))
+                ]
+            },
+            "videos": lambda p: {
+                "items": [details[v] for v in p["id"].split(",")]
+            },
+        }
+    )
+
+
+def test_video_ingest_choreography_and_pushdowns(spark):
+    tr = _video_fixture_transport()
+    src = rest.YouTubeSource(tr, api_key="k")
+    df = rest.ingest_videos(spark, src, "CH", max_results=120)
+
+    endpoints = [c[0] for c in tr.calls]
+    # 3-step: channel -> playlist -> chunked details (120 ids = 3 chunks)
+    assert endpoints == ["channels", "playlistItems", "videos", "videos", "videos"]
+
+    by_ep = {ep: params for ep, params in tr.calls}
+    # projection pushdown (reference function_app.py:49,57,66)
+    assert by_ep["channels"]["part"] == "contentDetails"
+    assert by_ep["playlistItems"]["part"] == "contentDetails"
+    assert by_ep["videos"]["part"] == "snippet,statistics,contentDetails"
+    # limit pushdown (reference function_app.py:58)
+    assert by_ep["playlistItems"]["maxResults"] == 120
+    # chunking respects the API's 50-id cap
+    for ep, params in tr.calls:
+        if ep == "videos":
+            assert len(params["id"].split(",")) <= 50
+
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 120
+    assert rows["v3"].snippet.title == "title 3"
+    assert rows["v3"].statistics.likeCount is None  # odd i -> null likes
+    assert rows["v2"].statistics.viewCount == "200"
+    assert rows["v2"].contentDetails.duration == "PT2M0S"
+
+
+def test_comment_ingest_flatten_and_cap(spark):
+    def threads(p):
+        vid = p["videoId"]
+        n = int(p["maxResults"])
+        return {
+            "items": [
+                {
+                    "snippet": {
+                        "topLevelComment": {
+                            "id": f"{vid}-c{i}",
+                            "snippet": {
+                                "authorDisplayName": f"a{i}",
+                                "textDisplay": f"text {i}",
+                                "likeCount": i,
+                                "publishedAt": "2024-01-01 00:00:00",
+                            },
+                        }
+                    }
+                }
+                for i in range(min(n, 7))
+            ]
+        }
+
+    tr = rest.CannedTransport(routes={"commentThreads": threads})
+    src = rest.YouTubeSource(tr, api_key="k")
+    df = rest.ingest_comments(
+        spark, src, ["a", "b"], max_comments_per_video=250
+    )
+    rows = df.collect()
+    assert len(rows) == 14
+    # the min(_, 100) cap reached the request (function_app.py:99)
+    assert all(p["maxResults"] == 100 for ep, p in tr.calls)
+    assert all(p["part"] == "snippet" for ep, p in tr.calls)
+    assert all(p["textFormat"] == "plainText" for ep, p in tr.calls)
+    one = {r.commentId: r for r in rows}["a-c3"]
+    # flatten parity with function_app.py:131-138
+    assert (one.videoId, one.author, one.text, one.likes) == (
+        "a", "a3", "text 3", 3,
+    )
+    assert one.error is None
+
+
+def test_comment_ingest_error_containment(spark):
+    def threads(p):
+        if p["videoId"] == "bad":
+            raise RuntimeError("quotaExceeded")
+        return {
+            "items": [
+                {
+                    "snippet": {
+                        "topLevelComment": {
+                            "id": "ok-1",
+                            "snippet": {
+                                "authorDisplayName": "a",
+                                "textDisplay": "t",
+                                "likeCount": 1,
+                                "publishedAt": "2024-01-01 00:00:00",
+                            },
+                        }
+                    }
+                }
+            ]
+        }
+
+    tr = rest.CannedTransport(routes={"commentThreads": threads})
+    src = rest.YouTubeSource(tr, api_key="k")
+    rows = rest.ingest_comments(spark, src, ["good", "bad"]).collect()
+    by_vid = {r.videoId: r for r in rows}
+    assert by_vid["good"].error is None
+    assert by_vid["good"].commentId == "ok-1"
+    # one error record for the failed video, job did not abort
+    assert by_vid["bad"].error == "RuntimeError"
+    assert by_vid["bad"].commentId is None
+
+
+def test_http_transport_pickles_without_session():
+    import pickle
+
+    tr = rest.HttpTransport(timeout=7)
+    tr._session = object()  # unpicklable sentinel
+    tr2 = pickle.loads(pickle.dumps(tr))
+    assert tr2.timeout == 7 and tr2._session is None
+
+
+def test_missing_fields_become_nulls(spark):
+    """Defensive dict.get parity: absent snippet/statistics fields must
+    land as nulls, not raise (reference silver_transform_videos.py:24-27)."""
+    tr = rest.CannedTransport(
+        routes={
+            "channels": lambda p: {
+                "items": [
+                    {"contentDetails": {"relatedPlaylists": {"uploads": "U"}}}
+                ]
+            },
+            "playlistItems": lambda p: {
+                "items": [{"contentDetails": {"videoId": "x"}}]
+            },
+            "videos": lambda p: {"items": [{"id": "x", "snippet": {"title": "t"}}]},
+        }
+    )
+    src = rest.YouTubeSource(tr, api_key="k")
+    row = rest.ingest_videos(spark, src, "CH", max_results=1).collect()[0]
+    assert row.id == "x" and row.snippet.title == "t"
+    assert row.statistics.viewCount is None
+    assert row.contentDetails.duration is None
