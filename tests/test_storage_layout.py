@@ -1,0 +1,70 @@
+"""Storage addressing seam + write-side manifest sidecar."""
+
+from __future__ import annotations
+
+import pytest
+
+from youtube_podcast_data_pipeline_azure_spark.io.paths import (
+    STORAGE_ROOT_ENV,
+    StorageLayout,
+    abfss_root,
+    storage_layout,
+)
+from youtube_podcast_data_pipeline_azure_spark.io.writers import read_manifest, write_manifest
+
+
+def test_layout_builds_reference_path_convention():
+    lay = StorageLayout("/data/lake")
+    assert (
+        lay.path("bronze", "youtube/videos", ingest_date="2024-01-01")
+        == "/data/lake/bronze/youtube/videos/ingest_date=2024-01-01"
+    )
+    assert lay.path("gold", "kpis") == "/data/lake/gold/kpis"
+    assert not lay.is_remote
+
+
+def test_layout_accepts_cloud_roots_unchanged():
+    root = abfss_root("lake", "myacct", "podcasts")
+    assert root == "abfss://lake@myacct.dfs.core.windows.net/podcasts"
+    lay = StorageLayout(root)
+    assert lay.is_remote
+    assert lay.path("silver", "comments", ingest_date="2024-02-03") == (
+        "abfss://lake@myacct.dfs.core.windows.net/podcasts/silver/comments/"
+        "ingest_date=2024-02-03"
+    )
+    assert StorageLayout("s3a://bucket/prefix").is_remote
+    assert not StorageLayout("file:///tmp/x").is_remote
+
+
+def test_layout_env_and_failfast(monkeypatch):
+    monkeypatch.setenv(STORAGE_ROOT_ENV, "/from/env")
+    assert storage_layout().root == "/from/env"
+    assert storage_layout("/explicit/wins").root == "/explicit/wins"
+    monkeypatch.delenv(STORAGE_ROOT_ENV)
+    with pytest.raises(ValueError, match=STORAGE_ROOT_ENV):
+        storage_layout()
+    with pytest.raises(ValueError, match="unknown layer"):
+        StorageLayout("/x").path("platinum", "y")
+
+
+def test_manifest_roundtrip_beside_data(spark, tmp_path):
+    df = spark.range(7).withColumnRenamed("id", "k")
+    out = str(tmp_path / "entity")
+    df.write.mode("overwrite").parquet(out)
+    written = write_manifest(
+        spark,
+        out,
+        row_count=7,
+        entity="youtube/videos",
+        pulled_at_utc="2024-01-01T00:00:00Z",
+        extra={"ingest_date": "2024-01-01"},
+    )
+    back = read_manifest(spark, out)
+    assert back == written
+    assert back["row_count"] == 7
+    assert back["entity"] == "youtube/videos"
+    assert back["pulled_at_utc"] == "2024-01-01T00:00:00Z"
+    assert back["ingest_date"] == "2024-01-01"
+    # the underscore sidecar is invisible to Spark scans (same rule
+    # as _SUCCESS) — the data reads back clean
+    assert spark.read.parquet(out).count() == 7

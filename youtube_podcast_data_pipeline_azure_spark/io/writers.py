@@ -14,6 +14,8 @@ reference's per-partition idempotent overwrite.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame
 
 
@@ -35,6 +37,67 @@ def write_partitioned(
     if cols:
         writer = writer.partitionBy(*cols)
     writer.format(fmt).save(path)
+
+
+def write_manifest(
+    spark,
+    path: str,
+    row_count: int,
+    entity: str,
+    pulled_at_utc: str | None = None,
+    extra: dict | None = None,
+    filename: str = "_MANIFEST.json",
+) -> dict:
+    """Write the reference's envelope metadata as a sidecar manifest.
+
+    The reference stores row counts + pull timestamps INSIDE each JSON
+    payload (``videoCount``/``pulledAt``, function_app.py:75-80;
+    ``comment_count``/``ingest_date``, :143-148;
+    silver_clean_comments.py:58-62).  Columnar storage drops the
+    envelope, so the engine records the same facts beside the data: a
+    ``_MANIFEST.json`` in the output directory.  The leading underscore
+    makes it invisible to Spark/Hadoop scans (same convention as
+    ``_SUCCESS``), and the write goes through Spark's Hadoop FileSystem,
+    so it lands on whatever scheme the path carries (abfss/s3a/file)
+    with no extra SDK.
+
+    Returns the manifest dict (also what was written).
+    """
+    from datetime import datetime, timezone
+
+    manifest = {
+        "entity": entity,
+        "row_count": int(row_count),
+        "pulled_at_utc": pulled_at_utc
+        or datetime.now(timezone.utc).isoformat(),
+    }
+    if extra:
+        manifest.update(extra)
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{filename}")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(json.dumps(manifest, indent=2).encode()))
+    finally:
+        out.close()
+    return manifest
+
+
+def read_manifest(spark, path: str, filename: str = "_MANIFEST.json") -> dict:
+    """Read back a sidecar manifest written by :func:`write_manifest`."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{filename}")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(hpath)
+    try:
+        data = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(data.decode())
 
 
 def write_clustered(
