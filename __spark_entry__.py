@@ -2020,11 +2020,18 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
         .where(F.col("nid") != F.col("qid"))
         .withColumn("cosine", F.round(cosine_similarity("_c", "_q"), 4))
+        .select("qid", "qlabel", "nid", "nlabel", "cosine")
+    )
+    # Two-phase top-1: bounded per-partition partials before the only
+    # shuffle (same scale fix as knn_bruteforce — no reducer ever sees
+    # a query's full score set).
+    reduced = similarity.partition_topk(
+        scored, "qid", "cosine", k=1, id_col="nid"
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("nid").asc()
     )
-    top1 = scored.withColumn("rk", F.row_number().over(w)).where(
+    top1 = reduced.withColumn("rk", F.row_number().over(w)).where(
         F.col("rk") == 1
     )
     return top1.groupBy(F.col("qlabel").alias("label")).agg(

@@ -284,3 +284,33 @@ def test_cluster_profile_deterministic_and_complete(spark, sf_dir):
     # every vector lands in exactly one cluster
     assert sum(r.n_members for r in a) == emb.count()
     assert all(-1.0 <= r.mean_cosine <= 1.0 for r in a)
+
+
+def test_partition_topk_keeps_kth_ties_and_nulls(spark):
+    """partition_topk must keep every row tied at the k-th score (the
+    global id tie-break can't be decided locally) and retain up to k
+    null-score rows per key for under-populated keys."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.similarity import partition_topk
+
+    rows = [
+        # key "a": scores 0.9, 0.8, 0.8, 0.8, 0.1 -> k=2 keeps the
+        # 0.9 and ALL three 0.8-ties, drops 0.1
+        ("a", 1, 0.9), ("a", 2, 0.8), ("a", 3, 0.8), ("a", 4, 0.8),
+        ("a", 5, 0.1),
+        # key "b": only nulls -> up to k retained, smallest ids first
+        ("b", 1, None), ("b", 2, None), ("b", 3, None),
+        # key "c": fewer than k rows -> all kept
+        ("c", 9, 0.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, nid long, cosine double"
+    ).coalesce(1)  # one partition: the local decision is the global one
+    got = {
+        (r.key, r.nid)
+        for r in partition_topk(df, "key", "cosine", k=2, id_col="nid").collect()
+    }
+    assert got == {
+        ("a", 1), ("a", 2), ("a", 3), ("a", 4),
+        ("b", 1), ("b", 2),
+        ("c", 9),
+    }

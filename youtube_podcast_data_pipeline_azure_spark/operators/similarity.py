@@ -37,6 +37,53 @@ def _normalize(vec: Column) -> Column:
     return F.when(norm > 0, F.transform(vec, lambda x: x.cast("double") / norm))
 
 
+def partition_topk(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    k: int,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Reduce each partition to its local top-k rows per ``key_col`` by
+    ``score_col`` descending — the bounded pre-shuffle step of a
+    two-phase top-k.
+
+    Every row tied with the partition's k-th score is kept (a global
+    tie-break on ``id_col`` can't be decided locally), so a downstream
+    global rank over the reduced rows returns exactly the single-phase
+    answer.  Null scores sort last in Spark windows, so up to k of them
+    per (partition, key) are retained — smallest ``id_col`` first when
+    given — in case a key has fewer than k scorable rows.
+
+    Runs as ``mapInPandas`` over whatever partitioning ``df`` already
+    has (no exchange): per-task state is bounded at
+    O(keys · (k + ties)).
+    """
+    import pandas as pd
+
+    def gen(batches):
+        state = None
+        for pdf in batches:
+            cur = pd.concat([state, pdf]) if state is not None else pdf
+            nn = cur[cur[score_col].notna()]
+            if len(nn):
+                thr = nn.groupby(key_col)[score_col].transform(
+                    lambda s: s.nlargest(min(k, len(s))).min()
+                )
+                nn = nn[nn[score_col] >= thr]
+            nulls = cur[cur[score_col].isna()]
+            if len(nulls):
+                sort_cols = [key_col] + ([id_col] if id_col else [])
+                nulls = (
+                    nulls.sort_values(sort_cols).groupby(key_col).head(k)
+                )
+            state = pd.concat([nn, nulls])
+        if state is not None:
+            yield state
+
+    return df.mapInPandas(gen, df.schema)
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -64,8 +111,6 @@ def knn_bruteforce(
     Ties broken by corpus id for determinism.
     Returns (query_id, neighbor_id, rank, cosine rounded to 4dp).
     """
-    import pandas as pd
-
     q = queries.select(
         F.col(query_id), F.col(vec_col).alias("_qvec")
     )
@@ -79,28 +124,9 @@ def knn_bruteforce(
         "cosine", F.round(cosine_similarity("_cvec", "_qvec"), 4)
     ).select(query_id, "neighbor_id", "cosine")
 
-    def partial_topk(batches):
-        state = None
-        for pdf in batches:
-            df = pd.concat([state, pdf]) if state is not None else pdf
-            nn = df[df["cosine"].notna()]
-            if len(nn):
-                thr = nn.groupby(query_id)["cosine"].transform(
-                    lambda s: s.nlargest(min(k, len(s))).min()
-                )
-                nn = nn[nn["cosine"] >= thr]
-            nulls = df[df["cosine"].isna()]
-            if len(nulls):
-                nulls = (
-                    nulls.sort_values([query_id, "neighbor_id"])
-                    .groupby(query_id)
-                    .head(k)
-                )
-            state = pd.concat([nn, nulls])
-        if state is not None:
-            yield state
-
-    reduced = scored.mapInPandas(partial_topk, scored.schema)
+    reduced = partition_topk(
+        scored, query_id, "cosine", k, id_col="neighbor_id"
+    )
 
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
