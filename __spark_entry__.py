@@ -60,6 +60,7 @@ from youtube_podcast_data_pipeline_azure_spark.operators import (
     multimodal,
     sampling,
     similarity,
+    sketches,
     skew,
     text_mining,
 )
@@ -1622,6 +1623,28 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", language_id("text").alias("lang_pred"))
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over all token occurrences, probed with the 20
+    exact-top tokens: (token, exact_n, cms_n, overcount).  The sketch's
+    md5-derived cells are cross-engine deterministic, so even its
+    collision overcounts hash-match the oracle; cms_n >= exact_n always
+    (the CMS guarantee, asserted in tests)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize("text")).alias("token"))
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_n"))
+    top = exact.orderBy(F.col("exact_n").desc(), F.col("token").asc()).limit(20)
+    counters = sketches.cms_counters(toks, "token", depth=4, width=512)
+    est = sketches.cms_lookup(
+        counters, top.select("token"), "token", depth=4, width=512
+    )
+    return top.join(est, "token").select(
+        "token",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+    )
+
+
 def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters per language: top-5 tokens by frequency
     (ties → token asc) — explode aggregates map-side to (lang, token)
@@ -2252,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-backed, never driver-checked — rotate into the window r03
         "rest_ingest_videos": q_rest_ingest_videos,
         "rest_ingest_comments": q_rest_ingest_comments,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "volume_shipping": q_volume_shipping,
         "small_quantity_revenue": q_small_quantity_revenue,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -3382,6 +3406,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "language_id": f"SELECT doc_id, lang, {lang} AS lang_pred FROM documents",
         "quality_scores": f"SELECT doc_id, {qual} AS quality FROM documents",
+        "cms_heavy_hitters": f"""
+            WITH toks AS (
+                SELECT unnest({tokens}) AS token FROM documents),
+            exact AS (
+                SELECT token, cast(count(*) AS bigint) AS exact_n
+                FROM toks GROUP BY token),
+            top AS (
+                SELECT token, exact_n FROM exact
+                ORDER BY exact_n DESC, token ASC LIMIT 20),
+            cells AS (
+                SELECT r,
+                       {sketches.md5_int56_sql("'42:' || r || ':' || token")}
+                           % 512 AS c,
+                       cast(count(*) AS bigint) AS n
+                FROM toks CROSS JOIN range(4) t(r)
+                GROUP BY 1, 2),
+            probe AS (
+                SELECT p.token, p.exact_n, t.r,
+                       {sketches.md5_int56_sql("'42:' || t.r || ':' || p.token")}
+                           % 512 AS c
+                FROM top p CROSS JOIN range(4) t(r)),
+            est AS (
+                SELECT token, exact_n,
+                       cast(min(coalesce(cl.n, 0)) AS bigint) AS cms_n
+                FROM probe pr
+                LEFT JOIN cells cl ON cl.r = pr.r AND cl.c = pr.c
+                GROUP BY 1, 2)
+            SELECT token, exact_n, cms_n, cms_n - exact_n AS overcount
+            FROM est
+        """,
         "top_tokens_per_lang": f"""
             WITH tok AS (
                 SELECT lang, unnest({tokens}) AS token FROM documents),

@@ -1,0 +1,112 @@
+"""Mergeable frequency sketches (engine extension, SURVEY §2.B
+heavy-hitter family).
+
+A count-min sketch answers "how often does item x occur?" over a stream
+or table using d·w counters instead of one counter per distinct item —
+the standard scale tool when the distinct-item universe (tokens,
+user-ids, URLs) is too large to count exactly (Cormode & Muthukrishnan
+2005).  At 100 TB the win is the shuffle shape: the exact count
+shuffles one row per distinct item per partition; the sketch shuffles
+at most d·w cells per partition (map-side partial aggregation
+collapses everything else), a fixed budget independent of cardinality.
+Sketches from different partitions/days/sources merge by cell-wise
+addition — the same counters table unions and re-aggregates.
+
+Hashing is md5-derived and cross-engine deterministic: row r's hash of
+item x is the lower 56 bits (little-endian) of md5("<seed>:<r>:<x>"),
+which equals DuckDB's ``md5_number_upper(...) & (2^56-1)`` — so the
+whole sketch, including its collision behavior, is oracle-checkable
+cell by cell (no other Spark hash has a DuckDB twin; xxhash64 does
+not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 2^56 - 1: md5_int56 keeps the 7 low-order digest bytes.
+MASK56 = (1 << 56) - 1
+
+
+def md5_int56(col: Column | str) -> Column:
+    """Lower 56 bits (little-endian) of md5(col) as a non-negative long.
+
+    Byte-reverses the first 7 hex-encoded digest bytes before base-16
+    conversion, matching ``int.from_bytes(digest[:7], 'little')`` in
+    Python and ``md5_number_upper(x) & (2^56-1)`` in DuckDB — one hash,
+    three engines, identical value.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(c)
+    rev = F.concat(*[F.substring(h, i, 2) for i in (13, 11, 9, 7, 5, 3, 1)])
+    return F.conv(rev, 16, 10).cast("long")
+
+
+def md5_int56_sql(expr: str) -> str:
+    """DuckDB twin of :func:`md5_int56` for oracle SQL."""
+    return f"(md5_number_upper({expr}) & {MASK56})"
+
+
+def _cell(item: Column, row: Column, seed: int, width: int) -> Column:
+    key = F.concat(
+        F.lit(f"{seed}:"), row.cast("string"), F.lit(":"), item
+    )
+    return md5_int56(key) % width
+
+
+def cms_counters(
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+    seed: int = 42,
+) -> DataFrame:
+    """Build count-min counters over one row per item occurrence.
+
+    Each occurrence lands in one cell per hash row (a narrow
+    d-way explode); the groupBy then runs with map-side partial
+    aggregation, so the shuffle carries at most d·w cells per upstream
+    partition no matter how many distinct items exist.  Returns
+    (row, col, n) — the mergeable sketch state.
+    """
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    return (
+        items.select(F.col(item_col).alias("_item"))
+        .select("_item", rows)
+        .select(
+            "row", _cell(F.col("_item"), F.col("row"), seed, width).alias("col")
+        )
+        .groupBy("row", "col")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_lookup(
+    counters: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+    seed: int = 42,
+) -> DataFrame:
+    """Estimate each probe item's count: min over the d cells it hashes
+    to.  The counters table is at most d·w rows — broadcast it; probing
+    any number of items is then shuffle-free up to the final per-item
+    min, and absent cells count as 0.  Estimates never undercount
+    (cms_n >= true count, the CMS guarantee)."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    probe_cells = (
+        probes.select(F.col(item_col).alias("_item"))
+        .select("_item", rows)
+        .select(
+            "_item",
+            "row",
+            _cell(F.col("_item"), F.col("row"), seed, width).alias("col"),
+        )
+    )
+    return (
+        probe_cells.join(F.broadcast(counters), ["row", "col"], "left")
+        .groupBy(F.col("_item").alias(item_col))
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_n"))
+    )
