@@ -68,6 +68,7 @@ from youtube_podcast_data_pipeline_azure_spark.streaming.events_stream import (
     enrich_with_category,
     event_type_dim,
     purchase_view_attribution,
+    purchase_view_attribution_outer,
     sessionized_counts,
     streaming_dedup,
     tumbling_counts,
@@ -2164,6 +2165,14 @@ def q_purchase_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchase_view_attribution(_t(spark, sf_dir, "events"))
 
 
+def q_purchase_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER time-bounded self-join, batch mode:
+    purchases with no same-user view in the preceding 30 minutes emit
+    null view columns (streaming twin with watermark-finalized null
+    rows in tests/test_streaming.py)."""
+    return purchase_view_attribution_outer(_t(spark, sf_dir, "events"))
+
+
 def q_enrich_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11/A13 — deterministic-classifier enrichment over document text
     (pandas_udf batch path; oracle: the classifier is a pure function of
@@ -2276,6 +2285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rest_ingest_videos": q_rest_ingest_videos,
         "rest_ingest_comments": q_rest_ingest_comments,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "purchase_attribution_outer": q_purchase_attribution_outer,
         "volume_shipping": q_volume_shipping,
         "small_quantity_revenue": q_small_quantity_revenue,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -3396,6 +3406,16 @@ def oracle_sql() -> dict[str, str]:
                          AND v.ts <= p.ts
                          AND v.ts >= p.ts - INTERVAL '30 minutes'
             WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        """,
+        "purchase_attribution_outer": """
+            SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+                   p.user_id, p.ts AS purchase_ts, v.ts AS view_ts,
+                   v.event_id IS NOT NULL AS attributed
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+                   ON v.user_id = p.user_id
+                  AND v.ts <= p.ts
+                  AND v.ts >= p.ts - INTERVAL '30 minutes'
         """,
         "text_stats": f"""
             SELECT lang, count(*) AS n_docs,

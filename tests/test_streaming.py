@@ -230,3 +230,35 @@ def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
     # (event_id 4, value 99) was dropped, not merged and not re-emitted
     assert rows[(t0, "click")] == 2
     assert all(et != "click" or n <= 2 for (_, et), n in rows.items())
+
+
+def test_stream_stream_left_outer_join_parity(spark, events_dir):
+    """Left-outer stream-stream: every inner (purchase, view) pair must
+    also be emitted by the streaming run.  Null (unattributed) rows are
+    emitted only once the watermark finalizes them, so on a finite
+    stream the streaming nulls are a subset of the batch nulls — and
+    every emitted row must agree with batch."""
+    from youtube_podcast_data_pipeline_azure_spark.streaming.events_stream import (
+        purchase_view_attribution_outer,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    batch_rows = purchase_view_attribution_outer(
+        spark.read.parquet(events_dir)
+    ).collect()
+    batch_pairs = {(r.purchase_id, r.view_id) for r in batch_rows}
+    batch_inner = {p for p in batch_pairs if p[1] is not None}
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    run_stream_to_memory(
+        purchase_view_attribution_outer(stream), "ss_outer_out", "append"
+    )
+    got = {
+        (r.purchase_id, r.view_id)
+        for r in spark.sql("SELECT * FROM ss_outer_out").collect()
+    }
+    # all inner matches present; any null rows the stream finalized
+    # must be true batch nulls (no false unattributed rows)
+    assert batch_inner <= got
+    assert got <= batch_pairs

@@ -178,6 +178,53 @@ def purchase_view_attribution(
     )
 
 
+def purchase_view_attribution_outer(
+    events: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Left-outer stream-stream self-join: like
+    :func:`purchase_view_attribution`, but purchases with NO qualifying
+    view are still emitted with null view columns — the unattributed-
+    purchase feed a marketing pipeline alerts on.
+
+    Streaming mode: Spark holds each purchase until the view-side
+    watermark passes ``purchase_ts`` (no future view can match), then
+    emits the null row exactly once; state stays O(horizon).  On a
+    finite stream the tail purchases' null rows may remain unfinalized —
+    batch mode (the oracle-checked run) emits them all.
+    """
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    if events.isStreaming:
+        purchases = purchases.withWatermark("purchase_ts", watermark)
+        views = views.withWatermark("view_ts", watermark)
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")
+        )
+    )
+    return purchases.join(views, cond, "left_outer").select(
+        "purchase_id",
+        "view_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "view_ts",
+        F.col("view_id").isNotNull().alias("attributed"),
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> None:
