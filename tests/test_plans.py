@@ -127,3 +127,13 @@ def test_product_type_profit_broadcasts_part_filter(spark, sf_dir):
     plan = _plan(spark, sf_dir, "product_type_profit")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cms_sketch_partial_agg_and_broadcast_probe(spark, sf_dir):
+    """The sketch build must combine map-side (shuffle bounded by d·w
+    cells, not token cardinality) and the probe lookup must broadcast
+    the tiny counters table — never sort-merge."""
+    plan = _plan(spark, sf_dir, "cms_heavy_hitters")
+    assert "partial_count" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
