@@ -2165,6 +2165,34 @@ def q_purchase_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchase_view_attribution(_t(spark, sf_dir, "events"))
 
 
+def q_media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode→resize kernel: 4×4 raw-RGB payloads (48 bytes
+    synthesized from three md5 digests of the doc text) thumbnailed to
+    2×2 by nearest-neighbor numpy sampling.  Oracle-checked
+    byte-for-byte: the selected pixels are fixed byte slices of the
+    digest concatenation."""
+    d = _t(spark, sf_dir, "documents")
+    hexs = F.concat(
+        F.md5("text"),
+        F.md5(F.concat(F.col("text"), F.lit("x"))),
+        F.md5(F.concat(F.col("text"), F.lit("y"))),
+    )
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.unhex(hexs).alias("payload"),
+        F.lit(4).alias("width"),
+        F.lit(4).alias("height"),
+    )
+    thumbs = multimodal.resize_images(assets, width=2, height=2)
+    return thumbs.select(
+        "asset_id",
+        F.col("thumb_width").cast("long").alias("thumb_width"),
+        F.col("thumb_height").cast("long").alias("thumb_height"),
+        F.lower(F.hex("thumbnail")).alias("thumb_hex"),
+    )
+
+
 def q_purchase_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER time-bounded self-join, batch mode:
     purchases with no same-user view in the preceding 30 minutes emit
@@ -2286,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rest_ingest_comments": q_rest_ingest_comments,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "purchase_attribution_outer": q_purchase_attribution_outer,
+        "media_thumbnails": q_media_thumbnails,
         "volume_shipping": q_volume_shipping,
         "small_quantity_revenue": q_small_quantity_revenue,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -3641,6 +3670,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 5 AND c.vec_id >= 5)
             WHERE rank <= 10
+        """,
+        "media_thumbnails": """
+            WITH p AS (
+                SELECT doc_id AS asset_id,
+                       md5(text) || md5(text || 'x') || md5(text || 'y')
+                           AS hx
+                FROM documents)
+            SELECT asset_id,
+                   cast(2 AS bigint) AS thumb_width,
+                   cast(2 AS bigint) AS thumb_height,
+                   substr(hx, 1, 6) || substr(hx, 13, 6)
+                       || substr(hx, 49, 6) || substr(hx, 61, 6) AS thumb_hex
+            FROM p
         """,
         "media_features": """
             SELECT doc_id AS asset_id,

@@ -1,6 +1,8 @@
-"""Multimodal plumbing: binary payload columns through mapInPandas.
-Decode kernels are stubs (no codecs in this container) — what's tested
-is the real Spark-side contract: schemas, batching, 1-in/N-out shapes."""
+"""Multimodal columns through mapInPandas.  Raw-RGB decode/resize are
+real numpy kernels (no codec needed); compressed-format embed/frame
+kernels are deterministic digest surrogates — tested here are both the
+real kernels and the Spark-side contract: schemas, batching,
+1-in/N-out shapes."""
 
 from __future__ import annotations
 
@@ -41,9 +43,28 @@ def test_frame_sampling_explodes_by_duration(assets):
     assert all(len(r["frame"]) == 32 for r in frames)  # sha256 stub payload
 
 
-def test_resize_is_a_clear_stub(assets):
-    with pytest.raises(Exception) as exc_info:
-        multimodal.resize_images(assets).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
-    )
+def test_resize_raw_rgb_nearest_neighbor_exact(spark):
+    """4×4 raw RGB → 2×2 must select exactly pixels (0,0),(0,2),(2,0),
+    (2,2) — nearest-neighbor index math pinned byte-for-byte."""
+    import numpy as np
+
+    src = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    rows = [(1, "image", "image/raw-rgb", src.tobytes(), 4, 4, None, "2026-01-01")]
+    assets = spark.createDataFrame(rows, schemas.MEDIA_ASSETS)
+    out = multimodal.resize_images(assets, width=2, height=2).collect()[0]
+    assert (out.thumb_width, out.thumb_height) == (2, 2)
+    got = np.frombuffer(out.thumbnail, dtype=np.uint8).reshape(2, 2, 3)
+    expected = src[np.ix_([0, 2], [0, 2])]
+    assert (got == expected).all()
+    # decoded form round-trips through the same decoder
+    dec = multimodal.decode_raw_rgb(out.thumbnail, 2, 2)
+    assert (dec == expected).all()
+
+
+def test_resize_skips_undecodable_payloads(assets):
+    """Compressed/garbage payloads (byte count != w·h·3) yield null
+    thumbnails instead of failing the job — the codec seam."""
+    out = {r.asset_id: r for r in multimodal.resize_images(assets).collect()}
+    # assets 1 and 4 are images; neither payload is a valid raw array
+    assert set(out) == {1, 4}
+    assert out[1].thumbnail is None and out[4].thumbnail is None

@@ -1,10 +1,16 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-North-star extension (BASELINE.json).  The container has no image/audio
-codecs, so the *decode kernels are stubs* (deterministic fakes /
-NotImplementedError, clearly marked below); the Spark-side plumbing —
-schema (schemas.MEDIA_ASSETS), Arrow batch shape, ``mapInPandas``
-signatures, partition strategy — is real and tested.
+North-star extension (BASELINE.json).  Two kinds of kernels:
+
+* **Real**: raw (uncompressed) RGB images need no codec — ``payload``
+  is ``width·height·3`` uint8 bytes and the MEDIA_ASSETS width/height
+  metadata gives the geometry, so :func:`decode_raw_rgb` and the
+  nearest-neighbor :func:`resize_images` are genuine numpy kernels
+  (oracle-checked byte-for-byte via the ``media_thumbnails`` query).
+* **Surrogate**: compressed formats (PNG/WAV/MP4) need codecs this
+  container doesn't ship, so the embed/frame kernels are deterministic
+  digest-based stand-ins, clearly marked — same signatures, same batch
+  shapes, swap the body when PIL/ffmpeg are present.
 
 Scale notes: binary payloads ride in Parquet as BYTE_ARRAY; Arrow moves
 them to Python zero-ish-copy in batches.  ``mapInPandas`` (iterator of
@@ -21,9 +27,6 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-#: Set True only in environments that actually ship codecs (PIL, ffmpeg...).
-REAL_DECODERS_AVAILABLE = False
 
 FEATURE_SCHEMA = (
     "asset_id long, modality string, n_bytes long, sha256 string, "
@@ -71,23 +74,59 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     )
 
 
+def decode_raw_rgb(payload: bytes | None, width, height):
+    """Decode a RAW interleaved-RGB payload to an (h, w, 3) uint8 array.
+
+    Raw arrays need no codec: the bytes ARE the pixels, geometry comes
+    from the width/height metadata columns.  Returns None when payload
+    or geometry is missing or the byte count doesn't match — the caller
+    treats that as "compressed format, real codec required here".
+    """
+    import numpy as np
+
+    if payload is None or width is None or height is None:
+        return None
+    w, h = int(width), int(height)
+    if w <= 0 or h <= 0 or len(payload) != w * h * 3:
+        return None
+    return np.frombuffer(payload, dtype=np.uint8).reshape(h, w, 3)
+
+
 def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
-    """Thumbnail images.  STUB: real codecs absent; raises unless
-    :data:`REAL_DECODERS_AVAILABLE`.  The plumbing (filter to images,
-    mapInPandas, binary-out schema) is the production shape."""
+    """Thumbnail raw-RGB images via nearest-neighbor sampling — a real
+    numpy kernel (index-stride row/column selection), no codec needed.
+
+    Input must carry (asset_id, modality, payload, width, height).
+    Assets whose payload isn't a decodable raw array (compressed
+    formats) yield a null thumbnail — the seam where a PIL/turbojpeg
+    decode would slot in.  Output thumbnails are raw RGB again, so the
+    operator composes with itself and with :func:`extract_features`.
+    """
+    import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not REAL_DECODERS_AVAILABLE:
-            raise NotImplementedError(
-                "image resize requires an image codec (PIL) not present in "
-                "this container; plumbing is real, kernel is stubbed"
+        for pdf in batches:
+            thumbs = []
+            for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                arr = decode_raw_rgb(p, w, h)
+                if arr is None:
+                    thumbs.append(None)
+                    continue
+                ys = (np.arange(height) * arr.shape[0]) // height
+                xs = (np.arange(width) * arr.shape[1]) // width
+                thumbs.append(arr[np.ix_(ys, xs)].tobytes())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "thumb_width": np.full(len(pdf), width, dtype="int32"),
+                    "thumb_height": np.full(len(pdf), height, dtype="int32"),
+                    "thumbnail": thumbs,
+                }
             )
-        for pdf in batches:  # pragma: no cover - real-codec path
-            yield pdf
 
     return (
         df.where(F.col("modality") == "image")
-        .select("asset_id", "payload")
+        .select("asset_id", "payload", "width", "height")
         .mapInPandas(run, schema=THUMBNAIL_SCHEMA)
     )
 

@@ -173,9 +173,10 @@ KPIS = T.StructType(
 )
 
 # ---------------------------------------------------------------------------
-# Multimodal: opaque binary payload + typed metadata (engine extension;
-# the container has no image/audio codecs, so decode is stubbed — the
-# Spark-side schema/partitioning/UDF plumbing is real. SURVEY.md §2.B.)
+# Multimodal: opaque binary payload + typed metadata (engine extension,
+# SURVEY.md §2.B).  Raw-RGB decode/resize are real numpy kernels (no
+# codec needed); compressed-format kernels are digest surrogates behind
+# the codec seam (operators/multimodal.py).
 # ---------------------------------------------------------------------------
 
 MEDIA_ASSETS = T.StructType(
