@@ -2193,6 +2193,45 @@ def q_media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter tokens (freq · 200 > N) via the two-pass
+    Misra-Gries plan: bounded k=255 summaries per partition → merge →
+    exact-count candidates only (operators/sketches.py
+    heavy_hitters_exact).  The sketch guarantees candidate capture, the
+    second pass restores exactness — so a bounded-memory plan
+    hash-matches a plain GROUP BY … HAVING oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize("text")).alias("token"))
+    return sketches.heavy_hitters_exact(toks, "token", denom=200, k=255)
+
+
+def q_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming foreachBatch idempotent sink roundtrip: drain the
+    documents parquet as an availableNow stream into per-batch_id
+    directories (replay-safe via the _SUCCESS marker), then REPLAY
+    batch 0 by hand — if the skip-if-committed guard failed, rows would
+    double and the oracle (a plain batch aggregate) would mismatch."""
+    import tempfile
+
+    from youtube_podcast_data_pipeline_azure_spark.streaming import sinks
+
+    out = tempfile.mkdtemp(prefix="spark_graft_fbsink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_fbckpt_")
+    src = tempfile.mkdtemp(prefix="spark_graft_fbsrc_")
+    docs = _t(spark, sf_dir, "documents")
+    # stage as a 4-file directory: the file stream delivers one file per
+    # trigger, so the sink sees 4 distinct micro-batches
+    docs.repartition(4, "doc_id").write.mode("overwrite").parquet(src)
+    sinks.run_parquet_stream_to_sink(spark, src, docs.schema, out, ckpt)
+    # simulate the failure-replay path: re-deliver batch 0 in full
+    sinks.idempotent_batch_writer(out)(docs, 0)
+    back = spark.read.parquet(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def q_purchase_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER time-bounded self-join, batch mode:
     purchases with no same-user view in the preceding 30 minutes emit
@@ -2315,6 +2354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "purchase_attribution_outer": q_purchase_attribution_outer,
         "media_thumbnails": q_media_thumbnails,
+        "mg_heavy_hitters": q_mg_heavy_hitters,
+        "foreach_batch_sink": q_foreach_batch_sink,
         "volume_shipping": q_volume_shipping,
         "small_quantity_revenue": q_small_quantity_revenue,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -3670,6 +3711,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 5 AND c.vec_id >= 5)
             WHERE rank <= 10
+        """,
+        "mg_heavy_hitters": f"""
+            WITH toks AS (
+                SELECT unnest({tokens}) AS token FROM documents),
+            tot AS (SELECT count(*) AS total FROM toks)
+            SELECT token, cast(count(*) AS bigint) AS n
+            FROM toks, tot
+            GROUP BY token, tot.total
+            HAVING count(*) * 200 > tot.total
+        """,
+        "foreach_batch_sink": """
+            SELECT lang,
+                   cast(count(*) AS bigint) AS n_docs,
+                   cast(sum(n_chars) AS bigint) AS total_chars
+            FROM documents
+            GROUP BY lang
         """,
         "media_thumbnails": """
             WITH p AS (

@@ -74,3 +74,77 @@ def test_md5_int56_matches_python_and_is_nonnegative(spark):
         assert v == int.from_bytes(
             hashlib.md5(s.encode()).digest()[:7], "little"
         )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries two-pass exact heavy hitters
+# ---------------------------------------------------------------------------
+
+from youtube_podcast_data_pipeline_azure_spark.operators.sketches import (  # noqa: E402
+    heavy_hitters_exact,
+    mg_partition_summaries,
+)
+
+
+def _skewed(spark, n_parts=7):
+    """200 distinct items, three of them heavy, adversarially shuffled
+    across partitions (hash repartition ≈ random placement)."""
+    rows = (
+        [("alpha",)] * 400
+        + [("beta",)] * 150
+        + [("gamma",)] * 90
+        + [("cold%d" % i,) for i in range(200) for _ in range(2)]
+    )
+    return spark.createDataFrame(rows, "item string").repartition(n_parts, "item")
+
+
+def test_mg_summaries_are_bounded_per_partition(spark):
+    items = _skewed(spark)
+    k = 16
+    summ = mg_partition_summaries(items, "item", k=k)
+    # global bound: <= k rows per input partition
+    assert summ.count() <= k * items.rdd.getNumPartitions()
+    # every summary count positive and never above the true count
+    exact = {
+        r.item: r.n
+        for r in items.groupBy("item").agg(F.count("*").alias("n")).collect()
+    }
+    for r in summ.groupBy("item").agg(F.sum("mg_count").alias("c")).collect():
+        assert 0 < r.c <= exact[r.item]
+
+
+def test_heavy_hitters_exact_equals_group_by_having(spark):
+    """The whole point: a bounded-memory sketch plan whose OUTPUT is
+    bit-identical to the naive full GROUP BY ... HAVING."""
+    items = _skewed(spark)
+    denom = 8  # freq > N/8
+    got = {
+        (r.item, r.n)
+        for r in heavy_hitters_exact(items, "item", denom=denom, k=31).collect()
+    }
+    total = items.count()
+    want = {
+        (r.item, r.n)
+        for r in items.groupBy("item")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") * denom > F.lit(total))
+        .collect()
+    }
+    assert got == want and len(want) >= 2  # alpha, beta at least
+
+
+def test_heavy_hitters_rejects_insufficient_k(spark):
+    import pytest as _pytest
+
+    items = _skewed(spark)
+    with _pytest.raises(ValueError):
+        heavy_hitters_exact(items, "item", denom=100, k=16)
+
+
+def test_heavy_hitters_exact_on_long_items(spark):
+    """Item column type is preserved (long in, long out)."""
+    rows = [(i % 5,) for i in range(500)] + [(99,)] * 300
+    items = spark.createDataFrame(rows, "item long").repartition(5)
+    got = heavy_hitters_exact(items, "item", denom=4, k=15).collect()
+    assert {(r.item, r.n) for r in got} == {(99, 300)}
+    assert dict(got[0].asDict())["item"] == 99

@@ -262,3 +262,44 @@ def test_stream_stream_left_outer_join_parity(spark, events_dir):
     # must be true batch nulls (no false unattributed rows)
     assert batch_inner <= got
     assert got <= batch_pairs
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch idempotent sink
+# ---------------------------------------------------------------------------
+
+
+def test_foreach_batch_sink_is_replay_safe(spark, tmp_path):
+    """Each micro-batch lands once; replaying a committed batch_id is a
+    no-op; an uncommitted (partial) batch IS rewritten."""
+    from youtube_podcast_data_pipeline_azure_spark.streaming import sinks
+
+    docs = spark.range(100).selectExpr("id", "id % 3 AS grp")
+    src = str(tmp_path / "src")
+    docs.repartition(3, "id").write.parquet(src)
+    out = str(tmp_path / "out")
+    sinks.run_parquet_stream_to_sink(
+        spark, src, docs.schema, out, str(tmp_path / "ckpt")
+    )
+    assert spark.read.parquet(out).count() == 100
+
+    # replay every batch with the FULL dataframe: all committed -> no-op
+    writer = sinks.idempotent_batch_writer(out)
+    for b in range(3):
+        writer(docs, b)
+    assert spark.read.parquet(out).count() == 100
+
+    # simulate a torn write: remove batch 1's _SUCCESS marker -> replay
+    # must rewrite exactly that batch
+    import os
+
+    os.remove(f"{out}/batch_id=1/_SUCCESS")
+    writer(docs.limit(10), 1)
+    back = spark.read.parquet(out)
+    per_batch = {
+        r.batch_id: r.n
+        for r in back.groupBy("batch_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_batch[1] == 10 and sum(per_batch.values()) < 110

@@ -110,3 +110,97 @@ def cms_lookup(
         .groupBy(F.col("_item").alias(item_col))
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_n"))
     )
+
+
+def mg_partition_summaries(
+    items: DataFrame, item_col: str, k: int = 255
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries: ≤ k (item, mg_count) rows
+    per input partition, regardless of partition cardinality.
+
+    Each Arrow batch is exact-counted vectorized (``value_counts``),
+    then MG-merged into the running summary: when the summary exceeds k
+    entries, subtract the (k+1)-th largest count from every entry and
+    drop the non-positives (the mergeable-summaries formulation of MG,
+    Agarwal et al., PODS 2012).  Guarantee per partition of n_p rows:
+    every item's summary count is within [true - n_p/(k+1), true], and
+    items absent from the summary have true count ≤ n_p/(k+1).
+
+    This is THE bounded-memory first pass for heavy hitters at 100 TB:
+    state is O(k) per partition and the shuffle that merges summaries
+    carries ≤ k rows per partition instead of one row per distinct item.
+    """
+    item_type = items.schema[item_col].dataType.simpleString()
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for item, c in pdf[item_col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    i: c - cut for i, c in counters.items() if c > cut
+                }
+        if counters:
+            yield pd.DataFrame(
+                {"item": list(counters), "mg_count": list(counters.values())}
+            )
+
+    return items.select(item_col).mapInPandas(
+        run, schema=f"item {item_type}, mg_count long"
+    )
+
+
+def heavy_hitters_exact(
+    items: DataFrame, item_col: str, denom: int = 100, k: int = 255
+) -> DataFrame:
+    """EXACT heavy hitters (items with count · denom > N) via the
+    classic two-pass sketch plan: bounded Misra-Gries summaries per
+    partition → merge → exact-count only the candidates.
+
+    Pass 1 never holds more than k counters per partition; merged
+    estimates undercount by at most N/(k+1), so with k+1 ≥ denom the
+    candidate set provably contains every true heavy hitter.  Pass 2
+    exact-counts just the candidates (a broadcast semi-join — the
+    candidate set is ≤ k·partitions rows, in practice ≪ that) and
+    applies the exact threshold.  All thresholds are integer
+    arithmetic (count·denom vs N·…), so the output is bit-identical to
+    a full GROUP BY … HAVING on any engine — which is what makes a
+    *sketch-shaped plan* oracle-checkable.
+
+    Returns (item_col, n) with n the exact count, only rows where
+    n · denom > N.
+    """
+    if (k + 1) < denom:
+        raise ValueError(
+            f"k+1={k + 1} must be >= denom={denom} for the MG capture "
+            "guarantee (merged undercount N/(k+1) must not exceed the "
+            "threshold N/denom)"
+        )
+    src = items.select(F.col(item_col))
+    summaries = mg_partition_summaries(src, item_col, k=k)
+    merged = summaries.groupBy("item").agg(F.sum("mg_count").alias("mg_est"))
+    total = src.agg(F.count(F.lit(1)).alias("_N"))
+    # capture filter: mg_est > N/denom - N/(k+1), cross-multiplied into
+    # pure int64 (k, denom are small; N·(k+1-denom) stays < 2^63).
+    cand = (
+        merged.crossJoin(F.broadcast(total))
+        .where(
+            F.col("mg_est") * denom * (k + 1)
+            > F.col("_N") * (k + 1 - denom)
+        )
+        .select(F.col("item").alias(item_col))
+    )
+    exact = (
+        src.join(F.broadcast(cand), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("n") * denom > F.col("_N"))
+        .select(item_col, "n")
+    )

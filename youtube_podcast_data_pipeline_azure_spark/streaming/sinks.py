@@ -1,0 +1,86 @@
+"""Streaming sinks: foreachBatch with idempotent, exactly-once writes.
+
+Structured Streaming's file sinks are append-only; production pipelines
+that need overwrite/merge semantics per micro-batch use ``foreachBatch``
+— and then must make the batch function IDEMPOTENT, because after a
+failure Spark replays the last uncommitted batch with the SAME
+``batch_id``.  (The reference's analog is its per-partition overwrite:
+``upload_blob(..., overwrite=True)`` keyed by ingest_date, reference
+function_app.py:22-29 — re-running a day replaces that day, never
+duplicates it.)
+
+The engine's contract: each micro-batch lands in its own
+``batch_id=N`` directory, and a batch directory that already contains
+Spark's ``_SUCCESS`` marker is a committed batch — replays skip it.
+That makes the sink exactly-once end-to-end under the standard
+replay-after-failure model without any external transaction log.
+
+Scale notes: the idempotence check is one filesystem ``exists`` per
+micro-batch (driver-side, O(1)); the write itself is a normal
+distributed parquet write.  At 100 TB the same pattern holds on object
+stores — ``_SUCCESS`` is written last by the Hadoop committer, so a
+partially-written batch (no marker) is correctly rewritten on replay.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _hadoop_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def idempotent_batch_writer(
+    out_path: str, partition_by: list[str] | None = None
+) -> Callable[[DataFrame, int], None]:
+    """Build a ``foreachBatch`` function writing each micro-batch to
+    ``<out_path>/batch_id=<id>`` with replay-safe skip-if-committed.
+
+    Returns a callable ``(batch_df, batch_id) -> None`` suitable for
+    ``writeStream.foreachBatch(...)`` and directly invokable in tests
+    to simulate a replay.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        target = f"{out_path.rstrip('/')}/batch_id={batch_id}"
+        if _hadoop_exists(spark, f"{target}/_SUCCESS"):
+            return  # committed by a previous attempt — replay is a no-op
+        writer = batch_df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target)
+
+    return write
+
+
+def run_parquet_stream_to_sink(
+    spark: SparkSession,
+    src_path: str,
+    schema,
+    out_path: str,
+    checkpoint_path: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain a finite parquet-directory stream through the idempotent
+    foreachBatch sink with ``availableNow`` (process everything that
+    exists, then stop) — the batch-backfill mode of a production
+    streaming job."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_path)
+    )
+    q = (
+        stream.writeStream.foreachBatch(idempotent_batch_writer(out_path))
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
