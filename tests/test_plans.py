@@ -137,3 +137,42 @@ def test_cms_sketch_partial_agg_and_broadcast_probe(spark, sf_dir):
     assert "partial_count" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_runtime_bloom_filter_injects_on_shuffled_join(spark, sf_dir):
+    """At cluster scale a selective dim filter becomes a runtime Bloom
+    filter on the fact side (row-group pruning before the shuffle).
+    Local fixture sizes sit below the injection thresholds, so this pin
+    lowers them scoped to the test — what it verifies is that the
+    engine's join SHAPE is eligible: Catalyst injects
+    bloom_filter_agg/BloomFilterMightContain on the lineitem scan."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+        from pyspark.sql import functions as F
+
+        li = load_table(spark, sf_dir, "lineitem")
+        od = load_table(spark, sf_dir, "orders").where(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "BloomFilterMightContain" in plan or "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
