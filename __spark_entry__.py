@@ -2232,6 +2232,17 @@ def q_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable t-digest quantiles over lineitem prices (rows-only:
+    approximate sketch, no exact oracle).  Bounded ≤~2·compression
+    centroids per partition map-side; final merge moves only KBs
+    (operators/sketches.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return sketches.tdigest_quantiles(
+        li, "l_extendedprice", [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+
+
 def q_purchase_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER time-bounded self-join, batch mode:
     purchases with no same-user view in the preceding 30 minutes emit
@@ -2421,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_clusters": q_embedding_clusters,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
+        "tdigest_quantiles": q_tdigest_quantiles,
         "embedding_near_dup": q_embedding_near_dup,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,

@@ -20,6 +20,8 @@ RISKY = [
     "quality_scores",        # ratio arithmetic
     "knn_bruteforce",        # cosine division
     "math_functions",        # mod / sqrt / floor
+    "mg_heavy_hitters",      # cross-multiplied integer thresholds
+    "media_thumbnails",      # unhex/hex digest slicing
 ]
 
 

@@ -112,6 +112,128 @@ def cms_lookup(
     )
 
 
+def _tdigest_compress(means, weights, compression: int):
+    """Dunning's merging t-digest compression: sorted centroids are
+    greedily merged while the k1 scale function allows — clusters near
+    the median may hold many points, clusters at the tails stay near
+    singletons, which is what gives t-digest its accurate extreme
+    quantiles.  Pure numpy, deterministic."""
+    import numpy as np
+
+    order = np.argsort(means, kind="stable")
+    means, weights = np.asarray(means, float)[order], np.asarray(
+        weights, float
+    )[order]
+    total = weights.sum()
+
+    def k1(q):
+        return (compression / (2 * np.pi)) * np.arcsin(
+            np.clip(2 * q - 1, -1.0, 1.0)
+        )
+
+    out_m, out_w = [], []
+    acc_m, acc_w, w_before = means[0] * weights[0], weights[0], 0.0
+    for m, w in zip(means[1:], weights[1:]):
+        q_left = w_before / total
+        q_right = (w_before + acc_w + w) / total
+        if k1(q_right) - k1(q_left) <= 1.0:
+            acc_m += m * w
+            acc_w += w
+        else:
+            out_m.append(acc_m / acc_w)
+            out_w.append(acc_w)
+            w_before += acc_w
+            acc_m, acc_w = m * w, w
+    out_m.append(acc_m / acc_w)
+    out_w.append(acc_w)
+    return out_m, out_w
+
+
+def tdigest_partition_digests(
+    values: DataFrame, value_col: str, compression: int = 100
+) -> DataFrame:
+    """Pass 1 of distributed t-digest: each partition compresses its
+    values into ≤ ~2·compression (mean, weight) centroids via
+    ``mapInPandas`` — bounded state per partition, like every sketch in
+    this module.  Returns rows (mean double, weight double)."""
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        import pandas as pd
+
+        means = np.empty(0)
+        weights = np.empty(0)
+        for pdf in batches:
+            v = pdf[value_col].to_numpy(dtype=float)
+            v = v[~np.isnan(v)]
+            if not len(v):
+                continue
+            m, w = _tdigest_compress(
+                np.concatenate([means, v]),
+                np.concatenate([weights, np.ones(len(v))]),
+                compression,
+            )
+            means, weights = np.asarray(m), np.asarray(w)
+        if len(means):
+            yield pd.DataFrame({"mean": means, "weight": weights})
+
+    return values.select(value_col).mapInPandas(
+        run, schema="mean double, weight double"
+    )
+
+
+def tdigest_quantiles(
+    values: DataFrame,
+    value_col: str,
+    probs: list[float],
+    compression: int = 100,
+) -> DataFrame:
+    """Mergeable approximate quantiles: per-partition t-digests →
+    one final merge over the (tiny, bounded) centroid set → interpolate.
+
+    The merge input is ≤ ~2·compression·partitions rows of two doubles —
+    a few KB even with thousands of partitions — so the single-group
+    final aggregation is NOT a scale hazard; the data-sized work all
+    happened map-side in pass 1.  Rank error concentrates near the
+    tails' q(1-q) bound (Dunning & Ertl 2019); rows-only (no exact
+    oracle possible for an approximate sketch).
+
+    Returns (p double, quantile double), one row per requested prob.
+    """
+
+    digests = tdigest_partition_digests(values, value_col, compression)
+
+    def merge(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        import pandas as pd
+
+        all_m, all_w = [], []
+        for pdf in batches:
+            all_m.append(pdf["mean"].to_numpy(float))
+            all_w.append(pdf["weight"].to_numpy(float))
+        if not all_m:
+            return
+        m, w = _tdigest_compress(
+            np.concatenate(all_m), np.concatenate(all_w), compression
+        )
+        m, w = np.asarray(m), np.asarray(w)
+        total = w.sum()
+        # centroid midpoints in cumulative-rank space
+        cum = np.cumsum(w) - w / 2.0
+        qs = []
+        for p in probs:
+            target = p * total
+            qs.append(float(np.interp(target, cum, m)))
+        yield pd.DataFrame({"p": [float(p) for p in probs], "quantile": qs})
+
+    # repartition(1), not coalesce(1): coalesce would fuse upstream and
+    # run pass 1 single-partition; the explicit shuffle keeps pass 1
+    # parallel and only moves the bounded centroid set (KBs).
+    return digests.repartition(1).mapInPandas(
+        merge, schema="p double, quantile double"
+    )
+
+
 def mg_partition_summaries(
     items: DataFrame, item_col: str, k: int = 255
 ) -> DataFrame:
