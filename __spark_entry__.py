@@ -58,6 +58,7 @@ from youtube_podcast_data_pipeline_azure_spark.operators import (
     joins,
     medallion,
     multimodal,
+    quality,
     sampling,
     similarity,
     sketches,
@@ -2232,6 +2233,43 @@ def q_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over events, evaluated in
+    ONE scan (operators/quality.py): every row-local check compiles to
+    a conditional count inside a single aggregate — no UDFs, no extra
+    jobs.  pass_bp is integer basis points (div), bit-exact on any
+    engine."""
+    ev = _t(spark, sf_dir, "events")
+    exps = [
+        quality.not_null("user_id"),
+        quality.not_null("props"),
+        quality.in_range("value", 0, 500),
+        quality.in_set(
+            "event_type", ["view", "click", "purchase", "like", "share"]
+        ),
+        quality.satisfies(
+            "event_id_positive", F.col("event_id") > 0
+        ),
+    ]
+    return quality.expectation_report(ev, exps)
+
+
+def q_dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity check: event user_ids with no
+    good-standing customer row (c_acctbal >= 0) — keys-only anti-join,
+    broadcast-able parent side, non-empty violation set."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") >= 0)
+    return quality.referential_violations(ev, "user_id", cust, "c_custkey")
+
+
+def q_dq_unique_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniqueness check demo on a non-key: customers with multiple
+    orders (grouped keys-only scan)."""
+    orders = _t(spark, sf_dir, "orders")
+    return quality.unique_violations(orders, ["o_custkey"])
+
+
 def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable t-digest quantiles over lineitem prices (rows-only:
     approximate sketch, no exact oracle).  Bounded ≤~2·compression
@@ -2367,6 +2405,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_thumbnails": q_media_thumbnails,
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "foreach_batch_sink": q_foreach_batch_sink,
+        "dq_report": q_dq_report,
+        "dq_referential_orphans": q_dq_referential_orphans,
+        "dq_unique_violations": q_dq_unique_violations,
         "volume_shipping": q_volume_shipping,
         "small_quantity_revenue": q_small_quantity_revenue,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -3723,6 +3764,52 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 5 AND c.vec_id >= 5)
             WHERE rank <= 10
+        """,
+        "dq_report": """
+            WITH n AS (SELECT count(*) AS n_rows FROM events),
+            f AS (
+                SELECT 'not_null[user_id]' AS expectation,
+                       count(*) FILTER (WHERE NOT
+                           coalesce(user_id IS NOT NULL, false)) AS n_failed
+                FROM events
+                UNION ALL
+                SELECT 'not_null[props]',
+                       count(*) FILTER (WHERE NOT
+                           coalesce(props IS NOT NULL, false))
+                FROM events
+                UNION ALL
+                SELECT 'in_range[value]',
+                       count(*) FILTER (WHERE NOT
+                           coalesce(value BETWEEN 0 AND 500, false))
+                FROM events
+                UNION ALL
+                SELECT 'in_set[event_type]',
+                       count(*) FILTER (WHERE NOT coalesce(event_type IN
+                           ('view','click','purchase','like','share'), false))
+                FROM events
+                UNION ALL
+                SELECT 'event_id_positive',
+                       count(*) FILTER (WHERE NOT
+                           coalesce(event_id > 0, false))
+                FROM events)
+            SELECT f.expectation,
+                   cast(n.n_rows AS bigint) AS n_rows,
+                   cast(f.n_failed AS bigint) AS n_failed,
+                   cast((n.n_rows - f.n_failed) * 10000 // n.n_rows
+                        AS bigint) AS pass_bp
+            FROM f, n
+        """,
+        "dq_referential_orphans": """
+            SELECT user_id, cast(count(*) AS bigint) AS n_orphans
+            FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = e.user_id
+                                AND c.c_acctbal >= 0)
+            GROUP BY user_id
+        """,
+        "dq_unique_violations": """
+            SELECT o_custkey, cast(count(*) AS bigint) AS n_dupes
+            FROM orders GROUP BY o_custkey HAVING count(*) > 1
         """,
         "mg_heavy_hitters": f"""
             WITH toks AS (

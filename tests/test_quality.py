@@ -1,0 +1,72 @@
+"""Data-quality expectations: single-scan compilation, correct counts,
+row split with reasons, key checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from youtube_podcast_data_pipeline_azure_spark.operators import quality as Q
+
+
+def _df(spark):
+    rows = [
+        (1, "a", 10.0),
+        (2, "b", -5.0),
+        (3, None, 50.0),
+        (4, "c", 200.0),
+        (4, "a", None),
+    ]
+    return spark.createDataFrame(rows, "id long, cat string, v double")
+
+
+def test_report_counts_each_expectation(spark):
+    exps = [
+        Q.not_null("cat"),
+        Q.in_range("v", 0, 100),
+        Q.in_set("cat", ["a", "b"]),
+        Q.satisfies("id_positive", F.col("id") > 0),
+    ]
+    rep = {
+        r.expectation: r for r in Q.expectation_report(_df(spark), exps).collect()
+    }
+    assert all(r.n_rows == 5 for r in rep.values())
+    assert rep["not_null[cat]"].n_failed == 1
+    assert rep["in_range[v]"].n_failed == 3  # -5, 200, and null fail
+    assert rep["in_set[cat]"].n_failed == 2  # 'c' and null
+    assert rep["id_positive"].n_failed == 0
+    assert rep["id_positive"].pass_bp == 10000
+    assert rep["not_null[cat]"].pass_bp == 8000
+
+
+def test_report_is_single_scan_no_join(spark):
+    exps = [Q.not_null("cat"), Q.in_range("v", 0, 100)]
+    plan = (
+        Q.expectation_report(_df(spark), exps)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    # one global aggregate -> exactly one exchange (the single-row agg)
+    assert plan.count("Exchange") == 1
+
+
+def test_split_partitions_rows_and_names_reasons(spark):
+    exps = [Q.not_null("cat"), Q.in_range("v", 0, 100)]
+    passing, failing = Q.split_by_expectations(_df(spark), exps)
+    assert passing.count() + failing.count() == 5
+    reasons = {
+        r.id: sorted(r.failed_expectations) for r in failing.collect()
+    }
+    assert reasons[2] == ["in_range[v]"]
+    assert reasons[3] == ["not_null[cat]"]
+    assert 1 not in reasons
+
+
+def test_unique_violations(spark):
+    v = Q.unique_violations(_df(spark), ["id"]).collect()
+    assert [(r.id, r.n_dupes) for r in v] == [(4, 2)]
+
+
+def test_referential_violations(spark):
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    orphans = Q.referential_violations(_df(spark), "id", parent, "k").collect()
+    assert {(r.id, r.n_orphans) for r in orphans} == {(4, 2)}
