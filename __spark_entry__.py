@@ -2233,6 +2233,23 @@ def q_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real raw-PCM audio kernel: 32-byte payloads (two md5 digests of
+    the doc text) decoded as 16 s16le samples; n_samples / sum of
+    squares / peak / duration are all-integer, so the kernel is
+    oracle-checked bit-for-bit (DuckDB rebuilds the int16 values from
+    the hex digits)."""
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("audio").alias("modality"),
+        F.unhex(
+            F.concat(F.md5("text"), F.md5(F.concat(F.col("text"), F.lit("a"))))
+        ).alias("payload"),
+    )
+    return multimodal.audio_stats(assets, sample_rate=16000)
+
+
 def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality expectations over events, evaluated in
     ONE scan (operators/quality.py): every row-local check compiles to
@@ -2405,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_thumbnails": q_media_thumbnails,
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "foreach_batch_sink": q_foreach_batch_sink,
+        "media_audio_stats": q_media_audio_stats,
         "dq_report": q_dq_report,
         "dq_referential_orphans": q_dq_referential_orphans,
         "dq_unique_violations": q_dq_unique_violations,
@@ -3764,6 +3782,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 5 AND c.vec_id >= 5)
             WHERE rank <= 10
+        """,
+        "media_audio_stats": """
+            WITH p AS (
+                SELECT doc_id, md5(text) || md5(text || 'a') AS hx
+                FROM documents),
+            s AS (
+                SELECT doc_id,
+                       [CASE WHEN u >= 32768 THEN u - 65536 ELSE u END
+                        FOR u IN [
+                            (strpos('0123456789abcdef',
+                                    substr(hx, 4*i + 1, 1)) - 1) * 16
+                          + (strpos('0123456789abcdef',
+                                    substr(hx, 4*i + 2, 1)) - 1)
+                          + 256 * ((strpos('0123456789abcdef',
+                                    substr(hx, 4*i + 3, 1)) - 1) * 16
+                          + (strpos('0123456789abcdef',
+                                    substr(hx, 4*i + 4, 1)) - 1))
+                            FOR i IN generate_series(0, 15)]] AS v
+                FROM p)
+            SELECT doc_id AS asset_id,
+                   cast(16 AS bigint) AS n_samples,
+                   cast(list_sum(list_transform(v, x -> x * x))
+                        AS bigint) AS sum_sq,
+                   cast(list_max(list_transform(v, x -> abs(x)))
+                        AS bigint) AS peak,
+                   cast(1 AS bigint) AS duration_ms
+            FROM s
         """,
         "dq_report": """
             WITH n AS (SELECT count(*) AS n_rows FROM events),

@@ -68,3 +68,33 @@ def test_resize_skips_undecodable_payloads(assets):
     # assets 1 and 4 are images; neither payload is a valid raw array
     assert set(out) == {1, 4}
     assert out[1].thumbnail is None and out[4].thumbnail is None
+
+
+def test_audio_stats_pcm_kernel_exact(spark):
+    """Known s16le samples → exact integer stats."""
+    import numpy as np
+
+    samples = np.array([0, 1000, -32768, 32767, -1, 5], dtype="<i2")
+    rows = [
+        (7, "audio", "audio/pcm-s16le", samples.tobytes(), None, None, None,
+         "2026-01-01"),
+        (8, "audio", "audio/mpeg", b"\x00\x01\x02", None, None, None,
+         "2026-01-01"),  # odd byte count -> undecodable (compressed seam)
+    ]
+    assets = spark.createDataFrame(rows, schemas.MEDIA_ASSETS)
+    out = {r.asset_id: r for r in multimodal.audio_stats(
+        assets, sample_rate=6000).collect()}
+    good = out[7]
+    assert good.n_samples == 6
+    assert good.sum_sq == sum(int(s) ** 2 for s in samples)
+    assert good.peak == 32768
+    assert good.duration_ms == 1  # 6 samples at 6 kHz = 1 ms
+    bad = out[8]
+    assert bad.n_samples is None and bad.sum_sq is None
+
+
+def test_audio_stats_filters_to_audio_modality(assets):
+    out = multimodal.audio_stats(assets).collect()
+    ids = {r.asset_id for r in out}
+    # fixture assets: only asset 2 is audio
+    assert ids == {2}

@@ -131,6 +131,68 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame
     )
 
 
+AUDIO_STATS_SCHEMA = (
+    "asset_id long, n_samples long, sum_sq long, peak long, duration_ms long"
+)
+
+
+def decode_pcm_s16le(payload: bytes | None):
+    """Decode RAW signed-16-bit little-endian PCM to an int array —
+    like raw RGB, uncompressed audio needs no codec: the bytes ARE the
+    samples.  Returns None for undecodable payloads (odd byte count or
+    missing) — the seam where a real WAV/MP3 decoder would slot in."""
+    import numpy as np
+
+    if payload is None or len(payload) % 2 != 0 or len(payload) == 0:
+        return None
+    return np.frombuffer(payload, dtype="<i2").astype(np.int64)
+
+
+def audio_stats(df: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """Real audio feature kernel over raw PCM: per asset emit
+    (n_samples, sum of squared samples, peak absolute amplitude,
+    duration).  All-integer outputs, so the kernel is bit-exact and
+    oracle-checkable (``media_audio_stats``); loudness/RMS is
+    ``sqrt(sum_sq / n_samples)`` downstream if a float is wanted.
+
+    Vectorized numpy inside ``mapInPandas`` Arrow batches; undecodable
+    payloads (compressed formats) yield null stats rather than failing
+    the job.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_s, ssq, peak, dur = [], [], [], []
+            for p in pdf["payload"]:
+                x = decode_pcm_s16le(p)
+                if x is None:
+                    n_s.append(None)
+                    ssq.append(None)
+                    peak.append(None)
+                    dur.append(None)
+                    continue
+                n_s.append(len(x))
+                ssq.append(int(np.dot(x, x)))
+                peak.append(int(np.abs(x).max()))
+                dur.append(len(x) * 1000 // sample_rate)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_samples": pd.array(n_s, dtype="Int64"),
+                    "sum_sq": pd.array(ssq, dtype="Int64"),
+                    "peak": pd.array(peak, dtype="Int64"),
+                    "duration_ms": pd.array(dur, dtype="Int64"),
+                }
+            )
+
+    return (
+        df.where(F.col("modality") == "audio")
+        .select("asset_id", "payload")
+        .mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
+    )
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Sample video frames every ``every_ms``.  Deterministic fake: emits
     one stub 'frame' (payload digest) per sampled timestamp based on the
