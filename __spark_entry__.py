@@ -2233,6 +2233,43 @@ def q_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table content fingerprint (migration/replica
+    validation without moving rows): one scan, map-side partial agg,
+    single-row result (operators/quality.py:table_fingerprint).  XOR of
+    cross-engine md5-int56 row hashes + low-bit sum as multiplicity
+    witness; hash-matches the DuckDB twin computed over the same
+    canonical serialization."""
+    orders = _t(spark, sf_dir, "orders")
+    return quality.table_fingerprint(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"]
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff of two table versions (CDC-style
+    added/removed/changed) comparing fingerprints, not full rows — the
+    join ships keys + one long per side.  The 'new' version is derived
+    deterministically: drop keys %97=0, bump o_custkey on %89=0, add
+    negated keys for %83=0."""
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"]
+    old = _t(spark, sf_dir, "orders").select(*cols)
+    k = F.col("o_orderkey")
+    new = (
+        old.where(k % 97 != 0)
+        .withColumn(
+            "o_custkey",
+            F.when(k % 89 == 0, F.col("o_custkey") + 1).otherwise(
+                F.col("o_custkey")
+            ),
+        )
+        .unionByName(
+            old.where(k % 83 == 0).withColumn("o_orderkey", -k)
+        )
+    )
+    return quality.snapshot_diff(old, new, ["o_orderkey"])
+
+
 def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real raw-PCM audio kernel: 32-byte payloads (two md5 digests of
     the doc text) decoded as 16 s16le samples; n_samples / sum of
@@ -2423,6 +2460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "foreach_batch_sink": q_foreach_batch_sink,
         "media_audio_stats": q_media_audio_stats,
+        "table_fingerprint": q_table_fingerprint,
+        "snapshot_diff": q_snapshot_diff,
         "dq_report": q_dq_report,
         "dq_referential_orphans": q_dq_referential_orphans,
         "dq_unique_violations": q_dq_unique_violations,
@@ -3782,6 +3821,45 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 5 AND c.vec_id >= 5)
             WHERE rank <= 10
+        """,
+        "table_fingerprint": f"""
+            WITH f AS (
+                SELECT {sketches.md5_int56_sql(
+                    "concat_ws(chr(31), "
+                    "coalesce(cast(o_orderkey AS varchar), chr(0)||'NULL'), "
+                    "coalesce(cast(o_custkey AS varchar), chr(0)||'NULL'), "
+                    "coalesce(cast(o_orderstatus AS varchar), chr(0)||'NULL'), "
+                    "coalesce(cast(o_orderdate AS varchar), chr(0)||'NULL'))"
+                )} AS fp
+                FROM orders)
+            SELECT cast(count(*) AS bigint) AS n_rows,
+                   cast(bit_xor(fp) AS bigint) AS xor_fp,
+                   cast(sum(fp % 1048576) AS bigint) AS sum_low20
+            FROM f
+        """,
+        "snapshot_diff": """
+            WITH old AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate
+                FROM orders),
+            new AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 89 = 0 THEN o_custkey + 1
+                            ELSE o_custkey END AS o_custkey,
+                       o_orderstatus, o_orderdate
+                FROM orders WHERE o_orderkey % 97 <> 0
+                UNION ALL
+                SELECT -o_orderkey, o_custkey, o_orderstatus, o_orderdate
+                FROM orders WHERE o_orderkey % 83 = 0)
+            SELECT o_orderkey, change_type FROM (
+                SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                            WHEN n.o_orderkey IS NULL THEN 'removed'
+                            WHEN o.o_custkey <> n.o_custkey
+                              OR o.o_orderstatus <> n.o_orderstatus
+                              OR o.o_orderdate <> n.o_orderdate
+                            THEN 'changed' END AS change_type
+                FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey)
+            WHERE change_type IS NOT NULL
         """,
         "media_audio_stats": """
             WITH p AS (

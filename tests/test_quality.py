@@ -70,3 +70,49 @@ def test_referential_violations(spark):
     parent = spark.createDataFrame([(1,), (2,), (3,)], "k long")
     orphans = Q.referential_violations(_df(spark), "id", parent, "k").collect()
     assert {(r.id, r.n_orphans) for r in orphans} == {(4, 2)}
+
+
+def test_table_fingerprint_order_independent_and_sensitive(spark):
+    df = _df(spark)
+    cols = ["id", "cat"]
+    a = Q.table_fingerprint(df, cols).collect()[0]
+    b = Q.table_fingerprint(df.orderBy(F.desc("v")).repartition(7), cols).collect()[0]
+    assert (a.n_rows, a.xor_fp, a.sum_low20) == (b.n_rows, b.xor_fp, b.sum_low20)
+    # any single-cell change flips the fingerprint
+    mutated = df.withColumn(
+        "cat", F.when(F.col("id") == 1, F.lit("zz")).otherwise(F.col("cat"))
+    )
+    c = Q.table_fingerprint(mutated, cols).collect()[0]
+    assert (c.xor_fp, c.sum_low20) != (a.xor_fp, a.sum_low20)
+
+
+def test_table_fingerprint_sees_duplicate_multiplicity(spark):
+    """XOR alone is blind to duplicate PAIRS; the low-bit sum witness
+    must catch them."""
+    df = spark.createDataFrame([(1, "a")], "id long, cat string")
+    doubled = df.unionAll(df).unionAll(df.withColumnRenamed("id", "id"))
+    once = Q.table_fingerprint(df, ["id", "cat"]).collect()[0]
+    thrice = Q.table_fingerprint(doubled, ["id", "cat"]).collect()[0]
+    assert once.xor_fp == thrice.xor_fp  # odd multiplicity: XOR equal
+    assert once.n_rows != thrice.n_rows
+    assert once.sum_low20 != thrice.sum_low20
+
+
+def test_snapshot_diff_classifies_all_three(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 99), (4, "d", 40)], "k long, s string, v long"
+    )
+    got = {(r.k, r.change_type) for r in Q.snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {(2, "changed"), (3, "removed"), (4, "added")}
+
+
+def test_snapshot_diff_null_values_compare_stably(spark):
+    """NULL sentinel: a null value is 'unchanged' vs null, 'changed' vs
+    a real value."""
+    old = spark.createDataFrame([(1, None), (2, None)], "k long, s string")
+    new = spark.createDataFrame([(1, None), (2, "x")], "k long, s string")
+    got = {(r.k, r.change_type) for r in Q.snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {(2, "changed")}

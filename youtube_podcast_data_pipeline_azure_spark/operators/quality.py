@@ -124,6 +124,65 @@ def unique_violations(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def row_fingerprint(cols: list[str]) -> Column:
+    """Deterministic per-row content hash: md5-int56 over the
+    canonically-serialized columns (unit separator \\x1f, NULL
+    sentinel) — cross-engine reproducible (see sketches.md5_int56)."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.sketches import md5_int56
+
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in cols
+    ]
+    return md5_int56(F.concat_ws("\x1f", *parts))
+
+
+def table_fingerprint(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-independent content fingerprint of a table slice: one row
+    (n_rows, xor_fp, sum_low20).
+
+    Used to validate migrations/replications without moving data: equal
+    fingerprints on both sides ⇒ same multiset of rows (up to hash
+    collisions).  XOR of per-row hashes is order-independent and can't
+    overflow; because identical duplicate PAIRS cancel under XOR, the
+    low-20-bit sum rides along as a multiplicity witness (≤ 2^20 per
+    row ⇒ safe in int64 past a trillion rows).  One scan, map-side
+    partial aggregation, a single-row result.
+    """
+    fp = row_fingerprint(cols)
+    return df.select(fp.alias("_fp")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(_fp)").alias("xor_fp"),
+        F.sum(F.col("_fp") % F.lit(1 << 20)).alias("sum_low20"),
+    )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Row-level diff between two table versions keyed by ``key_cols``:
+    (keys..., change_type ∈ {added, removed, changed}).
+
+    Non-key columns are compared via :func:`row_fingerprint`, so the
+    join carries keys + one long per side instead of full rows — at
+    100 TB the shuffle is keys-only, and unchanged rows (the vast
+    majority) drop before any wide materialization.
+    """
+    value_cols = [c for c in old.columns if c not in key_cols]
+    o = old.select(*key_cols, row_fingerprint(value_cols).alias("_old_fp"))
+    n = new.select(*key_cols, row_fingerprint(value_cols).alias("_new_fp"))
+    joined = o.join(n, key_cols, "full_outer")
+    return (
+        joined.withColumn(
+            "change_type",
+            F.when(F.col("_old_fp").isNull(), F.lit("added"))
+            .when(F.col("_new_fp").isNull(), F.lit("removed"))
+            .when(F.col("_old_fp") != F.col("_new_fp"), F.lit("changed")),
+        )
+        .where(F.col("change_type").isNotNull())
+        .select(*key_cols, "change_type")
+    )
+
+
 def referential_violations(
     child: DataFrame, child_key: str, parent: DataFrame, parent_key: str
 ) -> DataFrame:
