@@ -2233,6 +2233,27 @@ def q_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file maintenance: scatter customer into 32 tiny files,
+    compact to ~64 KB targets (io/writers.py:compact_files, sized from
+    real on-disk bytes), re-read and aggregate — losslessness is what
+    the oracle checks."""
+    import tempfile
+
+    from youtube_podcast_data_pipeline_azure_spark.io.writers import compact_files
+
+    small = tempfile.mkdtemp(prefix="spark_graft_small_")
+    compacted = tempfile.mkdtemp(prefix="spark_graft_compacted_")
+    cust = _t(spark, sf_dir, "customer")
+    cust.repartition(32).write.mode("overwrite").parquet(small)
+    compact_files(spark, small, compacted, target_file_bytes=64 * 1024)
+    back = spark.read.parquet(compacted)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
 def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent table content fingerprint (migration/replica
     validation without moving rows): one scan, map-side partial agg,
@@ -2462,6 +2483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_stats": q_media_audio_stats,
         "table_fingerprint": q_table_fingerprint,
         "snapshot_diff": q_snapshot_diff,
+        "compaction_roundtrip": q_compaction_roundtrip,
         "dq_report": q_dq_report,
         "dq_referential_orphans": q_dq_referential_orphans,
         "dq_unique_violations": q_dq_unique_violations,
@@ -3821,6 +3843,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 5 AND c.vec_id >= 5)
             WHERE rank <= 10
+        """,
+        "compaction_roundtrip": """
+            SELECT c_mktsegment,
+                   cast(count(*) AS bigint) AS n_customers,
+                   round(cast(sum(c_acctbal) AS double), 2) AS total_bal
+            FROM customer
+            GROUP BY c_mktsegment
         """,
         "table_fingerprint": f"""
             WITH f AS (

@@ -68,3 +68,23 @@ def test_manifest_roundtrip_beside_data(spark, tmp_path):
     # the underscore sidecar is invisible to Spark scans (same rule
     # as _SUCCESS) — the data reads back clean
     assert spark.read.parquet(out).count() == 7
+
+
+def test_compact_files_restores_target_sizes(spark, tmp_path):
+    from youtube_podcast_data_pipeline_azure_spark.io.writers import compact_files
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    # litter: 32 tiny files
+    spark.range(10_000).selectExpr(
+        "id", "cast(id % 7 as string) AS grp"
+    ).repartition(32).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*")) == 32
+    n = compact_files(spark, src, dst, target_file_bytes=64 * 1024)
+    got_files = glob.glob(f"{dst}/part-*")
+    assert len(got_files) == n < 32
+    # lossless: same multiset of rows
+    a = spark.read.parquet(src).groupBy("grp").count().collect()
+    b = spark.read.parquet(dst).groupBy("grp").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

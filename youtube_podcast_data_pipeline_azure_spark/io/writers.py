@@ -163,3 +163,38 @@ def zorder_key_sql(col_a: str, col_b: str, bits: int = 16) -> str:
         terms.append(f"((({col_a} >> {i}) & 1) << {2 * i})")
         terms.append(f"((({col_b} >> {i}) & 1) << {2 * i + 1})")
     return "(" + " | ".join(terms) + ")"
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a directory of (many, small)
+    files into ``ceil(total_bytes / target_file_bytes)`` right-sized
+    files.  Returns the output file count.
+
+    The small-file problem is endemic at scale — streaming sinks and
+    fine-grained partitioned writes each leave per-trigger/per-task
+    litter, and every downstream scan then pays one task + one
+    open-per-file.  Maintenance compaction restores ~`target_file_bytes`
+    files (default 128 MB, the classic HDFS/Parquet sweet spot).
+
+    Sizing uses the REAL on-disk byte size via Hadoop's
+    ``getContentSummary`` (works on any supported filesystem scheme),
+    not a row-count heuristic.  The rewrite is one narrow job:
+    ``repartition(n)`` round-robins rows evenly, so output files are
+    uniformly sized even when inputs were skewed.
+    """
+    import math
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.format(fmt).load(src_path)
+    df.repartition(n_files).write.mode("overwrite").format(fmt).save(dst_path)
+    return n_files
