@@ -55,6 +55,7 @@ from youtube_podcast_data_pipeline_azure_spark.operators.util import spread
 from youtube_podcast_data_pipeline_azure_spark.operators import (
     analytics,
     dedup,
+    incremental,
     joins,
     medallion,
     multimodal,
@@ -2233,6 +2234,49 @@ def q_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental daily pipeline pattern: aggregate history and the
+    'new day' separately, merge the partial summaries
+    (operators/incremental.py) — the oracle is the FULL recomputation,
+    so the check is the merge ≡ recompute equivalence that makes
+    incremental correct.  Measures stay mergeable (count/sum/min/max);
+    avg derives downstream."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("event_date", F.to_date("ts"))
+        # per-row floor-to-cents then integer sums: summation-order-proof
+        # (partials merge in a different order than a full recompute)
+        .withColumn(
+            "value_cents", F.floor(F.col("value") * 100).cast("long")
+        )
+    )
+    last_day = ev.agg(F.max("event_date").alias("d"))
+    hist = ev.join(F.broadcast(last_day), ev.event_date < F.col("d"), "left_semi")
+    new_day = ev.join(F.broadcast(last_day), ev.event_date == F.col("d"), "left_semi")
+    spec = {
+        "n": ("count", "value"),
+        "total_cents": ("sum", "value_cents"),
+        "min_value": ("min", "value"),
+        "max_value": ("max", "value"),
+    }
+    keys = ["event_type"]
+    merged = incremental.merge_summaries(
+        [
+            incremental.aggregate_batch(hist, keys, spec),
+            incremental.aggregate_batch(new_day, keys, spec),
+        ],
+        keys,
+        spec,
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        "total_cents",
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+    )
+
+
 def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file maintenance: scatter customer into 32 tiny files,
     compact to ~64 KB targets (io/writers.py:compact_files, sized from
@@ -2484,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_fingerprint": q_table_fingerprint,
         "snapshot_diff": q_snapshot_diff,
         "compaction_roundtrip": q_compaction_roundtrip,
+        "incremental_agg": q_incremental_agg,
         "dq_report": q_dq_report,
         "dq_referential_orphans": q_dq_referential_orphans,
         "dq_unique_violations": q_dq_unique_violations,
@@ -3843,6 +3888,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 5 AND c.vec_id >= 5)
             WHERE rank <= 10
+        """,
+        "incremental_agg": """
+            SELECT event_type,
+                   cast(count(*) AS bigint) AS n,
+                   cast(sum(cast(floor(value * 100) AS bigint))
+                        AS bigint) AS total_cents,
+                   round(cast(min(value) AS double), 2) AS min_value,
+                   round(cast(max(value) AS double), 2) AS max_value
+            FROM events
+            GROUP BY event_type
         """,
         "compaction_roundtrip": """
             SELECT c_mktsegment,
