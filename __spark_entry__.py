@@ -2234,6 +2234,76 @@ def q_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_incremental_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming KPI maintenance: events drained as an
+    availableNow stream; each micro-batch reduced to a mergeable
+    partial summary and landed idempotently per batch_id
+    (streaming/sinks.py:incremental_summary_sink); batch 0 replayed to
+    prove exactly-once; reader merges partials.  Oracle = full batch
+    aggregate — the merge≡recompute contract, this time across real
+    micro-batch boundaries."""
+    import tempfile
+
+    from youtube_podcast_data_pipeline_azure_spark.streaming import sinks
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("event_date", F.to_date("ts"))
+        .withColumn(
+            "value_cents", F.floor(F.col("value") * 100).cast("long")
+        )
+        .select("event_id", "event_date", "event_type", "value_cents")
+    )
+    src = tempfile.mkdtemp(prefix="spark_graft_sis_src_")
+    out = tempfile.mkdtemp(prefix="spark_graft_sis_out_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_sis_ckpt_")
+    ev.repartition(4, "event_id").write.mode("overwrite").parquet(src)
+
+    keys = ["event_date", "event_type"]
+    spec = {"n": ("count", "event_id"), "total_cents": ("sum", "value_cents")}
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            sinks.incremental_summary_sink(out, keys, spec)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # failure-replay: re-deliver the whole table as batch 0 — committed,
+    # so this must be a no-op or the oracle will catch double counts
+    sinks.incremental_summary_sink(out, keys, spec)(ev, 0)
+    return sinks.read_merged_summary(spark, out, keys, spec)
+
+
+def q_window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-family completion: dense_rank, percent_rank, cume_dist,
+    nth_value over a per-type value ordering.  Unique (value, event_id)
+    ordering makes every rank deterministic; percent_rank/cume_dist are
+    exact rationals of identical ints so the doubles hash-match
+    cross-engine.  Explicit NULLS FIRST + ROWS frame pin the
+    engine-default divergences."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_first(), F.col("event_id").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("value", 3).over(wf).alias("third_lowest"),
+    )
+
+
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental daily pipeline pattern: aggregate history and the
     'new day' separately, merge the partial summaries
@@ -2529,6 +2599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "compaction_roundtrip": q_compaction_roundtrip,
         "incremental_agg": q_incremental_agg,
+        "window_rank_stats": q_window_rank_stats,
+        "streaming_incremental_kpis": q_streaming_incremental_kpis,
         "dq_report": q_dq_report,
         "dq_referential_orphans": q_dq_referential_orphans,
         "dq_unique_violations": q_dq_unique_violations,
@@ -3888,6 +3960,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 5 AND c.vec_id >= 5)
             WHERE rank <= 10
+        """,
+        "streaming_incremental_kpis": """
+            SELECT cast(ts AS date) AS event_date,
+                   event_type,
+                   cast(count(*) AS bigint) AS n,
+                   cast(sum(cast(floor(value * 100) AS bigint))
+                        AS bigint) AS total_cents
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "window_rank_stats": """
+            SELECT event_id, event_type, value,
+                   cast(dense_rank() OVER w AS bigint) AS drank,
+                   percent_rank() OVER w AS pr,
+                   cume_dist() OVER w AS cd,
+                   nth_value(value, 3) OVER (
+                       PARTITION BY event_type
+                       ORDER BY value NULLS FIRST, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS third_lowest
+            FROM events
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY value NULLS FIRST, event_id)
         """,
         "incremental_agg": """
             SELECT event_type,

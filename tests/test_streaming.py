@@ -303,3 +303,39 @@ def test_foreach_batch_sink_is_replay_safe(spark, tmp_path):
         .collect()
     }
     assert per_batch[1] == 10 and sum(per_batch.values()) < 110
+
+
+def test_incremental_summary_sink_merges_to_full_recompute(spark, tmp_path):
+    """Partial-summary-per-batch sink + merged read ≡ one-shot batch
+    aggregate, and replaying a committed batch changes nothing."""
+    from youtube_podcast_data_pipeline_azure_spark.streaming import sinks
+
+    df = spark.range(1000).selectExpr(
+        "id", "id % 5 AS k", "id % 17 AS v"
+    )
+    src = str(tmp_path / "src")
+    df.repartition(3, "id").write.parquet(src)
+    out = str(tmp_path / "out")
+    keys, spec = ["k"], {"n": ("count", "id"), "s": ("sum", "v")}
+    q = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sinks.incremental_summary_sink(out, keys, spec))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sinks.incremental_summary_sink(out, keys, spec)(df, 1)  # replay no-op
+    got = {
+        (r.k, r.n, r.s)
+        for r in sinks.read_merged_summary(spark, out, keys, spec).collect()
+    }
+    want = {
+        (r.k, r.n, r.s)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want

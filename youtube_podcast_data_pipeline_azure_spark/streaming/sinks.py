@@ -84,3 +84,40 @@ def run_parquet_stream_to_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def incremental_summary_sink(
+    out_path: str, keys: list[str], spec: dict
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function maintaining an incrementally-aggregated
+    summary: each micro-batch is reduced to its PARTIAL summary
+    (operators/incremental.aggregate_batch) and landed in its own
+    ``batch_id`` directory via the idempotent writer.
+
+    Storing partials instead of read-modify-writing a single summary
+    keeps the sink trivially exactly-once (replays skip committed
+    batches; there is no in-place merge to double-apply).  Readers
+    merge with :func:`read_merged_summary`; a periodic compaction can
+    fold old partials into one without changing semantics, because the
+    merge is associative.
+    """
+    from youtube_podcast_data_pipeline_azure_spark.operators import incremental
+
+    write_batch = idempotent_batch_writer(out_path)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        write_batch(incremental.aggregate_batch(batch_df, keys, spec), batch_id)
+
+    return write
+
+
+def read_merged_summary(
+    spark: SparkSession, out_path: str, keys: list[str], spec: dict
+) -> DataFrame:
+    """Merge all landed partial summaries into the current totals —
+    equivalent, bit for bit, to a full recomputation over every event
+    ever streamed (the mergeable-aggregate contract)."""
+    from youtube_podcast_data_pipeline_azure_spark.operators import incremental
+
+    parts = spark.read.parquet(out_path).drop("batch_id")
+    return incremental.merge_summaries([parts], keys, spec)
