@@ -2234,6 +2234,45 @@ def q_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4): LATERAL table function expanding
+    each document into indexed sentences
+    (functions/text.py:sentence_split_udtf); oracle = DuckDB lockstep
+    unnest of the same split."""
+    from youtube_podcast_data_pipeline_azure_spark.functions.text import sentence_split_udtf
+
+    spark.udtf.register("split_sentences", sentence_split_udtf())
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("docs_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence
+        FROM docs_v d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
+def q_sql_api_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front end as a first-class entry point: temp view +
+    ``spark.sql`` text with a CTE and a window — same Catalyst plan as
+    the DataFrame API, proving both surfaces of the engine are
+    interchangeable."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        WITH ranked AS (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS rn
+            FROM orders_v)
+        SELECT o_orderpriority, cast(rn AS bigint) AS rn,
+               o_orderkey, o_totalprice
+        FROM ranked WHERE rn <= 3
+        """
+    )
+
+
 def q_streaming_incremental_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end streaming KPI maintenance: events drained as an
     availableNow stream; each micro-batch reduced to a mergeable
@@ -2601,6 +2640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg": q_incremental_agg,
         "window_rank_stats": q_window_rank_stats,
         "streaming_incremental_kpis": q_streaming_incremental_kpis,
+        "sql_api_top_orders": q_sql_api_top_orders,
+        "udtf_sentences": q_udtf_sentences,
         "dq_report": q_dq_report,
         "dq_referential_orphans": q_dq_referential_orphans,
         "dq_unique_violations": q_dq_unique_violations,
@@ -3960,6 +4001,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 5 AND c.vec_id >= 5)
             WHERE rank <= 10
+        """,
+        "udtf_sentences": """
+            WITH f AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(
+                               string_split_regex(text, '[.!?]+'),
+                               x -> trim(x)),
+                           x -> x <> '') AS sents
+                FROM documents),
+            ex AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, len(sents) - 1)) AS i,
+                       unnest(sents) AS sentence
+                FROM f)
+            SELECT doc_id, cast(i AS bigint) AS sent_idx, sentence
+            FROM ex
+        """,
+        "sql_api_top_orders": """
+            WITH ranked AS (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS rn
+                FROM orders)
+            SELECT o_orderpriority, cast(rn AS bigint) AS rn,
+                   o_orderkey, o_totalprice
+            FROM ranked WHERE rn <= 3
         """,
         "streaming_incremental_kpis": """
             SELECT cast(ts AS date) AS event_date,

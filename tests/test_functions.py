@@ -137,3 +137,23 @@ def test_approx_count_distinct_within_rsd(spark, sf_dir):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(3, 0.06 * n)
+
+
+def test_sentence_split_udtf_lateral(spark):
+    from youtube_podcast_data_pipeline_azure_spark.functions.text import sentence_split_udtf
+
+    spark.udtf.register("split_sentences_t", sentence_split_udtf())
+    spark.createDataFrame(
+        [(1, "Hello there. How are you?  Fine!"), (2, None), (3, "...")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT d.doc_id, s.sent_idx, s.sentence "
+        "FROM udtf_docs d, LATERAL split_sentences_t(d.text) s"
+    ).collect()
+    got = {(r.doc_id, r.sent_idx, r.sentence) for r in rows}
+    assert got == {
+        (1, 0, "Hello there"),
+        (1, 1, "How are you"),
+        (1, 2, "Fine"),
+    }  # null text and punctuation-only text expand to zero rows

@@ -201,3 +201,34 @@ def winnowing_fingerprints(
         lambda i: F.array_min(F.slice(hashes, i + 1, window)),
     )
     return F.array_distinct(wins)
+
+
+def sentence_split_udtf():
+    """Python UDTF (Spark 4 table-function surface): split a document
+    into indexed sentences — one input row, N output rows, usable from
+    SQL as ``..., LATERAL split_sentences(text) s`` after
+    ``spark.udtf.register``.
+
+    Semantics are deliberately engine-neutral (split on ``[.!?]+`` runs,
+    trim spaces, drop empties) so the expansion is oracle-checkable.
+    UDTFs run row-at-a-time in Python — fine for a demonstrational
+    lateral expansion; bulk text work in this engine stays in built-in
+    expressions (see :func:`tokenize`) or Arrow-batched mapInPandas.
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx: bigint, sentence: string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            i = 0
+            for raw in re.split(r"[.!?]+", text):
+                s = raw.strip(" ")
+                if s:
+                    yield i, s
+                    i += 1
+
+    return SplitSentences
