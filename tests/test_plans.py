@@ -176,3 +176,33 @@ def test_runtime_bloom_filter_injects_on_shuffled_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_mg_heavy_hitters_is_sketch_shaped(spark, sf_dir):
+    """Pass 1 bounded summaries (one MapInPandas), candidates broadcast
+    into the exact pass, no sort-merge join anywhere."""
+    plan = _plan(spark, sf_dir, "mg_heavy_hitters")
+    assert plan.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in plan  # candidate semi-join
+    assert "SortMergeJoin" not in plan
+
+
+def test_dq_report_is_single_scan_single_exchange(spark, sf_dir):
+    """All expectations fold into ONE aggregate over ONE scan: exactly
+    one exchange (the single-row global agg), partial aggregation
+    map-side, no joins."""
+    plan = _plan(spark, sf_dir, "dq_report")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") == 2  # partial + final
+
+
+def test_snapshot_diff_ships_fingerprints_not_rows(spark, sf_dir):
+    """The diff join must carry only keys + fingerprint longs — no wide
+    order columns cross the exchange."""
+    plan = _plan(spark, sf_dir, "snapshot_diff")
+    assert "_old_fp" in plan and "_new_fp" in plan
+    for wide in ("o_orderstatus", "o_orderdate", "o_custkey"):
+        assert f"Exchange hashpartitioning({wide}" not in plan
+    # value columns are consumed by the md5 projection below the join
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
