@@ -2234,6 +2234,26 @@ def q_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostic feeding the salting decision: top-20
+    heaviest event users with integer-basis-point shares
+    (operators/skew.py:key_skew_report)."""
+    ev = _t(spark, sf_dir, "events")
+    return skew.key_skew_report(ev, "user_id", top=20)
+
+
+def q_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum reproducible sampling: 20 events per event_type by
+    content-hash rank (operators/sampling.py:reservoir_per_key) — the
+    same rows on any partitioning/cluster size, hence oracle-exact."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    return sampling.reservoir_per_key(
+        ev, "event_type", "event_id", k=20, seed=11
+    )
+
+
 def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF surface (Spark 4): LATERAL table function expanding
     each document into indexed sentences
@@ -2642,6 +2662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_incremental_kpis": q_streaming_incremental_kpis,
         "sql_api_top_orders": q_sql_api_top_orders,
         "udtf_sentences": q_udtf_sentences,
+        "reservoir_per_key": q_reservoir_per_key,
+        "key_skew_report": q_key_skew_report,
         "dq_report": q_dq_report,
         "dq_referential_orphans": q_dq_referential_orphans,
         "dq_unique_violations": q_dq_unique_violations,
@@ -4001,6 +4023,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 5 AND c.vec_id >= 5)
             WHERE rank <= 10
+        """,
+        "key_skew_report": """
+            WITH counts AS (
+                SELECT user_id, cast(count(*) AS bigint) AS n
+                FROM events GROUP BY user_id),
+            tot AS (SELECT cast(sum(n) AS bigint) AS t FROM counts)
+            SELECT user_id, n,
+                   cast(n * 10000 // t AS bigint) AS share_bp
+            FROM counts, tot
+            ORDER BY n DESC, user_id ASC
+            LIMIT 20
+        """,
+        "reservoir_per_key": """
+            SELECT event_id, event_type, user_id FROM (
+                SELECT event_id, event_type, user_id,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY ((event_id + 11) * 2654435761)
+                                        % 4294967296 ASC,
+                                    event_id ASC
+                       ) AS rn
+                FROM events)
+            WHERE rn <= 20
         """,
         "udtf_sentences": """
             WITH f AS (

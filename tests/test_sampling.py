@@ -150,3 +150,20 @@ def test_weighted_sample_extremes_and_reproducibility(spark, docs):
     a = _doc_ids(weighted_sample(docs, "doc_id", w, seed=5))
     b = _doc_ids(weighted_sample(docs.repartition(5), "doc_id", w, seed=5))
     assert a == b and 0 < len(a) < docs.count()
+
+
+def test_reservoir_per_key_is_partitioning_invariant(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import reservoir_per_key
+
+    df = spark.range(1000).selectExpr("id", "id % 3 AS k")
+    a = reservoir_per_key(df, "k", "id", k=5, seed=1)
+    b = reservoir_per_key(df.repartition(13), "k", "id", k=5, seed=1)
+    sa = {(r.k, r.id) for r in a.collect()}
+    sb = {(r.k, r.id) for r in b.collect()}
+    assert sa == sb
+    # exactly k per key, and a different seed draws a different sample
+    from collections import Counter
+
+    assert Counter(k for k, _ in sa) == {0: 5, 1: 5, 2: 5}
+    c = {(r.k, r.id) for r in reservoir_per_key(df, "k", "id", 5, seed=2).collect()}
+    assert c != sa

@@ -161,3 +161,14 @@ def test_zorder_key_is_invertible_morton_interleave(spark, sf_dir):
         a = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
         b = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
         assert a == r.user_id & 0xFFFF and b == r.day_num & 0xFFFF
+
+
+def test_key_skew_report_finds_hot_key_with_share(spark, skewed):
+    from youtube_podcast_data_pipeline_azure_spark.operators.skew import key_skew_report
+
+    facts = skewed
+    rep = key_skew_report(facts, "k", top=3).collect()
+    assert rep[0].k == facts.groupBy("k").count().orderBy(
+        F.desc("count")).first().k
+    total = facts.count()
+    assert rep[0].share_bp == rep[0].n * 10000 // total

@@ -135,3 +135,29 @@ def pack_sequences(
         F.col(token_count_col).alias("n_tokens"),
         F.floor(before / F.lit(budget)).cast("long").alias("pack_id"),
     )
+
+
+def reservoir_per_key(
+    df: DataFrame, key_col: str, id_col: str, k: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic uniform k-without-replacement per key: rank rows
+    inside each key by their content hash and keep the k smallest —
+    the content-hash formulation of per-stratum reservoir sampling.
+
+    Unlike a true streaming reservoir (random, order-dependent), the
+    hash rank is a pure function of (id, seed): re-runs, retries, and
+    any partitioning draw the SAME sample, which is what a reproducible
+    training-data pipeline needs, and what makes the operator
+    oracle-checkable.  Uniformity comes from the hash's
+    pseudo-uniformity over ids.  One shuffle (the per-key rank window);
+    for keys with astronomically many rows, put a coarse
+    ``hash_bucket < t`` pre-filter in front to bound the window input.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        hash_bucket(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rsv_rank", F.row_number().over(w))
+        .where(F.col("_rsv_rank") <= k)
+        .drop("_rsv_rank")
+    )

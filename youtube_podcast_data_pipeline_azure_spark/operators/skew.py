@@ -76,3 +76,26 @@ def salted_distinct_count(
         .agg(F.count("*").alias("_n"))
     )
     return per_bucket.groupBy(key).agg(F.sum("_n").alias(out_col))
+
+
+def key_skew_report(df: DataFrame, key_col: str, top: int = 20) -> DataFrame:
+    """Hot-key diagnostic for join/agg planning: the ``top`` heaviest
+    keys with their row counts and integer-basis-point share of the
+    table — the measurement that decides whether a key needs salting
+    (:func:`salted_join`) or AQE skew handling before it burns a
+    reducer at scale.
+
+    Keys-only groupBy (map-side combined), TakeOrdered for the top
+    slice, 1-row total broadcast — nothing data-sized crosses the
+    driver.  Deterministic ties (count desc, key asc) keep it
+    oracle-checkable.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("_total"))
+    return (
+        counts.orderBy(F.col("n").desc(), F.col(key_col).asc())
+        .limit(top)
+        .crossJoin(F.broadcast(total))
+        .withColumn("share_bp", F.expr("n * 10000 div _total"))
+        .drop("_total")
+    )
