@@ -2234,6 +2234,59 @@ def q_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_fixture(spark: SparkSession, sf_dir: str):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("view_event_id"),
+            F.max("value").alias("view_value"),
+        )
+    )
+    return purchases, views
+
+
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase matched to the EARLIEST
+    same-or-later view by the same user (operators/joins.py
+    asof_join_forward — union-merge, one shuffle).  DuckDB's native
+    ASOF JOIN with <= is the oracle."""
+    purchases, views = _asof_fixture(spark, sf_dir)
+    out = joins.asof_join_forward(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_view_event_id").alias("view_event_id"),
+        F.round("asof_view_value", 2).alias("view_value"),
+    )
+
+
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of: closest view either direction per purchase,
+    microsecond-exact deltas, ties → backward.  One union + two window
+    frames — still a single shuffle (operators/joins.py
+    asof_join_nearest).  Oracle composes DuckDB's backward and forward
+    ASOF joins with the same tie rule."""
+    purchases, views = _asof_fixture(spark, sf_dir)
+    out = joins.asof_join_nearest(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_view_event_id").alias("view_event_id"),
+        F.round("asof_view_value", 2).alias("view_value"),
+    )
+
+
 def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key diagnostic feeding the salting decision: top-20
     heaviest event users with integer-basis-point shares
@@ -2664,6 +2717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_sentences": q_udtf_sentences,
         "reservoir_per_key": q_reservoir_per_key,
         "key_skew_report": q_key_skew_report,
+        "asof_join_forward": q_asof_join_forward,
+        "asof_join_nearest": q_asof_join_nearest,
         "dq_report": q_dq_report,
         "dq_referential_orphans": q_dq_referential_orphans,
         "dq_unique_violations": q_dq_unique_violations,
@@ -4023,6 +4078,56 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 5 AND c.vec_id >= 5)
             WHERE rank <= 10
+        """,
+        "asof_join_forward": """
+            WITH purchases AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'),
+            views AS (
+                SELECT user_id, ts, max(event_id) AS view_event_id,
+                       max(value) AS view_value
+                FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.view_event_id, round(r.view_value, 2) AS view_value
+            FROM purchases l
+            ASOF LEFT JOIN views r
+                ON l.user_id = r.user_id AND l.ts <= r.ts
+        """,
+        "asof_join_nearest": """
+            WITH purchases AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'),
+            views AS (
+                SELECT user_id, ts, max(event_id) AS view_event_id,
+                       max(value) AS view_value
+                FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+            b AS (
+                SELECT l.event_id, l.user_id, l.ts,
+                       r.ts AS bts, r.view_event_id AS bid,
+                       r.view_value AS bval
+                FROM purchases l
+                ASOF LEFT JOIN views r
+                    ON l.user_id = r.user_id AND l.ts >= r.ts),
+            f AS (
+                SELECT l.event_id,
+                       r.ts AS fts, r.view_event_id AS fid,
+                       r.view_value AS fval
+                FROM purchases l
+                ASOF LEFT JOIN views r
+                    ON l.user_id = r.user_id AND l.ts <= r.ts)
+            SELECT b.event_id, b.user_id, b.ts,
+                   CASE WHEN b.bts IS NULL THEN f.fid
+                        WHEN f.fts IS NULL THEN b.bid
+                        WHEN (epoch_us(f.fts) - epoch_us(b.ts))
+                           < (epoch_us(b.ts) - epoch_us(b.bts)) THEN f.fid
+                        ELSE b.bid END AS view_event_id,
+                   round(CASE WHEN b.bts IS NULL THEN f.fval
+                              WHEN f.fts IS NULL THEN b.bval
+                              WHEN (epoch_us(f.fts) - epoch_us(b.ts))
+                                 < (epoch_us(b.ts) - epoch_us(b.bts))
+                              THEN f.fval
+                              ELSE b.bval END, 2) AS view_value
+            FROM b JOIN f ON b.event_id = f.event_id
         """,
         "key_skew_report": """
             WITH counts AS (

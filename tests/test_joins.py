@@ -153,3 +153,43 @@ def test_bucketed_range_join_matches_broadcast_variant(spark):
         .collect()
     }
     assert got == expect
+
+
+def _asof_sides(spark):
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 10:05:00"),
+         (3, 2, "2024-01-01 09:00:00")],
+        "id long, k long, ts_s string",
+    ).selectExpr("id", "k", "cast(ts_s AS timestamp) AS ts")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:02:00", "a"), (1, "2024-01-01 10:05:00", "b"),
+         (2, "2024-01-01 08:00:00", "c")],
+        "k long, ts_s string, tag string",
+    ).selectExpr("k", "cast(ts_s AS timestamp) AS ts", "tag")
+    return left, right
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    left, right = _asof_sides(spark)
+    got = {r.id: r.asof_tag for r in joins.asof_join_forward(
+        left, right, on=["k"]).collect()}
+    assert got == {1: "a", 2: "b", 3: None}  # id2: simultaneous matches
+
+
+def test_asof_forward_tolerance(spark):
+    left, right = _asof_sides(spark)
+    got = {r.id: r.asof_tag for r in joins.asof_join_forward(
+        left, right, on=["k"], tolerance_seconds=60).collect()}
+    assert got == {1: None, 2: "b", 3: None}  # 'a' is 120s away
+
+
+def test_asof_nearest_prefers_closest_then_backward(spark):
+    left, right = _asof_sides(spark)
+    got = {r.id: r.asof_tag for r in joins.asof_join_nearest(
+        left, right, on=["k"]).collect()}
+    # id1: 'a' is 120s forward vs nothing backward; id2: exact 'b';
+    # id3: only backward 'c' 1h away
+    assert got == {1: "a", 2: "b", 3: "c"}
+    bounded = {r.id: r.asof_tag for r in joins.asof_join_nearest(
+        left, right, on=["k"], tolerance_seconds=300).collect()}
+    assert bounded == {1: "a", 2: "b", 3: None}

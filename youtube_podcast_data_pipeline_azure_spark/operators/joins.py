@@ -100,6 +100,133 @@ def asof_join_backward(
     )
 
 
+def _asof_union(left, right, on, left_ts, right_ts):
+    """Shared union-merge staging for the as-of family: right payload
+    packed into one struct, both sides tagged and unioned — a single
+    shuffle on the key serves every direction."""
+    r_payload = [c for c in right.columns if c not in set(on)]
+    rv = F.struct(
+        F.col(right_ts).alias(right_ts),
+        *[F.col(c) for c in r_payload if c != right_ts],
+    )
+    rt = right.select(
+        *on,
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        rv.alias("_rv"),
+    )
+    lt = left.select(
+        "*",
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(rt.schema["_rv"].dataType).alias("_rv"),
+    )
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    out_fields = [right_ts] + [c for c in r_payload if c != right_ts]
+    return lt.unionByName(rt), out_fields
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_seconds: int | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the EARLIEST right row with
+    ``right_ts >= left_ts`` per key (pandas ``merge_asof
+    (direction='forward')``): the union-merge mirror of
+    :func:`asof_join_backward` — one shuffle, no range explosion.
+    ``tolerance_seconds`` nulls matches further than the horizon.
+
+    Ordering puts left before right at equal timestamps, and the
+    FOLLOWING frame starts at the current row, so an exactly-
+    simultaneous right row matches (inclusive forward).
+    """
+    u, out_fields = _asof_union(left, right, on, left_ts, right_ts)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_t").asc(), F.col("_side").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    matched = F.first("_rv", ignorenulls=True).over(w)
+    if tolerance_seconds is not None:
+        horizon = F.unix_micros(matched.getField(right_ts)) - F.unix_micros(
+            F.col("_t")
+        )
+        matched = F.when(horizon <= tolerance_seconds * 1_000_000, matched)
+    return (
+        u.withColumn("_m", matched)
+        .where(F.col("_side") == 1)
+        .select(
+            *left.columns,
+            *[
+                F.col("_m").getField(c).alias(f"{prefix}{c}")
+                for c in out_fields
+            ],
+        )
+    )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_seconds: int | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Attach the right row CLOSEST in time per key, either direction
+    (pandas ``merge_asof(direction='nearest')``); exact ties prefer the
+    backward (earlier) match, documented and deterministic.  Both
+    directions resolve in ONE union + two frames over the same sort
+    order family — still a single shuffle on the key.
+    """
+    u, out_fields = _asof_union(left, right, on, left_ts, right_ts)
+    wb = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_t").asc(), F.col("_side").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    mb = F.last("_rv", ignorenulls=True).over(wb)
+    mf = F.first("_rv", ignorenulls=True).over(wf)
+    # microsecond-exact deltas (cast-to-long truncates to seconds and
+    # would misrank sub-second nearest picks)
+    t = F.unix_micros(F.col("_t"))
+    db = t - F.unix_micros(mb.getField(right_ts))
+    df_ = F.unix_micros(mf.getField(right_ts)) - t
+    matched = (
+        F.when(mb.isNull(), mf)
+        .when(mf.isNull(), mb)
+        .when(df_ < db, mf)
+        .otherwise(mb)  # ties -> backward
+    )
+    if tolerance_seconds is not None:
+        dist = F.abs(F.unix_micros(matched.getField(right_ts)) - t)
+        matched = F.when(dist <= tolerance_seconds * 1_000_000, matched)
+    return (
+        u.withColumn("_m", matched)
+        .where(F.col("_side") == 1)
+        .select(
+            *left.columns,
+            *[
+                F.col("_m").getField(c).alias(f"{prefix}{c}")
+                for c in out_fields
+            ],
+        )
+    )
+
+
 def range_join(
     facts: DataFrame,
     bands: DataFrame,
