@@ -172,3 +172,27 @@ def test_key_skew_report_finds_hot_key_with_share(spark, skewed):
         F.desc("count")).first().k
     total = facts.count()
     assert rep[0].share_bp == rep[0].n * 10000 // total
+
+
+def test_sql_bucketing_ddl_roundtrip(spark):
+    """The SQL DDL surface of bucketing (CLUSTERED BY ... INTO n
+    BUCKETS) — the declarative twin of the writer-API bucketed layout
+    pinned above."""
+    spark.sql("DROP TABLE IF EXISTS ddl_bucketed")
+    try:
+        spark.sql(
+            "CREATE TABLE ddl_bucketed (id BIGINT, v BIGINT) USING parquet "
+            "CLUSTERED BY (id) SORTED BY (id) INTO 4 BUCKETS"
+        )
+        spark.sql(
+            "INSERT INTO ddl_bucketed SELECT id, id * 2 FROM range(1000)"
+        )
+        meta = {
+            r.col_name: r.data_type
+            for r in spark.sql("DESCRIBE EXTENDED ddl_bucketed").collect()
+        }
+        assert meta.get("Num Buckets") == "4"
+        assert "id" in meta.get("Bucket Columns", "")
+        assert spark.table("ddl_bucketed").count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ddl_bucketed")
