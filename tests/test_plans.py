@@ -206,3 +206,14 @@ def test_snapshot_diff_ships_fingerprints_not_rows(spark, sf_dir):
         assert f"Exchange hashpartitioning({wide}" not in plan
     # value columns are consumed by the md5 projection below the join
     assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_asof_forward_and_nearest_stay_join_free_single_shuffle(spark, sf_dir):
+    """The direction variants keep the union-merge contract: no join
+    operator at all, and the only exchanges are the fixture's view
+    pre-aggregation plus ONE user-keyed window partitioning (nearest's
+    two frames reuse the same exchange)."""
+    for name in ("asof_join_forward", "asof_join_nearest"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Join" not in plan, name
+        assert plan.count("Exchange hashpartitioning(user_id") <= 2, name
