@@ -2571,6 +2571,18 @@ def q_dq_unique_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.unique_violations(orders, ["o_custkey"])
 
 
+def q_exact_quantiles_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order-statistic quantiles from a sketch-bracketed plan
+    (operators/sketches.py:exact_quantiles): t-digest brackets, one
+    verification scan, take-ordered only inside ~n/compression-row
+    brackets — no total sort, bit-exact against DuckDB ORDER BY/OFFSET
+    order statistics."""
+    orders = _t(spark, sf_dir, "orders")
+    return sketches.exact_quantiles(
+        orders, "o_totalprice", [0.1, 0.5, 0.9, 0.99]
+    )
+
+
 def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable t-digest quantiles over lineitem prices (rows-only:
     approximate sketch, no exact oracle).  Bounded ≤~2·compression
@@ -2719,6 +2731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_report": q_key_skew_report,
         "asof_join_forward": q_asof_join_forward,
         "asof_join_nearest": q_asof_join_nearest,
+        "exact_quantiles_sketched": q_exact_quantiles_sketched,
         "dq_report": q_dq_report,
         "dq_referential_orphans": q_dq_referential_orphans,
         "dq_unique_violations": q_dq_unique_violations,
@@ -4078,6 +4091,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 5 AND c.vec_id >= 5)
             WHERE rank <= 10
+        """,
+        "exact_quantiles_sketched": """
+            WITH v AS (
+                SELECT o_totalprice AS x FROM orders
+                WHERE o_totalprice IS NOT NULL),
+            n AS (SELECT count(*) AS n_rows FROM v),
+            r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v)
+            SELECT cast(p AS double) AS p, r.x AS quantile
+            FROM (VALUES (0.1), (0.5), (0.9), (0.99)) t(p), n
+            JOIN r ON r.rn = greatest(
+                1, cast(ceil(p * n.n_rows) AS bigint))
         """,
         "asof_join_forward": """
             WITH purchases AS (

@@ -230,3 +230,47 @@ def test_tdigest_merge_matches_single_digest_closely(spark):
     for p in probs:
         est = float(np.interp(p * w.sum(), cum, m))
         assert abs(est - whole[p]) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# exact quantiles via sketch bracketing
+# ---------------------------------------------------------------------------
+
+from youtube_podcast_data_pipeline_azure_spark.operators.sketches import (  # noqa: E402
+    exact_quantiles,
+)
+
+
+def test_exact_quantiles_match_true_order_statistics(spark):
+    import math
+
+    vals = _values(spark, n=5000, parts=6)
+    probs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    got = {r.p: r.quantile for r in exact_quantiles(vals, "v", probs).collect()}
+    exact = sorted(r.v for r in vals.collect())
+    for p in probs:
+        k = max(1, math.ceil(p * len(exact)))
+        assert got[p] == exact[k - 1], p
+
+
+def test_exact_quantiles_with_heavy_duplicates(spark):
+    """Massive ties (90% identical values) stress the bracket logic —
+    the digest collapses them into one fat centroid."""
+    import math
+
+    rows = [(1.0,)] * 900 + [(float(i),) for i in range(2, 102)]
+    df = spark.createDataFrame(rows, "v double").repartition(5)
+    probs = [0.1, 0.5, 0.89, 0.95]
+    got = {r.p: r.quantile for r in exact_quantiles(df, "v", probs).collect()}
+    exact = sorted(x[0] for x in rows)
+    for p in probs:
+        k = max(1, math.ceil(p * len(exact)))
+        assert got[p] == exact[k - 1], p
+
+
+def test_exact_quantiles_ignores_nulls_and_handles_extremes(spark):
+    df = spark.createDataFrame(
+        [(None,), (5.0,), (1.0,), (9.0,), (None,), (3.0,)], "v double"
+    )
+    got = {r.p: r.quantile for r in exact_quantiles(df, "v", [0.0001, 1.0]).collect()}
+    assert got[0.0001] == 1.0 and got[1.0] == 9.0

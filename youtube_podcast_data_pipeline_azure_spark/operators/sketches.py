@@ -234,6 +234,99 @@ def tdigest_quantiles(
     )
 
 
+def exact_quantiles(
+    values: DataFrame,
+    value_col: str,
+    probs: list[float],
+    compression: int = 200,
+) -> DataFrame:
+    """EXACT order-statistic quantiles without a total sort — the
+    quantile analog of :func:`heavy_hitters_exact`'s two-pass design.
+
+    Rank semantics: quantile p = the k-th smallest non-null value with
+    ``k = max(1, ceil(p·n))`` (an actual element, like DuckDB's
+    ``ORDER BY ... LIMIT 1 OFFSET k-1``) — which is what makes a
+    sketch-bracketed plan oracle-checkable bit-for-bit.
+
+    Plan: (1) one scan builds per-partition t-digests (bounded state);
+    the merged centroid set (KBs) gives a candidate bracket per target
+    rank.  (2) one scan counts, for every bracket at once, the rows
+    below/at its edges; brackets that don't provably contain their rank
+    are widened from neighboring centroids and re-verified (digest
+    error is small, so this converges immediately in practice).
+    (3) per quantile, a take-ordered of the ~n/compression rows inside
+    the bracket yields the exact element.  Nothing ever sorts the full
+    table; raise ``compression`` to shrink pass-3 brackets at 100 TB.
+    """
+    import math
+
+    import numpy as np
+
+    src = values.select(value_col).where(F.col(value_col).isNotNull())
+    digests = tdigest_partition_digests(src, value_col, compression)
+    pdf = digests.toPandas()  # bounded: ≤ ~2·compression·partitions rows
+    if len(pdf) == 0:
+        return values.sparkSession.createDataFrame(
+            [], "p double, quantile double"
+        )
+    m, w = _tdigest_compress(
+        pdf["mean"].to_numpy(float), pdf["weight"].to_numpy(float), compression
+    )
+    m, w = np.asarray(m), np.asarray(w)
+    n = int(round(w.sum()))
+    cum = np.cumsum(w)
+    ks = [max(1, math.ceil(p * n)) for p in probs]
+
+    # initial bracket per rank from centroid cumulative weights, padded
+    # by one centroid each side (digest means are not order statistics)
+    def bracket(k, pad):
+        i = int(np.searchsorted(cum, k))
+        lo_i, hi_i = max(0, i - 1 - pad), min(len(m) - 1, i + 1 + pad)
+        lo = -math.inf if lo_i == 0 else float(m[lo_i - 1])
+        hi = math.inf if hi_i == len(m) - 1 else float(m[hi_i + 1])
+        return lo, hi
+
+    pads = [0] * len(ks)
+    for _ in range(8):  # verify-and-widen; converges in 1 pass normally
+        brs = [bracket(k, pad) for k, pad in zip(ks, pads)]
+        aggs = []
+        for i, (lo, hi) in enumerate(brs):
+            c = F.col(value_col)
+            aggs.append(
+                F.sum(F.when(c < F.lit(lo), 1).otherwise(0)).alias(f"b{i}")
+            )
+            aggs.append(
+                F.sum(F.when(c <= F.lit(hi), 1).otherwise(0)).alias(f"a{i}")
+            )
+        row = src.agg(*aggs).collect()[0]
+        ok = True
+        for i, k in enumerate(ks):
+            below, at_most = row[f"b{i}"], row[f"a{i}"]
+            if not (below < k <= at_most):
+                pads[i] += 2
+                ok = False
+        if ok:
+            break
+    counts_below = [row[f"b{i}"] for i in range(len(ks))]
+
+    out = []
+    for p, k, (lo, hi), below in zip(probs, ks, brs, counts_below):
+        c = F.col(value_col)
+        in_bracket = src.where((c >= F.lit(lo)) & (c <= F.lit(hi)))
+        r = k - below  # rank within the bracket, 1-based
+        kth = (
+            in_bracket.orderBy(c.asc())
+            .limit(r)
+            .orderBy(c.desc())
+            .limit(1)
+            .collect()[0][0]
+        )
+        out.append((float(p), float(kth)))
+    return values.sparkSession.createDataFrame(
+        out, "p double, quantile double"
+    )
+
+
 def mg_partition_summaries(
     items: DataFrame, item_col: str, k: int = 255
 ) -> DataFrame:
