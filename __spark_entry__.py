@@ -2583,6 +2583,16 @@ def q_exact_quantiles_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tdigest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key approximate quantiles, two-level t-digest (rows-only:
+    sketch).  Hot keys arrive at the merge as centroids, never rows
+    (operators/sketches.py:tdigest_quantiles_by_key)."""
+    ev = _t(spark, sf_dir, "events")
+    return sketches.tdigest_quantiles_by_key(
+        ev, "event_type", "value", [0.25, 0.5, 0.75, 0.95]
+    )
+
+
 def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable t-digest quantiles over lineitem prices (rows-only:
     approximate sketch, no exact oracle).  Bounded ≤~2·compression
@@ -2801,6 +2811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "tdigest_quantiles": q_tdigest_quantiles,
+        "tdigest_by_key": q_tdigest_by_key,
         "embedding_near_dup": q_embedding_near_dup,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,

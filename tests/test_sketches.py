@@ -274,3 +274,38 @@ def test_exact_quantiles_ignores_nulls_and_handles_extremes(spark):
     )
     got = {r.p: r.quantile for r in exact_quantiles(df, "v", [0.0001, 1.0]).collect()}
     assert got[0.0001] == 1.0 and got[1.0] == 9.0
+
+
+def test_tdigest_by_key_accuracy_per_group(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.sketches import (
+        tdigest_quantiles_by_key,
+    )
+    import bisect
+
+    df = (
+        _values(spark, n=9000, parts=6)
+        .selectExpr("v", "cast(v * 3 AS int) % 3 AS k")
+    )
+    probs = [0.25, 0.5, 0.9]
+    got = {}
+    for r in tdigest_quantiles_by_key(df, "k", "v", probs).collect():
+        got[(r.k, r.p)] = r.quantile
+    groups = {}
+    for r in df.collect():
+        groups.setdefault(r.k, []).append(r.v)
+    for k, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        for p in probs:
+            rank = bisect.bisect_left(vals, got[(k, p)])
+            tol = max(8.0 * n * p * (1 - p) / 100, 3)
+            assert abs(rank - p * n) <= tol, (k, p)
+
+
+def test_tdigest_by_key_rows_only_query_runs(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["tdigest_by_key"](spark, sf_dir).collect()
+    # 5 event types x 4 probs
+    assert len(rows) == 20
+    assert all(r.quantile is not None for r in rows)

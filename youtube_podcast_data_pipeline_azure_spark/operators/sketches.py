@@ -234,6 +234,79 @@ def tdigest_quantiles(
     )
 
 
+def tdigest_quantiles_by_key(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    probs: list[float],
+    compression: int = 100,
+) -> DataFrame:
+    """Approximate quantiles PER KEY, two-level: pass 1 compresses each
+    (partition, key) slice to ≤ ~2·compression centroids inside
+    ``mapInPandas`` (state bounded by keys-per-partition · compression,
+    never by row count); pass 2 merges each key's centroids with
+    ``applyInPandas`` — its input is centroids, not rows, so even a key
+    holding half the table arrives as a few KB.  This is the grouped
+    form a naive ``groupBy().applyInPandas`` over raw rows can't offer
+    at 100 TB (one hot key would materialize in one worker).
+
+    Returns (key_col, p double, quantile double); rows-only (sketch).
+    """
+    key_type = df.schema[key_col].dataType.simpleString()
+
+    def pass1(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        import pandas as pd
+
+        state: dict = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby(key_col, dropna=False):
+                v = grp[value_col].to_numpy(dtype=float)
+                v = v[~np.isnan(v)]
+                if not len(v):
+                    continue
+                pm, pw = state.get(key, (np.empty(0), np.empty(0)))
+                m, w = _tdigest_compress(
+                    np.concatenate([pm, v]),
+                    np.concatenate([pw, np.ones(len(v))]),
+                    compression,
+                )
+                state[key] = (np.asarray(m), np.asarray(w))
+        for key, (m, w) in state.items():
+            yield pd.DataFrame(
+                {key_col: [key] * len(m), "mean": m, "weight": w}
+            )
+
+    digests = df.select(key_col, value_col).mapInPandas(
+        pass1, schema=f"{key_col} {key_type}, mean double, weight double"
+    )
+
+    def pass2(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        m, w = _tdigest_compress(
+            pdf["mean"].to_numpy(float), pdf["weight"].to_numpy(float),
+            compression,
+        )
+        m, w = np.asarray(m), np.asarray(w)
+        cum = np.cumsum(w) - w / 2.0
+        total = w.sum()
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]] * len(probs),
+                "p": [float(p) for p in probs],
+                "quantile": [
+                    float(np.interp(p * total, cum, m)) for p in probs
+                ],
+            }
+        )
+
+    return digests.groupBy(key_col).applyInPandas(
+        pass2, schema=f"{key_col} {key_type}, p double, quantile double"
+    )
+
+
 def exact_quantiles(
     values: DataFrame,
     value_col: str,
