@@ -217,3 +217,25 @@ def test_asof_forward_and_nearest_stay_join_free_single_shuffle(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "Join" not in plan, name
         assert plan.count("Exchange hashpartitioning(user_id") <= 2, name
+
+
+def test_exact_quantiles_never_total_sorts(spark, sf_dir):
+    """The whole point of sketch bracketing: no range-partitioned
+    global sort of the table ever appears — ordering happens only in
+    bounded take-ordered slices inside the brackets."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["exact_quantiles_sketched"](spark, sf_dir)
+    # result df is a local createDataFrame; the property to pin is that
+    # building it ran no rangepartitioning exchange — assert on the
+    # operator's own scans instead
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+    from youtube_podcast_data_pipeline_azure_spark.operators import sketches
+
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select("o_totalprice").where("o_totalprice IS NOT NULL")
+    digests = sketches.tdigest_partition_digests(src, "o_totalprice", 200)
+    plan = digests._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+    assert "MapInPandas" in plan
+    assert df.count() == 4
