@@ -166,7 +166,9 @@ def sessionize(
     boundary drift between engines).
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
-    micros = F.unix_micros(F.col(ts_col))
+    # cast first: unix_micros rejects TIMESTAMP_NTZ (what parquet scans
+    # yield), and the session pins UTC so the cast is offset-free
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
     prev = F.lag(micros).over(w)
     is_new = F.when(
         prev.isNull() | (micros - prev > gap_minutes * 60_000_000), 1

@@ -32,6 +32,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _micros(c: Column) -> Column:
+    """Microseconds-since-epoch for TIMESTAMP *or* TIMESTAMP_NTZ input.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ (the type parquet scans produce
+    under Spark's default inference); the session pins UTC
+    (session.py:54), so the NTZ->TIMESTAMP cast is offset-free and the
+    micros are exact either way.
+    """
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def asof_join_backward(
     left: DataFrame,
     right: DataFrame,
@@ -155,7 +166,7 @@ def asof_join_forward(
     )
     matched = F.first("_rv", ignorenulls=True).over(w)
     if tolerance_seconds is not None:
-        horizon = F.unix_micros(matched.getField(right_ts)) - F.unix_micros(
+        horizon = _micros(matched.getField(right_ts)) - _micros(
             F.col("_t")
         )
         matched = F.when(horizon <= tolerance_seconds * 1_000_000, matched)
@@ -202,9 +213,9 @@ def asof_join_nearest(
     mf = F.first("_rv", ignorenulls=True).over(wf)
     # microsecond-exact deltas (cast-to-long truncates to seconds and
     # would misrank sub-second nearest picks)
-    t = F.unix_micros(F.col("_t"))
-    db = t - F.unix_micros(mb.getField(right_ts))
-    df_ = F.unix_micros(mf.getField(right_ts)) - t
+    t = _micros(F.col("_t"))
+    db = t - _micros(mb.getField(right_ts))
+    df_ = _micros(mf.getField(right_ts)) - t
     matched = (
         F.when(mb.isNull(), mf)
         .when(mf.isNull(), mb)
@@ -212,7 +223,7 @@ def asof_join_nearest(
         .otherwise(mb)  # ties -> backward
     )
     if tolerance_seconds is not None:
-        dist = F.abs(F.unix_micros(matched.getField(right_ts)) - t)
+        dist = F.abs(_micros(matched.getField(right_ts)) - t)
         matched = F.when(dist <= tolerance_seconds * 1_000_000, matched)
     return (
         u.withColumn("_m", matched)
