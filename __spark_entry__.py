@@ -502,7 +502,16 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: 3-way join, small dim side broadcast, top-10."""
+    """TPC-H Q3 shape: 3-way join, top-10 by revenue.
+
+    Only the filtered *customer* dimension carries a broadcast hint —
+    orders is a date-filtered FACT (~half the table), so lineitem⋈orders
+    must stay a shuffled join on orderkey; at 100 TB a forced broadcast
+    of orders would OOM the cluster.  AQE can still promote it at small
+    SF when the runtime size is genuinely under the threshold.
+    Plan pin: tests/test_plans.py asserts customer is the only
+    hint-forced broadcast build side.
+    """
     cust = _t(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -510,9 +519,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
     revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
-        li.join(
-            F.broadcast(orders), li.l_orderkey == orders.o_orderkey
-        )
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(revenue, 2).alias("revenue"))
@@ -2654,15 +2661,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification rotation, not taxonomy: the
     driver's per-round correctness check covers the FIRST 50 entries, so
     each round front-loads oracle-backed queries that have not yet been
-    driver-verified (r01 checked the old positions 1-50; r02 fronts the
-    families r01 never saw).  Rows-only queries sit at the back — they
-    can never hash-match and would waste a checked slot."""
+    driver-verified (r01 checked the old positions 1-50; r02 fronted the
+    families r01 never saw; r03 fronts the last 37 never-checked
+    oracle-backed queries plus 13 re-checks of code changed this round
+    and r01-only greens).  After r03 every oracle-capable query has sat
+    in a driver window at least once.  Rows-only queries stay at the
+    back — they can never hash-match and would waste a checked slot."""
     return {
-        # --- r02 window: r01-fixed canonicalizer errs, now string-surfaced
+        # ===== r03 window, part 1: oracle-backed, never driver-checked
+        # --- REST ingestion (A1/A2 — the only §2 components unproven)
+        "rest_ingest_videos": q_rest_ingest_videos,
+        "rest_ingest_comments": q_rest_ingest_comments,
+        # --- sketches (new r2 code, zero driver rows)
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "mg_heavy_hitters": q_mg_heavy_hitters,
+        "exact_quantiles_sketched": q_exact_quantiles_sketched,
+        # --- data quality / fingerprint / CDC
+        "dq_report": q_dq_report,
+        "dq_referential_orphans": q_dq_referential_orphans,
+        "dq_unique_violations": q_dq_unique_violations,
+        "table_fingerprint": q_table_fingerprint,
+        "snapshot_diff": q_snapshot_diff,
+        # --- as-of direction variants
+        "asof_join_forward": q_asof_join_forward,
+        "asof_join_nearest": q_asof_join_nearest,
+        # --- TPC-H completion shapes added r2
+        "volume_shipping": q_volume_shipping,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "promo_part_suppliers": q_promo_part_suppliers,
+        # --- SQL-text / UDTF surfaces
+        "sql_api_top_orders": q_sql_api_top_orders,
+        "udtf_sentences": q_udtf_sentences,
+        # --- incremental aggregation + storage maintenance
+        "incremental_agg": q_incremental_agg,
+        "streaming_incremental_kpis": q_streaming_incremental_kpis,
+        "compaction_roundtrip": q_compaction_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
+        # --- remaining streaming twins
+        "sliding_windows": q_sliding_windows,
+        "purchase_attribution_outer": q_purchase_attribution_outer,
+        "user_running_totals": q_user_running_totals,
+        "foreach_batch_sink": q_foreach_batch_sink,
+        # --- remaining text / dedup / sampling
+        "collocations": q_collocations,
+        "top_tokens_per_lang": q_top_tokens_per_lang,
+        "token_set_dedup": q_token_set_dedup,
+        "mixture_sample": q_mixture_sample,
+        "reservoir_per_key": q_reservoir_per_key,
+        # --- remaining multimodal
+        "media_thumbnails": q_media_thumbnails,
+        "media_audio_stats": q_media_audio_stats,
+        # --- remaining analytics / window
+        "window_rank_stats": q_window_rank_stats,
+        "key_skew_report": q_key_skew_report,
+        "resample_daily": q_resample_daily,
+        "rolling_activity": q_rolling_activity,
+        # ===== r03 window, part 2: re-checks of code changed this round
+        "shipping_priority": q_shipping_priority,  # broadcast hint removed
+        "asof_join": q_asof_join,  # backward-tolerance micros fix
+        "window_running": q_window_running,  # r2 bench regression watch
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,  # persist removed
+        # ===== r03 window, part 3: r01-green, never re-checked since
+        "range_join_bands": q_range_join_bands,
+        "salted_join": q_salted_join,
+        "percentiles": q_percentiles,
+        "grouping_sets": q_grouping_sets,
+        "pivot_event_types": q_pivot_event_types,
+        "scalar_subquery": q_scalar_subquery,
+        "exists_inequality": q_exists_inequality,
+        "min_price_supplier": q_min_price_supplier,
+        "unpivot_metrics": q_unpivot_metrics,
+        # ================= end of driver's 50-slot window =================
+        # oracle-backed, driver-green in r02 (CORRECTNESS_r02.json)
         "medallion_kpis": q_medallion_kpis,
         "array_agg_functions": q_array_agg_functions,
         "map_functions": q_map_functions,
-        # --- r02 window: TPC-H completion pack (Q6-Q22 shapes)
         "forecast_revenue": q_forecast_revenue,
         "market_share": q_market_share,
         "product_type_profit": q_product_type_profit,
@@ -2673,39 +2747,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_counts": q_supplier_part_counts,
         "waiting_suppliers": q_waiting_suppliers,
         "dormant_customers": q_dormant_customers,
-        # --- r02 window: streaming parity (batch twins)
         "tumbling_windows": q_tumbling_windows,
         "session_windows": q_session_windows,
         "stream_dedup_counts": q_stream_dedup_counts,
         "stream_static_enrich": q_stream_static_enrich,
         "purchase_view_attribution": q_purchase_view_attribution,
-        # --- r02 window: text analysis
         "text_stats": q_text_stats,
         "language_id": q_language_id,
         "quality_scores": q_quality_scores,
         "distinctive_terms": q_distinctive_terms,
-        # --- r02 window: dedup / similarity
         "exact_dedup": q_exact_dedup,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "duplicate_clusters": q_duplicate_clusters,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "embedding_norms": q_embedding_norms,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_label_accuracy": q_knn_label_accuracy,
-        # --- r02 window: sampling / mixing / sequence prep
         "hash_sample": q_hash_sample,
         "weighted_sample": q_weighted_sample,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
-        # --- r02 window: multimodal plumbing (digest-checked)
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
-        # --- r02 window: functions / sinks not in the r01 window
         "higher_order_funcs": q_higher_order_funcs,
         "csv_roundtrip": q_csv_roundtrip,
         "clustered_roundtrip": q_clustered_roundtrip,
         "schema_evolution": q_schema_evolution,
-        # --- r02 window: event analytics
         "value_outliers": q_value_outliers,
         "cohort_retention": q_cohort_retention,
         "funnel_conversion": q_funnel_conversion,
@@ -2715,49 +2781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": q_scd2_intervals,
         "upsert_latest_wins": q_upsert_latest_wins,
         "profile_table": q_profile_table,
-        # --- r02 window: enrichment (newly oracle-backed: lexicon + md5
-        #     picks re-expressed in DuckDB)
         "enrich_documents": q_enrich_documents,
         "enrich_video_titles": q_enrich_video_titles,
-        # ================= end of driver's 50-slot window =================
-        # oracle-backed, never driver-checked — rotate into the window r03
-        "rest_ingest_videos": q_rest_ingest_videos,
-        "rest_ingest_comments": q_rest_ingest_comments,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "purchase_attribution_outer": q_purchase_attribution_outer,
-        "media_thumbnails": q_media_thumbnails,
-        "mg_heavy_hitters": q_mg_heavy_hitters,
-        "foreach_batch_sink": q_foreach_batch_sink,
-        "media_audio_stats": q_media_audio_stats,
-        "table_fingerprint": q_table_fingerprint,
-        "snapshot_diff": q_snapshot_diff,
-        "compaction_roundtrip": q_compaction_roundtrip,
-        "incremental_agg": q_incremental_agg,
-        "window_rank_stats": q_window_rank_stats,
-        "streaming_incremental_kpis": q_streaming_incremental_kpis,
-        "sql_api_top_orders": q_sql_api_top_orders,
-        "udtf_sentences": q_udtf_sentences,
-        "reservoir_per_key": q_reservoir_per_key,
-        "key_skew_report": q_key_skew_report,
-        "asof_join_forward": q_asof_join_forward,
-        "asof_join_nearest": q_asof_join_nearest,
-        "exact_quantiles_sketched": q_exact_quantiles_sketched,
-        "dq_report": q_dq_report,
-        "dq_referential_orphans": q_dq_referential_orphans,
-        "dq_unique_violations": q_dq_unique_violations,
-        "volume_shipping": q_volume_shipping,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "promo_part_suppliers": q_promo_part_suppliers,
-        "sliding_windows": q_sliding_windows,
-        "user_running_totals": q_user_running_totals,
-        "collocations": q_collocations,
-        "top_tokens_per_lang": q_top_tokens_per_lang,
-        "token_set_dedup": q_token_set_dedup,
-        "mixture_sample": q_mixture_sample,
-        "orc_roundtrip": q_orc_roundtrip,
-        "resample_daily": q_resample_daily,
-        "rolling_activity": q_rolling_activity,
         # oracle-backed, driver-green in r01 (CORRECTNESS_r01.json)
         "kpi_event_type_counts": q_kpi_event_type_counts,
         "kpi_totals": q_kpi_totals,
@@ -2771,10 +2796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comments_bronze_to_silver": q_comments_bronze_to_silver,
         "envelope_explode": q_envelope_explode,
         "pricing_summary": q_pricing_summary,
-        "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
-        "asof_join": q_asof_join,
-        "range_join_bands": q_range_join_bands,
         "top_orders": q_top_orders,
         "agg_suite": q_agg_suite,
         "rollup_agg": q_rollup_agg,
@@ -2788,23 +2810,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_functions": q_date_functions,
         "math_functions": q_math_functions,
         "case_when_bucketing": q_case_when_bucketing,
-        "window_running": q_window_running,
         "window_lag_lead": q_window_lag_lead,
-        "pivot_event_types": q_pivot_event_types,
-        "scalar_subquery": q_scalar_subquery,
         "explode_tokens": q_explode_tokens,
         "json_roundtrip": q_json_roundtrip,
-        "salted_join": q_salted_join,
         "salted_distinct_users": q_salted_distinct_users,
-        "percentiles": q_percentiles,
         "window_ntile_firstlast": q_window_ntile_firstlast,
-        "exists_inequality": q_exists_inequality,
         "customer_order_distribution": q_customer_order_distribution,
         "large_orders": q_large_orders,
-        "min_price_supplier": q_min_price_supplier,
-        "unpivot_metrics": q_unpivot_metrics,
         "returned_items": q_returned_items,
-        "grouping_sets": q_grouping_sets,
         # rows-only (approximate / sample-trained — no hash-match possible)
         "approx_distinct_users": q_approx_distinct_users,
         "embedding_clusters": q_embedding_clusters,

@@ -314,3 +314,18 @@ def test_partition_topk_keeps_kth_ties_and_nulls(spark):
         ("b", 1), ("b", 2),
         ("c", 9),
     }
+
+
+def test_pair_generators_leave_no_persistent_rdds(docs):
+    """Neither similarity-join materializes session-lifetime cache state
+    (VERDICT r2 #3: ngram_jaccard_pairs persisted its shingle projection
+    and never unpersisted — at 100 TB that spills cluster-wide)."""
+    spark = docs.sparkSession
+    # Other tests' localCheckpoint RDDs are context-cleaned
+    # asynchronously, so the absolute count can DROP mid-test; the
+    # claim pinned here is only that these operators never ADD cache
+    # entries of their own.
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    dedup.minhash_lsh_pairs(docs).collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before

@@ -39,6 +39,24 @@ def test_kpi_counts_scan_prunes_to_one_column(spark, sf_dir):
     assert "ReadSchema: struct<event_type:string>" in plan
 
 
+def test_q3_hint_broadcasts_customer_only(spark, sf_dir):
+    """TPC-H Q3: the only HINT-forced broadcast build side is the
+    filtered customer dim.  The date-filtered orders side is a FACT
+    (~half the table) — a forced broadcast there OOMs at cluster scale,
+    so lineitem⋈orders must stay a shuffled join.  Auto-broadcast is
+    disabled in-test so size-based promotion (fine, AQE's call at small
+    SF) can't mask a reintroduced hint."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, sf_dir, "shipping_priority")
+        assert plan.count("BroadcastHashJoin") == 1  # customer only
+        assert "c_mktsegment" in plan
+        assert plan.count("SortMergeJoin") == 1  # lineitem⋈orders
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
 def test_top_orders_uses_take_ordered_not_full_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "top_orders")
     assert "TakeOrderedAndProject" in plan

@@ -415,7 +415,12 @@ def ngram_jaccard_pairs(
     """
     docs = spread(df.select(id_col, text_col), id_col).select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
-    ).persist()
+    )
+    # No persist() — same reasoning as minhash_lsh_pairs above: all
+    # three consumers (prefix gen + both verify sides) share ONE final
+    # plan, so the spread() exchange is reused; a persist here cached
+    # full shingle arrays for the session lifetime (never unpersisted)
+    # and would spill cluster-wide at 100 TB.
 
     sz = F.size("sh")
     prefix_len = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")

@@ -24,6 +24,13 @@ Scale design:
   on ``floor(value / bucket_width)`` and equi-join on the bucket id
   first (``bucketed_range_join``) — the equality key turns the plan into
   a plain shuffled hash join with per-bucket residual predicates.
+
+Timezone constraint: the as-of family converts timestamps with
+:func:`_micros`, which is offset-free for TIMESTAMP_NTZ input only when
+``spark.sql.session.timeZone`` is UTC (session.py pins it).  Mixing
+TIMESTAMP and TIMESTAMP_NTZ columns across the two sides under a
+non-UTC session would skew tolerance horizons and nearest ranking by
+the local offset.
 """
 
 from __future__ import annotations
@@ -92,10 +99,12 @@ def asof_join_backward(
     )
     matched = F.last("_rv", ignorenulls=True).over(w)
     if tolerance_seconds is not None:
-        horizon = F.col("_t").cast("long") - matched.getField(
-            right_ts
-        ).cast("long")
-        matched = F.when(horizon <= tolerance_seconds, matched)
+        # microsecond-exact, NTZ-safe (cast-to-long throws on
+        # TIMESTAMP_NTZ and truncates TIMESTAMP to whole seconds)
+        horizon = _micros(F.col("_t")) - _micros(
+            matched.getField(right_ts)
+        )
+        matched = F.when(horizon <= tolerance_seconds * 1_000_000, matched)
 
     out_fields = [right_ts] + [c for c in r_payload if c != right_ts]
     return (
