@@ -193,3 +193,29 @@ def test_asof_nearest_prefers_closest_then_backward(spark):
     bounded = {r.id: r.asof_tag for r in joins.asof_join_nearest(
         left, right, on=["k"], tolerance_seconds=300).collect()}
     assert bounded == {1: "a", 2: "b", 3: None}
+
+
+def test_asof_backward_tolerance_ntz_and_subsecond(spark):
+    """Pre-r3, backward tolerance cast timestamps to BIGINT: that throws
+    DATATYPE_MISMATCH on TIMESTAMP_NTZ input (what parquet scans yield
+    for isAdjustedToUTC=false data) and truncates TIMESTAMP to whole
+    seconds.  Pin both: NTZ input works, and a 1.5 s gap is NOT inside
+    a 1 s tolerance (the truncated path said 1 <= 1 and matched)."""
+    left = spark.createDataFrame(
+        [(1, "u1", "2024-01-01 10:00:01.500")],
+        "event_id long, user_id string, s string",
+    ).select("event_id", "user_id", F.to_timestamp_ntz("s").alias("ts"))
+    right = spark.createDataFrame(
+        [("u1", "2024-01-01 10:00:00.000", 7)],
+        "user_id string, s string, val long",
+    ).select("user_id", F.to_timestamp_ntz("s").alias("ts"), "val")
+
+    miss = joins.asof_join_backward(
+        left, right, on=["user_id"], tolerance_seconds=1
+    ).collect()
+    assert miss[0].asof_val is None
+
+    hit = joins.asof_join_backward(
+        left, right, on=["user_id"], tolerance_seconds=2
+    ).collect()
+    assert hit[0].asof_val == 7
