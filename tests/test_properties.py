@@ -76,3 +76,65 @@ def test_asof_nearest_equals_bruteforce(spark, lefts, rights):
         # nearest by |delta|; tie -> backward (smaller timestamp)
         best = min(cands, key=lambda c: (abs(c[0] - s), c[0] > s))
         assert got[i] == best[1], (i, k, s, cands)
+
+
+@settings(**_SETTINGS)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)),
+        min_size=1, max_size=30, unique=True,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)),
+        min_size=0, max_size=30, unique=True,
+    ),
+    tol=st.integers(min_value=0, max_value=400),
+)
+def test_asof_tolerance_equals_bruteforce_all_directions(
+    spark, lefts, rights, tol
+):
+    """Tolerance semantics vs brute force for backward/forward/nearest:
+    the chosen match is nulled iff its |delta| exceeds the horizon
+    (inclusive).  Guards the r3 fix (backward horizon via microseconds,
+    not cast-to-long seconds truncation)."""
+    left = spark.createDataFrame(
+        [(i, k, s) for i, (k, s) in enumerate(lefts)],
+        "id long, k long, sec long",
+    ).selectExpr("id", "k", "timestamp_seconds(sec) AS ts")
+    right = spark.createDataFrame(
+        [(k, s, f"tag{k}_{s}") for k, s in rights] or [(99, 0, "x")],
+        "k long, sec long, tag string",
+    ).selectExpr("k", "timestamp_seconds(sec) AS ts", "tag")
+    rset = rights or [(99, 0)]
+
+    def brute(k, s, direction):
+        cands = [rs for rk, rs in rset if rk == k]
+        if direction == "backward":
+            cands = [rs for rs in cands if rs <= s]
+            pick = max(cands) if cands else None
+        elif direction == "forward":
+            cands = [rs for rs in cands if rs >= s]
+            pick = min(cands) if cands else None
+        else:
+            pick = (
+                min(cands, key=lambda rs: (abs(rs - s), rs > s))
+                if cands
+                else None
+            )
+        if pick is None or abs(pick - s) > tol:
+            return None
+        return f"tag{k}_{pick}"
+
+    for direction, fn in (
+        ("backward", joins.asof_join_backward),
+        ("forward", joins.asof_join_forward),
+        ("nearest", joins.asof_join_nearest),
+    ):
+        got = {
+            r.id: r.asof_tag
+            for r in fn(
+                left, right, on=["k"], tolerance_seconds=tol
+            ).collect()
+        }
+        for i, (k, s) in enumerate(lefts):
+            assert got[i] == brute(k, s, direction), (direction, i, k, s, tol)
