@@ -72,6 +72,7 @@ from youtube_podcast_data_pipeline_azure_spark.streaming.events_stream import (
     purchase_view_attribution,
     purchase_view_attribution_outer,
     sessionized_counts,
+    sliding_counts,
     streaming_dedup,
     tumbling_counts,
 )
@@ -1503,13 +1504,10 @@ def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping event-time windows (10 min window, 5 min slide) —
-    each event lands in exactly two windows."""
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
-    )
+    each event lands in exactly two windows.  Same transform runs in
+    streaming (streaming/events_stream.py:sliding_counts; stream-mode
+    parity pinned in tests/test_streaming.py)."""
+    return sliding_counts(_t(spark, sf_dir, "events"))
 
 
 def q_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:

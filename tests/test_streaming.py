@@ -339,3 +339,45 @@ def test_incremental_summary_sink_merges_to_full_recompute(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_sliding_counts_stream_equals_batch(spark, events_dir):
+    """Sliding (overlapping) windows finalize and match batch exactly —
+    same drain pattern as the tumbling test; any sentinel rows earlier
+    tests appended are read identically by both modes."""
+    from youtube_podcast_data_pipeline_azure_spark.streaming.events_stream import sliding_counts
+
+    batch_df = spark.read.parquet(events_dir)
+    expected = {
+        r["window_start"]: (r["n"], r["sum_value"])
+        for r in sliding_counts(batch_df).collect()
+    }
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    q = (
+        sliding_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sliding_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        max_ts = batch_df.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        flush = spark.createDataFrame(
+            [(999_998, max_ts + __import__("datetime").timedelta(days=2), 0,
+              "__flush__", 0.0, "{}")],
+            schema=batch_df.schema,
+        )
+        flush.write.mode("append").parquet(events_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["window_start"]: (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sliding_out").collect()
+    }
+    # the flush row's own two windows stay in state and never emit;
+    # every real window is finalized and identical to batch
+    assert got == expected
