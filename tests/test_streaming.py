@@ -11,6 +11,7 @@ from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
 from youtube_podcast_data_pipeline_azure_spark.streaming.events_stream import (
     read_events_stream,
     run_stream_to_memory,
+    sessionized_counts,
     streaming_dedup,
     tumbling_counts,
 )
@@ -380,4 +381,43 @@ def test_sliding_counts_stream_equals_batch(spark, events_dir):
     }
     # the flush row's own two windows stay in state and never emit;
     # every real window is finalized and identical to batch
+    assert got == expected
+
+
+def test_sessionized_counts_stream_equals_batch(spark, events_dir):
+    """Gap-based session windows finalize identically in streaming:
+    sessions close once the watermark passes session_end + gap."""
+    batch_df = spark.read.parquet(events_dir)
+    expected = {
+        (r["session_start"], r["session_end"], r["user_id"]): r["n_events"]
+        for r in sessionized_counts(batch_df).collect()
+    }
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    q = (
+        sessionized_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        max_ts = batch_df.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        flush = spark.createDataFrame(
+            [(999_997, max_ts + __import__("datetime").timedelta(days=4), 0,
+              "__flush__", 0.0, "{}")],
+            schema=batch_df.schema,
+        )
+        flush.write.mode("append").parquet(events_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["session_start"], r["session_end"], r["user_id"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    # the flush row's own session stays open in state; every real
+    # session is closed by the advanced watermark and matches batch
     assert got == expected
