@@ -271,3 +271,35 @@ def test_scd2_and_upsert_and_sessions_are_single_shuffle(spark, sf_dir):
         assert plan.count("Exchange hashpartitioning") == 1, name
         assert "Exchange rangepartitioning" not in plan, name
         assert "Join" not in plan, name
+
+
+def test_r03_window_queries_stay_within_shuffle_budget(spark, sf_dir):
+    """Table-driven shuffle-budget pins from the r3 plan audit: each
+    newly-fronted driver-window query's hash-exchange count is its
+    audited value — a refactor that adds an exchange (an extra shuffle
+    at 100 TB) fails here even with identical results.  Budgets are
+    exact counts observed on sound plans, not aspirations."""
+    budgets = {
+        "dq_report": 0,            # single scan, single global agg
+        "dq_unique_violations": 1,
+        "dq_referential_orphans": 2,
+        "table_fingerprint": 0,    # one scan -> one-row XOR agg
+        "snapshot_diff": 2,        # fingerprint projections meet once
+        "asof_join_forward": 2,    # fixture pre-agg + ONE as-of window
+        "asof_join_nearest": 2,    # two frames share one exchange
+        "window_rank_stats": 1,
+        "user_running_totals": 1,
+        "token_set_dedup": 1,
+        "resample_daily": 2,       # span agg + (user, day) join grain
+        "rolling_activity": 2,
+        "key_skew_report": 2,      # top-k + total, both partial-agg'd
+        "top_tokens_per_lang": 2,
+        "incremental_agg": 2,      # batch partials + merge
+        "sql_api_top_orders": 1,
+        "volume_shipping": 1,      # facts shuffle once; dims broadcast
+        "small_quantity_revenue": 1,
+    }
+    for name, budget in budgets.items():
+        plan = _plan(spark, sf_dir, name)
+        got = plan.count("Exchange hashpartitioning")
+        assert got <= budget, (name, got, budget)
