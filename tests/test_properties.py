@@ -138,3 +138,32 @@ def test_asof_tolerance_equals_bruteforce_all_directions(
         }
         for i, (k, s) in enumerate(lefts):
             assert got[i] == brute(k, s, direction), (direction, i, k, s, tol)
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(st.integers(-50, 150), min_size=1, max_size=50),
+    cuts=st.lists(st.integers(0, 100), min_size=2, max_size=8, unique=True),
+)
+def test_range_join_equals_bruteforce(spark, vals, cuts):
+    """range_join assigns each value to the single [lo, hi) band that
+    contains it (bands built from sorted cut points are disjoint);
+    values outside every band drop out in the inner join."""
+    bounds = sorted(cuts)
+    bands = [(i, float(lo), float(hi)) for i, (lo, hi) in
+             enumerate(zip(bounds, bounds[1:]))]
+    facts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "fid long, v double"
+    )
+    bdf = spark.createDataFrame(bands, "band_id long, lo double, hi double")
+    got = {
+        (r.fid, r.band_id)
+        for r in joins.range_join(facts, bdf, "v").select("fid", "band_id").collect()
+    }
+    want = {
+        (i, b)
+        for i, v in enumerate(vals)
+        for b, lo, hi in bands
+        if lo <= v < hi
+    }
+    assert got == want
