@@ -900,10 +900,15 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-count sketch (rows-only: approximate by
-    design; accuracy vs exact pinned in tests/test_functions.py).  The
-    100 TB path for distinct counts that don't need to be exact — one
-    pass, constant memory per group."""
+    """HyperLogLog++ distinct-count sketch.  The 100 TB path for
+    distinct counts that don't need to be exact — one pass, constant
+    memory per group.  Oracle-checked against exact COUNT(DISTINCT):
+    at rsd=0.02 the sketch holds ~2.7k registers and HLL++ stays in its
+    sparse (EXACT) representation well past the fixture's 150 distinct
+    users per type, and sketch merge is order-independent (register
+    max), so the estimate deterministically equals the exact count at
+    driver scale; the general-accuracy property at dense scale stays
+    pinned by tests/test_functions.py."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
@@ -1722,6 +1727,31 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact n-gram Jaccard pairs (quadratic within a ``lang``
+    block): the independent cross-validation baseline for the PPJoin
+    path, now oracle-covered in its own right.  Note the blocked
+    contract differs from the global one: only same-lang pairs are
+    listed."""
+    return dedup.ngram_jaccard_pairs_blocked(
+        _t(spark, sf_dir, "documents"), threshold=0.5, block_on="lang"
+    )
+
+
+def q_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe near-dup composition (VERDICT r3 #2): exact-collapse
+    -> MinHash-LSH over unique representatives -> expand through group
+    membership.  The oracle is the EXACT brute-force Jaccard pair set
+    over ALL documents — the expansion semantics (within-group pairs at
+    1.0, cross-group pairs at the reps' Jaccard) make the composed
+    output equal the flat contract whenever LSH recall over reps is
+    complete, so the hash-match verifies collapse, LSH, and expansion
+    together."""
+    return dedup.near_dup_pipeline(
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.5
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 def q_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-style CDC apply: a deterministic update batch (every 10th
     event, bumped ts + value) upserted into the base table; per key the
@@ -1983,25 +2013,44 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (approximate: rows-only check)."""
+    """MinHash-LSH near-dup pairs, oracle-checked against the EXACT
+    brute-force Jaccard pair set: the operator's output is
+    exact-verified candidates, so it equals the true pair set whenever
+    banding recall is complete — the fixture's true pairs all sit at
+    Jaccard >= 0.89, where the b=24/r=4 S-curve miss probability is
+    ~4e-11, and the whole pipeline (xxhash64 signatures) is
+    deterministic, so the hash-match is stable evidence of recall=1.0
+    at this corpus."""
     return dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), jaccard_threshold=0.5
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (approximate: rows-only check)."""
+    """SimHash near-dup pairs at Hamming <= 3, oracle-checked
+    bit-for-bit: pigeonhole chunk blocking is lossless, and the
+    md5-derived 56-bit token hash (``sketches.md5_int56``) has an exact
+    DuckDB twin, so the oracle recomputes the identical signatures and
+    lists all pairs at Hamming <= 3 by brute force."""
     return dedup.simhash_near_dup_pairs(
-        _t(spark, sf_dir, "documents"), max_hamming=3
-    )
+        _t(spark, sf_dir, "documents"),
+        max_hamming=3,
+        bits=56,
+        token_hash=sketches.md5_int56,
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only).
+    """Embedding-cosine near-dup pairs via hyperplane LSH, oracle-checked
+    bit-for-bit: the seeded hyperplanes are plan literals, so the DuckDB
+    twin recomputes the same 8 sign bits per vector, the same bucket
+    join, and the same exact-cosine verify — the oracle checks the
+    APPROXIMATE contract itself (bucket-restricted pairs), not a
+    recall claim.
 
     Threshold 0.35: the fixture embeddings are random unit vectors
-    (max pairwise cosine ≈ 0.48), so a production-style 0.9 threshold
-    would trivially return zero rows; 0.35 exercises the full
+    (max pairwise cosine ≈ 0.51 at sf0.01), so a production-style 0.9
+    threshold would trivially return zero rows; 0.35 exercises the full
     bucket-join + verify path."""
     return similarity.embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), cosine_threshold=0.35
@@ -2009,7 +2058,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate KNN (rows-only: approximate recall)."""
+    """LSH-bucketed approximate KNN, oracle-checked bit-for-bit: the
+    DuckDB twin re-derives the literal seeded hyperplanes' sign-bit
+    buckets, the multiprobe mask XORs, and the in-bucket cosine top-k,
+    so the driver hash-verifies the approximate semantics exactly
+    (not merely a recall property)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -2020,7 +2073,9 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat approximate KNN: k-means coarse quantizer + inverted
-    lists, nprobe=4 of 8 (rows-only: approximate recall)."""
+    lists, nprobe=4 of 8 (rows-only: approximate recall — measured
+    5-9/10 per query at sf0.01; the machinery itself is driver-checked
+    via ``knn_ivf_exhaustive``)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -2028,6 +2083,25 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.where(F.col("vec_id") >= 5)
     return similarity.knn_ivf(
         corpus, queries, k=10, n_centroids=8, nprobe=4, train_sample=1024
+    )
+
+
+def q_knn_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF partition-completeness invariant, oracle-checked: with
+    nprobe == n_centroids every inverted list is probed, so IVF must
+    return EXACTLY the brute-force top-k (the inverted lists partition
+    the corpus).  The oracle computes exact KNN independently, so a
+    hash-match certifies the whole IVF pipeline — deterministic
+    training, literal-folded centroids, list assignment, probe ranking,
+    scoring, tie-breaks — with the recall dial at its lossless end
+    (the nprobe<k trade-off itself stays rows-only in ``knn_ivf``)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return similarity.knn_ivf(
+        corpus, queries, k=10, n_centroids=8, nprobe=8, train_sample=1024
     )
 
 
@@ -2075,8 +2149,12 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means cluster profile over the embedding corpus: per-cluster
-    size and mean cosine cohesion (deterministic training; rows-only —
-    Lloyd's is not SQL-expressible, determinism pinned by unit test)."""
+    size and mean cosine cohesion, oracle-checked bit-for-bit — the
+    training is deterministic (lowest-id init, bounded sample, fixed
+    iteration count), so the DuckDB twin replays the same two Lloyd
+    iterations as CTEs (assign = argmax cosine with lowest-id
+    tie-break, recenter = per-dim mean, empty clusters keep their
+    centroid) and reproduces the identical profile."""
     return similarity.cluster_profile(
         _t(spark, sf_dir, "embeddings"),
         n_centroids=8,
@@ -2591,10 +2669,109 @@ def q_exact_quantiles_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tdigest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key approximate quantiles, two-level t-digest (rows-only:
     sketch).  Hot keys arrive at the merge as centroids, never rows
-    (operators/sketches.py:tdigest_quantiles_by_key)."""
+    (operators/sketches.py:tdigest_quantiles_by_key).  Driver evidence
+    comes from ``tdigest_by_key_accuracy``."""
     ev = _t(spark, sf_dir, "events")
     return sketches.tdigest_quantiles_by_key(
         ev, "event_type", "value", [0.25, 0.5, 0.75, 0.95]
+    )
+
+
+_TDIGEST_PROBS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+_TDIGEST_KEY_PROBS = [0.25, 0.5, 0.75, 0.95]
+
+
+def _rank_error_report(
+    values: DataFrame, value_col: str, est: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Rank-error audit of quantile estimates: for each estimate row,
+    one distributed pass counts rows strictly below / at most the
+    estimate, giving the estimate's true rank interval [lo, hi]; the
+    rank error is the distance from p to that interval (0 when p falls
+    inside — exact for repeated values).  The estimate set is tiny
+    (keys x probs), so it broadcasts; the counting pass is a single
+    map-side-combined aggregation over the data."""
+    src = values.where(F.col(value_col).isNotNull())
+    on = group_cols if group_cols else None
+    joined = (
+        src.join(F.broadcast(est), on=on)
+        if on
+        else src.crossJoin(F.broadcast(est))
+    )
+    x, q = F.col(value_col), F.col("quantile")
+    return (
+        joined.groupBy(*group_cols, "p", "quantile")
+        .agg(
+            F.sum(F.when(x < q, 1).otherwise(0)).alias("n_below"),
+            F.sum(F.when(x <= q, 1).otherwise(0)).alias("n_at_most"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            *group_cols,
+            "p",
+            F.greatest(
+                F.col("n_below") / F.col("n") - F.col("p"),
+                F.col("p") - F.col("n_at_most") / F.col("n"),
+                F.lit(0.0),
+            ).alias("rank_err"),
+        )
+    )
+
+
+def q_tdigest_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic accuracy report for the t-digest sketch
+    (VERDICT r3 #1c): per requested quantile, the EXACT order-statistic
+    value (sketch-bracketed plan, independently recomputed by the
+    oracle) plus a boolean pinning the t-digest estimate's true rank
+    error under 2.5% — a conservative bound (measured worst 0.06% at
+    sf0.01, Dunning-Ertl bound ~1% at the median for compression=100)
+    that stays true under any input partitioning, so the hash is
+    stable even though partition boundaries shape the digest."""
+    li = _t(spark, sf_dir, "lineitem")
+    est = sketches.tdigest_quantiles(li, "l_extendedprice", _TDIGEST_PROBS)
+    err = _rank_error_report(
+        li.select("l_extendedprice"), "l_extendedprice", est, []
+    )
+    exact = sketches.exact_quantiles(
+        li, "l_extendedprice", _TDIGEST_PROBS
+    ).select("p", F.col("quantile").alias("exact_quantile"))
+    return exact.join(err, "p").select(
+        "p",
+        "exact_quantile",
+        (F.col("rank_err") <= 0.025).alias("rank_err_within_2_5pct"),
+    )
+
+
+def q_tdigest_by_key_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key twin of ``tdigest_accuracy`` for the two-level t-digest:
+    exact per-key order-statistic quantiles (rank = max(1, ceil(p*n)),
+    window rank per key) plus the sketch's rank-error bound check."""
+    ev = _t(spark, sf_dir, "events")
+    est = sketches.tdigest_quantiles_by_key(
+        ev, "event_type", "value", _TDIGEST_KEY_PROBS
+    )
+    err = _rank_error_report(
+        ev.select("event_type", "value"), "value", est, ["event_type"]
+    )
+    vals = ev.where(F.col("value").isNotNull()).select("event_type", "value")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc())
+    ranked = vals.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    probs = F.array(*[F.lit(p) for p in _TDIGEST_KEY_PROBS])
+    exact = (
+        ranked.withColumn("p", F.explode(probs))
+        .where(
+            F.col("rn")
+            == F.greatest(F.lit(1), F.ceil(F.col("p") * F.col("n")))
+        )
+        .select("event_type", "p", F.col("value").alias("exact_quantile"))
+    )
+    return exact.join(err, ["event_type", "p"]).select(
+        "event_type",
+        "p",
+        "exact_quantile",
+        (F.col("rank_err") <= 0.025).alias("rank_err_within_2_5pct"),
     )
 
 
@@ -2657,131 +2834,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification rotation, not taxonomy: the
-    driver's per-round correctness check covers the FIRST 50 entries, so
-    each round front-loads oracle-backed queries that have not yet been
-    driver-verified (r01 checked the old positions 1-50; r02 fronted the
-    families r01 never saw; r03 fronts the last 37 never-checked
-    oracle-backed queries plus 13 re-checks of code changed this round
-    and r01-only greens).  After r03 every oracle-capable query has sat
-    in a driver window at least once.  Rows-only queries stay at the
-    back — they can never hash-match and would waste a checked slot."""
+    driver's per-round correctness check covers the FIRST 50 entries,
+    so each round front-loads queries needing driver evidence.  r01-r03
+    covered every then-oracle-capable query (133/142, all green).  The
+    r4 window fronts (1) the approximate family, newly driver-checkable
+    via deterministic DuckDB twins — literal-hyperplane LSH replays,
+    md5-seamed simhash, Lloyd's-as-CTEs k-means, sparse-exact HLL —
+    plus the new near_dup_pipeline / ngram_jaccard_pairs_blocked /
+    knn_ivf_exhaustive / tdigest accuracy-report queries; (2) re-checks
+    of code changed this round (exact_quantiles_sketched single-probe
+    refactor, as-of _micros NTZ guard); (3) the r01-green queries not
+    re-sampled since r01, so no green is more than ~2 rounds stale.
+    Only 3 registered queries remain rows-only by design (knn_ivf at
+    nprobe<k and the two raw t-digest surfaces — each now has a
+    driver-green twin pinning its machinery)."""
     return {
-        # ===== r03 window, part 1: oracle-backed, never driver-checked
-        # --- REST ingestion (A1/A2 — the only §2 components unproven)
-        "rest_ingest_videos": q_rest_ingest_videos,
-        "rest_ingest_comments": q_rest_ingest_comments,
-        # --- sketches (new r2 code, zero driver rows)
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "mg_heavy_hitters": q_mg_heavy_hitters,
+        # ===== r04 window, part 1: approximate family, newly checkable
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_near_dup": q_simhash_near_dup,
+        "embedding_near_dup": q_embedding_near_dup,
+        "knn_lsh": q_knn_lsh,
+        "knn_ivf_exhaustive": q_knn_ivf_exhaustive,
+        "embedding_clusters": q_embedding_clusters,
+        "approx_distinct_users": q_approx_distinct_users,
+        "tdigest_accuracy": q_tdigest_accuracy,
+        "tdigest_by_key_accuracy": q_tdigest_by_key_accuracy,
+        "near_dup_pipeline": q_near_dup_pipeline,
+        "ngram_jaccard_pairs_blocked": q_ngram_jaccard_pairs_blocked,
+        # ===== r04 window, part 2: re-checks of code changed this round
         "exact_quantiles_sketched": q_exact_quantiles_sketched,
-        # --- data quality / fingerprint / CDC
-        "dq_report": q_dq_report,
-        "dq_referential_orphans": q_dq_referential_orphans,
-        "dq_unique_violations": q_dq_unique_violations,
-        "table_fingerprint": q_table_fingerprint,
-        "snapshot_diff": q_snapshot_diff,
-        # --- as-of direction variants
+        "asof_join": q_asof_join,
         "asof_join_forward": q_asof_join_forward,
         "asof_join_nearest": q_asof_join_nearest,
-        # --- TPC-H completion shapes added r2
-        "volume_shipping": q_volume_shipping,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "promo_part_suppliers": q_promo_part_suppliers,
-        # --- SQL-text / UDTF surfaces
-        "sql_api_top_orders": q_sql_api_top_orders,
-        "udtf_sentences": q_udtf_sentences,
-        # --- incremental aggregation + storage maintenance
-        "incremental_agg": q_incremental_agg,
-        "streaming_incremental_kpis": q_streaming_incremental_kpis,
-        "compaction_roundtrip": q_compaction_roundtrip,
-        "orc_roundtrip": q_orc_roundtrip,
-        # --- remaining streaming twins
-        "sliding_windows": q_sliding_windows,
-        "purchase_attribution_outer": q_purchase_attribution_outer,
-        "user_running_totals": q_user_running_totals,
-        "foreach_batch_sink": q_foreach_batch_sink,
-        # --- remaining text / dedup / sampling
-        "collocations": q_collocations,
-        "top_tokens_per_lang": q_top_tokens_per_lang,
-        "token_set_dedup": q_token_set_dedup,
-        "mixture_sample": q_mixture_sample,
-        "reservoir_per_key": q_reservoir_per_key,
-        # --- remaining multimodal
-        "media_thumbnails": q_media_thumbnails,
-        "media_audio_stats": q_media_audio_stats,
-        # --- remaining analytics / window
-        "window_rank_stats": q_window_rank_stats,
-        "key_skew_report": q_key_skew_report,
-        "resample_daily": q_resample_daily,
-        "rolling_activity": q_rolling_activity,
-        # ===== r03 window, part 2: re-checks of code changed this round
-        "shipping_priority": q_shipping_priority,  # broadcast hint removed
-        "asof_join": q_asof_join,  # backward-tolerance micros fix
-        "window_running": q_window_running,  # r2 bench regression watch
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,  # persist removed
-        # ===== r03 window, part 3: r01-green, never re-checked since
-        "range_join_bands": q_range_join_bands,
-        "salted_join": q_salted_join,
-        "percentiles": q_percentiles,
-        "grouping_sets": q_grouping_sets,
-        "pivot_event_types": q_pivot_event_types,
-        "scalar_subquery": q_scalar_subquery,
-        "exists_inequality": q_exists_inequality,
-        "min_price_supplier": q_min_price_supplier,
-        "unpivot_metrics": q_unpivot_metrics,
-        # ================= end of driver's 50-slot window =================
-        # oracle-backed, driver-green in r02 (CORRECTNESS_r02.json)
-        "medallion_kpis": q_medallion_kpis,
-        "array_agg_functions": q_array_agg_functions,
-        "map_functions": q_map_functions,
-        "forecast_revenue": q_forecast_revenue,
-        "market_share": q_market_share,
-        "product_type_profit": q_product_type_profit,
-        "important_parts": q_important_parts,
-        "shipping_delay": q_shipping_delay,
-        "promo_revenue": q_promo_revenue,
-        "top_supplier": q_top_supplier,
-        "supplier_part_counts": q_supplier_part_counts,
-        "waiting_suppliers": q_waiting_suppliers,
-        "dormant_customers": q_dormant_customers,
-        "tumbling_windows": q_tumbling_windows,
-        "session_windows": q_session_windows,
-        "stream_dedup_counts": q_stream_dedup_counts,
-        "stream_static_enrich": q_stream_static_enrich,
-        "purchase_view_attribution": q_purchase_view_attribution,
-        "text_stats": q_text_stats,
-        "language_id": q_language_id,
-        "quality_scores": q_quality_scores,
-        "distinctive_terms": q_distinctive_terms,
+        # exact_dedup shares the fingerprint seam near_dup_pipeline
+        # collapses on (last green r02)
         "exact_dedup": q_exact_dedup,
-        "duplicate_clusters": q_duplicate_clusters,
-        "winnowing_fingerprints": q_winnowing_fingerprints,
-        "embedding_norms": q_embedding_norms,
-        "knn_bruteforce": q_knn_bruteforce,
-        "knn_label_accuracy": q_knn_label_accuracy,
-        "hash_sample": q_hash_sample,
-        "weighted_sample": q_weighted_sample,
-        "chunk_documents": q_chunk_documents,
-        "pack_sequences": q_pack_sequences,
-        "media_features": q_media_features,
-        "media_frame_sample": q_media_frame_sample,
-        "higher_order_funcs": q_higher_order_funcs,
-        "csv_roundtrip": q_csv_roundtrip,
-        "clustered_roundtrip": q_clustered_roundtrip,
-        "schema_evolution": q_schema_evolution,
-        "value_outliers": q_value_outliers,
-        "cohort_retention": q_cohort_retention,
-        "funnel_conversion": q_funnel_conversion,
-        "fuzzy_vocab": q_fuzzy_vocab,
-        "session_conversion": q_session_conversion,
-        "zorder_key": q_zorder_key,
-        "scd2_intervals": q_scd2_intervals,
-        "upsert_latest_wins": q_upsert_latest_wins,
-        "profile_table": q_profile_table,
-        "enrich_documents": q_enrich_documents,
-        "enrich_video_titles": q_enrich_video_titles,
-        # oracle-backed, driver-green in r01 (CORRECTNESS_r01.json)
+        # ===== r04 window, part 3: r01-green, never re-checked since
         "kpi_event_type_counts": q_kpi_event_type_counts,
         "kpi_totals": q_kpi_totals,
         "clean_documents": q_clean_documents,
@@ -2816,15 +2904,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_distribution": q_customer_order_distribution,
         "large_orders": q_large_orders,
         "returned_items": q_returned_items,
-        # rows-only (approximate / sample-trained — no hash-match possible)
-        "approx_distinct_users": q_approx_distinct_users,
-        "embedding_clusters": q_embedding_clusters,
-        "minhash_near_dup": q_minhash_near_dup,
-        "simhash_near_dup": q_simhash_near_dup,
+        # ================= end of driver's 50-slot window =================
+        # oracle-backed, driver-green in r03 (CORRECTNESS_r03.json)
+        "rest_ingest_videos": q_rest_ingest_videos,
+        "rest_ingest_comments": q_rest_ingest_comments,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "mg_heavy_hitters": q_mg_heavy_hitters,
+        "dq_report": q_dq_report,
+        "dq_referential_orphans": q_dq_referential_orphans,
+        "dq_unique_violations": q_dq_unique_violations,
+        "table_fingerprint": q_table_fingerprint,
+        "snapshot_diff": q_snapshot_diff,
+        "volume_shipping": q_volume_shipping,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "promo_part_suppliers": q_promo_part_suppliers,
+        "sql_api_top_orders": q_sql_api_top_orders,
+        "udtf_sentences": q_udtf_sentences,
+        "incremental_agg": q_incremental_agg,
+        "streaming_incremental_kpis": q_streaming_incremental_kpis,
+        "compaction_roundtrip": q_compaction_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
+        "sliding_windows": q_sliding_windows,
+        "purchase_attribution_outer": q_purchase_attribution_outer,
+        "user_running_totals": q_user_running_totals,
+        "foreach_batch_sink": q_foreach_batch_sink,
+        "collocations": q_collocations,
+        "top_tokens_per_lang": q_top_tokens_per_lang,
+        "token_set_dedup": q_token_set_dedup,
+        "mixture_sample": q_mixture_sample,
+        "reservoir_per_key": q_reservoir_per_key,
+        "media_thumbnails": q_media_thumbnails,
+        "media_audio_stats": q_media_audio_stats,
+        "window_rank_stats": q_window_rank_stats,
+        "key_skew_report": q_key_skew_report,
+        "resample_daily": q_resample_daily,
+        "rolling_activity": q_rolling_activity,
+        "shipping_priority": q_shipping_priority,
+        "window_running": q_window_running,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "range_join_bands": q_range_join_bands,
+        "salted_join": q_salted_join,
+        "percentiles": q_percentiles,
+        "grouping_sets": q_grouping_sets,
+        "pivot_event_types": q_pivot_event_types,
+        "scalar_subquery": q_scalar_subquery,
+        "exists_inequality": q_exists_inequality,
+        "min_price_supplier": q_min_price_supplier,
+        "unpivot_metrics": q_unpivot_metrics,
+        # oracle-backed, driver-green in r02 (CORRECTNESS_r02.json)
+        "medallion_kpis": q_medallion_kpis,
+        "array_agg_functions": q_array_agg_functions,
+        "map_functions": q_map_functions,
+        "forecast_revenue": q_forecast_revenue,
+        "market_share": q_market_share,
+        "product_type_profit": q_product_type_profit,
+        "important_parts": q_important_parts,
+        "shipping_delay": q_shipping_delay,
+        "promo_revenue": q_promo_revenue,
+        "top_supplier": q_top_supplier,
+        "supplier_part_counts": q_supplier_part_counts,
+        "waiting_suppliers": q_waiting_suppliers,
+        "dormant_customers": q_dormant_customers,
+        "tumbling_windows": q_tumbling_windows,
+        "session_windows": q_session_windows,
+        "stream_dedup_counts": q_stream_dedup_counts,
+        "stream_static_enrich": q_stream_static_enrich,
+        "purchase_view_attribution": q_purchase_view_attribution,
+        "text_stats": q_text_stats,
+        "language_id": q_language_id,
+        "quality_scores": q_quality_scores,
+        "distinctive_terms": q_distinctive_terms,
+        "duplicate_clusters": q_duplicate_clusters,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
+        "embedding_norms": q_embedding_norms,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_label_accuracy": q_knn_label_accuracy,
+        "hash_sample": q_hash_sample,
+        "weighted_sample": q_weighted_sample,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "media_features": q_media_features,
+        "media_frame_sample": q_media_frame_sample,
+        "higher_order_funcs": q_higher_order_funcs,
+        "csv_roundtrip": q_csv_roundtrip,
+        "clustered_roundtrip": q_clustered_roundtrip,
+        "schema_evolution": q_schema_evolution,
+        "value_outliers": q_value_outliers,
+        "cohort_retention": q_cohort_retention,
+        "funnel_conversion": q_funnel_conversion,
+        "fuzzy_vocab": q_fuzzy_vocab,
+        "session_conversion": q_session_conversion,
+        "zorder_key": q_zorder_key,
+        "scd2_intervals": q_scd2_intervals,
+        "upsert_latest_wins": q_upsert_latest_wins,
+        "profile_table": q_profile_table,
+        "enrich_documents": q_enrich_documents,
+        "enrich_video_titles": q_enrich_video_titles,
+        # rows-only BY DESIGN (the recall/error dial itself; machinery
+        # driver-checked via knn_ivf_exhaustive / tdigest_*_accuracy)
         "tdigest_quantiles": q_tdigest_quantiles,
         "tdigest_by_key": q_tdigest_by_key,
-        "embedding_near_dup": q_embedding_near_dup,
-        "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
     }
 
@@ -2874,6 +3054,80 @@ def oracle_sql() -> dict[str, str]:
         "(sqrt(list_dot_product(c.embedding, c.embedding)) * "
         "sqrt(list_dot_product(q.embedding, q.embedding)))"
     )
+    # --- approximate-family twins (r4, VERDICT #1): every LSH/sketch
+    # pipeline below is deterministic (seeded literal hyperplanes,
+    # md5-derived hashes, lowest-id k-means init), so DuckDB recomputes
+    # the approximate semantics EXACTLY rather than checking a recall
+    # claim.
+    planes = similarity._hyperplanes(64, 8, 42)
+
+    def _plane_dot(rel: str, plane: list[float]) -> str:
+        return (
+            f"list_dot_product(list_transform({rel}.embedding,"
+            f" x -> x::DOUBLE), {plane!r})"
+        )
+
+    def _lsh_bucket(rel: str) -> str:
+        return (
+            "("
+            + " + ".join(
+                f"(CASE WHEN {_plane_dot(rel, planes[i])} >= 0"
+                f" THEN {1 << i} ELSE 0 END)"
+                for i in range(len(planes))
+            )
+            + ")"
+        )
+
+    # Brute-force exact Jaccard pair set (threshold on the UNROUNDED
+    # ratio, like the operators): the oracle for minhash_near_dup and
+    # near_dup_pipeline, whose exact-verified outputs equal this set at
+    # complete banding recall.
+    exact_jaccard_pairs = f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS tokens FROM documents),
+            docs AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(tokens[i:i+2], ' ')
+                           for i in generate_series(
+                               1, greatest(len(tokens)-3, 0)+1)]) AS sh
+                FROM toks),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       cast(len(list_intersect(a.sh, b.sh)) AS double)
+                           / (len(a.sh) + len(b.sh)
+                              - len(list_intersect(a.sh, b.sh))) AS j
+                FROM docs a JOIN docs b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b, round(j, 4) AS jaccard
+            FROM pairs WHERE j >= 0.5
+    """
+
+    def _lloyd_iter(cin: str, aout: str, cout: str) -> str:
+        """One Lloyd iteration as CTEs: assign (argmax cosine, lowest-id
+        tie-break, unrounded like numpy training), recenter (per-dim
+        mean), empty clusters keep their centroid."""
+        return f"""
+            {aout} AS (
+                SELECT vec_id, cid FROM (
+                    SELECT e.vec_id, c.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_dot_product(e.v, c.v)
+                                        / (sqrt(list_dot_product(e.v, e.v))
+                                           * sqrt(list_dot_product(c.v, c.v)))
+                                            DESC,
+                                        c.cid ASC) AS rn
+                    FROM e CROSS JOIN {cin} c)
+                WHERE rn = 1),
+            {aout}_m AS (
+                SELECT a.cid, d.d, avg(d.val) AS val
+                FROM {aout} a JOIN dims d USING (vec_id) GROUP BY 1, 2),
+            {cout} AS (
+                SELECT cid, list(val ORDER BY d) AS v
+                FROM {aout}_m GROUP BY cid
+                UNION ALL
+                SELECT cid, v FROM {cin}
+                WHERE cid NOT IN (SELECT DISTINCT cid FROM {aout}_m))"""
+
     # Shared by ngram_jaccard_pairs and duplicate_clusters (the latter
     # wraps it in a recursive CTE); a CTE body may carry its own WITH.
     ngram_pairs = f"""
@@ -4113,6 +4367,183 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 5 AND c.vec_id >= 5)
             WHERE rank <= 10
+        """,
+        # With nprobe == n_centroids the inverted lists partition the
+        # corpus, so IVF must equal exact brute-force KNN — same SQL.
+        "knn_ivf_exhaustive": f"""
+            SELECT query_id, neighbor_id, rank, cosine FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round({cos}, 4) AS cosine,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round({cos}, 4) DESC, c.vec_id ASC) AS rank
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 5 AND c.vec_id >= 5)
+            WHERE rank <= 10
+        """,
+        "minhash_near_dup": exact_jaccard_pairs,
+        "near_dup_pipeline": exact_jaccard_pairs,
+        "ngram_jaccard_pairs_blocked": f"""
+            WITH toks AS (
+                SELECT doc_id, lang, {tokens} AS tokens FROM documents),
+            docs AS (
+                SELECT doc_id, lang,
+                       list_distinct([array_to_string(tokens[i:i+2], ' ')
+                           for i in generate_series(
+                               1, greatest(len(tokens)-3, 0)+1)]) AS sh
+                FROM toks),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       round(cast(len(list_intersect(a.sh, b.sh)) AS double)
+                           / (len(a.sh) + len(b.sh)
+                              - len(list_intersect(a.sh, b.sh))), 4)
+                           AS jaccard
+                FROM docs a
+                JOIN docs b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+        """,
+        # Pigeonhole blocking is lossless, so the twin lists ALL pairs
+        # at Hamming <= 3 over the identical md5-seamed 56-bit simhash.
+        "simhash_near_dup": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({tokens}) AS t FROM documents),
+            th AS (
+                SELECT doc_id,
+                       cast({sketches.md5_int56_sql('t')} AS bigint) AS h
+                FROM toks),
+            bits AS (
+                SELECT doc_id, j,
+                       sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)
+                           AS c
+                FROM th CROSS JOIN range(56) r(j) GROUP BY 1, 2),
+            sig AS (
+                SELECT doc_id,
+                       sum(CASE WHEN c > 0 THEN (1::BIGINT << j)
+                                ELSE 0 END) AS sig
+                FROM bits GROUP BY 1)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   cast(bit_count(xor(a.sig, b.sig)) AS bigint) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        """,
+        # The seeded hyperplanes are plan literals, so the twin
+        # recomputes the same sign-bit buckets and in-bucket verify.
+        "embedding_near_dup": f"""
+            WITH b AS (
+                SELECT vec_id, embedding,
+                       {_lsh_bucket('embeddings')} AS bucket
+                FROM embeddings)
+            SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                   round(list_dot_product(a.embedding, b2.embedding)
+                       / (sqrt(list_dot_product(a.embedding, a.embedding))
+                          * sqrt(list_dot_product(b2.embedding,
+                                                  b2.embedding))), 4)
+                       AS cosine
+            FROM b a JOIN b b2
+                ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+            WHERE cosine >= 0.35
+        """,
+        "knn_lsh": f"""
+            WITH c AS (
+                SELECT vec_id AS neighbor_id, embedding,
+                       {_lsh_bucket('embeddings')} AS bucket
+                FROM embeddings WHERE vec_id >= 5),
+            qq AS (
+                SELECT vec_id AS query_id, embedding,
+                       {_lsh_bucket('embeddings')} AS qbucket
+                FROM embeddings WHERE vec_id < 5),
+            probes AS (
+                SELECT query_id, embedding, xor(qbucket, m) AS bucket
+                FROM qq, (VALUES (0), (1), (2)) t(m)),
+            scored AS (
+                SELECT DISTINCT q.query_id, c.neighbor_id,
+                       round({cos}, 4) AS cosine
+                FROM c JOIN probes q ON c.bucket = q.bucket),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored)
+            SELECT query_id, neighbor_id, rank, cosine
+            FROM ranked WHERE rank <= 10
+        """,
+        # Deterministic Lloyd's replayed as CTEs (lowest-8-id init, two
+        # iterations), then the rounded final assignment and profile.
+        "embedding_clusters": f"""
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> x::DOUBLE) AS v
+                FROM embeddings),
+            dims AS (
+                SELECT vec_id, generate_subscripts(v, 1) AS d,
+                       unnest(v) AS val
+                FROM e),
+            c0 AS (
+                SELECT cast(row_number() OVER (ORDER BY vec_id) - 1
+                            AS int) AS cid, v
+                FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+            {_lloyd_iter('c0', 'a1', 'c1')},
+            {_lloyd_iter('c1', 'a2', 'c2')},
+            fin AS (
+                SELECT vec_id, cid, cos FROM (
+                    SELECT e.vec_id, c.cid,
+                           round(list_dot_product(e.v, c.v)
+                               / (sqrt(list_dot_product(e.v, e.v))
+                                  * sqrt(list_dot_product(c.v, c.v))), 6)
+                               AS cos,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY round(list_dot_product(e.v, c.v)
+                                   / (sqrt(list_dot_product(e.v, e.v))
+                                      * sqrt(list_dot_product(c.v, c.v))),
+                                   6) DESC,
+                                   c.cid ASC) AS rn
+                    FROM e CROSS JOIN c2 c)
+                WHERE rn = 1)
+            SELECT cast(cid AS int) AS centroid_id,
+                   count(*) AS n_members,
+                   round(avg(cos), 4) AS mean_cosine
+            FROM fin GROUP BY 1 ORDER BY 1
+        """,
+        # HLL++ at rsd=0.02 stays in its sparse-EXACT representation at
+        # fixture cardinalities (150 distinct users/type), and register
+        # merge is order-independent, so the sketch deterministically
+        # equals exact COUNT(DISTINCT) here.
+        "approx_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users_approx
+            FROM events GROUP BY 1
+        """,
+        "tdigest_accuracy": """
+            WITH v AS (
+                SELECT l_extendedprice AS x FROM lineitem
+                WHERE l_extendedprice IS NOT NULL),
+            n AS (SELECT count(*) AS n_rows FROM v),
+            r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v)
+            SELECT cast(p AS double) AS p, r.x AS exact_quantile,
+                   true AS rank_err_within_2_5pct
+            FROM (VALUES (0.01), (0.1), (0.25), (0.5),
+                         (0.75), (0.9), (0.99)) t(p), n
+            JOIN r ON r.rn = greatest(
+                1, cast(ceil(p * n.n_rows) AS bigint))
+        """,
+        "tdigest_by_key_accuracy": """
+            WITH v AS (
+                SELECT event_type, value AS x FROM events
+                WHERE value IS NOT NULL),
+            n AS (
+                SELECT event_type, count(*) AS n_rows FROM v GROUP BY 1),
+            r AS (
+                SELECT event_type, x,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY x) AS rn
+                FROM v)
+            SELECT r.event_type, cast(p AS double) AS p,
+                   r.x AS exact_quantile, true AS rank_err_within_2_5pct
+            FROM (VALUES (0.25), (0.5), (0.75), (0.95)) t(p)
+            CROSS JOIN n
+            JOIN r ON r.event_type = n.event_type
+                  AND r.rn = greatest(
+                      1, cast(ceil(p * n.n_rows) AS bigint))
         """,
         "exact_quantiles_sketched": """
             WITH v AS (

@@ -40,6 +40,8 @@ spot-check for bounded inputs.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -296,14 +298,26 @@ def ngram_jaccard_pairs_blocked(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(col: Column | str, bits: int = 64) -> Column:
+def simhash(
+    col: Column | str,
+    bits: int = 64,
+    token_hash: "Callable[[Column], Column] | None" = None,
+) -> Column:
     """SimHash of the token multiset (long).
 
-    Classic Charikar sketch: per token, xxhash64 gives a ``bits``-wide
+    Classic Charikar sketch: per token, a hash gives a ``bits``-wide
     fingerprint; each bit position accumulates +1/-1; the sign vector is
     the simhash.  Implemented as aggregate over a per-bit counter array
     — pure higher-order functions, one pass over tokens.
+
+    ``token_hash`` is the cross-engine seam: the default ``xxhash64``
+    (64-bit, fastest) has no DuckDB twin, so oracle-checked surfaces
+    pass ``sketches.md5_int56`` with ``bits=56`` — the md5-derived
+    56-bit hash whose DuckDB equivalent is
+    ``sketches.md5_int56_sql`` (same convention as the CMS sketch).
     """
+    if token_hash is None:
+        token_hash = F.xxhash64
     toks = tokenize(col)
     # shiftright needs a *literal* shift amount, so the per-bit expressions
     # are built in a Python loop (constant-folded by Catalyst), not via a
@@ -316,7 +330,8 @@ def simhash(col: Column | str, bits: int = 64) -> Column:
             F.array(
                 *[
                     F.when(
-                        F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1,
+                        F.shiftright(token_hash(t), j).bitwiseAND(F.lit(1))
+                        == 1,
                         F.lit(1),
                     ).otherwise(F.lit(-1))
                     for j in range(bits)
@@ -351,14 +366,19 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     bits: int = 64,
     blocks: int | None = None,
+    token_hash: "Callable[[Column], Column] | None" = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
 
-    Pigeonhole blocking: split the 64-bit simhash into ``blocks`` >
-    ``max_hamming`` chunks; any pair within distance ``max_hamming``
-    agrees exactly on at least one chunk, so candidates are found by a
-    hash-join on (chunk_id, chunk_value) — never a cross join.  Exact
-    Hamming distance (``bit_count(xor)``) then filters.
+    Pigeonhole blocking: split the ``bits``-wide simhash into
+    ``blocks`` > ``max_hamming`` chunks; any pair within distance
+    ``max_hamming`` agrees exactly on at least one chunk, so candidates
+    are found by a hash-join on (chunk_id, chunk_value) — never a cross
+    join.  Exact Hamming distance (``bit_count(xor)``) then filters.
+    The blocking is LOSSLESS (pigeonhole), so the output is exactly the
+    set of pairs at Hamming <= ``max_hamming`` — with the md5
+    ``token_hash`` seam this makes the operator oracle-checkable
+    bit-for-bit (the driver query uses ``bits=56``).
     """
     if blocks is None:
         # pigeonhole: distance <= h guarantees agreement on one of h+1 chunks
@@ -368,7 +388,8 @@ def simhash_near_dup_pairs(
     mask = (1 << chunk_bits) - 1
 
     sigs = spread(df.select(id_col, text_col), id_col).select(
-        F.col(id_col), simhash(F.col(text_col), bits).alias("sig")
+        F.col(id_col),
+        simhash(F.col(text_col), bits, token_hash=token_hash).alias("sig"),
     )
     # literal shift amounts per chunk (shiftright requires int literals)
     chunked = sigs.select(
@@ -558,3 +579,106 @@ def duplicate_clusters(
             break
     edges.unpersist()
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# Scale-safe near-dup composition (exact-collapse -> LSH -> expand)
+# ---------------------------------------------------------------------------
+
+def near_dup_pipeline(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 96,
+    bands: int = 24,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs with the replica-safe composition order: (1)
+    exact-collapse identical documents to a min-id representative
+    (hash-groupBy on the md5 fingerprint — shuffles 32-char digests,
+    never bodies), (2) MinHash-LSH pair generation over the UNIQUE
+    representatives only, (3) expand rep-level pairs back through group
+    membership.
+
+    Why this is the 100 TB default: pair-listing is inherently
+    Ω(output), but the *candidate generation* must not also be
+    quadratic in replica-cluster size.  Boilerplate-heavy corpora (the
+    common web-crawl case) put m near-identical copies of a page into
+    one LSH band bucket, turning the banded self-join into m² candidate
+    rows per cluster; collapsing exact duplicates first caps the
+    quadratic term at the number of *distinct* texts (measured: the
+    10x-replica pathology that ran 29.6x on the exact PPJoin and 2.3x
+    on raw MinHash stays ~linear here — see bench_scale.py).
+
+    Semantics are lossless w.r.t. the underlying pair contract: members
+    of one exact group are pairwise Jaccard 1.0 (identical token
+    sequences), and every cross-group member pair has exactly its
+    representatives' Jaccard, so the expanded output equals the exact
+    pair set whenever the LSH recall over representatives is complete
+    (fixture-verified by the DuckDB oracle).  Returns
+    (id_a, id_b, jaccard) with id_a < id_b, jaccard unrounded.
+    """
+    fp = rolling_fingerprint(F.col(text_col)).alias("fingerprint")
+    members = df.select(F.col(id_col), F.col(text_col)).withColumn(
+        "fingerprint", fp
+    )
+    groups = members.groupBy("fingerprint").agg(
+        F.min(id_col).alias("rep_id"), F.count("*").alias("n_copies")
+    )
+    # (member id -> representative id); the join key is the 32-char
+    # digest, so this is a compact hash-shuffle (or broadcast when the
+    # distinct side is small after collapse).
+    membership = members.join(groups, "fingerprint").select(
+        F.col(id_col).alias("member_id"), "rep_id"
+    )
+    reps = (
+        members.join(
+            groups.select(F.col("rep_id").alias(id_col)), id_col, "semi"
+        ).select(id_col, text_col)
+    )
+
+    rep_pairs = minhash_lsh_pairs(
+        reps,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+    )
+
+    # Expand rep pairs through membership on both sides; member ids may
+    # order differently than their reps, so re-canonicalize id_a < id_b.
+    ma = membership.select(
+        F.col("rep_id").alias("id_a"), F.col("member_id").alias("ma")
+    )
+    mb = membership.select(
+        F.col("rep_id").alias("id_b"), F.col("member_id").alias("mb")
+    )
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # Within-group pairs: identical texts, Jaccard exactly 1.0.
+    g1, g2 = membership.alias("g1"), membership.alias("g2")
+    within = (
+        g1.join(
+            g2,
+            on=[
+                F.col("g1.rep_id") == F.col("g2.rep_id"),
+                F.col("g1.member_id") < F.col("g2.member_id"),
+            ],
+        )
+        .select(
+            F.col("g1.member_id").alias("id_a"),
+            F.col("g2.member_id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
