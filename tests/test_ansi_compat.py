@@ -28,9 +28,11 @@ SWEEP = _WINDOW + [n for n in RISKY if n not in _WINDOW]
 
 @pytest.mark.parametrize("name", SWEEP)
 def test_query_is_ansi_clean(spark, sf_dir, name):
+    prev = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
         rows = entry.queries()[name](spark, sf_dir).collect()
         assert rows is not None
     finally:
-        spark.conf.set("spark.sql.ansi.enabled", "false")
+        # restore the pre-test value, not a hardcoded default
+        spark.conf.set("spark.sql.ansi.enabled", prev)

@@ -219,3 +219,42 @@ def test_asof_backward_tolerance_ntz_and_subsecond(spark):
         left, right, on=["user_id"], tolerance_seconds=2
     ).collect()
     assert hit[0].asof_val == 7
+
+
+def test_asof_ntz_tolerance_is_session_timezone_independent(spark):
+    """ADVICE r3: _micros must be offset-independent for NTZ input on
+    non-UTC driver hosts.  Pin the worst case — a session timezone with
+    a DST gap between the two wall-clock timestamps (America/New_York
+    springs forward inside 01:30 -> 03:30 on 2024-03-10, so a
+    cast-through-session-tz delta reads 3600 s instead of the
+    wall-clock 7200 s).  NTZ semantics are wall-clock, so the 7200 s
+    gap must sit exactly at a 7200 s tolerance and outside 7199 s,
+    regardless of session zone."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        left = spark.createDataFrame(
+            [(1, "u1", "2024-03-10 03:30:00")],
+            "event_id long, user_id string, s string",
+        ).select("event_id", "user_id", F.to_timestamp_ntz("s").alias("ts"))
+        right = spark.createDataFrame(
+            [("u1", "2024-03-10 01:30:00", 7)],
+            "user_id string, s string, val long",
+        ).select("user_id", F.to_timestamp_ntz("s").alias("ts"), "val")
+
+        hit = joins.asof_join_backward(
+            left, right, on=["user_id"], tolerance_seconds=7200
+        ).collect()
+        assert hit[0].asof_val == 7
+
+        miss = joins.asof_join_backward(
+            left, right, on=["user_id"], tolerance_seconds=7199
+        ).collect()
+        assert miss[0].asof_val is None
+
+        near = joins.asof_join_nearest(
+            left, right, on=["user_id"], tolerance_seconds=7199
+        ).collect()
+        assert near[0].asof_val is None
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

@@ -302,4 +302,7 @@ def test_r03_window_queries_stay_within_shuffle_budget(spark, sf_dir):
     for name, budget in budgets.items():
         plan = _plan(spark, sf_dir, name)
         got = plan.count("Exchange hashpartitioning")
-        assert got <= budget, (name, got, budget)
+        # equality, not <=: the budgets are audited exact counts, and a
+        # refactor that silently DROPS a required exchange (e.g. loses a
+        # pre-aggregation) should fail just like one that adds a shuffle
+        assert got == budget, (name, got, budget)

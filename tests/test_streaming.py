@@ -43,14 +43,27 @@ def events_dir(spark, sf_dir, tmp_path_factory):
     return out
 
 
-def test_tumbling_counts_stream_equals_batch(spark, events_dir):
-    batch_df = spark.read.parquet(events_dir)
+@pytest.fixture()
+def events_dir_clone(events_dir, tmp_path):
+    """Function-scoped copy for tests that APPEND sentinel/flush rows:
+    mutating the module-scoped events_dir would silently bake earlier
+    tests' sentinels into later tests' batch baselines.  copy2 keeps
+    mod-times, so the file-stream replay order is preserved."""
+    import shutil
+
+    out = str(tmp_path / "events_clone")
+    shutil.copytree(events_dir, out)
+    return out
+
+
+def test_tumbling_counts_stream_equals_batch(spark, events_dir_clone):
+    batch_df = spark.read.parquet(events_dir_clone)
     expected = {
         (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
         for r in tumbling_counts(batch_df).collect()
     }
 
-    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    stream = read_events_stream(spark, events_dir_clone, max_files_per_trigger=1)
     q = (
         tumbling_counts(stream)
         .writeStream.outputMode("append")
@@ -69,7 +82,7 @@ def test_tumbling_counts_stream_equals_batch(spark, events_dir):
               "__flush__", 0.0, "{}")],
             schema=batch_df.schema,
         )
-        flush.write.mode("append").parquet(events_dir)
+        flush.write.mode("append").parquet(events_dir_clone)
         q.processAllAvailable()
     finally:
         q.stop()
@@ -342,19 +355,19 @@ def test_incremental_summary_sink_merges_to_full_recompute(spark, tmp_path):
     assert got == want
 
 
-def test_sliding_counts_stream_equals_batch(spark, events_dir):
+def test_sliding_counts_stream_equals_batch(spark, events_dir_clone):
     """Sliding (overlapping) windows finalize and match batch exactly —
     same drain pattern as the tumbling test; any sentinel rows earlier
     tests appended are read identically by both modes."""
     from youtube_podcast_data_pipeline_azure_spark.streaming.events_stream import sliding_counts
 
-    batch_df = spark.read.parquet(events_dir)
+    batch_df = spark.read.parquet(events_dir_clone)
     expected = {
         r["window_start"]: (r["n"], r["sum_value"])
         for r in sliding_counts(batch_df).collect()
     }
 
-    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    stream = read_events_stream(spark, events_dir_clone, max_files_per_trigger=2)
     q = (
         sliding_counts(stream)
         .writeStream.outputMode("append")
@@ -370,7 +383,7 @@ def test_sliding_counts_stream_equals_batch(spark, events_dir):
               "__flush__", 0.0, "{}")],
             schema=batch_df.schema,
         )
-        flush.write.mode("append").parquet(events_dir)
+        flush.write.mode("append").parquet(events_dir_clone)
         q.processAllAvailable()
     finally:
         q.stop()
@@ -384,16 +397,16 @@ def test_sliding_counts_stream_equals_batch(spark, events_dir):
     assert got == expected
 
 
-def test_sessionized_counts_stream_equals_batch(spark, events_dir):
+def test_sessionized_counts_stream_equals_batch(spark, events_dir_clone):
     """Gap-based session windows finalize identically in streaming:
     sessions close once the watermark passes session_end + gap."""
-    batch_df = spark.read.parquet(events_dir)
+    batch_df = spark.read.parquet(events_dir_clone)
     expected = {
         (r["session_start"], r["session_end"], r["user_id"]): r["n_events"]
         for r in sessionized_counts(batch_df).collect()
     }
 
-    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    stream = read_events_stream(spark, events_dir_clone, max_files_per_trigger=2)
     q = (
         sessionized_counts(stream)
         .writeStream.outputMode("append")
@@ -409,7 +422,7 @@ def test_sessionized_counts_stream_equals_batch(spark, events_dir):
               "__flush__", 0.0, "{}")],
             schema=batch_df.schema,
         )
-        flush.write.mode("append").parquet(events_dir)
+        flush.write.mode("append").parquet(events_dir_clone)
         q.processAllAvailable()
     finally:
         q.stop()

@@ -25,29 +25,56 @@ Scale design:
   first (``bucketed_range_join``) — the equality key turns the plan into
   a plain shuffled hash join with per-bucket residual predicates.
 
-Timezone constraint: the as-of family converts timestamps with
-:func:`_micros`, which is offset-free for TIMESTAMP_NTZ input only when
-``spark.sql.session.timeZone`` is UTC (session.py pins it).  Mixing
-TIMESTAMP and TIMESTAMP_NTZ columns across the two sides under a
-non-UTC session would skew tolerance horizons and nearest ranking by
-the local offset.
+Timezone independence: the as-of family converts timestamps with
+:func:`_micros`, dispatching on the ts column types — TIMESTAMP uses
+``unix_micros`` directly (instants are tz-free), TIMESTAMP_NTZ uses
+wall-clock component arithmetic (``unix_date``/``hour``/``minute``/
+``date_part('SECOND')``, all tz-free on NTZ input) — so tolerance
+horizons and nearest ranking are exact under ANY session timezone,
+including across DST transitions on non-UTC driver hosts (a
+cast-through-session-tz would skew deltas there).  The one remaining
+caveat: MIXING a TIMESTAMP side with a TIMESTAMP_NTZ side makes
+Spark's union coerce NTZ through the session zone upstream of this
+module — keep both sides the same type (or pin UTC, as session.py
+does) in that case.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 
-def _micros(c: Column) -> Column:
-    """Microseconds-since-epoch for TIMESTAMP *or* TIMESTAMP_NTZ input.
+def _micros(c: Column, ntz: bool) -> Column:
+    """Microseconds-since-epoch for TIMESTAMP (``ntz=False``) or
+    wall-clock microseconds for TIMESTAMP_NTZ (``ntz=True``) — both
+    session-timezone-independent.
 
-    ``unix_micros`` rejects TIMESTAMP_NTZ (the type parquet scans produce
-    under Spark's default inference); the session pins UTC
-    (session.py:54), so the NTZ->TIMESTAMP cast is offset-free and the
-    micros are exact either way.
+    ``unix_micros`` rejects NTZ, and every NTZ->TIMESTAMP cast (or
+    ``to_utc_timestamp``) routes through the session zone, skewing
+    deltas across DST gaps on non-UTC hosts; the component form reads
+    the NTZ wall clock directly.  ``date_part('SECOND')`` returns
+    decimal seconds with the microsecond fraction; the arithmetic
+    stays under 2^53 so the final cast is exact and ANSI-safe.
     """
-    return F.unix_micros(c.cast("timestamp"))
+    if not ntz:
+        return F.unix_micros(c)
+    whole = (
+        F.unix_date(F.to_date(c)) * F.lit(86400).cast("long")
+        + F.hour(c) * 3600
+        + F.minute(c) * 60
+    ) * F.lit(1_000_000).cast("long")
+    frac = (F.date_part(F.lit("SECOND"), c) * 1_000_000).cast("long")
+    return whole + frac
+
+
+def _ts_is_ntz(left: DataFrame, right: DataFrame, left_ts: str, right_ts: str) -> bool:
+    """True when the union-merge sort column will be TIMESTAMP_NTZ
+    (both sides NTZ); mixed inputs coerce to TIMESTAMP at the union."""
+    return isinstance(
+        left.schema[left_ts].dataType, TimestampNTZType
+    ) and isinstance(right.schema[right_ts].dataType, TimestampNTZType)
 
 
 def asof_join_backward(
@@ -101,8 +128,9 @@ def asof_join_backward(
     if tolerance_seconds is not None:
         # microsecond-exact, NTZ-safe (cast-to-long throws on
         # TIMESTAMP_NTZ and truncates TIMESTAMP to whole seconds)
-        horizon = _micros(F.col("_t")) - _micros(
-            matched.getField(right_ts)
+        ntz = _ts_is_ntz(left, right, left_ts, right_ts)
+        horizon = _micros(F.col("_t"), ntz) - _micros(
+            matched.getField(right_ts), ntz
         )
         matched = F.when(horizon <= tolerance_seconds * 1_000_000, matched)
 
@@ -175,8 +203,9 @@ def asof_join_forward(
     )
     matched = F.first("_rv", ignorenulls=True).over(w)
     if tolerance_seconds is not None:
-        horizon = _micros(matched.getField(right_ts)) - _micros(
-            F.col("_t")
+        ntz = _ts_is_ntz(left, right, left_ts, right_ts)
+        horizon = _micros(matched.getField(right_ts), ntz) - _micros(
+            F.col("_t"), ntz
         )
         matched = F.when(horizon <= tolerance_seconds * 1_000_000, matched)
     return (
@@ -222,9 +251,10 @@ def asof_join_nearest(
     mf = F.first("_rv", ignorenulls=True).over(wf)
     # microsecond-exact deltas (cast-to-long truncates to seconds and
     # would misrank sub-second nearest picks)
-    t = _micros(F.col("_t"))
-    db = t - _micros(mb.getField(right_ts))
-    df_ = _micros(mf.getField(right_ts)) - t
+    ntz = _ts_is_ntz(left, right, left_ts, right_ts)
+    t = _micros(F.col("_t"), ntz)
+    db = t - _micros(mb.getField(right_ts), ntz)
+    df_ = _micros(mf.getField(right_ts), ntz) - t
     matched = (
         F.when(mb.isNull(), mf)
         .when(mf.isNull(), mb)
@@ -232,7 +262,7 @@ def asof_join_nearest(
         .otherwise(mb)  # ties -> backward
     )
     if tolerance_seconds is not None:
-        dist = F.abs(_micros(matched.getField(right_ts)) - t)
+        dist = F.abs(_micros(matched.getField(right_ts), ntz) - t)
         matched = F.when(dist <= tolerance_seconds * 1_000_000, matched)
     return (
         u.withColumn("_m", matched)

@@ -327,9 +327,12 @@ def exact_quantiles(
     below/at its edges; brackets that don't provably contain their rank
     are widened from neighboring centroids and re-verified (digest
     error is small, so this converges immediately in practice).
-    (3) per quantile, a take-ordered of the ~n/compression rows inside
-    the bracket yields the exact element.  Nothing ever sorts the full
-    table; raise ``compression`` to shrink pass-3 brackets at 100 TB.
+    (3) ONE probe job for all quantiles: rows are tagged with the
+    brackets containing them, ranked per bracket by a window over the
+    ~n/compression-row slice, and each bracket's target rank is picked
+    — so the job count is 2 (+ rare re-verify rounds) regardless of how
+    many quantiles are requested.  Nothing ever sorts the full table;
+    raise ``compression`` to shrink probe brackets at 100 TB.
     """
     import math
 
@@ -382,21 +385,51 @@ def exact_quantiles(
             break
     counts_below = [row[f"b{i}"] for i in range(len(ks))]
 
-    out = []
-    for p, k, (lo, hi), below in zip(probs, ks, brs, counts_below):
-        c = F.col(value_col)
-        in_bracket = src.where((c >= F.lit(lo)) & (c <= F.lit(hi)))
-        r = k - below  # rank within the bracket, 1-based
-        kth = (
-            in_bracket.orderBy(c.asc())
-            .limit(r)
-            .orderBy(c.desc())
-            .limit(1)
-            .collect()[0][0]
+    # One probe job for ALL quantiles (job count is 2 regardless of k:
+    # the verify pass above + this): tag every row with the ids of the
+    # brackets containing it, rank rows within each bracket, and pick
+    # each bracket's in-bracket target rank.  Each bracket holds
+    # ~n/compression rows by construction, so the per-bracket window
+    # ranks a bounded slice — nothing sorts the full table.
+    from pyspark.sql import Window
+
+    c = F.col(value_col)
+    specs = [
+        (i, lo, hi, k - below)  # in-bracket rank is 1-based
+        for i, ((lo, hi), k, below) in enumerate(
+            zip(brs, ks, counts_below)
         )
-        out.append((float(p), float(kth)))
+    ]
+    tags = F.filter(
+        F.array(
+            *[
+                F.when(
+                    (c >= F.lit(lo)) & (c <= F.lit(hi)), F.lit(i)
+                ).otherwise(F.lit(None).cast("int"))
+                for i, lo, hi, _ in specs
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    tagged = src.select(c.alias("v"), F.explode(tags).alias("bid"))
+    target_rank = F.create_map(
+        *[x for i, _, _, r in specs for x in (F.lit(i), F.lit(r))]
+    )
+    picked = (
+        tagged.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("bid").orderBy(F.col("v").asc())
+            ),
+        )
+        .where(F.col("rn") == target_rank[F.col("bid")])
+        .select("bid", "v")
+        .collect()
+    )
+    kth_by_bid = {r["bid"]: r["v"] for r in picked}
     return values.sparkSession.createDataFrame(
-        out, "p double, quantile double"
+        [(float(p), float(kth_by_bid[i])) for i, p in enumerate(probs)],
+        "p double, quantile double",
     )
 
 
