@@ -1,0 +1,340 @@
+#!/usr/bin/env python
+"""Standing scaling benchmark: regenerates BASELINE.md's "Measured
+scaling" table every round instead of relying on one-off measurements.
+
+Synthesizes upscaled inputs from ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) into a temp dir, then times representative
+queries at 1x vs the upscale on a warmed session (median of
+``$SPARK_GRAFT_BENCH_RUNS``, default 3) and prints ONE JSON line.
+
+Upscale construction (join-integrity preserving):
+
+* TPC-H 5x: replicas of customer/supplier/part/orders/lineitem with
+  per-replica key offsets (replica i of orders references replica i of
+  customer, etc.), region/nation shared — per-key group sizes stay
+  constant, only cardinality grows.
+* events 5x: event_id/user_id offsets — more keys, same per-key load.
+* documents 10x: replica-tagged token vocabularies (disjoint shingle
+  spaces), so TRUE near-dup pair counts grow linearly.
+* embeddings 10x: vec_id offsets; the 5 query vectors stay fixed.
+* replica pathology: 10 near-identical copies of every document
+  (one extra unique token each) — quadratic true pair counts — the
+  worst case for exact pair-listers; this is where the composed
+  near_dup_pipeline must stay near-linear while raw PPJoin is
+  Ω(output) (BASELINE.md pathology note).
+
+A query is FLAGGED when its wall-clock growth is SUPER-linear in the
+data growth (ratio > growth factor) — sub-linear ratios are healthy
+(fixed overheads amortizing).  Pathology-corpus experiments are never
+flagged on ratio: every pair-lister's OUTPUT is quadratic there by
+contract; the signal is the relative ordering (near_dup_pipeline <=
+raw MinHash << exact PPJoin), which is asserted instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+TPCH_5X = [
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "market_share",
+    "product_type_profit",
+    "waiting_suppliers",
+]
+EVENTS_5X = ["window_running", "asof_join"]
+DOCS_10X = ["minhash_near_dup", "ngram_jaccard_pairs"]
+EMB_10X = ["knn_bruteforce"]
+PATHOLOGY = ["ngram_jaccard_pairs", "minhash_near_dup", "near_dup_pipeline"]
+#: exact pair-listers are Ω(output); on the pathology corpus the output
+#: itself is quadratic, so a big ratio is the contract, not a defect
+OUTPUT_BOUND = {"ngram_jaccard_pairs"}
+
+
+def _copy(spark, src, dst, table):
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+
+    load_table(spark, src, table).write.mode("overwrite").parquet(
+        os.path.join(dst, f"{table}.parquet")
+    )
+
+
+def _write(df, dst, table):
+    df.write.mode("overwrite").parquet(os.path.join(dst, f"{table}.parquet"))
+
+
+def _offset_union(df, factor, offsets):
+    """Union ``factor`` replicas, adding ``i * offset`` to each keyed
+    column — group sizes stay constant, cardinality scales."""
+    parts = []
+    for i in range(factor):
+        p = df
+        for col, off in offsets.items():
+            p = p.withColumn(col, F.col(col) + F.lit(i * off))
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def build_tpch_upscale(spark, src, dst, factor=5):
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+
+    mx = {}
+    for t, k in [
+        ("customer", "c_custkey"),
+        ("supplier", "s_suppkey"),
+        ("part", "p_partkey"),
+        ("orders", "o_orderkey"),
+    ]:
+        mx[t] = load_table(spark, src, t).agg(F.max(k)).collect()[0][0] + 1
+    for t in ("region", "nation"):
+        _copy(spark, src, dst, t)
+    _write(
+        _offset_union(
+            load_table(spark, src, "customer"), factor,
+            {"c_custkey": mx["customer"]},
+        ),
+        dst, "customer",
+    )
+    _write(
+        _offset_union(
+            load_table(spark, src, "supplier"), factor,
+            {"s_suppkey": mx["supplier"]},
+        ),
+        dst, "supplier",
+    )
+    _write(
+        _offset_union(
+            load_table(spark, src, "part"), factor,
+            {"p_partkey": mx["part"]},
+        ),
+        dst, "part",
+    )
+    _write(
+        _offset_union(
+            load_table(spark, src, "orders"), factor,
+            {"o_orderkey": mx["orders"], "o_custkey": mx["customer"]},
+        ),
+        dst, "orders",
+    )
+    _write(
+        _offset_union(
+            load_table(spark, src, "lineitem"), factor,
+            {
+                "l_orderkey": mx["orders"],
+                "l_partkey": mx["part"],
+                "l_suppkey": mx["supplier"],
+            },
+        ),
+        dst, "lineitem",
+    )
+    for t in ("events", "documents", "embeddings"):
+        _copy(spark, src, dst, t)
+
+
+def build_events_upscale(spark, src, dst, factor=5):
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import TABLES, load_table
+
+    ev = load_table(spark, src, "events")
+    mx_e = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    mx_u = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    _write(
+        _offset_union(ev, factor, {"event_id": mx_e, "user_id": mx_u}),
+        dst, "events",
+    )
+    for t in TABLES:
+        if t != "events":
+            _copy(spark, src, dst, t)
+
+
+def build_docs_upscale(spark, src, dst, factor=10):
+    """Disjoint replica vocabularies: every token gets a replica tag, so
+    shingle spaces never collide across replicas and true pair counts
+    grow linearly."""
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import TABLES, load_table
+
+    d = load_table(spark, src, "documents")
+    mx = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = []
+    for i in range(factor):
+        parts.append(
+            d.withColumn("doc_id", F.col("doc_id") + F.lit(i * mx)).withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda t: F.concat(t, F.lit(f"r{i}")),
+                    ),
+                    " ",
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    _write(out, dst, "documents")
+    for t in TABLES:
+        if t != "documents":
+            _copy(spark, src, dst, t)
+
+
+def build_emb_upscale(spark, src, dst, factor=10):
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import TABLES, load_table
+
+    e = load_table(spark, src, "embeddings")
+    mx = e.agg(F.max("vec_id")).collect()[0][0] + 1
+    parts = [e]
+    for i in range(1, factor):
+        parts.append(e.withColumn("vec_id", F.col("vec_id") + F.lit(i * mx)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    _write(out, dst, "embeddings")
+    for t in TABLES:
+        if t != "embeddings":
+            _copy(spark, src, dst, t)
+
+
+def build_replica_pathology(spark, src, dst, copies=10):
+    """10 near-identical copies per doc (one unique trailing token each):
+    quadratic true near-dup pairs — the exact pair-lister worst case."""
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import TABLES, load_table
+
+    d = load_table(spark, src, "documents")
+    mx = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = []
+    for j in range(copies):
+        parts.append(
+            d.withColumn("doc_id", F.col("doc_id") + F.lit(j * mx)).withColumn(
+                "text", F.concat(F.col("text"), F.lit(f" zrepl{j}tok"))
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    _write(out, dst, "documents")
+    for t in TABLES:
+        if t != "documents":
+            _copy(spark, src, dst, t)
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def time_queries(spark, qs, names, sf_dir, runs):
+    # warm pass prices codegen/worker spawn once (bench.py lesson)
+    for name in names:
+        qs[name](spark, sf_dir).collect()
+    out = {}
+    for name in names:
+        ts = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            ts.append(time.perf_counter() - t0)
+        out[name] = round(_median(ts), 3)
+    return out
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from youtube_podcast_data_pipeline_azure_spark import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    spark = get_spark(app_name="youtube_podcast_data_pipeline_azure_spark-bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    work = tempfile.mkdtemp(prefix="bench_scale_")
+    experiments: dict[str, dict] = {}
+    try:
+        plans = [
+            ("tpch_5x", build_tpch_upscale, TPCH_5X, "5x rows", 5),
+            ("events_5x", build_events_upscale, EVENTS_5X, "5x events", 5),
+            ("docs_10x", build_docs_upscale, DOCS_10X, "10x docs", 10),
+            ("emb_10x", build_emb_upscale, EMB_10X, "10x corpus", 10),
+        ]
+        for tag, builder, names, growth, factor in plans:
+            dst = os.path.join(work, tag)
+            os.makedirs(dst, exist_ok=True)
+            builder(spark, sf_dir, dst)
+            base = time_queries(spark, qs, names, sf_dir, runs)
+            scaled = time_queries(spark, qs, names, dst, runs)
+            for n in names:
+                experiments[f"{tag}:{n}"] = {
+                    "growth": growth,
+                    "growth_factor": factor,
+                    "base_sec": base[n],
+                    "scaled_sec": scaled[n],
+                    "ratio": round(scaled[n] / max(base[n], 1e-9), 2),
+                }
+            shutil.rmtree(dst, ignore_errors=True)
+
+        # pathology: same corpus for all three near-dup surfaces; the
+        # composed pipeline must stay near the MinHash curve, far from
+        # the exact PPJoin blowup
+        dst = os.path.join(work, "pathology")
+        os.makedirs(dst, exist_ok=True)
+        build_replica_pathology(spark, sf_dir, dst)
+        base = time_queries(spark, qs, PATHOLOGY, sf_dir, runs)
+        scaled = time_queries(spark, qs, PATHOLOGY, dst, runs)
+        for n in PATHOLOGY:
+            experiments[f"replica_pathology:{n}"] = {
+                "growth": "10 near-identical replicas/doc",
+                "base_sec": base[n],
+                "scaled_sec": scaled[n],
+                "ratio": round(scaled[n] / max(base[n], 1e-9), 2),
+                "output_bound": True,  # pair output is quadratic here
+            }
+        # the point of the composition: candidate generation over unique
+        # representatives must keep the pipeline at-or-below raw MinHash
+        # and far below the exact PPJoin on the replica corpus
+        experiments["replica_pathology:ordering_ok"] = {
+            "pipeline_le_minhash": scaled["near_dup_pipeline"]
+            <= scaled["minhash_near_dup"] * 1.15,  # 15% noise band
+            "minhash_ll_ppjoin": scaled["minhash_near_dup"] * 2
+            < scaled["ngram_jaccard_pairs"],
+        }
+        shutil.rmtree(dst, ignore_errors=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    flagged = sorted(
+        k
+        for k, v in experiments.items()
+        if not v.get("output_bound")
+        and "ratio" in v
+        and v["ratio"] > v.get("growth_factor", 3)
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_ratios",
+                "sf_dir": sf_dir,
+                "runs": runs,
+                "experiments": experiments,
+                "flagged_over_3x": flagged,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

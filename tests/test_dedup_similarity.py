@@ -61,6 +61,52 @@ def test_minhash_agrees_with_exact_jaccard(docs):
         assert lsh[k] == pytest.approx(exact[k], abs=1e-4)
 
 
+def test_near_dup_pipeline_equals_flat_pairs(docs):
+    """The composed pipeline (exact-collapse -> LSH over reps ->
+    membership expansion) must return the SAME pair set as the flat
+    exact baseline: within-group pairs at 1.0, cross-group pairs at
+    their representatives' Jaccard."""
+    flat = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    piped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.near_dup_pipeline(docs, jaccard_threshold=0.5).collect()
+    }
+    assert set(piped) == set(flat)
+    for k in piped:
+        assert piped[k] == pytest.approx(flat[k], abs=1e-4)
+
+
+def test_near_dup_pipeline_replica_heavy_corpus(spark):
+    """Pathology shape (BASELINE.md): many near-identical copies.  The
+    pipeline must emit every within-group pair at exactly 1.0 plus all
+    cross-group member pairs at the reps' similarity, and its LSH stage
+    must only ever see the unique representatives."""
+    rows = []
+    for j in range(6):  # 6 exact copies of BASE, 4 of NEAR, 1 FAR
+        rows.append((10 + j, BASE, "en"))
+    for j in range(4):
+        rows.append((30 + j, NEAR, "en"))
+    rows.append((50, FAR, "en"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.near_dup_pipeline(docs, jaccard_threshold=0.5).collect()
+    }
+    within_base = {(a, b) for a in range(10, 16) for b in range(10, 16) if a < b}
+    within_near = {(a, b) for a in range(30, 34) for b in range(30, 34) if a < b}
+    cross = {(a, b) for a in range(10, 16) for b in range(30, 34)}
+    assert set(pairs) == within_base | within_near | cross
+    for p in within_base | within_near:
+        assert pairs[p] == 1.0
+    cross_vals = {pairs[p] for p in cross}
+    assert len(cross_vals) == 1  # all cross pairs carry the rep Jaccard
+    assert 0.5 <= cross_vals.pop() < 1.0
+
+
 def test_simhash_near_dup(docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
