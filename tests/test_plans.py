@@ -306,3 +306,33 @@ def test_r03_window_queries_stay_within_shuffle_budget(spark, sf_dir):
         # refactor that silently DROPS a required exchange (e.g. loses a
         # pre-aggregation) should fail just like one that adds a shuffle
         assert got == budget, (name, got, budget)
+
+
+def test_r04_window_queries_stay_within_shuffle_budget(spark, sf_dir):
+    """Audited exact hash-exchange counts for the queries fronted in the
+    r4 window (static plans; AQE's stage cache additionally reuses the
+    repeated spread/shingle exchanges at runtime — see the
+    minhash_lsh_pairs module comment)."""
+    budgets = {
+        "minhash_near_dup": 4,        # spread + band self-join + dedup + verify
+        "simhash_near_dup": 2,        # spread + chunk self-join dedup
+        "embedding_near_dup": 2,      # spread + bucket self-join dedup
+        "knn_lsh": 2,                 # spread + (query,neighbor) dedup
+        "knn_ivf_exhaustive": 2,      # spread + top-k window on query_id
+        "embedding_clusters": 2,      # spread + per-centroid rollup
+        "approx_distinct_users": 1,   # partial+final HLL agg
+        "tdigest_accuracy": 3,        # digest repartition(1) + report agg + join
+        "tdigest_by_key_accuracy": 3, # per-key digests + report agg + exact join
+        "ngram_jaccard_pairs_blocked": 0,  # broadcast self-join, no shuffle
+    }
+    for name, budget in budgets.items():
+        plan = _plan(spark, sf_dir, name)
+        got = plan.count("Exchange hashpartitioning")
+        assert got == budget, (name, got, budget)
+    # near_dup_pipeline is a composition (collapse + full LSH sub-plan +
+    # two expansion joins); its static plan is wide but bounded — pin an
+    # upper bound rather than brittle exact equality across AQE variants
+    plan = _plan(spark, sf_dir, "near_dup_pipeline")
+    assert plan.count("Exchange hashpartitioning") <= 12, plan.count(
+        "Exchange hashpartitioning"
+    )
