@@ -1752,6 +1752,18 @@ def q_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end keep-one dedup (near_dup_pipeline pairs → connected
+    components → min-id survivors + per-survivor duplicate counts).
+    Oracle: DuckDB recomputes the exact brute-force pair set, folds it
+    with a recursive CTE into components, and keeps the min-id member —
+    so the hash-match covers pair generation, clustering, AND the
+    keep-one selection in one check."""
+    return dedup.dedup_corpus(
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.5
+    )
+
+
 def q_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-style CDC apply: a deterministic update batch (every 10th
     event, bumped ts + value) upserted into the base table; per key the
@@ -2860,6 +2872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_accuracy": q_tdigest_accuracy,
         "tdigest_by_key_accuracy": q_tdigest_by_key_accuracy,
         "near_dup_pipeline": q_near_dup_pipeline,
+        "dedup_corpus": q_dedup_corpus,
         "ngram_jaccard_pairs_blocked": q_ngram_jaccard_pairs_blocked,
         # ===== r04 window, part 2: re-checks of code changed this round
         "exact_quantiles_sketched": q_exact_quantiles_sketched,
@@ -2903,8 +2916,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_ntile_firstlast": q_window_ntile_firstlast,
         "customer_order_distribution": q_customer_order_distribution,
         "large_orders": q_large_orders,
-        "returned_items": q_returned_items,
         # ================= end of driver's 50-slot window =================
+        # (returned_items displaced to slot 51 by dedup_corpus — it is
+        # the only r01 green not re-checked in r4; rotate it first in r5)
+        "returned_items": q_returned_items,
         # oracle-backed, driver-green in r03 (CORRECTNESS_r03.json)
         "rest_ingest_videos": q_rest_ingest_videos,
         "rest_ingest_comments": q_rest_ingest_comments,
@@ -4383,6 +4398,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_near_dup": exact_jaccard_pairs,
         "near_dup_pipeline": exact_jaccard_pairs,
+        "dedup_corpus": f"""
+            WITH RECURSIVE pairs AS ({exact_jaccard_pairs}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs),
+            reach(id, comp) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.src, r.comp FROM edges e JOIN reach r
+                    ON e.dst = r.id),
+            comps AS (
+                SELECT id AS doc_id, min(comp) AS component
+                FROM reach GROUP BY id),
+            sizes AS (
+                SELECT component,
+                       cast(count(*) - 1 AS bigint) AS n_duplicates_removed
+                FROM comps GROUP BY 1)
+            SELECT c.doc_id, s.n_duplicates_removed
+            FROM comps c JOIN sizes s USING (component)
+            WHERE c.doc_id = c.component
+        """,
         "ngram_jaccard_pairs_blocked": f"""
             WITH toks AS (
                 SELECT doc_id, lang, {tokens} AS tokens FROM documents),

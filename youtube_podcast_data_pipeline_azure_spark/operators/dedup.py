@@ -682,3 +682,43 @@ def near_dup_pipeline(
         )
     )
     return cross.unionByName(within)
+
+
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 96,
+    bands: int = 24,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """The end-to-end keep-one dedup surface: :func:`near_dup_pipeline`
+    pair generation -> :func:`duplicate_clusters` connected components
+    -> one surviving row per cluster (the min-id member, which is by
+    construction the component label).
+
+    This is what a training-data pipeline actually consumes — pair
+    lists are the intermediate; the product is the deduplicated corpus
+    plus per-survivor duplicate counts for yield accounting.  Returns
+    (id_col, n_duplicates_removed) with one row per SURVIVING document
+    (singletons included with 0 removed).
+    """
+    pairs = near_dup_pipeline(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+    )
+    comps = duplicate_clusters(df.select(id_col), pairs, id_col=id_col)
+    sizes = comps.groupBy("component").agg(
+        (F.count("*") - 1).alias("n_duplicates_removed")
+    )
+    return (
+        comps.where(F.col(id_col) == F.col("component"))
+        .join(sizes, "component")
+        .select(id_col, "n_duplicates_removed")
+    )
