@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -167,3 +168,49 @@ def test_range_join_equals_bruteforce(spark, vals, cuts):
         if lo <= v < hi
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    dup_of=st.lists(st.integers(min_value=0, max_value=13), max_size=6),
+)
+def test_near_dup_pipeline_equals_bruteforce(spark, docs, dup_of):
+    """near_dup_pipeline (exact-collapse -> LSH over representatives ->
+    membership expansion) must equal the brute-force all-pairs Jaccard
+    baseline on arbitrary corpora, including exact-duplicate clusters
+    (appended via dup_of), empty docs (shingle '' semantics), and docs
+    shorter than the shingle width."""
+    from youtube_podcast_data_pipeline_azure_spark.operators import dedup
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    base = len(rows)
+    for j, src in enumerate(dup_of):  # exact duplicates of existing docs
+        rows.append((base + j, rows[src % base][1]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs_blocked(
+            df, threshold=0.5, block_on=None
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.near_dup_pipeline(df, jaccard_threshold=0.5).collect()
+    }
+    # the brute-force baseline rounds then filters; the pipeline filters
+    # unrounded — compare on the common contract (pairs >= 0.5 unrounded)
+    want = {k: v for k, v in want.items() if v >= 0.5}
+    got = {k: round(v, 4) for k, v in got.items()}
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=1e-4)
