@@ -52,8 +52,15 @@ from youtube_podcast_data_pipeline_azure_spark.io.writers import (
     zorder_key_sql,
 )
 from youtube_podcast_data_pipeline_azure_spark.operators.util import spread
+from youtube_podcast_data_pipeline_azure_spark.functions.pii import (
+    pii_count,
+    pii_count_sql,
+    redact_pii,
+    redact_pii_sql,
+)
 from youtube_podcast_data_pipeline_azure_spark.operators import (
     analytics,
+    curation,
     dedup,
     incremental,
     joins,
@@ -1719,6 +1726,94 @@ def q_token_set_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination report: corpus documents (doc_id % 10
+    != 7) sharing any word 8-gram with the held-out eval slice (doc_id
+    % 10 == 7) — the GPT-3-style long-n-gram leak check.  Eval gram set
+    broadcast; corpus text never shuffles (operators/curation.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.contamination_report(
+        docs.where(F.col("doc_id") % 10 != 7),
+        docs.where(F.col("doc_id") % 10 == 7),
+        n=8,
+    )
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style degenerate-repetition heuristics per document:
+    duplicated-word / top-bigram / adjacent-stutter milli-fractions,
+    doc-local and all-integer (operators/curation.py)."""
+    return curation.repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over a deterministically PII-augmented corpus
+    (the fixture text is synthetic and PII-free, so the query first
+    plants emails / phone numbers / IPv4s as a pure function of doc_id,
+    then the engine's regex pack must find and redact exactly those).
+    functions/pii.py; zero shuffles — pure per-row map."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit(" call 555-01"),
+                F.lpad((did % 100).cast("string"), 2, "0"),
+                F.lit(" from 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    aug = docs.select("doc_id", planted.alias("aug_text"))
+    return aug.select(
+        "doc_id",
+        pii_count("aug_text", "email").alias("n_emails"),
+        pii_count("aug_text", "phone").alias("n_phones"),
+        pii_count("aug_text", "ip").alias("n_ips"),
+        (
+            pii_count("aug_text", "email")
+            + pii_count("aug_text", "phone")
+            + pii_count("aug_text", "ip")
+        ).alias("pii_total"),
+        redact_pii("aug_text").alias("redacted"),
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup an incoming batch (doc_id % 5 == 0) against the standing
+    corpus (doc_id % 5 != 0): anti-join on fingerprints (existing side
+    ships hashes only), then min-id collapse within the batch
+    (operators/dedup.py:incremental_dedup)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.incremental_dedup(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0),
+    )
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test assignment via the content-
+    hash gate — stable under re-runs, repartitioning, and incremental
+    appends (operators/sampling.py:dataset_split)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.dataset_split(docs, "doc_id", seed=11).select(
+        "doc_id", "split"
+    )
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard similarity join (prefix filtering, lossless
     recall — the deterministic complement of minhash_near_dup)."""
@@ -2849,7 +2944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver's per-round correctness check covers the FIRST 50 entries,
     so each round front-loads queries needing driver evidence.  r01-r03
     covered every then-oracle-capable query (133/142, all green).  The
-    r4 window fronts (1) the approximate family, newly driver-checkable
+    r4 window fronts (0) the five corpus-curation queries added this
+    round (decontamination, repetition signals, PII scan, incremental
+    dedup, dataset split); (1) the approximate family, newly driver-checkable
     via deterministic DuckDB twins — literal-hyperplane LSH replays,
     md5-seamed simhash, Lloyd's-as-CTEs k-means, sparse-exact HLL —
     plus the new near_dup_pipeline / ngram_jaccard_pairs_blocked /
@@ -2861,6 +2958,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     nprobe<k and the two raw t-digest surfaces — each now has a
     driver-green twin pinning its machinery)."""
     return {
+        # ===== r04 window, part 0: curation operators added this round
+        # (never checked — highest-priority evidence)
+        "contamination_report": q_contamination_report,
+        "repetition_signals": q_repetition_signals,
+        "pii_scan": q_pii_scan,
+        "incremental_dedup": q_incremental_dedup,
+        "dataset_split": q_dataset_split,
         # ===== r04 window, part 1: approximate family, newly checkable
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -2911,14 +3015,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "case_when_bucketing": q_case_when_bucketing,
         "window_lag_lead": q_window_lag_lead,
         "explode_tokens": q_explode_tokens,
+        # ================= end of driver's 50-slot window =================
+        # (json_roundtrip / salted_distinct_users / window_ntile_firstlast /
+        # customer_order_distribution / large_orders displaced to slots
+        # 51-55 by the five new curation queries; with returned_items they
+        # are the only r01 greens not re-checked in r4 — rotate them first
+        # in r5)
         "json_roundtrip": q_json_roundtrip,
         "salted_distinct_users": q_salted_distinct_users,
         "window_ntile_firstlast": q_window_ntile_firstlast,
         "customer_order_distribution": q_customer_order_distribution,
         "large_orders": q_large_orders,
-        # ================= end of driver's 50-slot window =================
-        # (returned_items displaced to slot 51 by dedup_corpus — it is
-        # the only r01 green not re-checked in r4; rotate it first in r5)
         "returned_items": q_returned_items,
         # oracle-backed, driver-green in r03 (CORRECTNESS_r03.json)
         "rest_ingest_videos": q_rest_ingest_videos,
@@ -4265,6 +4372,104 @@ def oracle_sql() -> dict[str, str]:
                        AS tokenset_key,
                    min(doc_id) AS doc_id, count(*) AS n_docs
             FROM documents GROUP BY 1
+        """,
+        "contamination_report": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS tokens FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(tokens[i:i+7], ' ')
+                           for i in generate_series(
+                               1, greatest(len(tokens)-8, 0)+1)]) AS sh
+                FROM toks),
+            ev AS (
+                SELECT DISTINCT unnest(sh) AS gram FROM sh
+                WHERE doc_id % 10 = 7),
+            corp AS (
+                SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS gram
+                FROM sh WHERE doc_id % 10 <> 7)
+            SELECT doc_id, cast(n_grams AS bigint) AS n_grams,
+                   cast(count(*) AS bigint) AS n_hit_grams,
+                   cast(count(*) * 1000 // n_grams AS bigint) AS contam_milli
+            FROM corp JOIN ev USING (gram)
+            GROUP BY doc_id, n_grams
+        """,
+        "repetition_signals": f"""
+            WITH t AS (SELECT doc_id, {tokens} AS toks FROM documents),
+            b AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       len(list_distinct(toks)) AS nd,
+                       [array_to_string(toks[i:i+1], ' ')
+                           for i in generate_series(
+                               1, greatest(len(toks)-2, 0)+1)] AS big
+                FROM t),
+            s AS (
+                SELECT doc_id, n,
+                       (n - nd) * 1000 // greatest(n, 1) AS dup_word_milli,
+                       CASE WHEN n >= 2 THEN
+                           list_max(list_transform(list_distinct(big),
+                               g -> len(list_filter(big, y -> y = g))))
+                               * 1000 // greatest(len(big), 1)
+                       ELSE 0 END AS top_bigram_milli,
+                       len(list_filter(generate_series(1, greatest(n-1, 0)),
+                           i -> toks[i] = toks[i+1]))
+                           * 1000 // greatest(n - 1, 1) AS adjacent_repeat_milli
+                FROM b)
+            SELECT doc_id, cast(n AS bigint) AS n_tokens,
+                   cast(dup_word_milli AS bigint) AS dup_word_milli,
+                   cast(top_bigram_milli AS bigint) AS top_bigram_milli,
+                   cast(adjacent_repeat_milli AS bigint)
+                       AS adjacent_repeat_milli,
+                   (dup_word_milli > 500 OR top_bigram_milli > 300
+                    OR adjacent_repeat_milli > 100) AS flagged
+            FROM s
+        """,
+        "pii_scan": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || CASE
+                           WHEN doc_id % 3 = 0 THEN
+                               ' contact user' || cast(doc_id AS varchar)
+                               || '@mail.example.com'
+                           WHEN doc_id % 3 = 1 THEN
+                               ' call 555-01'
+                               || lpad(cast(doc_id % 100 AS varchar), 2, '0')
+                               || ' from 10.0.'
+                               || cast(doc_id % 256 AS varchar) || '.'
+                               || cast((doc_id * 7) % 256 AS varchar)
+                           ELSE '' END AS aug_text
+                FROM documents)
+            SELECT doc_id,
+                   {pii_count_sql("aug_text", "email")} AS n_emails,
+                   {pii_count_sql("aug_text", "phone")} AS n_phones,
+                   {pii_count_sql("aug_text", "ip")} AS n_ips,
+                   {pii_count_sql("aug_text", "email")}
+                       + {pii_count_sql("aug_text", "phone")}
+                       + {pii_count_sql("aug_text", "ip")} AS pii_total,
+                   {redact_pii_sql("aug_text")} AS redacted
+            FROM aug
+        """,
+        "incremental_dedup": f"""
+            WITH inc AS (
+                SELECT doc_id, {fingerprint} AS fingerprint
+                FROM documents WHERE doc_id % 5 = 0),
+            seen AS (
+                SELECT DISTINCT {fingerprint} AS fingerprint
+                FROM documents WHERE doc_id % 5 <> 0)
+            SELECT fingerprint, min(doc_id) AS doc_id,
+                   cast(count(*) AS bigint) AS n_copies
+            FROM inc
+            WHERE fingerprint NOT IN (SELECT fingerprint FROM seen)
+            GROUP BY fingerprint
+        """,
+        "dataset_split": """
+            SELECT doc_id,
+                   CASE WHEN ((doc_id + 11) * 2654435761) % 4294967296
+                            < 3435973836 THEN 'train'
+                        WHEN ((doc_id + 11) * 2654435761) % 4294967296
+                            < 3865470566 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "ngram_jaccard_pairs": ngram_pairs,
         "duplicate_clusters": f"""

@@ -1,0 +1,212 @@
+"""Unit tests for corpus-curation operators: decontamination,
+repetition signals, PII scan/redaction, incremental dedup, dataset
+split.  Semantics pinned on tiny inline DataFrames (the oracle mirror
+covers the fixture-scale hash parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from youtube_podcast_data_pipeline_azure_spark.functions.pii import pii_count, redact_pii
+from youtube_podcast_data_pipeline_azure_spark.operators import curation, dedup, sampling
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_detects_shared_ngrams(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h unrelated tail"),  # shares the eval 8-gram
+            (2, "totally different words here no overlap at all"),
+        ],
+    )
+    eval_df = _docs(spark, [(100, "x a b c d e f g h y")])
+    rep = curation.contamination_report(corpus, eval_df, n=8).collect()
+    assert [r.doc_id for r in rep] == [1]
+    assert rep[0].n_hit_grams >= 1
+    assert 0 < rep[0].contam_milli <= 1000
+
+
+def test_decontaminate_drops_only_hit_docs(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h unrelated tail"),
+            (2, "totally different words here no overlap at all"),
+        ],
+    )
+    eval_df = _docs(spark, [(100, "x a b c d e f g h y")])
+    kept = curation.decontaminate(corpus, eval_df, n=8)
+    assert [r.doc_id for r in kept.collect()] == [2]
+
+
+def test_contamination_short_docs_fall_back_to_whole_text(spark):
+    # Docs shorter than n tokens shingle to their whole text, so an
+    # exact short duplicate of an eval doc is still caught.
+    corpus = _docs(spark, [(1, "tiny doc"), (2, "other text")])
+    eval_df = _docs(spark, [(9, "tiny doc")])
+    rep = curation.contamination_report(corpus, eval_df, n=8).collect()
+    assert [r.doc_id for r in rep] == [1]
+
+
+# ---------------------------------------------------------------------------
+# repetition signals
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_signals_degenerate_doc_flagged(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "one two three four five six"),
+        ],
+    )
+    out = {r.doc_id: r for r in curation.repetition_signals(df).collect()}
+    r1, r2 = out[1], out[2]
+    # doc 1: 6 tokens, 1 distinct -> 5/6 dup; bigram "spam spam" is all
+    # 5 bigrams; all 5 adjacent positions repeat.
+    assert r1.n_tokens == 6
+    assert r1.dup_word_milli == 833
+    assert r1.top_bigram_milli == 1000
+    assert r1.adjacent_repeat_milli == 1000
+    assert r1.flagged
+    # doc 2: all distinct, no repeats -> all zeros except top bigram
+    # (every bigram count 1 over 5 bigrams = 200 milli).
+    assert r2.dup_word_milli == 0
+    assert r2.top_bigram_milli == 200
+    assert r2.adjacent_repeat_milli == 0
+    assert not r2.flagged
+
+
+def test_repetition_signals_single_token_doc(spark):
+    out = curation.repetition_signals(_docs(spark, [(1, "word")])).collect()[0]
+    assert out.n_tokens == 1
+    assert out.dup_word_milli == 0
+    assert out.adjacent_repeat_milli == 0
+    assert not out.flagged
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+
+def test_pii_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "call 555-0142 or ping 192.168.0.1 twice: 10.0.0.255"),
+            (3, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            pii_count("text", "email").alias("e"),
+            pii_count("text", "phone").alias("p"),
+            pii_count("text", "ip").alias("i"),
+            redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert (out[1].e, out[1].p, out[1].i) == (1, 0, 0)
+    assert out[1].red == "mail [EMAIL] now"
+    assert (out[2].e, out[2].p, out[2].i) == (0, 1, 2)
+    assert out[2].red == "call [PHONE] or ping [IP] twice: [IP]"
+    assert (out[3].e, out[3].p, out[3].i) == (0, 0, 0)
+    assert out[3].red == "no pii here"
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_batch_vs_corpus(spark):
+    existing = _docs(spark, [(1, "seen before"), (2, "also seen")])
+    incoming = _docs(
+        spark,
+        [
+            (10, "seen before"),     # dup of corpus -> dropped
+            (11, "brand new text"),  # survives
+            (12, "brand new text"),  # batch-internal dup -> absorbed by 11
+            (13, "another fresh"),   # survives
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.incremental_dedup(existing, incoming).collect()
+    }
+    assert sorted(out) == [11, 13]
+    assert out[11].n_copies == 2
+    assert out[13].n_copies == 1
+
+
+def test_incremental_dedup_equals_full_rebuild(spark, sf_dir):
+    """Steady-state contract: corpus survivors + batch survivors ==
+    exact_dedup of the union (same representative ids)."""
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.where(F.col("doc_id") % 5 != 0)
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+    inc = dedup.incremental_dedup(existing, incoming)
+    full = dedup.exact_dedup(docs)
+    base = dedup.exact_dedup(existing)
+    merged = set(
+        base.select("fingerprint").rdd.map(lambda r: r[0]).collect()
+    ) | set(inc.select("fingerprint").rdd.map(lambda r: r[0]).collect())
+    assert merged == set(
+        full.select("fingerprint").rdd.map(lambda r: r[0]).collect()
+    )
+
+
+# ---------------------------------------------------------------------------
+# dataset split
+# ---------------------------------------------------------------------------
+
+
+def test_dataset_split_stable_and_complete(spark, sf_dir):
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.dataset_split(docs, "doc_id", seed=11)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()
+    # roughly 80/10/10
+    total = sum(counts.values())
+    assert counts["train"] / total > 0.7
+    # membership is a pure function of (id, seed): repartitioned input
+    # yields the identical assignment
+    again = sampling.dataset_split(docs.repartition(7), "doc_id", seed=11)
+    a = {(r.doc_id, r.split) for r in out.select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split) for r in again.select("doc_id", "split").collect()}
+    assert a == b
+
+
+def test_dataset_split_append_consistency(spark):
+    """An incrementally appended batch lands in the same splits as in a
+    full rebuild — the reproducibility property randomSplit lacks."""
+    full = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    part = full.where(F.col("doc_id") < 500)
+    f = {
+        (r.doc_id, r.split)
+        for r in sampling.dataset_split(full, "doc_id", seed=3).collect()
+        if r.doc_id < 500
+    }
+    p = {
+        (r.doc_id, r.split)
+        for r in sampling.dataset_split(part, "doc_id", seed=3).collect()
+    }
+    assert f == p

@@ -324,6 +324,15 @@ def test_r04_window_queries_stay_within_shuffle_budget(spark, sf_dir):
         "tdigest_accuracy": 3,        # digest repartition(1) + report agg + join
         "tdigest_by_key_accuracy": 3, # per-key digests + report agg + exact join
         "ngram_jaccard_pairs_blocked": 0,  # broadcast self-join, no shuffle
+        # r4 curation pack: the three per-row ops are pure scan maps
+        # (ZERO shuffles — they must stay that way at 100 TB); the two
+        # set ops shuffle only ids+hashes (eval-gram distinct + per-doc
+        # agg; fingerprint distinct + batch collapse).
+        "contamination_report": 2,
+        "incremental_dedup": 2,
+        "repetition_signals": 0,
+        "pii_scan": 0,
+        "dataset_split": 0,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, sf_dir, name)

@@ -1,0 +1,175 @@
+"""Corpus-curation operators: eval-set decontamination and
+repetition-quality signals.
+
+Two standard steps of a pretraining data pipeline that sit between
+cleaning and sampling (no reference analog — the reference is a 523-line
+batch ETL, SURVEY.md §2; these extend the §2.C training-data surface):
+
+* **Decontamination** — remove corpus documents that share word n-grams
+  with a held-out evaluation set, so benchmark answers don't leak into
+  training data (the n-gram-overlap protocol popularized by GPT-3's
+  13-gram dedup against its eval sets).
+* **Repetition signals** — per-document degenerate-text heuristics in
+  the spirit of Gopher's repetition filters: duplicated-word fraction,
+  most-frequent-bigram mass, and immediately-adjacent token repeats.
+
+Scale posture (100 TB corpus):
+
+* The eval set is small by nature (benchmarks are MBs, not TBs), so its
+  distinct n-gram set is **broadcast** — the corpus side streams through
+  one scan + explode and never shuffles document text; the only shuffle
+  ships (doc_id, n_grams) pairs for the per-document hit count.
+* Repetition signals are **doc-local array expressions** — zero
+  shuffles, whole-stage codegen, cost O(tokens · distinct-bigrams) per
+  document.  For book-length documents swap the quadratic in-array count
+  for an explode + per-(doc, gram) aggregate; for web-scale docs
+  (≤ tens of KB) the array form wins by avoiding the shuffle entirely.
+
+All arithmetic on the report surfaces is integer (milli-fractions via
+floor division), so results are bit-exact across engines and
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from youtube_podcast_data_pipeline_azure_spark.functions.text import tokenize
+from youtube_podcast_data_pipeline_azure_spark.operators.dedup import shingles
+
+
+def contamination_report(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document eval-set n-gram overlap for every contaminated
+    corpus document.
+
+    Returns ``(id, n_grams, n_hit_grams, contam_milli)`` where
+    ``n_grams`` is the document's distinct word-``n``-gram count,
+    ``n_hit_grams`` how many of those also occur anywhere in
+    ``eval_df``, and ``contam_milli = 1000 * n_hit_grams // n_grams``.
+    Documents with zero overlap are absent (the common case at scale —
+    keep the report sparse).
+    """
+    sh = shingles(F.col(text_col), n)
+    eval_grams = (
+        eval_df.select(F.explode(shingles(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    corp = corpus.select(
+        F.col(id_col),
+        F.size(sh).alias("n_grams"),
+        F.explode(sh).alias("gram"),
+    )
+    # Broadcast the eval gram set: benchmark suites are tiny relative to
+    # the corpus, and a broadcast hash join here means the 100 TB side
+    # is a single scan with no exchange before the per-doc aggregate.
+    hits = (
+        corp.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col, "n_grams")
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+    return hits.select(
+        id_col,
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hit_grams").cast("long").alias("n_hit_grams"),
+        F.floor(F.col("n_hit_grams") * 1000 / F.col("n_grams"))
+        .cast("long")
+        .alias("contam_milli"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    max_hit_grams: int = 0,
+) -> DataFrame:
+    """Drop corpus documents whose eval-set overlap exceeds
+    ``max_hit_grams`` shared n-grams (default: any overlap).  The filter
+    is an anti-join on ids against the (sparse) contamination report, so
+    document bodies are never shuffled."""
+    hit_ids = (
+        contamination_report(corpus, eval_df, text_col, id_col, n)
+        .where(F.col("n_hit_grams") > max_hit_grams)
+        .select(id_col)
+    )
+    return corpus.join(hit_ids, id_col, "left_anti")
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dup_word_max_milli: int = 500,
+    top_bigram_max_milli: int = 300,
+    adjacent_max_milli: int = 100,
+) -> DataFrame:
+    """Gopher-style degenerate-repetition heuristics per document.
+
+    Returns ``(id, n_tokens, dup_word_milli, top_bigram_milli,
+    adjacent_repeat_milli, flagged)``:
+
+    * ``dup_word_milli`` — 1000 · (tokens − distinct tokens) / tokens;
+    * ``top_bigram_milli`` — 1000 · (count of the most frequent word
+      bigram) / bigram count;
+    * ``adjacent_repeat_milli`` — 1000 · (positions where token i ==
+      token i+1) / (tokens − 1);
+    * ``flagged`` — any signal above its threshold (defaults are
+      Gopher-ish: 50% duplicated words, 30% single-bigram mass, 10%
+      stutter).
+
+    All doc-local (zero shuffles) and all-integer (oracle bit-exact).
+    """
+    toks = tokenize(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    n = F.size("_toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, 2)),
+    )
+    base = base.withColumn("_big", bigrams)
+    n_big = F.size("_big")
+    top_big = F.array_max(
+        F.transform(
+            F.array_distinct("_big"),
+            lambda g: F.size(F.filter(F.col("_big"), lambda x: x == g)),
+        )
+    )
+    pre = F.slice(F.col("_toks"), 1, F.greatest(n - 1, F.lit(0)))
+    suf = F.slice(F.col("_toks"), 2, F.greatest(n - 1, F.lit(0)))
+    adj = F.size(F.filter(F.zip_with(pre, suf, lambda a, b: a == b), lambda x: x))
+
+    dup_milli = F.floor(
+        (n - F.size(F.array_distinct("_toks"))) * 1000 / F.greatest(n, F.lit(1))
+    ).cast("long")
+    # Docs with < 2 tokens have no real bigram (the shingle fallback
+    # would report the whole text as a 100%-mass "bigram"); score 0.
+    top_big_milli = (
+        F.when(
+            n >= 2,
+            F.floor(top_big * 1000 / F.greatest(n_big, F.lit(1))),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    adj_milli = F.floor(adj * 1000 / F.greatest(n - 1, F.lit(1))).cast("long")
+    return base.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        dup_milli.alias("dup_word_milli"),
+        top_big_milli.alias("top_bigram_milli"),
+        adj_milli.alias("adjacent_repeat_milli"),
+        (
+            (dup_milli > dup_word_max_milli)
+            | (top_big_milli > top_bigram_max_milli)
+            | (adj_milli > adjacent_max_milli)
+        ).alias("flagged"),
+    )

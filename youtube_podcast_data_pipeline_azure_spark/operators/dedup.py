@@ -722,3 +722,33 @@ def dedup_corpus(
         .join(sizes, "component")
         .select(id_col, "n_duplicates_removed")
     )
+
+
+def incremental_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup an *incoming batch* against an already-ingested corpus —
+    the steady-state shape of a crawling pipeline, where re-fingerprinting
+    the whole 100 TB corpus per batch (what :func:`exact_dedup` on the
+    union would do) is a non-starter.
+
+    Two-step: (1) anti-join the batch's fingerprints against the
+    corpus's DISTINCT fingerprint set — the existing side ships 32-char
+    hashes only, never document bodies (at scale this set is a
+    maintained fingerprint index, appended per batch); (2) collapse
+    within-batch duplicates exactly like :func:`exact_dedup` (min-id
+    representative).  Returns one row per SURVIVING incoming document:
+    ``(fingerprint, id, n_copies)`` where ``n_copies`` counts the
+    batch-internal copies it absorbed.
+    """
+    fp = rolling_fingerprint(F.col(text_col)).alias("fingerprint")
+    seen = existing.select(fp).distinct()
+    fresh = incoming.select(F.col(id_col), fp).join(
+        seen, "fingerprint", "left_anti"
+    )
+    return fresh.groupBy("fingerprint").agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("n_copies")
+    )

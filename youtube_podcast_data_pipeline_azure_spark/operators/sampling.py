@@ -137,6 +137,36 @@ def pack_sequences(
     )
 
 
+def dataset_split(
+    df: DataFrame,
+    id_col: str,
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    seed: int = 0,
+) -> DataFrame:
+    """Reproducible train/val/test assignment: each row's split is a
+    pure function of (id, seed) via the same content-hash gate as
+    :func:`hash_sample`, so the partition is stable under re-runs,
+    retries, repartitioning, and incremental appends (a new batch's
+    rows land in the same splits they would have in a full rebuild —
+    the property random `randomSplit` lacks).
+
+    Zero shuffles: the assignment is a CASE over cumulative hash
+    thresholds, evaluated at the scan.  Adds a ``split`` column.
+    """
+    if len(weights) != len(names):
+        raise ValueError("weights and names must align")
+    b = hash_bucket(id_col, seed)
+    acc = 0.0
+    expr = None
+    for name, w in zip(names[:-1], weights[:-1]):
+        acc += w
+        cond = b < int(acc * _MOD)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", split)
+
+
 def reservoir_per_key(
     df: DataFrame, key_col: str, id_col: str, k: int, seed: int = 0
 ) -> DataFrame:
