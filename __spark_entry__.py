@@ -62,6 +62,7 @@ from youtube_podcast_data_pipeline_azure_spark.operators import (
     analytics,
     curation,
     dedup,
+    graph,
     incremental,
     joins,
     medallion,
@@ -1814,6 +1815,43 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-arithmetic PageRank (3 iterations, damping 0.85) over
+    the bipartite customer<->supplier trade graph derived from
+    orders x lineitem — iterative graph analytics as K rounds of
+    join+aggregate, bit-exact via micro-unit floor division
+    (operators/graph.py; DuckDB twin unrolls the same iterations)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    base = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    sym = base.union(
+        base.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w")
+        )
+    )
+    return graph.pagerank(sym, iterations=3)
+
+
+def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated spans: top-100 word 10-grams occurring in
+    2+ distinct documents (positional grams, total occurrence mass) —
+    span-granular boilerplate detection (operators/dedup.py)."""
+    return dedup.duplicate_ngram_spans(
+        _t(spark, sf_dir, "documents"), n=10, top=100
+    )
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard similarity join (prefix filtering, lossless
     recall — the deterministic complement of minhash_near_dup)."""
@@ -2944,9 +2982,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver's per-round correctness check covers the FIRST 50 entries,
     so each round front-loads queries needing driver evidence.  r01-r03
     covered every then-oracle-capable query (133/142, all green).  The
-    r4 window fronts (0) the five corpus-curation queries added this
-    round (decontamination, repetition signals, PII scan, incremental
-    dedup, dataset split); (1) the approximate family, newly driver-checkable
+    r4 window fronts (0) the seven queries added this round
+    (decontamination, repetition signals, PII scan, incremental dedup,
+    dataset split, integer PageRank, repeated-span detection); (1) the
+    approximate family, newly driver-checkable
     via deterministic DuckDB twins — literal-hyperplane LSH replays,
     md5-seamed simhash, Lloyd's-as-CTEs k-means, sparse-exact HLL —
     plus the new near_dup_pipeline / ngram_jaccard_pairs_blocked /
@@ -2965,6 +3004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "incremental_dedup": q_incremental_dedup,
         "dataset_split": q_dataset_split,
+        "pagerank_influence": q_pagerank_influence,
+        "duplicate_ngram_spans": q_duplicate_ngram_spans,
         # ===== r04 window, part 1: approximate family, newly checkable
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -3013,14 +3054,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_functions": q_date_functions,
         "math_functions": q_math_functions,
         "case_when_bucketing": q_case_when_bucketing,
+        # ================= end of driver's 50-slot window =================
+        # (window_lag_lead / explode_tokens / json_roundtrip /
+        # salted_distinct_users / window_ntile_firstlast /
+        # customer_order_distribution / large_orders displaced to slots
+        # 51-57 by the seven new r4 queries; with returned_items they are
+        # the only r01 greens not re-checked in r4 — rotate them first
+        # in r5)
         "window_lag_lead": q_window_lag_lead,
         "explode_tokens": q_explode_tokens,
-        # ================= end of driver's 50-slot window =================
-        # (json_roundtrip / salted_distinct_users / window_ntile_firstlast /
-        # customer_order_distribution / large_orders displaced to slots
-        # 51-55 by the five new curation queries; with returned_items they
-        # are the only r01 greens not re-checked in r4 — rotate them first
-        # in r5)
         "json_roundtrip": q_json_roundtrip,
         "salted_distinct_users": q_salted_distinct_users,
         "window_ntile_firstlast": q_window_ntile_firstlast,
@@ -4470,6 +4512,36 @@ def oracle_sql() -> dict[str, str]:
                             < 3865470566 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "pagerank_influence": graph.pagerank_sql(
+            """WITH base AS (
+                   SELECT 'c:' || cast(o_custkey AS varchar) AS src,
+                          's:' || cast(l_suppkey AS varchar) AS dst,
+                          cast(count(*) AS bigint) AS w
+                   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                   GROUP BY 1, 2)
+               SELECT src, dst, w FROM base
+               UNION ALL SELECT dst, src, w FROM base""",
+            iterations=3,
+        ),
+        "duplicate_ngram_spans": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS tokens FROM documents),
+            g AS (
+                SELECT doc_id,
+                       unnest([array_to_string(tokens[i:i+9], ' ')
+                           for i in generate_series(
+                               1, greatest(len(tokens)-9, 1))]) AS gram
+                FROM toks),
+            spans AS (
+                SELECT gram,
+                       cast(count(DISTINCT doc_id) AS bigint) AS n_docs,
+                       cast(count(*) AS bigint) AS n_occurrences,
+                       min(doc_id) AS first_doc
+                FROM g GROUP BY 1
+                HAVING count(DISTINCT doc_id) >= 2)
+            SELECT gram, n_docs, n_occurrences, first_doc
+            FROM spans ORDER BY n_occurrences DESC, gram ASC LIMIT 100
         """,
         "ngram_jaccard_pairs": ngram_pairs,
         "duplicate_clusters": f"""

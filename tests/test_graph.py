@@ -1,0 +1,73 @@
+"""Unit tests for the graph-analytics operator (integer PageRank) and
+the cross-document repeated-span detector."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from youtube_podcast_data_pipeline_azure_spark.operators import dedup, graph
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string, w long")
+
+
+def _sym(rows):
+    return rows + [(d, s, w) for s, d, w in rows]
+
+
+def test_pagerank_hub_outranks_spokes(spark):
+    # undirected star: hub-a, hub-b, hub-c
+    e = _edges(spark, _sym([("hub", "a", 1), ("hub", "b", 1), ("hub", "c", 1)]))
+    ranks = {r.node: r.rank_micro for r in graph.pagerank(e, iterations=3).collect()}
+    assert set(ranks) == {"hub", "a", "b", "c"}
+    assert ranks["a"] == ranks["b"] == ranks["c"]  # symmetry
+    assert ranks["hub"] > ranks["a"]
+
+
+def test_pagerank_weight_matters(spark):
+    # b gets a 9x heavier edge from the source than c does
+    e = _edges(spark, _sym([("src", "b", 9), ("src", "c", 1)]))
+    ranks = {r.node: r.rank_micro for r in graph.pagerank(e, iterations=2).collect()}
+    assert ranks["b"] > ranks["c"]
+
+
+def test_pagerank_deterministic_under_repartition(spark):
+    rows = _sym([(f"u{i}", f"u{(i * 3) % 7}", 1 + i % 4) for i in range(1, 7)])
+    e = _edges(spark, rows)
+    a = {(r.node, r.rank_micro) for r in graph.pagerank(e, iterations=3).collect()}
+    b = {
+        (r.node, r.rank_micro)
+        for r in graph.pagerank(e.repartition(5), iterations=3).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_dangling_node_keeps_base_mass(spark):
+    # directed edge only: sink has no out-edges, source receives nothing
+    e = _edges(spark, [("a", "sink", 1)])
+    ranks = {r.node: r.rank_micro for r in graph.pagerank(e, iterations=1).collect()}
+    # a gets only the (1-d) base; sink gets base + d * a_initial
+    assert ranks["a"] == 150_000
+    assert ranks["sink"] == 150_000 + 850_000
+
+
+def test_duplicate_ngram_spans_cross_doc_and_internal_repeat(spark):
+    shared = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " tailone"),
+            (2, "prefix " + shared),
+            (3, "unrelated words that appear nowhere else in the corpus x y"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.duplicate_ngram_spans(df, n=10, top=10).collect()
+    grams = {r.gram: r for r in out}
+    assert shared in grams
+    r = grams[shared]
+    assert r.n_docs == 2
+    assert r.n_occurrences == 2
+    assert r.first_doc == 1
+    # nothing from doc 3 can appear (needs 2+ distinct docs)
+    assert all(row.n_docs >= 2 for row in out)

@@ -333,6 +333,10 @@ def test_r04_window_queries_stay_within_shuffle_budget(spark, sf_dir):
         "repetition_signals": 0,
         "pii_scan": 0,
         "dataset_split": 0,
+        "duplicate_ngram_spans": 2,   # two-phase count-distinct; TakeOrdered
+        # iterative: ~3/iteration x 3 + setup over localCheckpointed
+        # loop-invariants (was 33 on the naive re-derived lineage)
+        "pagerank_influence": 10,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, sf_dir, name)

@@ -724,6 +724,49 @@ def dedup_corpus(
     )
 
 
+def duplicate_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+    top: int = 100,
+) -> DataFrame:
+    """Cross-document repeated-span detection: word ``n``-grams that
+    occur in 2+ distinct documents — the lightweight relative of
+    suffix-array substring dedup (find boilerplate / licence headers /
+    templated passages shared across a corpus at span granularity,
+    where document-level near-dup misses them).
+
+    POSITIONAL n-grams (not the distinct shingle set): a span repeated
+    within one document counts every occurrence, so ``n_occurrences``
+    is total span mass.  Returns the ``top`` spans by occurrence count
+    (ties → gram asc): ``(gram, n_docs, n_occurrences, first_doc)``.
+
+    One explode → one aggregate on the gram; the shuffle ships
+    (gram, id) pairs and the final top-k is a TakeOrdered over the
+    already-aggregated span table.  At 100 TB, group on ``md5(gram)``
+    and resolve texts for the survivors only.
+    """
+    toks = tokenize(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    spans = (
+        exploded.groupBy("gram")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+    return spans.orderBy(
+        F.col("n_occurrences").desc(), F.col("gram").asc()
+    ).limit(top)
+
+
 def incremental_dedup(
     existing: DataFrame,
     incoming: DataFrame,
