@@ -1815,6 +1815,16 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization accuracy report
+    (scale_micro / q_checksum / err_micro, all-integer) — the
+    compression step of a scale ANN pipeline
+    (operators/similarity.py:quantize_embeddings_report)."""
+    return similarity.quantize_embeddings_report(
+        _t(spark, sf_dir, "embeddings")
+    )
+
+
 def q_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-arithmetic PageRank (3 iterations, damping 0.85) over
     the bipartite customer<->supplier trade graph derived from
@@ -3006,6 +3016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "pagerank_influence": q_pagerank_influence,
         "duplicate_ngram_spans": q_duplicate_ngram_spans,
+        "embedding_quantization": q_embedding_quantization,
         # ===== r04 window, part 1: approximate family, newly checkable
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -3053,14 +3064,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_functions": q_string_functions,
         "date_functions": q_date_functions,
         "math_functions": q_math_functions,
-        "case_when_bucketing": q_case_when_bucketing,
         # ================= end of driver's 50-slot window =================
-        # (window_lag_lead / explode_tokens / json_roundtrip /
-        # salted_distinct_users / window_ntile_firstlast /
+        # (case_when_bucketing / window_lag_lead / explode_tokens /
+        # json_roundtrip / salted_distinct_users / window_ntile_firstlast /
         # customer_order_distribution / large_orders displaced to slots
-        # 51-57 by the seven new r4 queries; with returned_items they are
+        # 51-58 by the eight new r4 queries; with returned_items they are
         # the only r01 greens not re-checked in r4 — rotate them first
         # in r5)
+        "case_when_bucketing": q_case_when_bucketing,
         "window_lag_lead": q_window_lag_lead,
         "explode_tokens": q_explode_tokens,
         "json_roundtrip": q_json_roundtrip,
@@ -4512,6 +4523,33 @@ def oracle_sql() -> dict[str, str]:
                             < 3865470566 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "embedding_quantization": """
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> x::DOUBLE) AS v
+                FROM embeddings),
+            s AS (
+                SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) AS scale
+                FROM v),
+            s2 AS (
+                SELECT vec_id, v, scale,
+                       CASE WHEN scale > 0 THEN scale ELSE 1.0 END AS safe
+                FROM s),
+            q AS (
+                SELECT vec_id, v, scale, safe,
+                       list_transform(v, x -> floor(x * 127 / safe + 0.5))
+                           AS q
+                FROM s2)
+            SELECT vec_id,
+                   cast(floor(scale * 1e6) AS bigint) AS scale_micro,
+                   cast(list_sum(q) AS bigint) AS q_checksum,
+                   cast(list_sum(list_transform(
+                       generate_series(1, len(v)),
+                       i -> floor(abs(v[i] - q[i] * safe / 127) * 1e6)))
+                       AS bigint) AS err_micro
+            FROM q
         """,
         "pagerank_influence": graph.pagerank_sql(
             """WITH base AS (

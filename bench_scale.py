@@ -51,9 +51,16 @@ TPCH_5X = [
     "market_share",
     "product_type_profit",
     "waiting_suppliers",
+    "pagerank_influence",
 ]
 EVENTS_5X = ["window_running", "asof_join"]
-DOCS_10X = ["minhash_near_dup", "ngram_jaccard_pairs"]
+DOCS_10X = [
+    "minhash_near_dup",
+    "ngram_jaccard_pairs",
+    "contamination_report",
+    "duplicate_ngram_spans",
+    "incremental_dedup",
+]
 EMB_10X = ["knn_bruteforce"]
 PATHOLOGY = ["ngram_jaccard_pairs", "minhash_near_dup", "near_dup_pipeline"]
 #: exact pair-listers are Ω(output); on the pathology corpus the output

@@ -375,3 +375,48 @@ def test_pair_generators_leave_no_persistent_rdds(docs):
     dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
     dedup.minhash_lsh_pairs(docs).collect()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() <= before
+
+
+def test_quantize_embeddings_report(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.similarity import (
+        quantize_embeddings_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector: guarded division
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in quantize_embeddings_report(df).collect()}
+    r1 = out[1]
+    # scale = 1.0; q = [127, -63 (floor(-63.5+0.5)), 32 (floor(32.25)), 0]
+    assert r1.scale_micro == 1_000_000
+    assert r1.q_checksum == 127 - 63 + 32 + 0
+    assert r1.err_micro >= 0
+    r2 = out[2]
+    assert (r2.scale_micro, r2.q_checksum, r2.err_micro) == (0, 0, 0)
+
+
+def test_quantization_roundtrip_error_bounded(spark, sf_dir):
+    """Reconstruction error per component is <= scale/254 + ulp, so the
+    per-vector total stays under dim * scale_micro / 254 (+1 per
+    component for the floor)."""
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+    from youtube_podcast_data_pipeline_azure_spark.operators.similarity import (
+        quantize_embeddings_report,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    bad = (
+        quantize_embeddings_report(emb)
+        .where(
+            F.col("err_micro")
+            > F.col("scale_micro") * dim / 254 + F.lit(dim)
+        )
+        .count()
+    )
+    assert bad == 0

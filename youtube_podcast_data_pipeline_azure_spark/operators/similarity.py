@@ -511,3 +511,53 @@ def cluster_profile(
         )
         .orderBy("centroid_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (embedding compression for ANN at scale)
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization with a deterministic
+    accuracy report — the compression step of a scale ANN pipeline
+    (a 100 TB float32 embedding store drops to a quarter the bytes as
+    int8 + one scale per vector, which is usually what actually ships
+    to the index).
+
+    Per vector: ``scale = max(|x_i|)``, ``q_i = floor(x_i * 127 /
+    scale + 0.5)`` (round-half-up via floor — deterministic on
+    bit-identical doubles on every engine, unlike engine-native
+    ``round``).  The report is all-integer so it hash-matches an
+    oracle recomputing the same arithmetic:
+
+    * ``scale_micro``  — floor(scale * 1e6);
+    * ``q_checksum``   — sum of the q_i (order-independent integer sum);
+    * ``err_micro``    — sum of floor(|x_i - q_i*scale/127| * 1e6), the
+      total reconstruction error in micro-units.
+
+    Doc-local array expressions: zero shuffles, whole-stage codegen.
+    Zero vectors quantize to all-zero with scale 0 (guarded division).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    safe = F.when(scale > 0, scale).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.floor(x * 127 / safe + F.lit(0.5)))
+    err = F.aggregate(
+        F.zip_with(
+            v, q, lambda x, qi: F.floor(F.abs(x - qi * safe / 127) * 1e6)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e,
+    )
+    return df.select(
+        F.col(id_col),
+        F.floor(scale * 1e6).cast("long").alias("scale_micro"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda acc, qi: acc + qi
+        ).alias("q_checksum"),
+        err.alias("err_micro"),
+    )
