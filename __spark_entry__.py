@@ -450,6 +450,24 @@ def q_rest_ingest_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rest.ingest_comments(spark, src, ids, max_comments_per_video=100)
 
 
+def q_python_datasource_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video feed through the Spark 4 Python Data Source API
+    (io/pyds.py): driver-side id planning with LIMIT pushdown, one
+    executor task per 50-id detail chunk, then the same silver flatten
+    as rest_ingest_videos — and the same oracle, since both connectors
+    must land identical rows."""
+    from youtube_podcast_data_pipeline_azure_spark.io.pyds import VideosDataSource
+
+    spark.dataSource.register(VideosDataSource)
+    bronze = (
+        spark.read.format("youtube_videos")
+        .option("sf_dir", sf_dir)
+        .option("max_results", "500")
+        .load()
+    )
+    return medallion.bronze_videos_to_silver(bronze)
+
+
 def q_medallion_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14/A15/A16 full-pipeline KPI row: bronze → silver → deterministic
     gold enrichment → single KPI record (reference final_kpis.py:25-58).
@@ -3017,6 +3035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_influence": q_pagerank_influence,
         "duplicate_ngram_spans": q_duplicate_ngram_spans,
         "embedding_quantization": q_embedding_quantization,
+        "python_datasource_videos": q_python_datasource_videos,
         # ===== r04 window, part 1: approximate family, newly checkable
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -3063,14 +3082,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_segments": q_distinct_segments,
         "string_functions": q_string_functions,
         "date_functions": q_date_functions,
-        "math_functions": q_math_functions,
         # ================= end of driver's 50-slot window =================
-        # (case_when_bucketing / window_lag_lead / explode_tokens /
-        # json_roundtrip / salted_distinct_users / window_ntile_firstlast /
-        # customer_order_distribution / large_orders displaced to slots
-        # 51-58 by the eight new r4 queries; with returned_items they are
-        # the only r01 greens not re-checked in r4 — rotate them first
-        # in r5)
+        # (math_functions / case_when_bucketing / window_lag_lead /
+        # explode_tokens / json_roundtrip / salted_distinct_users /
+        # window_ntile_firstlast / customer_order_distribution /
+        # large_orders displaced to slots 51-59 by the nine new r4
+        # queries; with returned_items they are the only r01 greens not
+        # re-checked in r4 — rotate them first in r5)
+        "math_functions": q_math_functions,
         "case_when_bucketing": q_case_when_bucketing,
         "window_lag_lead": q_window_lag_lead,
         "explode_tokens": q_explode_tokens,
@@ -3336,6 +3355,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN docs db ON db.doc_id = id_b
             WHERE jaccard >= 0.5
     """
+    # Shared by rest_ingest_videos (transport-seam connector) and
+    # python_datasource_videos (Spark 4 Python Data Source) — both must
+    # land byte-identical silver rows.
+    videos_silver_sql = """
+            SELECT 'vid' || o_orderkey AS video_id,
+                   o_orderpriority || ' order ' || o_orderkey AS title,
+                   cast(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                        AS timestamp) AS published_at,
+                   'chan' || (o_custkey % 10) AS channel_title,
+                   'PT' || (o_orderkey % 60) || 'M' || (o_custkey % 60) || 'S'
+                       AS duration,
+                   (o_orderkey % 60) * 60 + (o_custkey % 60)
+                       AS duration_seconds,
+                   CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                        ELSE cast(floor(o_totalprice) AS bigint) END
+                       AS view_count,
+                   CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                        ELSE o_orderkey % 1000 END AS like_count,
+                   o_custkey % 100 AS comment_count
+            FROM orders
+            WHERE o_orderkey IN (
+                SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 500)
+        """
     return {
         "kpi_event_type_counts": """
             SELECT lower(coalesce(event_type, 'unknown')) AS event_type,
@@ -3383,26 +3425,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 3 = 1
             GROUP BY lang
         """,
-        "rest_ingest_videos": """
-            SELECT 'vid' || o_orderkey AS video_id,
-                   o_orderpriority || ' order ' || o_orderkey AS title,
-                   cast(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
-                        AS timestamp) AS published_at,
-                   'chan' || (o_custkey % 10) AS channel_title,
-                   'PT' || (o_orderkey % 60) || 'M' || (o_custkey % 60) || 'S'
-                       AS duration,
-                   (o_orderkey % 60) * 60 + (o_custkey % 60)
-                       AS duration_seconds,
-                   CASE WHEN o_orderkey % 97 = 0 THEN NULL
-                        ELSE cast(floor(o_totalprice) AS bigint) END
-                       AS view_count,
-                   CASE WHEN o_orderkey % 5 = 0 THEN NULL
-                        ELSE o_orderkey % 1000 END AS like_count,
-                   o_custkey % 100 AS comment_count
-            FROM orders
-            WHERE o_orderkey IN (
-                SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 500)
-        """,
+        "rest_ingest_videos": videos_silver_sql,
+        # same landed rows by contract, different connector surface
+        # (Spark 4 Python Data Source, io/pyds.py)
+        "python_datasource_videos": videos_silver_sql,
         "rest_ingest_comments": """
             SELECT 'vid' || (doc_id % 100) AS videoId,
                    'c' || doc_id AS commentId,

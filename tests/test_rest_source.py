@@ -189,3 +189,44 @@ def test_missing_fields_become_nulls(spark):
     assert row.id == "x" and row.snippet.title == "t"
     assert row.statistics.viewCount is None
     assert row.contentDetails.duration is None
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python Data Source connector (io/pyds.py)
+# ---------------------------------------------------------------------------
+
+
+def test_python_datasource_partition_planning(sf_dir):
+    from youtube_podcast_data_pipeline_azure_spark.io.pyds import VideosReader
+
+    r = VideosReader({"sf_dir": sf_dir, "max_results": "120", "chunk": "50"})
+    parts = r.partitions()
+    # LIMIT pushdown at planning: 120 ids -> ceil(120/50) = 3 chunks
+    assert [len(p.value) for p in parts] == [50, 50, 20]
+    # chunks are disjoint, sorted, and cover the lowest keys
+    all_ids = [k for p in parts for k in p.value]
+    assert all_ids == sorted(all_ids) and len(set(all_ids)) == 120
+
+
+def test_python_datasource_read_matches_rest_connector(spark, sf_dir):
+    """Both connector surfaces must land byte-identical silver rows."""
+    import __spark_entry__ as entry
+
+    a = entry.q_python_datasource_videos(spark, sf_dir)
+    b = entry.q_rest_ingest_videos(spark, sf_dir)
+    assert a.columns == b.columns
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_python_datasource_respects_max_results(spark, sf_dir):
+    from youtube_podcast_data_pipeline_azure_spark.io.pyds import VideosDataSource
+
+    spark.dataSource.register(VideosDataSource)
+    n = (
+        spark.read.format("youtube_videos")
+        .option("sf_dir", sf_dir)
+        .option("max_results", "7")
+        .load()
+        .count()
+    )
+    assert n == 7
