@@ -450,6 +450,24 @@ def q_rest_ingest_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rest.ingest_comments(spark, src, ids, max_comments_per_video=100)
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the Spark 4 VARIANT type:
+    ``try_parse_json`` the props blob once into a variant, then typed
+    ``try_variant_get`` extractions (int and string views of the same
+    field) — the open-schema complement of the fixed-schema
+    ``from_json`` path in safe_cast_props.  VARIANT's binary encoding
+    is the 100 TB answer to JSON-string re-parsing: parse once at
+    ingest, push typed extractions to the scan."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.try_parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").cast("long").alias("k_int"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        v.isNotNull().alias("parsed"),
+    )
+
+
 def q_python_datasource_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The video feed through the Spark 4 Python Data Source API
     (io/pyds.py): driver-side id planning with LIMIT pushdown, one
@@ -3036,6 +3054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_ngram_spans": q_duplicate_ngram_spans,
         "embedding_quantization": q_embedding_quantization,
         "python_datasource_videos": q_python_datasource_videos,
+        "variant_extract": q_variant_extract,
         # ===== r04 window, part 1: approximate family, newly checkable
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -3083,12 +3102,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_functions": q_string_functions,
         "date_functions": q_date_functions,
         # ================= end of driver's 50-slot window =================
-        # (math_functions / case_when_bucketing / window_lag_lead /
-        # explode_tokens / json_roundtrip / salted_distinct_users /
-        # window_ntile_firstlast / customer_order_distribution /
-        # large_orders displaced to slots 51-59 by the nine new r4
-        # queries; with returned_items they are the only r01 greens not
-        # re-checked in r4 — rotate them first in r5)
+        # (date_functions / math_functions / case_when_bucketing /
+        # window_lag_lead / explode_tokens / json_roundtrip /
+        # salted_distinct_users / window_ntile_firstlast /
+        # customer_order_distribution / large_orders displaced to slots
+        # 51-60 by the ten new r4 queries; with returned_items they are
+        # the only r01 greens not re-checked in r4 — rotate them first
+        # in r5)
         "math_functions": q_math_functions,
         "case_when_bucketing": q_case_when_bucketing,
         "window_lag_lead": q_window_lag_lead,
@@ -3424,6 +3444,14 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(n_chars) AS bigint) AS total_chars
             FROM documents WHERE doc_id % 3 = 1
             GROUP BY lang
+        """,
+        "variant_extract": """
+            SELECT event_id,
+                   try_cast(json_extract_string(props, '$.k') AS bigint)
+                       AS k_int,
+                   json_extract_string(props, '$.k') AS k_str,
+                   (props IS NOT NULL AND json_valid(props)) AS parsed
+            FROM events
         """,
         "rest_ingest_videos": videos_silver_sql,
         # same landed rows by contract, different connector surface

@@ -157,3 +157,29 @@ def test_sentence_split_udtf_lateral(spark):
         (1, 1, "How are you"),
         (1, 2, "Fine"),
     }  # null text and punctuation-only text expand to zero rows
+
+
+def test_variant_parse_and_typed_get(spark):
+    """Spark 4 VARIANT surface: try_parse_json tolerates malformed
+    blobs (null variant, like the reference's parse-with-fallback), and
+    try_variant_get coerces the same field to int or string views."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 87}'), (2, '{"k": "x"}'), (3, "not json"), (4, None)],
+        "event_id long, props string",
+    )
+    v = F.try_parse_json(F.col("props"))
+    out = {
+        r.event_id: r
+        for r in df.select(
+            "event_id",
+            F.try_variant_get(v, "$.k", "int").cast("long").alias("k_int"),
+            F.try_variant_get(v, "$.k", "string").alias("k_str"),
+            v.isNotNull().alias("parsed"),
+        ).collect()
+    }
+    assert (out[1].k_int, out[1].k_str, out[1].parsed) == (87, "87", True)
+    assert (out[2].k_int, out[2].k_str, out[2].parsed) == (None, "x", True)
+    assert (out[3].k_int, out[3].k_str, out[3].parsed) == (None, None, False)
+    assert (out[4].k_int, out[4].k_str, out[4].parsed) == (None, None, False)
