@@ -450,6 +450,25 @@ def q_rest_ingest_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rest.ingest_comments(spark, src, ids, max_comments_per_video=100)
 
 
+def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of incremental_dedup, batch mode: the arriving
+    batch (doc_id % 5 == 0) anti-joined against the standing corpus's
+    fingerprint set, first-arrival dedup within the batch; output is
+    the deterministic SET of new fingerprints
+    (streaming/docs_stream.py; stream-mode parity in
+    tests/test_streaming.py)."""
+    from youtube_podcast_data_pipeline_azure_spark.streaming.docs_stream import (
+        corpus_fingerprints,
+        dedup_against_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_against_corpus(
+        docs.where(F.col("doc_id") % 5 == 0),
+        corpus_fingerprints(docs.where(F.col("doc_id") % 5 != 0)),
+    )
+
+
 def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access through the Spark 4 VARIANT type:
     ``try_parse_json`` the props blob once into a variant, then typed
@@ -3055,6 +3074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantization": q_embedding_quantization,
         "python_datasource_videos": q_python_datasource_videos,
         "variant_extract": q_variant_extract,
+        "streaming_corpus_dedup": q_streaming_corpus_dedup,
         # ===== r04 window, part 1: approximate family, newly checkable
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -3099,16 +3119,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outer_join_agg": q_outer_join_agg,
         "set_ops": q_set_ops,
         "distinct_segments": q_distinct_segments,
+        # ================= end of driver's 50-slot window =================
+        # (string_functions / date_functions / math_functions /
+        # case_when_bucketing / window_lag_lead / explode_tokens /
+        # json_roundtrip / salted_distinct_users / window_ntile_firstlast /
+        # customer_order_distribution / large_orders displaced to slots
+        # 51-61 by the eleven new r4 queries; with returned_items they
+        # are the only r01 greens not re-checked in r4 — rotate them
+        # first in r5)
         "string_functions": q_string_functions,
         "date_functions": q_date_functions,
-        # ================= end of driver's 50-slot window =================
-        # (date_functions / math_functions / case_when_bucketing /
-        # window_lag_lead / explode_tokens / json_roundtrip /
-        # salted_distinct_users / window_ntile_firstlast /
-        # customer_order_distribution / large_orders displaced to slots
-        # 51-60 by the ten new r4 queries; with returned_items they are
-        # the only r01 greens not re-checked in r4 — rotate them first
-        # in r5)
         "math_functions": q_math_functions,
         "case_when_bucketing": q_case_when_bucketing,
         "window_lag_lead": q_window_lag_lead,
@@ -4555,6 +4575,13 @@ def oracle_sql() -> dict[str, str]:
                        + {pii_count_sql("aug_text", "ip")} AS pii_total,
                    {redact_pii_sql("aug_text")} AS redacted
             FROM aug
+        """,
+        "streaming_corpus_dedup": f"""
+            SELECT DISTINCT {fingerprint} AS fingerprint
+            FROM documents
+            WHERE doc_id % 5 = 0
+              AND {fingerprint} NOT IN (
+                  SELECT {fingerprint} FROM documents WHERE doc_id % 5 <> 0)
         """,
         "incremental_dedup": f"""
             WITH inc AS (

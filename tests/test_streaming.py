@@ -434,3 +434,50 @@ def test_sessionized_counts_stream_equals_batch(spark, events_dir_clone):
     # the flush row's own session stays open in state; every real
     # session is closed by the advanced watermark and matches batch
     assert got == expected
+
+
+def test_streaming_corpus_dedup_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming twin of incremental_dedup: an arriving document stream
+    deduped against the standing corpus's static fingerprint set, with
+    within-stream first-arrival dedup carrying state ACROSS
+    micro-batches.  The surviving fingerprint set must equal the batch
+    run on any file/batch split."""
+    from pyspark.sql import functions as F
+
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+    from youtube_podcast_data_pipeline_azure_spark.streaming.docs_stream import (
+        corpus_fingerprints,
+        dedup_against_corpus,
+    )
+    from youtube_podcast_data_pipeline_azure_spark.streaming.events_stream import (
+        run_stream_to_memory,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+    seen = corpus_fingerprints(docs.where(F.col("doc_id") % 5 != 0))
+
+    batch = {
+        r.fingerprint for r in dedup_against_corpus(incoming, seen).collect()
+    }
+
+    # land the incoming batch as several files -> several micro-batches
+    src = str(tmp_path / "incoming")
+    incoming.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_to_memory(
+        dedup_against_corpus(stream, seen), "corpus_dedup_stream"
+    )
+    streamed = {
+        r.fingerprint
+        for r in spark.sql("SELECT * FROM corpus_dedup_stream").collect()
+    }
+    assert streamed == batch
+    # duplicates spanning micro-batches were dropped by streaming state:
+    # emitted rows are unique
+    n_rows = spark.sql("SELECT count(*) n FROM corpus_dedup_stream").first().n
+    assert n_rows == len(streamed)
