@@ -214,3 +214,99 @@ def test_near_dup_pipeline_equals_bruteforce(spark, docs, dup_of):
     assert set(got) == set(want)
     for k in got:
         assert got[k] == pytest.approx(want[k], abs=1e-4)
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=1, max_value=5),
+        ),
+        min_size=1,
+        max_size=20,
+    ).filter(lambda es: any(a != b for a, b, _ in es)),
+)
+def test_pagerank_tracks_float_reference(spark, edges):
+    """Integer micro-unit PageRank vs an exact float reference on random
+    graphs: every node's rank within 0.1% of float PageRank (the floor
+    losses are bounded by 1 micro-unit per in-edge per round), and mass
+    never exceeds the float total."""
+    from collections import defaultdict
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.graph import pagerank
+
+    # symmetrize and merge duplicate edges (operator handles dups, the
+    # reference must see identical weights)
+    w = defaultdict(int)
+    for a, b, x in edges:
+        if a == b:
+            continue
+        w[(f"n{a}", f"n{b}")] += x
+        w[(f"n{b}", f"n{a}")] += x
+    rows = [(s, d, x) for (s, d), x in sorted(w.items())]
+    df = spark.createDataFrame(rows, "src string, dst string, w long")
+    got = {r.node: r.rank_micro for r in pagerank(df, iterations=3).collect()}
+
+    # float reference
+    nodes = sorted({s for s, _, _ in rows} | {d for _, d, _ in rows})
+    outw = defaultdict(float)
+    for s, d, x in rows:
+        outw[s] += x
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(3):
+        inc = defaultdict(float)
+        for s, d, x in rows:
+            inc[d] += rank[s] * x / outw[s]
+        rank = {n: 0.15 + 0.85 * inc.get(n, 0.0) for n in nodes}
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert abs(got[n] / 1e6 - rank[n]) < 0.001 * max(rank[n], 1.0), (
+            n, got[n], rank[n],
+        )
+
+
+@settings(**_SETTINGS)
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=1, max_size=12
+        ).map(lambda ws: " ".join(ws)),
+        min_size=1,
+        max_size=12,
+    ),
+    eval_docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=1, max_size=12
+        ).map(lambda ws: " ".join(ws)),
+        min_size=1,
+        max_size=4,
+    ),
+    n=st.sampled_from([2, 3]),
+)
+def test_decontaminate_equals_bruteforce(spark, corpus, eval_docs, n):
+    """decontaminate drops EXACTLY the docs sharing >= 1 word n-gram
+    with the eval set (short docs fall back to whole-text shingles,
+    mirrored in the reference)."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import decontaminate
+
+    def grams(text: str) -> set:
+        toks = text.split()
+        if len(toks) <= n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    eval_grams = set().union(*(grams(t) for t in eval_docs))
+    expect = {
+        i for i, t in enumerate(corpus) if not (grams(t) & eval_grams)
+    }
+    cdf = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    edf = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(eval_docs)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in decontaminate(cdf, edf, n=n).collect()}
+    assert got == expect
