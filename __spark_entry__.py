@@ -450,6 +450,27 @@ def q_rest_ingest_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rest.ingest_comments(spark, src, ids, max_comments_per_video=100)
 
 
+def q_delete_by_key_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style surgical delete: land events partitioned by
+    event_type, erase 10 users (partition-pruned rewrite — only
+    affected partitions are touched, io/writers.py:delete_by_key),
+    re-read and aggregate; the oracle checks the anti-join semantics."""
+    import tempfile
+
+    from youtube_podcast_data_pipeline_azure_spark.io.writers import delete_by_key
+
+    sink = tempfile.mkdtemp(prefix="spark_graft_delete_")
+    ev = _t(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(sink)
+    doomed = spark.range(0, 10).select(F.col("id").alias("user_id"))
+    delete_by_key(spark, sink, doomed, "user_id", "event_type")
+    back = spark.read.parquet(sink)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("user_id").alias("sum_users"),
+    )
+
+
 def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of incremental_dedup, batch mode: the arriving
     batch (doc_id % 5 == 0) anti-joined against the standing corpus's
@@ -3075,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "python_datasource_videos": q_python_datasource_videos,
         "variant_extract": q_variant_extract,
         "streaming_corpus_dedup": q_streaming_corpus_dedup,
+        "delete_by_key_roundtrip": q_delete_by_key_roundtrip,
         # ===== r04 window, part 1: approximate family, newly checkable
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -3118,15 +3140,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "outer_join_agg": q_outer_join_agg,
         "set_ops": q_set_ops,
-        "distinct_segments": q_distinct_segments,
         # ================= end of driver's 50-slot window =================
-        # (string_functions / date_functions / math_functions /
-        # case_when_bucketing / window_lag_lead / explode_tokens /
-        # json_roundtrip / salted_distinct_users / window_ntile_firstlast /
-        # customer_order_distribution / large_orders displaced to slots
-        # 51-61 by the eleven new r4 queries; with returned_items they
-        # are the only r01 greens not re-checked in r4 — rotate them
-        # first in r5)
+        # (distinct_segments / string_functions / date_functions /
+        # math_functions / case_when_bucketing / window_lag_lead /
+        # explode_tokens / json_roundtrip / salted_distinct_users /
+        # window_ntile_firstlast / customer_order_distribution /
+        # large_orders displaced to slots 51-62 by the twelve new r4
+        # queries; with returned_items they are the only r01 greens not
+        # re-checked in r4 — rotate them first in r5)
+        "distinct_segments": q_distinct_segments,
         "string_functions": q_string_functions,
         "date_functions": q_date_functions,
         "math_functions": q_math_functions,
@@ -4575,6 +4597,12 @@ def oracle_sql() -> dict[str, str]:
                        + {pii_count_sql("aug_text", "ip")} AS pii_total,
                    {redact_pii_sql("aug_text")} AS redacted
             FROM aug
+        """,
+        "delete_by_key_roundtrip": """
+            SELECT event_type, count(*) AS n_events,
+                   cast(sum(user_id) AS bigint) AS sum_users
+            FROM events WHERE user_id NOT IN (0,1,2,3,4,5,6,7,8,9)
+            GROUP BY event_type
         """,
         "streaming_corpus_dedup": f"""
             SELECT DISTINCT {fingerprint} AS fingerprint

@@ -338,6 +338,7 @@ def test_r04_window_queries_stay_within_shuffle_budget(spark, sf_dir):
         "python_datasource_videos": 0,  # custom source scan + flatten map
         "variant_extract": 0,         # parse-once variant, pure scan map
         "streaming_corpus_dedup": 2,  # fingerprint distinct + stream dedup
+        "delete_by_key_roundtrip": 1, # post-delete re-read group agg
         # iterative: ~3/iteration x 3 + setup over localCheckpointed
         # loop-invariants (was 33 on the naive re-derived lineage)
         "pagerank_influence": 10,

@@ -88,3 +88,62 @@ def test_compact_files_restores_target_sizes(spark, tmp_path):
     a = spark.read.parquet(src).groupBy("grp").count().collect()
     b = spark.read.parquet(dst).groupBy("grp").count().collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_delete_by_key_touches_only_affected_partitions(spark, tmp_path):
+    """The GDPR delete must be surgical: partitions without doomed keys
+    keep their exact files (no rewrite), affected partitions are
+    rewritten without the keys, and a fully-emptied partition's
+    directory is swept."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from youtube_podcast_data_pipeline_azure_spark.io.writers import delete_by_key
+
+    sink = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [
+            # partition a: mixed -> rewritten without user 1
+            (1, "a"), (2, "a"), (3, "a"),
+            # partition b: untouched -> files must be byte-identical
+            (4, "b"), (5, "b"),
+            # partition c: all doomed -> directory swept
+            (1, "c"), (1, "c"),
+        ],
+        "user_id long, part string",
+    )
+    df.write.partitionBy("part").parquet(sink)
+
+    def files(p):
+        d = os.path.join(sink, f"part={p}")
+        if not os.path.isdir(d):
+            return None
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    b_before = files("b")
+    doomed = spark.createDataFrame([(1,)], "user_id long")
+    n = delete_by_key(spark, sink, doomed, "user_id", "part")
+    assert n == 2  # a rewritten, c swept; b untouched
+
+    back = spark.read.parquet(sink)
+    got = {(r.user_id, r.part) for r in back.collect()}
+    assert got == {(2, "a"), (3, "a"), (4, "b"), (5, "b")}
+    assert files("b") == b_before          # untouched files, same mtimes
+    assert files("c") is None              # emptied partition swept
+
+
+def test_delete_by_key_no_matches_is_noop(spark, tmp_path):
+    from youtube_podcast_data_pipeline_azure_spark.io.writers import delete_by_key
+
+    sink = str(tmp_path / "sink2")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "user_id long, part string"
+    ).write.partitionBy("part").parquet(sink)
+    doomed = spark.createDataFrame([(99,)], "user_id long")
+    assert delete_by_key(spark, sink, doomed, "user_id", "part") == 0
+    assert spark.read.parquet(sink).count() == 2

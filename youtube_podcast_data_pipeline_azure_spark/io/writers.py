@@ -198,3 +198,65 @@ def compact_files(
     df = spark.read.format(fmt).load(src_path)
     df.repartition(n_files).write.mode("overwrite").format(fmt).save(dst_path)
     return n_files
+
+
+def delete_by_key(
+    spark,
+    path: str,
+    keys_df,
+    key_col: str,
+    partition_col: str,
+    fmt: str = "parquet",
+) -> int:
+    """Surgical key deletion from a partitioned sink (the GDPR /
+    right-to-erasure maintenance op): rewrite ONLY the partitions that
+    contain the doomed keys, leave every other partition's files
+    untouched.
+
+    At 100 TB the naive ``read-all -> anti-join -> overwrite-all``
+    rewrites the entire table to delete a handful of users; this does
+    three bounded steps instead:
+
+    1. **Locate** — semi-join the sink against the key set and collect
+       the DISTINCT affected partition values (bounded by partition
+       count, not rows; the key set is broadcast).
+    2. **Rewrite** — re-read *only those partitions* (partition-pruned
+       scan), anti-join the keys out, and write back with dynamic
+       partition overwrite so untouched partitions keep their files.
+    3. **Sweep** — a partition whose every row was deleted produces no
+       output under dynamic overwrite, so its stale directory is
+       removed explicitly via the filesystem.
+
+    Returns the number of partitions rewritten or swept.
+    """
+    from pyspark.sql import functions as F
+
+    data = spark.read.format(fmt).load(path)
+    affected = [
+        r[0]
+        for r in data.join(F.broadcast(keys_df), key_col, "left_semi")
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return 0
+    remaining = data.where(F.col(partition_col).isin(affected)).join(
+        F.broadcast(keys_df), key_col, "left_anti"
+    )
+    survivors = {
+        r[0] for r in remaining.select(partition_col).distinct().collect()
+    }
+    (
+        remaining.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .format(fmt)
+        .save(path)
+    )
+    jvm = spark._jvm
+    for p in set(affected) - survivors:
+        hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{partition_col}={p}")
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+    return len(affected)
