@@ -450,6 +450,16 @@ def q_rest_ingest_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rest.ingest_comments(spark, src, ids, max_comments_per_video=100)
 
 
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join over the token inverted
+    index (weighted complement of n-gram Jaccard): integer weights and
+    exact integer dot/norm sums, cosine reported in basis points via
+    floor (operators/text_mining.py:tfidf_cosine_pairs)."""
+    return text_mining.tfidf_cosine_pairs(
+        _t(spark, sf_dir, "documents"), threshold_bp=9000
+    )
+
+
 def q_delete_by_key_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDPR-style surgical delete: land events partitioned by
     event_type, erase 10 users (partition-pruned rewrite — only
@@ -3097,6 +3107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_extract": q_variant_extract,
         "streaming_corpus_dedup": q_streaming_corpus_dedup,
         "delete_by_key_roundtrip": q_delete_by_key_roundtrip,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         # ===== r04 window, part 1: approximate family, newly checkable
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -3139,15 +3150,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
         "outer_join_agg": q_outer_join_agg,
-        "set_ops": q_set_ops,
         # ================= end of driver's 50-slot window =================
-        # (distinct_segments / string_functions / date_functions /
-        # math_functions / case_when_bucketing / window_lag_lead /
-        # explode_tokens / json_roundtrip / salted_distinct_users /
-        # window_ntile_firstlast / customer_order_distribution /
-        # large_orders displaced to slots 51-62 by the twelve new r4
-        # queries; with returned_items they are the only r01 greens not
-        # re-checked in r4 — rotate them first in r5)
+        # (set_ops / distinct_segments / string_functions /
+        # date_functions / math_functions / case_when_bucketing /
+        # window_lag_lead / explode_tokens / json_roundtrip /
+        # salted_distinct_users / window_ntile_firstlast /
+        # customer_order_distribution / large_orders displaced to slots
+        # 51-63 by the thirteen new r4 queries; with returned_items they
+        # are the only r01 greens not re-checked in r4 — rotate them
+        # first in r5)
+        "set_ops": q_set_ops,
         "distinct_segments": q_distinct_segments,
         "string_functions": q_string_functions,
         "date_functions": q_date_functions,
@@ -4597,6 +4609,31 @@ def oracle_sql() -> dict[str, str]:
                        + {pii_count_sql("aug_text", "ip")} AS pii_total,
                    {redact_pii_sql("aug_text")} AS redacted
             FROM aug
+        """,
+        "tfidf_cosine_pairs": f"""
+            WITH tok AS (
+                SELECT doc_id AS id, unnest({tokens}) AS term FROM documents),
+            tf AS (
+                SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            w AS (
+                SELECT id, term, tf * n_docs * 1000 // df AS w
+                FROM tf JOIN dfr USING (term) CROSS JOIN n),
+            norms AS (SELECT id, sum(w * w) AS norm2 FROM w GROUP BY 1),
+            dots AS (
+                SELECT a.id AS id_a, b.id AS id_b, sum(a.w * b.w) AS dot
+                FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+                GROUP BY 1, 2),
+            scored AS (
+                SELECT id_a, id_b,
+                       cast(floor(cast(dot AS double) * 10000
+                           / (sqrt(na.norm2) * sqrt(nb.norm2))) AS bigint)
+                           AS cos_bp
+                FROM dots
+                JOIN norms na ON na.id = id_a
+                JOIN norms nb ON nb.id = id_b)
+            SELECT id_a, id_b, cos_bp FROM scored WHERE cos_bp >= 9000
         """,
         "delete_by_key_roundtrip": """
             SELECT event_type, count(*) AS n_events,

@@ -339,6 +339,11 @@ def test_r04_window_queries_stay_within_shuffle_budget(spark, sf_dir):
         "variant_extract": 0,         # parse-once variant, pure scan map
         "streaming_corpus_dedup": 2,  # fingerprint distinct + stream dedup
         "delete_by_key_roundtrip": 1, # post-delete re-read group agg
+        # static plan repeats the tf/w subtree per consumer (norms, two
+        # join sides); AQE's stage cache reuses those identical shuffles
+        # at runtime (warm run ~0.2 s at sf0.01) — same situation as the
+        # minhash spread/shingle exchanges
+        "tfidf_cosine_pairs": 15,
         # iterative: ~3/iteration x 3 + setup over localCheckpointed
         # loop-invariants (was 33 on the naive re-derived lineage)
         "pagerank_influence": 10,

@@ -90,3 +90,41 @@ def test_fuzzy_vocab_canonical_prefers_frequent(spark):
     # pair is ordered lexicographically; canonical is the frequent form
     assert (r.name_a, r.name_b, r.dist) == ("widget", "widgot", 1)
     assert (r.n_a, r.n_b, r.canonical) == (5, 1, "widget")
+
+
+def test_tfidf_cosine_pairs_semantics(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import (
+        tfidf_cosine_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),        # identical to 1 -> cos 1.0
+            (3, "delta epsilon zeta"),      # disjoint -> no pair
+            (4, "alpha beta gamma eta"),    # near 1/2 but diluted
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.id_a, r.id_b): r.cos_bp for r in tfidf_cosine_pairs(df, threshold_bp=0).collect()}
+    assert out[(1, 2)] >= 9999          # identical docs, floor may shave 1bp
+    assert (1, 3) not in out and (2, 3) not in out and (3, 4) not in out
+    assert 0 < out[(1, 4)] < out[(1, 2)]
+    assert out[(1, 4)] == out[(2, 4)]   # symmetry via identical content
+
+
+def test_tfidf_cosine_pairs_max_df_prunes_stopwords(spark):
+    """Capping document frequency drops stopword-grade terms from the
+    inverted index entirely — pairs joined ONLY by a hyper-common term
+    disappear."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import (
+        tfidf_cosine_pairs,
+    )
+
+    rows = [(i, f"the unique{i} word{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # "the" appears in all 6 docs; every other term is singleton
+    unpruned = tfidf_cosine_pairs(df, threshold_bp=0).count()
+    pruned = tfidf_cosine_pairs(df, threshold_bp=0, max_df=5).count()
+    assert unpruned == 15  # all pairs share "the"
+    assert pruned == 0

@@ -184,3 +184,83 @@ def fuzzy_vocab_pairs(
             .alias("canonical"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_bp: int = 9000,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Weighted document-similarity join WITHOUT embeddings: sparse
+    TF-IDF cosine over the token inverted index — the classic IR
+    complement of the set-based n-gram Jaccard join (shared rare terms
+    count more than shared stopwords).
+
+    Weights are the integer TF-IDF analog ``tf * N * 1000 // df`` (same
+    scheme as :func:`distinctive_terms`, bit-exact cross-engine); the
+    dot products and squared norms are exact integer sums, so the only
+    float op is the final ``dot / (norm_a * norm_b)`` on bit-identical
+    doubles, reported as basis points via ``floor`` (deterministic —
+    no engine ``round``).  Returns ``(id_a, id_b, cos_bp)`` with
+    ``id_a < id_b`` and ``cos_bp >= threshold_bp``.
+
+    Plan: one explode to (doc, term, w), a self-join ON TERM (the
+    inverted index — candidate volume is Σ df², not n²), one aggregate
+    per pair, broadcast norm lookups.  At scale: (a) cap ``max_df`` to
+    skip stopword-grade terms, which bound Σ df² on Zipfian vocabularies
+    while barely moving high-threshold cosines (their idf weight is
+    negligible); (b) rescale weights (e.g. idf in basis points of a
+    sampled N) if ``tf·N·1000`` approaches 2^31, keeping w² sums inside
+    long range.
+    """
+    tf = (
+        docs.select(F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if max_df is not None:
+        df_ = df_.where(F.col("df") <= max_df)
+    n = docs.agg(F.count("*").alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "id", "term", F.expr("tf * n_docs * 1000 div df").alias("w")
+        )
+    )
+    norms = w.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("norm2"))
+    a = w.select(
+        F.col("id").alias("id_a"), "term", F.col("w").alias("w_a")
+    )
+    b = w.select(
+        F.col("id").alias("id_b"), "term", F.col("w").alias("w_b")
+    )
+    dots = (
+        a.join(b, "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("norm2").alias("n2_a"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("norm2").alias("n2_b"))
+    cos = (
+        dots.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            # dot -> double BEFORE the x10000 (long*10000 would overflow
+            # under ANSI once dot nears 2^49; the double path is exact
+            # at fixture magnitudes and IEEE-deterministic everywhere)
+            F.floor(
+                F.col("dot").cast("double") * 10000
+                / (F.sqrt(F.col("n2_a")) * F.sqrt(F.col("n2_b")))
+            )
+            .cast("long")
+            .alias("cos_bp"),
+        )
+    )
+    return cos.where(F.col("cos_bp") >= threshold_bp)
