@@ -3078,10 +3078,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver's per-round correctness check covers the FIRST 50 entries,
     so each round front-loads queries needing driver evidence.  r01-r03
     covered every then-oracle-capable query (133/142, all green).  The
-    r4 window fronts (0) the seven queries added this round
-    (decontamination, repetition signals, PII scan, incremental dedup,
-    dataset split, integer PageRank, repeated-span detection); (1) the
-    approximate family, newly driver-checkable
+    r4 window fronts (0) the thirteen queries added this round
+    (decontamination, repetition signals, PII scan, incremental dedup +
+    streaming twin, dataset split, integer PageRank, repeated-span
+    detection, int8 embedding quantization, Python Data Source
+    connector, VARIANT extraction, GDPR delete-by-key roundtrip,
+    TF-IDF cosine pairs); (1) the approximate family, newly driver-checkable
     via deterministic DuckDB twins — literal-hyperplane LSH replays,
     md5-seamed simhash, Lloyd's-as-CTEs k-means, sparse-exact HLL —
     plus the new near_dup_pipeline / ngram_jaccard_pairs_blocked /

@@ -60,19 +60,26 @@ def contamination_report(
     eval_grams = (
         eval_df.select(F.explode(shingles(F.col(text_col), n)).alias("gram"))
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    corp = corpus.select(
-        F.col(id_col),
-        F.size(sh).alias("n_grams"),
-        F.explode(sh).alias("gram"),
-    )
+    # One exploded pass; the document's total gram count is recovered by
+    # the aggregate itself (shingles are distinct within a doc, so
+    # count(*) == size of the shingle set).  Deliberately NOT
+    # ``size(sh)`` next to ``explode(sh)``: that projection lands ABOVE
+    # the Generate and Catalyst re-evaluates the whole shingle pipeline
+    # once per exploded gram — measured 200+ s vs ~4 s at sf0.1.
+    corp = corpus.select(F.col(id_col), F.explode(sh).alias("gram"))
     # Broadcast the eval gram set: benchmark suites are tiny relative to
     # the corpus, and a broadcast hash join here means the 100 TB side
     # is a single scan with no exchange before the per-doc aggregate.
     hits = (
-        corp.join(F.broadcast(eval_grams), "gram")
-        .groupBy(id_col, "n_grams")
-        .agg(F.count("*").alias("n_hit_grams"))
+        corp.join(F.broadcast(eval_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit_grams"),
+        )
+        .where(F.col("n_hit_grams") > 0)
     )
     return hits.select(
         id_col,
@@ -137,11 +144,30 @@ def repetition_signals(
     )
     base = base.withColumn("_big", bigrams)
     n_big = F.size("_big")
-    top_big = F.array_max(
-        F.transform(
-            F.array_distinct("_big"),
-            lambda g: F.size(F.filter(F.col("_big"), lambda x: x == g)),
-        )
+    # Most-frequent-bigram count via sort + run-length fold: O(g log g)
+    # per document (the naive distinct×filter form is O(g²) — fine for
+    # tweets, 100M ops/doc for book-length inputs).  The fold state is
+    # (prev gram, current run, best run).
+    top_big = F.aggregate(
+        F.array_sort("_big"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     pre = F.slice(F.col("_toks"), 1, F.greatest(n - 1, F.lit(0)))
     suf = F.slice(F.col("_toks"), 2, F.greatest(n - 1, F.lit(0)))

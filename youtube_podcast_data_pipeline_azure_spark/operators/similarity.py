@@ -541,23 +541,60 @@ def quantize_embeddings_report(
 
     Doc-local array expressions: zero shuffles, whole-stage codegen.
     Zero vectors quantize to all-zero with scale 0 (guarded division).
+
+    The pipeline is STAGED through intermediate projections (``_v`` →
+    ``_scale``/``_safe`` → ``_q`` → report) instead of one composed
+    expression: each stage's value is referenced more than once
+    downstream, and Catalyst's CollapseProject keeps a projection
+    boundary for non-cheap multiply-referenced expressions — composing
+    them inline pastes a fresh copy of the whole subtree into every
+    consumer (measured ~9x slower at sf0.1).
     """
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    safe = F.when(scale > 0, scale).otherwise(F.lit(1.0))
-    q = F.transform(v, lambda x: F.floor(x * 127 / safe + F.lit(0.5)))
+    s1 = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    s2 = s1.select(
+        id_col,
+        "_v",
+        F.array_max(F.transform(F.col("_v"), lambda x: F.abs(x))).alias(
+            "_scale"
+        ),
+    )
+    s3 = s2.select(
+        id_col,
+        "_v",
+        "_scale",
+        F.when(F.col("_scale") > 0, F.col("_scale"))
+        .otherwise(F.lit(1.0))
+        .alias("_safe"),
+    )
+    s4 = s3.select(
+        id_col,
+        "_v",
+        "_scale",
+        "_safe",
+        F.transform(
+            F.col("_v"),
+            lambda x: F.floor(x * 127 / F.col("_safe") + F.lit(0.5)),
+        ).alias("_q"),
+    )
     err = F.aggregate(
         F.zip_with(
-            v, q, lambda x, qi: F.floor(F.abs(x - qi * safe / 127) * 1e6)
+            F.col("_v"),
+            F.col("_q"),
+            lambda x, qi: F.floor(
+                F.abs(x - qi * F.col("_safe") / 127) * 1e6
+            ),
         ),
         F.lit(0).cast("long"),
         lambda acc, e: acc + e,
     )
-    return df.select(
+    return s4.select(
         F.col(id_col),
-        F.floor(scale * 1e6).cast("long").alias("scale_micro"),
+        F.floor(F.col("_scale") * 1e6).cast("long").alias("scale_micro"),
         F.aggregate(
-            q, F.lit(0).cast("long"), lambda acc, qi: acc + qi
+            F.col("_q"), F.lit(0).cast("long"), lambda acc, qi: acc + qi
         ).alias("q_checksum"),
         err.alias("err_micro"),
     )
