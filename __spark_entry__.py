@@ -454,10 +454,17 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine similarity join over the token inverted
     index (weighted complement of n-gram Jaccard): integer weights and
     exact integer dot/norm sums, cosine reported in basis points via
-    floor (operators/text_mining.py:tfidf_cosine_pairs)."""
-    return text_mining.tfidf_cosine_pairs(
-        _t(spark, sf_dir, "documents"), threshold_bp=9000
-    )
+    floor (operators/text_mining.py:tfidf_cosine_pairs).
+
+    Registered over a 1/4 corpus slice: the synthetic fixture has a
+    31-token vocabulary, so EVERY term is in ~78% of documents and the
+    inverted-index candidate volume Σ df² degenerates to ~n² with no
+    possible df-cap pruning (max_df would drop the whole vocabulary).
+    Real Zipfian corpora are the opposite shape — rare terms dominate
+    the index — and there the full-corpus join with a max_df cap is the
+    production configuration (see the operator docstring)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 1)
+    return text_mining.tfidf_cosine_pairs(docs, threshold_bp=9000)
 
 
 def q_delete_by_key_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4613,12 +4620,13 @@ def oracle_sql() -> dict[str, str]:
             FROM aug
         """,
         "tfidf_cosine_pairs": f"""
-            WITH tok AS (
-                SELECT doc_id AS id, unnest({tokens}) AS term FROM documents),
+            WITH d AS (SELECT * FROM documents WHERE doc_id % 4 = 1),
+            tok AS (
+                SELECT doc_id AS id, unnest({tokens}) AS term FROM d),
             tf AS (
                 SELECT id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
             dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-            n AS (SELECT count(*) AS n_docs FROM documents),
+            n AS (SELECT count(*) AS n_docs FROM d),
             w AS (
                 SELECT id, term, tf * n_docs * 1000 // df AS w
                 FROM tf JOIN dfr USING (term) CROSS JOIN n),
