@@ -1968,9 +1968,16 @@ def q_ngram_jaccard_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
     block): the independent cross-validation baseline for the PPJoin
     path, now oracle-covered in its own right.  Note the blocked
     contract differs from the global one: only same-lang pairs are
-    listed."""
+    listed.
+
+    Registered over the even-doc_id half of the corpus: the baseline is
+    O(block²) BY CONTRACT (that is what PPJoin/MinHash exist to avoid),
+    so the demo bounds the quadratic term while staying non-empty at
+    every SF — the full-corpus cross-validation against PPJoin runs in
+    tests at sf0.001."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
     return dedup.ngram_jaccard_pairs_blocked(
-        _t(spark, sf_dir, "documents"), threshold=0.5, block_on="lang"
+        docs, threshold=0.5, block_on="lang"
     )
 
 
@@ -2187,10 +2194,24 @@ def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing rolling-hash fingerprints, one row per (doc, fingerprint)."""
+    """Winnowing rolling-hash fingerprints, one row per (doc,
+    fingerprint) — via the staged two-projection form (the composed
+    single expression re-hashes per window position;
+    functions/text.py:winnowing_fingerprints_df)."""
+    from youtube_podcast_data_pipeline_azure_spark.functions.text import (
+        winnowing_fingerprints_df,
+    )
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(winnowing_fingerprints("text")).alias("fp")
+    # materialize the fingerprint arrays BEFORE exploding: Generate
+    # re-evaluates its input expression once per EMITTED element, so
+    # explode directly over the computed array multiplies the whole
+    # hash pipeline by fingerprints-per-doc (measured 6.7 s vs 0.4 s
+    # at sf0.1; same localCheckpoint pattern as operators/graph.py)
+    return (
+        winnowing_fingerprints_df(docs)
+        .localCheckpoint()
+        .select("doc_id", F.explode("fingerprints").alias("fp"))
     )
 
 
@@ -4893,7 +4914,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs_blocked": f"""
             WITH toks AS (
-                SELECT doc_id, lang, {tokens} AS tokens FROM documents),
+                SELECT doc_id, lang, {tokens} AS tokens FROM documents
+                WHERE doc_id % 2 = 0),
             docs AS (
                 SELECT doc_id, lang,
                        list_distinct([array_to_string(tokens[i:i+2], ' ')

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from youtube_podcast_data_pipeline_azure_spark.functions.text import tokenize
+from youtube_podcast_data_pipeline_azure_spark.functions.text import positional_ngrams, tokenize
 from youtube_podcast_data_pipeline_azure_spark.operators.dedup import shingles
 
 
@@ -138,10 +138,7 @@ def repetition_signals(
     toks = tokenize(F.col(text_col))
     base = df.select(F.col(id_col), toks.alias("_toks"))
     n = F.size("_toks")
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, 2)),
-    )
+    bigrams = positional_ngrams(F.col("_toks"), 2)
     base = base.withColumn("_big", bigrams)
     n_big = F.size("_big")
     # Most-frequent-bigram count via sort + run-length fold: O(g log g)

@@ -45,7 +45,11 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from youtube_podcast_data_pipeline_azure_spark.functions.text import rolling_fingerprint, tokenize
+from youtube_podcast_data_pipeline_azure_spark.functions.text import (
+    positional_ngrams,
+    rolling_fingerprint,
+    tokenize,
+)
 from youtube_podcast_data_pipeline_azure_spark.operators.util import spread
 
 
@@ -78,18 +82,10 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 def shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as array<string> (distinct).
-
-    ``transform(sequence(...))`` over the token array — one pass,
-    JVM-side.  Documents shorter than ``n`` tokens yield their whole
-    text as a single shingle so they still participate.
-    """
-    toks = tokenize(col)
-    sliced = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return F.array_distinct(sliced)
+    """Word n-gram shingles as array<string> (distinct).  See
+    functions.text.positional_ngrams for the evaluation-shape
+    rationale (zip_with fold, not a per-index lambda)."""
+    return F.array_distinct(positional_ngrams(tokenize(col), n))
 
 
 MASK32 = (1 << 32) - 1
@@ -269,26 +265,39 @@ def ngram_jaccard_pairs_blocked(
     docs = df.select(
         F.col(id_col), F.col(block_on) if block_on else F.lit(1).alias("_blk"),
         shingles(F.col(text_col), shingle_n).alias("sh"),
-    )
+    ).withColumn("n_sh", F.size("sh"))
     blk = block_on or "_blk"
     a, b = docs.alias("a"), docs.alias("b")
+    # Lossless length filter (classic similarity-join prefilter): at
+    # Jaccard >= t, |sh_b| must lie in [t·|sh_a|, |sh_a|/t] — prunes
+    # pairs BEFORE the O(|a|·|b|) intersection.
     pairs = a.join(
         b,
         on=[
             F.col(f"a.{blk}") == F.col(f"b.{blk}"),
             F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            F.col("b.n_sh") >= F.col("a.n_sh") * threshold,
+            F.col("b.n_sh") * threshold <= F.col("a.n_sh"),
         ],
     )
-    jac = F.round(
-        F.size(F.array_intersect("a.sh", "b.sh"))
-        / F.size(F.array_union("a.sh", "b.sh")),
-        4,
-    ).alias("jaccard")
+    # |a ∪ b| = |a| + |b| - |a ∩ b|: one intersection per pair instead
+    # of intersect + union (both are O(|a|·|b|) interpreted).  The
+    # intersection lands in its own projection so the two references in
+    # the Jaccard formula share one evaluation (CollapseProject keeps
+    # the boundary for non-cheap multiply-referenced expressions).
+    scored = pairs.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        (F.col("a.n_sh") + F.col("b.n_sh")).alias("_n_sum"),
+        F.size(F.array_intersect("a.sh", "b.sh")).alias("_i"),
+    )
     return (
-        pairs.select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            jac,
+        scored.select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_i") / (F.col("_n_sum") - F.col("_i")), 4
+            ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
@@ -747,11 +756,7 @@ def duplicate_ngram_spans(
     already-aggregated span table.  At 100 TB, group on ``md5(gram)``
     and resolve texts for the survivors only.
     """
-    toks = tokenize(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    grams = positional_ngrams(tokenize(F.col(text_col)), n)
     exploded = df.select(F.col(id_col), F.explode(grams).alias("gram"))
     spans = (
         exploded.groupBy("gram")
