@@ -467,6 +467,14 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_mining.tfidf_cosine_pairs(docs, threshold_bp=9000)
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-curation yield curve: per-stage survivor
+    counts through language -> quality -> repetition -> exact dedup,
+    each stage the same expression its standalone driver-checked
+    operator uses (operators/curation.py:curation_funnel)."""
+    return curation.curation_funnel(_t(spark, sf_dir, "documents"))
+
+
 def q_delete_by_key_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDPR-style surgical delete: land events partitioned by
     event_type, erase 10 users (partition-pruned rewrite — only
@@ -3138,6 +3146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_corpus_dedup": q_streaming_corpus_dedup,
         "delete_by_key_roundtrip": q_delete_by_key_roundtrip,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "curation_funnel": q_curation_funnel,
         # ===== r04 window, part 1: approximate family, newly checkable
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -3179,16 +3188,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": q_cube_agg,
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
-        "outer_join_agg": q_outer_join_agg,
         # ================= end of driver's 50-slot window =================
-        # (set_ops / distinct_segments / string_functions /
-        # date_functions / math_functions / case_when_bucketing /
-        # window_lag_lead / explode_tokens / json_roundtrip /
-        # salted_distinct_users / window_ntile_firstlast /
+        # (outer_join_agg / set_ops / distinct_segments /
+        # string_functions / date_functions / math_functions /
+        # case_when_bucketing / window_lag_lead / explode_tokens /
+        # json_roundtrip / salted_distinct_users / window_ntile_firstlast /
         # customer_order_distribution / large_orders displaced to slots
-        # 51-63 by the thirteen new r4 queries; with returned_items they
+        # 51-64 by the fourteen new r4 queries; with returned_items they
         # are the only r01 greens not re-checked in r4 — rotate them
         # first in r5)
+        "outer_join_agg": q_outer_join_agg,
         "set_ops": q_set_ops,
         "distinct_segments": q_distinct_segments,
         "string_functions": q_string_functions,
@@ -4584,6 +4593,57 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) * 1000 // n_grams AS bigint) AS contam_milli
             FROM corp JOIN ev USING (gram)
             GROUP BY doc_id, n_grams
+        """,
+        "curation_funnel": f"""
+            WITH t AS (SELECT doc_id, {tokens} AS toks FROM documents),
+            b AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       len(list_distinct(toks)) AS nd,
+                       [array_to_string(toks[i:i+1], ' ')
+                           for i in generate_series(
+                               1, greatest(len(toks)-2, 0)+1)] AS big
+                FROM t),
+            s AS (
+                SELECT doc_id,
+                       ((n - nd) * 1000 // greatest(n, 1) > 500)
+                       OR (CASE WHEN n >= 2 THEN
+                               list_max(list_transform(list_distinct(big),
+                                   g -> len(list_filter(big, y -> y = g))))
+                                   * 1000 // greatest(len(big), 1)
+                           ELSE 0 END > 300)
+                       OR (len(list_filter(
+                               generate_series(1, greatest(n-1, 0)),
+                               i -> toks[i] = toks[i+1]))
+                               * 1000 // greatest(n - 1, 1) > 100)
+                           AS rep_flagged
+                FROM b),
+            base AS (
+                SELECT d.doc_id,
+                       {lang} IN ('en', 'de') AS lang_ok,
+                       {qual} >= 0.82 AS qual_ok,
+                       {fingerprint} AS fp,
+                       s.rep_flagged
+                FROM documents d JOIN s ON s.doc_id = d.doc_id),
+            counts AS (
+                SELECT cast(count(*) AS bigint) AS input,
+                       cast(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END)
+                           AS bigint) AS language,
+                       cast(sum(CASE WHEN lang_ok AND qual_ok
+                           THEN 1 ELSE 0 END) AS bigint) AS quality,
+                       cast(sum(CASE WHEN lang_ok AND qual_ok
+                           AND NOT rep_flagged THEN 1 ELSE 0 END)
+                           AS bigint) AS repetition
+                FROM base),
+            kept AS (
+                SELECT cast(count(*) AS bigint) AS dedup FROM (
+                    SELECT fp FROM base
+                    WHERE lang_ok AND qual_ok AND NOT rep_flagged
+                    GROUP BY fp))
+            SELECT 'input' AS stage, input AS n_docs FROM counts
+            UNION ALL SELECT 'language', language FROM counts
+            UNION ALL SELECT 'quality', quality FROM counts
+            UNION ALL SELECT 'repetition', repetition FROM counts
+            UNION ALL SELECT 'dedup', dedup FROM kept
         """,
         "repetition_signals": f"""
             WITH t AS (SELECT doc_id, {tokens} AS toks FROM documents),

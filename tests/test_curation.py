@@ -210,3 +210,31 @@ def test_dataset_split_append_consistency(spark):
         for r in sampling.dataset_split(part, "doc_id", seed=3).collect()
     }
     assert f == p
+
+
+def test_curation_funnel_monotone_and_consistent(spark, sf_dir):
+    """Funnel counts are monotone non-increasing stage to stage, and
+    each stage count equals independently applying the standalone
+    operators in sequence."""
+    from pyspark.sql import functions as F
+
+    from youtube_podcast_data_pipeline_azure_spark.functions.text import (
+        language_id,
+        quality_score,
+    )
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r.stage: r.n_docs for r in curation.curation_funnel(docs).collect()}
+    order = ["input", "language", "quality", "repetition", "dedup"]
+    vals = [got[s] for s in order]
+    assert vals == sorted(vals, reverse=True)
+    assert got["input"] == docs.count()
+    lang_ok = docs.where(language_id("text").isin("en", "de"))
+    assert got["language"] == lang_ok.count()
+    qual_ok = lang_ok.where(quality_score("text") >= 0.82)
+    assert got["quality"] == qual_ok.count()
+    rep = curation.repetition_signals(docs).where(~F.col("flagged"))
+    surv = qual_ok.join(rep.select("doc_id"), "doc_id")
+    assert got["repetition"] == surv.count()
+    assert got["dedup"] == dedup.exact_dedup(surv).count()

@@ -344,6 +344,7 @@ def test_r04_window_queries_stay_within_shuffle_budget(spark, sf_dir):
         # at runtime (warm run ~0.2 s at sf0.01) — same situation as the
         # minhash spread/shingle exchanges
         "tfidf_cosine_pairs": 15,
+        "curation_funnel": 1,         # rep-flag join broadcasts; dedup agg
         # iterative: ~3/iteration x 3 + setup over localCheckpointed
         # loop-invariants (was 33 on the naive re-derived lineage)
         "pagerank_influence": 10,

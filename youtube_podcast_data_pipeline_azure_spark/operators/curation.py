@@ -196,3 +196,75 @@ def repetition_signals(
             | (adj_milli > adjacent_max_milli)
         ).alias("flagged"),
     )
+
+
+def curation_funnel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    langs: tuple[str, ...] = ("en", "de"),
+    min_quality: float = 0.82,
+) -> DataFrame:
+    """The end-to-end corpus-curation story as ONE query: how many
+    documents survive each curation stage, in order —
+
+    1. ``input``      — raw corpus;
+    2. ``language``   — predicted language (functions.text.language_id)
+       in the accepted set;
+    3. ``quality``    — heuristic quality score >= ``min_quality``
+       (default 0.82 ~ the corpus median, so the stage visibly bites);
+    4. ``repetition`` — not flagged by :func:`repetition_signals`;
+    5. ``dedup``      — one survivor per exact fingerprint
+       (min-id, operators.dedup.exact_dedup semantics).
+
+    Returns ``(stage, n_docs)`` with the stages cumulatively applied —
+    the yield curve a training-data pipeline reports after every run.
+    Each stage is the SAME expression the standalone operator uses, so
+    this is the integration surface over driver-checked parts.
+
+    One scan feeds stages 1-4 (conditional aggregation over per-row
+    flags); the dedup stage adds the one fingerprint aggregate.  At
+    100 TB this is exactly 2 jobs: a scan-shaped count pass and the
+    dedup groupBy.
+    """
+    from youtube_podcast_data_pipeline_azure_spark.functions.text import (
+        language_id,
+        quality_score,
+        rolling_fingerprint,
+    )
+
+    rep = repetition_signals(df, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), F.col("flagged").alias("_rep_flagged")
+    )
+    flags = df.select(
+        F.col(id_col),
+        rolling_fingerprint(F.col(text_col)).alias("_fp"),
+        language_id(F.col(text_col)).isin(*langs).alias("_lang_ok"),
+        (quality_score(F.col(text_col)) >= min_quality).alias("_qual_ok"),
+    ).join(rep, id_col)
+    flags = flags.select(
+        id_col,
+        "_fp",
+        "_lang_ok",
+        (F.col("_lang_ok") & F.col("_qual_ok")).alias("_thru_qual"),
+        (
+            F.col("_lang_ok") & F.col("_qual_ok") & ~F.col("_rep_flagged")
+        ).alias("_thru_rep"),
+    )
+    counts = flags.agg(
+        F.count("*").alias("input"),
+        F.sum(F.col("_lang_ok").cast("long")).alias("language"),
+        F.sum(F.col("_thru_qual").cast("long")).alias("quality"),
+        F.sum(F.col("_thru_rep").cast("long")).alias("repetition"),
+    )
+    kept = (
+        flags.where(F.col("_thru_rep"))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .agg(F.count("*").alias("dedup"))
+    )
+    wide = counts.crossJoin(kept)
+    return wide.selectExpr(
+        "stack(5, 'input', input, 'language', language, 'quality', quality,"
+        " 'repetition', repetition, 'dedup', dedup) AS (stage, n_docs)"
+    )
