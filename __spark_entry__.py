@@ -467,6 +467,16 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_mining.tfidf_cosine_pairs(docs, threshold_bp=9000)
 
 
+def q_fingerprint_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style local-passage overlap: document pairs sharing >= 2
+    winnowing fingerprints — exhaustive for shared runs of window+k-1
+    consecutive words even when whole-document similarity is low
+    (operators/dedup.py:fingerprint_overlap_pairs)."""
+    return dedup.fingerprint_overlap_pairs(
+        _t(spark, sf_dir, "documents"), min_shared=2
+    )
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus-curation yield curve: per-stage survivor
     counts through language -> quality -> repetition -> exact dedup,
@@ -3147,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_by_key_roundtrip": q_delete_by_key_roundtrip,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "curation_funnel": q_curation_funnel,
+        "fingerprint_overlap_pairs": q_fingerprint_overlap_pairs,
         # ===== r04 window, part 1: approximate family, newly checkable
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -3187,16 +3198,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "cube_agg": q_cube_agg,
         "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
         # ================= end of driver's 50-slot window =================
-        # (outer_join_agg / set_ops / distinct_segments /
+        # (semi_join / outer_join_agg / set_ops / distinct_segments /
         # string_functions / date_functions / math_functions /
         # case_when_bucketing / window_lag_lead / explode_tokens /
         # json_roundtrip / salted_distinct_users / window_ntile_firstlast /
         # customer_order_distribution / large_orders displaced to slots
-        # 51-64 by the fourteen new r4 queries; with returned_items they
+        # 51-65 by the fifteen new r4 queries; with returned_items they
         # are the only r01 greens not re-checked in r4 — rotate them
         # first in r5)
+        "semi_join": q_semi_join,
         "outer_join_agg": q_outer_join_agg,
         "set_ops": q_set_ops,
         "distinct_segments": q_distinct_segments,
@@ -4831,6 +4842,32 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
             SELECT id AS doc_id, min(comp) AS component
             FROM reach GROUP BY id
+        """,
+        "fingerprint_overlap_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS tokens FROM documents),
+            hashes AS (
+                SELECT doc_id,
+                       list_transform(
+                           [array_to_string(tokens[i:i+2], ' ')
+                            for i in generate_series(
+                                1, greatest(len(tokens)-3, 0)+1)],
+                           g -> md5(g)[1:16]) AS h
+                FROM toks),
+            fps AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           [list_aggregate(h[i:i+3], 'min')
+                            for i in generate_series(
+                                1, greatest(len(h)-4, 0)+1)])) AS fp
+                FROM hashes),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       cast(count(*) AS bigint) AS n_shared
+                FROM fps a JOIN fps b
+                    ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= 2
         """,
         "winnowing_fingerprints": f"""
             WITH toks AS (

@@ -420,3 +420,41 @@ def test_quantization_roundtrip_error_bounded(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_fingerprint_overlap_pairs_catches_shared_passage(spark):
+    """Two long documents sharing one 6-word passage (window+k-1 with
+    k=3, window=4) must pair; unrelated docs must not."""
+    passage = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [
+            (1, "one two three " + passage + " four five six"),
+            (2, "seven eight nine ten " + passage + " eleven"),
+            (3, "totally different words with no shared passage here"),
+        ],
+        "doc_id long, text string",
+    )
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import (
+        fingerprint_overlap_pairs,
+    )
+
+    out = {(r.id_a, r.id_b): r.n_shared for r in
+           fingerprint_overlap_pairs(df, min_shared=1).collect()}
+    assert (1, 2) in out            # winnowing guarantee
+    assert all(3 not in p for p in out)
+
+
+def test_fingerprint_overlap_max_df_drops_boilerplate(spark):
+    """A fingerprint present in every doc (boilerplate) is dropped by
+    the max_df cap, removing pairs it alone created."""
+    boiler = "this licence header is on every file exactly"
+    rows = [(i, boiler + f" unique{i} uu{i} vv{i} ww{i} xx{i} yy{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import (
+        fingerprint_overlap_pairs,
+    )
+
+    full = fingerprint_overlap_pairs(df, min_shared=1).count()
+    capped = fingerprint_overlap_pairs(df, min_shared=1, max_df=4).count()
+    assert full == 10               # all pairs share the boilerplate
+    assert capped == 0

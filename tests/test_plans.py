@@ -345,6 +345,7 @@ def test_r04_window_queries_stay_within_shuffle_budget(spark, sf_dir):
         # minhash spread/shingle exchanges
         "tfidf_cosine_pairs": 15,
         "curation_funnel": 1,         # rep-flag join broadcasts; dedup agg
+        "fingerprint_overlap_pairs": 1,  # fp self-join + per-pair count
         # iterative: ~3/iteration x 3 + setup over localCheckpointed
         # loop-invariants (was 33 on the naive re-derived lineage)
         "pagerank_influence": 10,

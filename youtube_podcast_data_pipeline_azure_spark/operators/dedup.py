@@ -800,3 +800,56 @@ def incremental_dedup(
     return fresh.groupBy("fingerprint").agg(
         F.min(id_col).alias(id_col), F.count("*").alias("n_copies")
     )
+
+
+def fingerprint_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """MOSS-style local-overlap detection: document pairs sharing
+    ``min_shared`` or more winnowing fingerprints — catches documents
+    that share *passages* (quotes, licence blocks, templated sections)
+    even when whole-document Jaccard is far below any near-dup
+    threshold.  The winnowing guarantee makes this exhaustive for
+    shared runs of ``window + k - 1`` consecutive words.
+
+    Plan: fingerprint arrays are materialized once (localCheckpoint —
+    explode would otherwise re-run the hash pipeline per emitted
+    element, see functions.text.window_minima), then a self-join on the
+    16-hex-char fingerprint and a per-pair count.  Candidate volume is
+    Σ df(fp)² — on real corpora bound it with ``max_df`` (drop
+    boilerplate fingerprints appearing in more than ``max_df``
+    documents; they generate quadratic candidates and carry no
+    discriminating signal, the same reasoning as stop-lists in
+    similarity joins).
+
+    Returns ``(id_a, id_b, n_shared)`` with ``id_a < id_b``.
+    """
+    from youtube_podcast_data_pipeline_azure_spark.functions.text import winnowing_fingerprints_df
+
+    fps = winnowing_fingerprints_df(
+        df, text_col=text_col, id_col=id_col, k=k, window=window
+    ).localCheckpoint()
+    e = fps.select(F.col(id_col), F.explode("fingerprints").alias("fp"))
+    if max_df is not None:
+        keep = (
+            e.groupBy("fp")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("fp")
+        )
+        e = e.join(keep, "fp")
+    a = e.select(F.col(id_col).alias("id_a"), "fp")
+    b = e.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
