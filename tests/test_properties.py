@@ -310,3 +310,32 @@ def test_decontaminate_equals_bruteforce(spark, corpus, eval_docs, n):
     )
     got = {r.doc_id for r in decontaminate(cdf, edf, n=n).collect()}
     assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    left=st.lists(st.sampled_from("pqrstuv"), min_size=0, max_size=8),
+    right=st.lists(st.sampled_from("pqrstuv"), min_size=0, max_size=8),
+    shared=st.lists(st.sampled_from("abcdefg"), min_size=6, max_size=9),
+)
+def test_winnowing_guarantee_shared_run_always_pairs(spark, left, right, shared):
+    """Schleimer's winnowing guarantee, end to end: ANY two documents
+    sharing a run of window + k - 1 = 6 consecutive words produce at
+    least one common fingerprint, so fingerprint_overlap_pairs at
+    min_shared=1 must always emit the pair — regardless of the
+    surrounding context words."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import (
+        fingerprint_overlap_pairs,
+    )
+
+    run = " ".join(shared)
+    doc1 = (" ".join(left) + " " + run).strip()
+    doc2 = (run + " " + " ".join(right)).strip()
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in fingerprint_overlap_pairs(df, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
