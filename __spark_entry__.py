@@ -60,6 +60,7 @@ from youtube_podcast_data_pipeline_azure_spark.functions.pii import (
 )
 from youtube_podcast_data_pipeline_azure_spark.operators import (
     analytics,
+    bloom,
     curation,
     dedup,
     graph,
@@ -3091,6 +3092,38 @@ def q_enrich_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_comments(docs, DeterministicClassifier(), text_col="text")
 
 
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-bloom-pruned semi-join: orders of high-balance customers.
+    The bloom bitmap (a 2 KB plan literal) filters the fact scan before
+    the join exchange; the exact verify makes the output bit-identical
+    to a plain semi-join — which is exactly what the oracle runs."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    orders = _t(spark, sf_dir, "orders")
+    dimk = cust.select(F.col("c_custkey").alias("o_custkey"))
+    kept = bloom.bloom_semi_join(orders, dimk, "o_custkey")
+    return kept.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+    )
+
+
+def q_bloom_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter effectiveness report at a DELIBERATELY undersized
+    filter (m=256 bits, k=2) so the false-positive path is exercised:
+    the md5-probe bit arithmetic is deterministic, so even the
+    false-positive count hash-matches a DuckDB twin replaying the same
+    bitmap build and probes — the approximate contract itself is
+    oracle-checked, like embedding_near_dup."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    orders = _t(spark, sf_dir, "orders")
+    dimk = cust.select(F.col("c_custkey").alias("o_custkey"))
+    return bloom.bloom_prune_report(
+        orders, dimk, "o_custkey", m_bits=256, k_hashes=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3171,6 +3204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pipeline": q_near_dup_pipeline,
         "dedup_corpus": q_dedup_corpus,
         "ngram_jaccard_pairs_blocked": q_ngram_jaccard_pairs_blocked,
+        # ===== r04 window, part 1b: added later in r4 (never checked)
+        "bloom_semi_join": q_bloom_semi_join,
+        "bloom_prune_report": q_bloom_prune_report,
         # ===== r04 window, part 2: re-checks of code changed this round
         "exact_quantiles_sketched": q_exact_quantiles_sketched,
         "asof_join": q_asof_join,
@@ -3764,6 +3800,70 @@ def oracle_sql() -> dict[str, str]:
         "semi_join": """
             SELECT s_suppkey, s_name FROM supplier
             WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        """,
+        # The bloom stage only prunes what the exchange ships; the exact
+        # verify makes the OUTPUT a plain semi-join, which is the oracle.
+        "bloom_semi_join": """
+            SELECT o_orderpriority,
+                   cast(count(*) AS bigint) AS n_orders,
+                   cast(sum(cast(floor(o_totalprice * 100) AS bigint))
+                        AS bigint) AS revenue_cents
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_acctbal > 9000)
+            GROUP BY o_orderpriority
+        """,
+        # Deterministic replay of the md5-probe bitmap (m=256, k=2):
+        # build words via bit_or of 2^(pos%32), then re-probe every
+        # distinct fact key — false positives and all.
+        "bloom_prune_report": f"""
+            WITH build AS (
+                SELECT DISTINCT c_custkey AS k FROM customer
+                WHERE c_acctbal > 9000),
+            bpos AS (
+                SELECT {bloom.bloom_probe_sql('k', 0, 256)} AS pos FROM build
+                UNION
+                SELECT {bloom.bloom_probe_sql('k', 1, 256)} AS pos FROM build),
+            words AS (
+                SELECT pos // 32 AS w,
+                       bit_or(cast(2 ** (pos % 32) AS bigint)) AS word
+                FROM bpos GROUP BY 1),
+            probe AS (
+                SELECT o_custkey AS k FROM orders
+                WHERE o_custkey IS NOT NULL),
+            keys AS (
+                SELECT DISTINCT k,
+                       {bloom.bloom_probe_sql('k', 0, 256)} AS p0,
+                       {bloom.bloom_probe_sql('k', 1, 256)} AS p1
+                FROM probe),
+            kpass AS (
+                SELECT k,
+                    ((SELECT coalesce(max(word), 0) FROM words
+                      WHERE w = p0 // 32)
+                     // cast(2 ** (p0 % 32) AS bigint)) % 2 = 1
+                    AND
+                    ((SELECT coalesce(max(word), 0) FROM words
+                      WHERE w = p1 // 32)
+                     // cast(2 ** (p1 % 32) AS bigint)) % 2 = 1
+                    AS bloom_pass
+                FROM keys),
+            joined AS (
+                SELECT p.k, kp.bloom_pass,
+                       (b.k IS NOT NULL) AS hit
+                FROM probe p
+                JOIN kpass kp USING (k)
+                LEFT JOIN build b ON p.k = b.k)
+            SELECT cast(count(*) AS bigint) AS n_probe,
+                   cast(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END)
+                        AS bigint) AS n_bloom_pass,
+                   cast(sum(CASE WHEN hit THEN 1 ELSE 0 END)
+                        AS bigint) AS n_true_match,
+                   cast(sum(CASE WHEN bloom_pass AND NOT hit
+                            THEN 1 ELSE 0 END) AS bigint) AS n_false_pos,
+                   cast(floor(10000 * sum(CASE WHEN bloom_pass
+                                          THEN 1 ELSE 0 END) / count(*))
+                        AS bigint) AS pass_rate_bp
+            FROM joined
         """,
         "outer_join_agg": """
             SELECT c_custkey,

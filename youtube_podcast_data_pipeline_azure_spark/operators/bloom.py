@@ -1,0 +1,231 @@
+"""Bloom-filter runtime pruning for large joins.
+
+The 100 TB problem this solves: a selective dimension filter (say 2 %
+of customers) should prune the *fact-table scan*, not just the join —
+but a semi-join only drops fact rows AFTER they have been shuffled.
+Spark's adaptive runtime bloom filter
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``) does this
+opportunistically; this module makes it a first-class, deterministic
+operator:
+
+1. :func:`bloom_words` aggregates the (filtered) build side into an
+   ``m_bits``-wide bitmap — a ``bit_or`` per 32-bit word, so the only
+   shuffle ships at most ``m_bits / 32`` longs regardless of build-side
+   row count, and the driver collect is bounded at the same (256 longs
+   for the default 8192-bit filter ≈ 2 KB — the same bounded-collect
+   posture as ``ivf_train``'s sample).
+2. :func:`bloom_might_contain` folds the bitmap in as a plan literal
+   and evaluates ``k_hashes`` md5-derived probes per row as pure JVM
+   expressions — the predicate sits directly on the probe-side scan,
+   inside whole-stage codegen, BEFORE any exchange.
+3. :func:`bloom_semi_join` composes (1)+(2) with an exact semi-join
+   verify, so false positives never reach the output: the result is
+   bit-identical to a plain semi-join, the bloom stage only reduces
+   how many rows the exchange ships.
+
+Hashing is the cross-engine ``md5_int56`` seam (``sketches.py:32``):
+probe ``i`` of ``key`` is ``md5_int56('bloom:i:' || key) % m_bits``,
+reproducible in Python and DuckDB (``md5_number_upper``), so even the
+*pruned-but-unverified* row set — false positives included — is
+deterministic and oracle-checkable (see ``bloom_prune_report``).
+
+False-positive rate: k·m sized for the classic
+``(1 - e^(-k·n/m))^k``; defaults (m=8192, k=5) give < 1 % at n ≈ 570
+build keys.  At scale you size ``m_bits`` to the build-side distinct
+count — the bitmap cost stays trivial (128 MB filter covers ~10⁸ keys)
+while the shuffle it avoids is measured in TB.
+
+Reference parity: the reference engine has no runtime filters at all
+(its only "join" is a driver-side dict lookup, function_app.py); this
+is part of the §2.B join-strategy surface required for the 100 TB
+target.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from youtube_podcast_data_pipeline_azure_spark.operators.sketches import (
+    md5_int56,
+    md5_int56_sql,
+)
+
+#: 32-bit words keep every stored value strictly positive and below
+#: 2^53, so power-of-two multiply/divide is EXACT in double arithmetic
+#: on every engine — no dependence on signed-shift semantics (Java
+#: wraps ``1 << 63`` negative, DuckDB range-errors it).
+WORD_BITS = 32
+
+
+def _probe_pos(key: Column, i: int, m_bits: int) -> Column:
+    """Bit position of probe ``i`` for ``key`` (deterministic, 3-engine)."""
+    return (
+        md5_int56(F.concat(F.lit(f"bloom:{i}:"), key.cast("string")))
+        % F.lit(m_bits)
+    )
+
+
+def bloom_words(
+    build: DataFrame,
+    key_col: str,
+    m_bits: int = 8192,
+    k_hashes: int = 5,
+) -> list[int]:
+    """Aggregate ``build[key_col]`` into an ``m_bits`` bloom bitmap,
+    returned as a dense list of ``m_bits // WORD_BITS`` ints.
+
+    One narrow explode (k rows per key) → one ``bit_or`` aggregation
+    whose group count is capped at ``m_bits / WORD_BITS`` — the shuffle
+    and the driver collect are both bounded by the filter size, never
+    by build-side cardinality.
+    """
+    if m_bits % WORD_BITS:
+        raise ValueError(f"m_bits must be a multiple of {WORD_BITS}")
+    key = F.col(key_col)
+    pos = F.explode(
+        F.array(*[_probe_pos(key, i, m_bits) for i in range(k_hashes)])
+    ).alias("pos")
+    rows = (
+        build.where(key.isNotNull())
+        .select(pos)
+        .select(
+            (F.col("pos") / WORD_BITS).cast("int").alias("w"),
+            # 2^(pos%32) as exact integer: pow is double-exact for
+            # exponents < 53, and the result fits a long.
+            F.pow(F.lit(2.0), (F.col("pos") % WORD_BITS).cast("double"))
+            .cast("long")
+            .alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()  # bounded: <= m_bits/32 rows (~256 for defaults)
+    )
+    words = [0] * (m_bits // WORD_BITS)
+    for r in rows:
+        words[r["w"]] = r["word"]
+    return words
+
+
+def bloom_might_contain(
+    key: Column,
+    words: list[int],
+    m_bits: int,
+    k_hashes: int,
+) -> Column:
+    """True iff every probe bit of ``key`` is set in ``words``.
+
+    ``words`` folds in as an array literal, so the whole predicate is a
+    scan-side JVM expression — no broadcast exchange, no UDF, and it
+    composes with other pushed filters inside one codegen stage.
+    """
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    checks = []
+    for i in range(k_hashes):
+        pos = _probe_pos(key, i, m_bits)
+        word = F.element_at(arr, (pos / WORD_BITS).cast("int") + 1)
+        # bit test without shift-by-column: word div 2^(pos%32) is
+        # exact (word < 2^32 <= 2^53), low bit selects membership.
+        divisor = F.pow(F.lit(2.0), (pos % WORD_BITS).cast("double"))
+        checks.append((word / divisor).cast("long") % 2 == 1)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def bloom_prune(
+    probe: DataFrame,
+    build: DataFrame,
+    key_col: str,
+    m_bits: int = 8192,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """``probe`` rows whose ``key_col`` *might* be in ``build`` — the
+    raw bloom pass (false positives retained, deterministically so).
+    Nulls never pass (a bloom filter has no null semantics; a semi-join
+    would drop them too)."""
+    words = bloom_words(build, key_col, m_bits, k_hashes)
+    key = F.col(key_col)
+    return probe.where(
+        key.isNotNull() & bloom_might_contain(key, words, m_bits, k_hashes)
+    )
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key_col: str,
+    m_bits: int = 8192,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Semi-join ``probe`` to ``build`` with a bloom pre-filter on the
+    probe scan.
+
+    Output is exactly ``probe.join(build, key, "semi")`` — the exact
+    semi-join verify removes bloom false positives — but only rows
+    passing the literal-bitmap predicate ever reach the join exchange.
+    The verify side joins against the (already filtered, usually
+    broadcast-sized) build keys."""
+    pruned = bloom_prune(probe, build, key_col, m_bits, k_hashes)
+    keys = build.select(key_col).dropDuplicates([key_col])
+    return pruned.join(F.broadcast(keys), key_col, "semi")
+
+
+def bloom_prune_report(
+    probe: DataFrame,
+    build: DataFrame,
+    key_col: str,
+    m_bits: int = 8192,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """One-row effectiveness report: probe rows in, rows surviving the
+    bloom pass, true matches, false positives, and the selectivity the
+    filter bought, in basis points.
+
+    Everything — including the false-positive count — is deterministic
+    (md5 probes, fixed bitmap), so this hash-checks against a DuckDB
+    twin that replays the same bit arithmetic; it is also the
+    production dial for sizing ``m_bits``/``k_hashes``."""
+    words = bloom_words(build, key_col, m_bits, k_hashes)
+    key = F.col(key_col)
+    keys = build.select(F.col(key_col)).dropDuplicates([key_col])
+    flagged = (
+        probe.where(key.isNotNull())
+        .withColumn(
+            "_bloom",
+            bloom_might_contain(key, words, m_bits, k_hashes),
+        )
+        .join(
+            F.broadcast(keys.withColumn("_hit", F.lit(True))),
+            key_col,
+            "left",
+        )
+    )
+    return flagged.agg(
+        F.count("*").alias("n_probe"),
+        F.sum(F.when(F.col("_bloom"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bloom_pass"),
+        F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_match"),
+        F.sum(
+            F.when(F.col("_bloom") & F.col("_hit").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+        F.floor(
+            F.lit(10000)
+            * F.sum(F.when(F.col("_bloom"), 1).otherwise(0))
+            / F.count("*")
+        )
+        .cast("long")
+        .alias("pass_rate_bp"),
+    )
+
+
+def bloom_probe_sql(key_expr: str, i: int, m_bits: int) -> str:
+    """DuckDB twin of :func:`_probe_pos` for oracle SQL."""
+    hashed = md5_int56_sql(f"'bloom:{i}:' || cast({key_expr} as varchar)")
+    return f"({hashed} % {m_bits})"
