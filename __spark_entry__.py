@@ -3092,6 +3092,25 @@ def q_enrich_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_comments(docs, DeterministicClassifier(), text_col="text")
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: deterministic k-means buckets,
+    within-cluster cosine, drop-if-lower-id-neighbor.  Oracle-checked
+    bit-for-bit like embedding_clusters — the DuckDB twin replays the
+    same two Lloyd iterations as CTEs, the same 6dp-rounded argmax
+    assignment, the same in-cluster pair test.
+
+    Threshold 0.3: fixture embeddings are random unit vectors (max
+    pairwise cosine ≈ 0.51 at sf0.01), so a production 0.95 would
+    drop nothing; 0.3 exercises bucketing, pair join, and drop rule."""
+    return similarity.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"),
+        n_centroids=8,
+        iters=2,
+        train_sample=1024,
+        cosine_threshold=0.3,
+    )
+
+
 def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime-bloom-pruned semi-join: orders of high-balance customers.
     The bloom bitmap (a 2 KB plan literal) filters the fact scan before
@@ -3207,6 +3226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== r04 window, part 1b: added later in r4 (never checked)
         "bloom_semi_join": q_bloom_semi_join,
         "bloom_prune_report": q_bloom_prune_report,
+        "semantic_dedup": q_semantic_dedup,
         # ===== r04 window, part 2: re-checks of code changed this round
         "exact_quantiles_sketched": q_exact_quantiles_sketched,
         "asof_join": q_asof_join,
@@ -5232,6 +5252,51 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(cos), 4) AS mean_cosine
             FROM fin GROUP BY 1 ORDER BY 1
         """,
+        # Same Lloyd-as-CTEs replay as embedding_clusters, then the
+        # SemDeDup rule: in-cluster pair test at 6dp-rounded cosine,
+        # drop every id with a lower-id neighbor at/above threshold.
+        "semantic_dedup": f"""
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> x::DOUBLE) AS v
+                FROM embeddings),
+            dims AS (
+                SELECT vec_id, generate_subscripts(v, 1) AS d,
+                       unnest(v) AS val
+                FROM e),
+            c0 AS (
+                SELECT cast(row_number() OVER (ORDER BY vec_id) - 1
+                            AS int) AS cid, v
+                FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+            {{lloyd1}},
+            {{lloyd2}},
+            fin AS (
+                SELECT vec_id, cid FROM (
+                    SELECT e.vec_id, c.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY round(list_dot_product(e.v, c.v)
+                                   / (sqrt(list_dot_product(e.v, e.v))
+                                      * sqrt(list_dot_product(c.v, c.v))),
+                                   6) DESC,
+                                   c.cid ASC) AS rn
+                    FROM e CROSS JOIN c2 c)
+                WHERE rn = 1),
+            finv AS (
+                SELECT f.vec_id, f.cid, e.v FROM fin f JOIN e USING (vec_id)),
+            dropped AS (
+                SELECT DISTINCT y.vec_id
+                FROM finv x JOIN finv y
+                  ON x.cid = y.cid AND x.vec_id < y.vec_id
+                WHERE round(list_dot_product(x.v, y.v)
+                        / (sqrt(list_dot_product(x.v, x.v))
+                           * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.3)
+            SELECT f.vec_id, cast(f.cid AS int) AS centroid_id,
+                   (d.vec_id IS NULL) AS is_kept
+            FROM fin f LEFT JOIN dropped d ON f.vec_id = d.vec_id
+        """.replace("{lloyd1}", _lloyd_iter('c0', 'a1', 'c1')).replace(
+            "{lloyd2}", _lloyd_iter('c1', 'a2', 'c2')
+        ),
         # HLL++ at rsd=0.02 stays in its sparse-EXACT representation at
         # fixture cardinalities (150 distinct users/type), and register
         # merge is order-independent, so the sketch deterministically

@@ -458,3 +458,90 @@ def test_fingerprint_overlap_max_df_drops_boilerplate(spark):
     capped = fingerprint_overlap_pairs(df, min_shared=1, max_df=4).count()
     assert full == 10               # all pairs share the boilerplate
     assert capped == 0
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup-style cluster-bucketed pruning)
+# ---------------------------------------------------------------------------
+
+
+def _planted_vectors(spark):
+    """Two tight duplicate groups in opposite half-spaces plus isolated
+    singletons — near-identical vectors MUST co-locate under any
+    reasonable quantizer, so the in-cluster drop rule can be checked
+    against brute force."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=8)
+    a /= np.linalg.norm(a)
+    b = -a
+    rows = []
+    # ids 0..3 are mutually distant, so Lloyd's lowest-id init (the
+    # quantizer contract) starts from diverse centroids; the duplicate
+    # tails at ids >= 100 then co-locate with their group head.
+    singles = {2: rng.normal(size=8), 3: rng.normal(size=8)}
+    for i, base in [(0, a), (1, b), (100, a), (101, a), (110, b)]:
+        v = base + rng.normal(scale=1e-3, size=8)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    for i, v in singles.items():
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_semantic_dedup_drops_all_but_min_id(spark):
+    corpus = _planted_vectors(spark)
+    out = {
+        r["vec_id"]: r["is_kept"]
+        for r in similarity.semantic_dedup(
+            corpus, n_centroids=4, cosine_threshold=0.99
+        ).collect()
+    }
+    assert len(out) == 7
+    # group {0,100,101}: min id kept, rest dropped; same for {1,110}
+    assert out[0] and not out[100] and not out[101]
+    assert out[1] and not out[110]
+    # singletons survive
+    assert out[2] and out[3]
+
+
+def test_semantic_dedup_matches_bruteforce_within_clusters(spark):
+    """For every cluster, the drop set must equal the brute-force rule
+    'has a lower-id in-cluster neighbor at >= threshold'."""
+    corpus = _planted_vectors(spark)
+    res = similarity.semantic_dedup(
+        corpus, n_centroids=4, cosine_threshold=0.99
+    ).collect()
+    vecs = {r["vec_id"]: r["embedding"] for r in corpus.collect()}
+    cluster = {r["vec_id"]: r["centroid_id"] for r in res}
+
+    import numpy as np
+
+    def cos(x, y):
+        x, y = np.array(x), np.array(y)
+        return round(float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y))), 6)
+
+    for r in res:
+        expect_drop = any(
+            cluster[j] == cluster[r["vec_id"]]
+            and j < r["vec_id"]
+            and cos(vecs[j], vecs[r["vec_id"]]) >= 0.99
+            for j in vecs
+        )
+        assert r["is_kept"] == (not expect_drop), r
+
+
+def test_semantic_dedup_deterministic_under_repartition(spark):
+    corpus = _planted_vectors(spark)
+    r1 = sorted(
+        map(tuple, similarity.semantic_dedup(corpus, n_centroids=4).collect())
+    )
+    r2 = sorted(
+        map(
+            tuple,
+            similarity.semantic_dedup(
+                corpus.repartition(7), n_centroids=4
+            ).collect(),
+        )
+    )
+    assert r1 == r2

@@ -598,3 +598,74 @@ def quantize_embeddings_report(
         ).alias("q_checksum"),
         err.alias("err_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style cluster-bucketed near-dup pruning)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    iters: int = 2,
+    train_sample: int | None = None,
+    cosine_threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means buckets the
+    embedding space, cosine comparisons happen ONLY within a bucket,
+    and a vector is dropped when a lower-id vector in its cluster sits
+    at or above ``cosine_threshold`` (6dp-rounded, cross-engine
+    deterministic).  Returns (id, centroid_id, is_kept).
+
+    This is the embedding-space analog of ``dedup.near_dup_pipeline``:
+    pairwise cosine over a 100 TB corpus is O(n²), but SemDeDup
+    (Abbas et al. 2023, arXiv:2303.09540) observed that semantic
+    duplicates co-locate under a coarse k-means quantizer, so the
+    quadratic term is bounded by cluster size — at scale you grow
+    ``n_centroids`` ∝ n to hold E[cluster] constant, and the only
+    shuffle is the hash-partition on ``centroid_id``.  Training reuses
+    the deterministic bounded-sample Lloyd's of :func:`ivf_train`
+    (lowest-id init, fixed iterations, centroids folded in as plan
+    literals — zero auxiliary jobs at assignment time).
+
+    Keep rule "drop iff a lower-id in-cluster neighbor is ≥ threshold"
+    is one join pass — deterministic and order-independent, unlike the
+    sequential greedy scan in the paper's reference implementation,
+    and it keeps exactly the min-id representative within every
+    fully-connected duplicate group (the common case for true dups).
+    """
+    cents = _lloyd(
+        _train_sample_rows(corpus, id_col, vec_col, train_sample),
+        n_centroids,
+        iters,
+    )
+    cents_col = _centroid_literal(cents)
+    assigned = spread(corpus, id_col).select(
+        F.col(id_col),
+        _nearest_centroid(F.col(vec_col), cents_col),
+        F.col(vec_col).alias("_v"),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("_id_a"), "centroid_id", F.col("_v").alias("_va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_id_b"), "centroid_id", F.col("_v").alias("_vb")
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .where(F.col("_id_a") < F.col("_id_b"))
+        .where(
+            F.round(cosine_similarity("_va", "_vb"), 6)
+            >= F.lit(cosine_threshold)
+        )
+        .select(F.col("_id_b").alias(id_col))
+        .dropDuplicates([id_col])
+        .withColumn("_dup", F.lit(True))
+    )
+    return assigned.join(dropped, id_col, "left").select(
+        F.col(id_col),
+        "centroid_id",
+        F.col("_dup").isNull().alias("is_kept"),
+    )
