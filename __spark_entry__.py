@@ -3092,6 +3092,33 @@ def q_enrich_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_comments(docs, DeterministicClassifier(), text_col="text")
 
 
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document line dedup: lines (here: 2-token chunks
+    — the fixture has no newlines, and 2-token chunks over its ~30-word
+    vocabulary actually repeat across documents, so the removal path is
+    exercised) occurring in >= 10 distinct docs are boilerplate and
+    drop from every document.  Oracle replays the chunking, the
+    distinct-doc frequency, and the ordered reassembly."""
+    d = _t(spark, sf_dir, "documents")
+    d2 = d.select("doc_id", tokenize(F.col("text")).alias("_toks"))
+    seq = F.sequence(
+        F.lit(0).cast("long"), F.floor((F.size("_toks") - 1) / 2)
+    )
+    lines = F.transform(
+        seq,
+        lambda i: F.array_join(
+            F.slice(F.col("_toks"), (i * 2 + 1).cast("int"), 2), " "
+        ),
+    )
+    with_lines = d2.select("doc_id", lines.alias("lines"))
+    out = curation.remove_boilerplate_lines(with_lines, min_docs=10)
+    return out.select(
+        "doc_id",
+        F.array_join("lines", " | ").alias("kept_text"),
+        "n_lines_removed",
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: deterministic k-means buckets,
     within-cluster cosine, drop-if-lower-id-neighbor.  Oracle-checked
@@ -3227,6 +3254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": q_bloom_semi_join,
         "bloom_prune_report": q_bloom_prune_report,
         "semantic_dedup": q_semantic_dedup,
+        "boilerplate_lines": q_boilerplate_lines,
         # ===== r04 window, part 2: re-checks of code changed this round
         "exact_quantiles_sketched": q_exact_quantiles_sketched,
         "asof_join": q_asof_join,
@@ -5251,6 +5279,42 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_members,
                    round(avg(cos), 4) AS mean_cosine
             FROM fin GROUP BY 1 ORDER BY 1
+        """,
+        # C4-style line dedup replay: same 2-token chunking, distinct-doc
+        # frequency at min_docs=10, ordered reassembly.
+        "boilerplate_lines": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS tokens FROM documents),
+            docs AS (
+                SELECT doc_id,
+                       [array_to_string(tokens[2*i+1 : 2*i+2], ' ')
+                        for i in generate_series(
+                            0, cast(floor((len(tokens)-1) / 2.0)
+                                    AS bigint))] AS lines
+                FROM toks),
+            ex AS (
+                SELECT doc_id, generate_subscripts(lines, 1) AS pos,
+                       unnest(lines) AS line
+                FROM docs),
+            hot AS (
+                SELECT line FROM (
+                    SELECT line, count(DISTINCT doc_id) AS dfc
+                    FROM ex GROUP BY 1)
+                WHERE dfc >= 10),
+            kept AS (
+                SELECT * FROM ex
+                WHERE line NOT IN (SELECT line FROM hot)),
+            reb AS (
+                SELECT doc_id, list(line ORDER BY pos) AS klines,
+                       count(*) AS nk
+                FROM kept GROUP BY 1)
+            SELECT d.doc_id,
+                   -- DuckDB array_to_string([]) is NULL, Spark's is ''
+                   coalesce(array_to_string(r.klines, ' | '), '')
+                       AS kept_text,
+                   cast(len(d.lines) - coalesce(r.nk, 0) AS bigint)
+                       AS n_lines_removed
+            FROM docs d LEFT JOIN reb r USING (doc_id)
         """,
         # Same Lloyd-as-CTEs replay as embedding_clusters, then the
         # SemDeDup rule: in-cluster pair test at 6dp-rounded cosine,

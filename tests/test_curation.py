@@ -238,3 +238,61 @@ def test_curation_funnel_monotone_and_consistent(spark, sf_dir):
     surv = qual_ok.join(rep.select("doc_id"), "doc_id")
     assert got["repetition"] == surv.count()
     assert got["dedup"] == dedup.exact_dedup(surv).count()
+
+
+# ---------------------------------------------------------------------------
+# remove_boilerplate_lines (C4-style cross-document line dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_lines_removed_everywhere(spark):
+    footer = "subscribe to our newsletter"
+    rows = [
+        (1, ["unique alpha content", footer, "more alpha"]),
+        (2, ["unique beta content", footer]),
+        (3, [footer, "gamma text here"]),
+        (4, ["delta only doc"]),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lines"])
+    out = {
+        r["doc_id"]: (r["lines"], r["n_lines_removed"])
+        for r in curation.remove_boilerplate_lines(df, min_docs=3).collect()
+    }
+    assert out[1] == (["unique alpha content", "more alpha"], 1)
+    assert out[2] == (["unique beta content"], 1)
+    assert out[3] == (["gamma text here"], 1)
+    assert out[4] == (["delta only doc"], 0)
+
+
+def test_boilerplate_threshold_counts_distinct_docs(spark):
+    """A line repeated many times within ONE doc is not boilerplate —
+    the threshold is on distinct documents."""
+    rows = [
+        (1, ["echo", "echo", "echo", "body one"]),
+        (2, ["body two"]),
+        (3, ["body three"]),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lines"])
+    out = {
+        r["doc_id"]: r["lines"]
+        for r in curation.remove_boilerplate_lines(df, min_docs=2).collect()
+    }
+    assert out[1] == ["echo", "echo", "echo", "body one"]
+
+
+def test_boilerplate_fully_emptied_doc_survives_with_empty_lines(spark):
+    rows = [(1, ["x"]), (2, ["x"]), (3, ["x"]), (4, ["y"])]
+    df = spark.createDataFrame(rows, ["doc_id", "lines"])
+    out = {
+        r["doc_id"]: (r["lines"], r["n_lines_removed"])
+        for r in curation.remove_boilerplate_lines(df, min_docs=3).collect()
+    }
+    assert out[1] == ([], 1) and out[2] == ([], 1) and out[3] == ([], 1)
+    assert out[4] == (["y"], 0)
+
+
+def test_boilerplate_preserves_original_line_order(spark):
+    rows = [(1, [f"line {i:02d}" for i in range(20)])]
+    df = spark.createDataFrame(rows, ["doc_id", "lines"])
+    out = curation.remove_boilerplate_lines(df, min_docs=5).collect()[0]
+    assert out["lines"] == [f"line {i:02d}" for i in range(20)]

@@ -268,3 +268,72 @@ def curation_funnel(
         "stack(5, 'input', input, 'language', language, 'quality', quality,"
         " 'repetition', repetition, 'dedup', dedup) AS (stage, n_docs)"
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lines_col: str = "lines",
+    min_docs: int = 3,
+) -> DataFrame:
+    """C4-style line-level boilerplate removal: any line occurring in
+    ``min_docs`` or more DISTINCT documents is dropped from every
+    document (C4 ran this rule at three-sentence granularity across the
+    whole crawl; RefinedWeb's line-wise filter is the same shape).
+
+    Input is line-granular (``lines_col`` is ``array<string>``) so the
+    operator composes with any upstream line/sentence splitter.
+    Returns (id, kept lines in original order, n_lines_removed).
+
+    Scale shape, in order:
+
+    1. posexplode → (doc, pos, line): narrow.
+    2. document frequency per line: dedupe (line_md5, doc) then count —
+       both aggregate on the 32-char digest, so the shuffle ships
+       hashes, never line text, and map-side combine collapses each
+       partition's repeats first.
+    3. hot-line join back: an anti-join on the digest.  The hot set is
+       df-bounded (lines repeated across ``min_docs``+ docs are, by
+       construction, a vanishing fraction of distinct lines), so AQE
+       turns this into a broadcast join in practice.
+    4. reassembly: one shuffle on doc id; ``array_sort`` on (pos, line)
+       structs restores original order without a window.
+
+    The doc-frequency threshold is on *distinct documents*, so a line
+    repeated many times inside one document is not boilerplate by
+    itself (that is `repetition_signals`' job).
+    """
+    lid = F.col(id_col)
+    exploded = df.select(
+        lid, F.posexplode(F.col(lines_col)).alias("_pos", "_line")
+    ).withColumn("_h", F.md5(F.col("_line")))
+    docfreq = (
+        exploded.select("_h", lid)
+        .dropDuplicates(["_h", id_col])
+        .groupBy("_h")
+        .agg(F.count("*").alias("_df"))
+    )
+    hot = docfreq.where(F.col("_df") >= min_docs).select("_h")
+    kept = exploded.join(hot, "_h", "anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos"), F.col("_line")))
+            ),
+            lambda s: s.getField("_line"),
+        ).alias(lines_col),
+        F.count("*").alias("_n_kept"),
+    )
+    original = df.select(lid, F.size(F.col(lines_col)).alias("_n_orig"))
+    return (
+        original.join(rebuilt, id_col, "left")
+        .select(
+            lid,
+            F.coalesce(
+                F.col(lines_col), F.array().cast("array<string>")
+            ).alias(lines_col),
+            (F.col("_n_orig") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_lines_removed"),
+        )
+    )
