@@ -3128,10 +3128,19 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Threshold 0.3: fixture embeddings are random unit vectors (max
     pairwise cosine ≈ 0.51 at sf0.01), so a production 0.95 would
-    drop nothing; 0.3 exercises bucketing, pair join, and drop rule."""
+    drop nothing; 0.3 exercises bucketing, pair join, and drop rule.
+
+    n_centroids grows with corpus size (n/250, floor 8) so expected
+    cluster size — and with it the in-cluster quadratic term — stays
+    constant as data scales, which is the whole SemDeDup bargain.  At
+    every oracle-checked sf this resolves to 8, matching the static
+    LIMIT 8 Lloyd init in the DuckDB twin; the count() is one cheap
+    driver-synchronized job, same bounded posture as ivf_train."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n_centroids = max(8, emb.count() // 250)
     return similarity.semantic_dedup(
-        _t(spark, sf_dir, "embeddings"),
-        n_centroids=8,
+        emb,
+        n_centroids=n_centroids,
         iters=2,
         train_sample=1024,
         cosine_threshold=0.3,
@@ -3218,7 +3227,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-sampled since r01, so no green is more than ~2 rounds stale.
     Only 3 registered queries remain rows-only by design (knn_ivf at
     nprobe<k and the two raw t-digest surfaces — each now has a
-    driver-green twin pinning its machinery)."""
+    driver-green twin pinning its machinery).  Late-r4 additions
+    (bloom pruning, semantic_dedup, boilerplate_lines) slot into the
+    window at part 1b, displacing three r01 re-checks to slots 51+."""
     return {
         # ===== r04 window, part 0: curation operators added this round
         # (never checked — highest-priority evidence)

@@ -52,6 +52,7 @@ TPCH_5X = [
     "product_type_profit",
     "waiting_suppliers",
     "pagerank_influence",
+    "bloom_semi_join",
 ]
 EVENTS_5X = ["window_running", "asof_join"]
 DOCS_10X = [
@@ -60,8 +61,9 @@ DOCS_10X = [
     "contamination_report",
     "duplicate_ngram_spans",
     "incremental_dedup",
+    "boilerplate_lines",
 ]
-EMB_10X = ["knn_bruteforce"]
+EMB_10X = ["knn_bruteforce", "semantic_dedup"]
 PATHOLOGY = ["ngram_jaccard_pairs", "minhash_near_dup", "near_dup_pipeline"]
 #: exact pair-listers are Ω(output); on the pathology corpus the output
 #: itself is quadratic, so a big ratio is the contract, not a defect

@@ -349,6 +349,17 @@ def test_r04_window_queries_stay_within_shuffle_budget(spark, sf_dir):
         # iterative: ~3/iteration x 3 + setup over localCheckpointed
         # loop-invariants (was 33 on the naive re-derived lineage)
         "pagerank_influence": 10,
+        # bloom pruning: the bitmap build aggregates to <= m/32 words
+        # (1) and the verified output aggregates by priority (1); the
+        # prune predicate itself adds ZERO exchanges (literal bitmap)
+        "bloom_semi_join": 2,
+        "bloom_prune_report": 1,      # bitmap build; final agg is global
+        # spread + centroid-id self-join (both sides; AQE stage cache
+        # reuses the identical assigned subtree) + dropped-id dedup
+        "semantic_dedup": 4,
+        # line docfreq agg + per-doc reassembly + hot/original joins
+        # broadcast at fixture size
+        "boilerplate_lines": 3,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, sf_dir, name)
