@@ -3092,6 +3092,16 @@ def q_enrich_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_comments(docs, DeterministicClassifier(), text_col="text")
 
 
+def q_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style span dedup rewrite: every 10-gram occurrence
+    after the corpus-wide first masks its token positions; documents are
+    rebuilt from surviving tokens.  The full rewritten text is
+    hash-checked against a DuckDB replay of the same rank-and-mask."""
+    return dedup.remove_repeated_spans(
+        _t(spark, sf_dir, "documents"), n=10
+    )
+
+
 def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style cross-document line dedup: lines (here: 2-token chunks
     — the fixture has no newlines, and 2-token chunks over its ~30-word
@@ -3266,6 +3276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune_report": q_bloom_prune_report,
         "semantic_dedup": q_semantic_dedup,
         "boilerplate_lines": q_boilerplate_lines,
+        "remove_repeated_spans": q_remove_repeated_spans,
         # ===== r04 window, part 2: re-checks of code changed this round
         "exact_quantiles_sketched": q_exact_quantiles_sketched,
         "asof_join": q_asof_join,
@@ -5290,6 +5301,57 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_members,
                    round(avg(cos), 4) AS mean_cosine
             FROM fin GROUP BY 1 ORDER BY 1
+        """,
+        # ExactSubstr rewrite replay: positional 10-grams, keep-first
+        # rank over (doc, pos), mask the union of covered positions.
+        # DuckDB is 1-based where Spark is 0-based — internally
+        # consistent, so ranks and coverage align.
+        "remove_repeated_spans": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS tokens FROM documents),
+            gdocs AS (
+                SELECT doc_id,
+                       [coalesce(array_to_string(tokens[i:i+9], ' '), '')
+                        for i in generate_series(
+                            1, greatest(len(tokens)-9, 1))] AS grams
+                FROM toks),
+            ex AS (
+                SELECT doc_id, generate_subscripts(grams, 1) AS pos,
+                       unnest(grams) AS gram
+                FROM gdocs),
+            ranked AS (
+                SELECT doc_id, pos,
+                       row_number() OVER (
+                           PARTITION BY gram
+                           ORDER BY doc_id, pos) AS rn,
+                       count(*) OVER (PARTITION BY gram) AS tot
+                FROM ex),
+            covered AS (
+                SELECT DISTINCT doc_id, p FROM (
+                    SELECT doc_id,
+                           unnest([pos + j for j in
+                                   generate_series(0, 9)]) AS p
+                    FROM ranked WHERE tot >= 2 AND rn > 1)),
+            tokrows AS (
+                SELECT doc_id, generate_subscripts(tokens, 1) AS p,
+                       unnest(tokens) AS tok
+                FROM toks),
+            kept AS (
+                SELECT t.doc_id, t.p, t.tok
+                FROM tokrows t LEFT JOIN covered c
+                  ON t.doc_id = c.doc_id AND t.p = c.p
+                WHERE c.p IS NULL),
+            reb AS (
+                SELECT doc_id,
+                       array_to_string(list(tok ORDER BY p), ' ') AS text,
+                       count(*) AS nk
+                FROM kept GROUP BY 1)
+            SELECT t.doc_id,
+                   coalesce(r.text, '') AS text,
+                   cast(len(t.tokens) - coalesce(r.nk, 0) AS bigint)
+                       AS n_tokens_removed,
+                   cast(len(t.tokens) AS bigint) AS n_tokens
+            FROM toks t LEFT JOIN reb r USING (doc_id)
         """,
         # C4-style line dedup replay: same 2-token chunking, distinct-doc
         # frequency at min_docs=10, ordered reassembly.

@@ -545,3 +545,79 @@ def test_semantic_dedup_deterministic_under_repartition(spark):
         )
     )
     assert r1 == r2
+
+
+# ---------------------------------------------------------------------------
+# remove_repeated_spans (ExactSubstr-style rewrite)
+# ---------------------------------------------------------------------------
+
+
+def test_repeated_span_second_copy_removed_first_kept(spark):
+    span = "a b c d e f g h i j"
+    rows = [
+        (1, span + " unique tail one"),
+        (2, "x y " + span + " trailing bits"),
+        (3, "totally different words with no overlap at all here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.remove_repeated_spans(df, n=10).collect()
+    }
+    assert out[1]["text"] == span + " unique tail one"
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[2]["text"] == "x y trailing bits"
+    assert out[2]["n_tokens_removed"] == 10
+    assert out[3]["n_tokens_removed"] == 0
+
+
+def test_repeated_span_within_one_document(spark):
+    """Within-doc stutter counts: the second in-doc occurrence masks."""
+    span = "p q r s t u v w x y"
+    df = spark.createDataFrame(
+        [(1, span + " mid " + span)], ["doc_id", "text"]
+    )
+    out = dedup.remove_repeated_spans(df, n=10).collect()[0]
+    assert out["text"] == span + " mid"
+    assert out["n_tokens_removed"] == 10
+
+
+def test_long_shared_span_removed_wholly(spark):
+    """A shared span longer than n masks as overlapping grams — the
+    entire second copy must disappear, not just the first n tokens."""
+    span = " ".join(f"w{i}" for i in range(15))  # 15-token shared span
+    rows = [(1, span + " tail1"), (2, "lead2 " + span + " tail2")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.remove_repeated_spans(df, n=10).collect()
+    }
+    assert out[1]["text"] == span + " tail1"
+    assert out[2]["text"] == "lead2 tail2"
+    assert out[2]["n_tokens_removed"] == 15
+
+
+def test_exact_duplicate_doc_fully_erased(spark):
+    text = "m n o p q r s t u v extra words here"
+    df = spark.createDataFrame([(1, text), (2, text)], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.remove_repeated_spans(df, n=10).collect()
+    }
+    assert out[1]["text"] == text
+    assert out[2]["text"] == ""
+    assert out[2]["n_tokens_removed"] == out[2]["n_tokens"]
+
+
+def test_remove_repeated_spans_deterministic_under_repartition(spark, sf_dir):
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    a = sorted(map(tuple, dedup.remove_repeated_spans(docs).collect()))
+    b = sorted(
+        map(
+            tuple,
+            dedup.remove_repeated_spans(docs.repartition(13)).collect(),
+        )
+    )
+    assert a == b

@@ -360,6 +360,10 @@ def test_r04_window_queries_stay_within_shuffle_budget(spark, sf_dir):
         # line docfreq agg + per-doc reassembly + hot/original joins
         # broadcast at fixture size
         "boilerplate_lines": 3,
+        # gram-hash occurrence window + covered-position dedup +
+        # per-doc reassembly; coverage/final joins broadcast at fixture
+        # size (checkpointed token base, so no re-tokenize per Generate)
+        "remove_repeated_spans": 3,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, sf_dir, name)

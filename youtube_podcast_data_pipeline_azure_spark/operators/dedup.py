@@ -42,7 +42,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from youtube_podcast_data_pipeline_azure_spark.functions.text import (
@@ -852,4 +852,89 @@ def fingerprint_overlap_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+) -> DataFrame:
+    """ExactSubstr-style span-granular dedup REWRITE: every word
+    ``n``-gram occurrence after the corpus-wide first (ordered by
+    (doc, position)) masks its token positions, and masked tokens are
+    dropped from the document.  The rewrite complement of
+    :func:`duplicate_ngram_spans` — that op *reports* shared spans,
+    this one removes them, keeping exactly one copy corpus-wide (the
+    policy of Lee et al. 2022's suffix-array ExactSubstr dedup, at
+    n-gram rather than maximal-match granularity).
+
+    A span of length L >= n repeats as L-n+1 overlapping duplicated
+    grams, so masking the union of covered positions removes the
+    second copy wholly while the first survives.  Within-document
+    repeats count too (total occurrences, not distinct docs — a doc
+    that stutters a span twice loses the second).
+
+    Scale shape: positional grams explode to (md5-16 hash, doc, pos) —
+    the gram aggregate and the occurrence-rank shuffle both ship
+    16-char digests, never text.  Coverage positions explode narrowly
+    (n rows per MASKED occurrence only), and reassembly is one shuffle
+    on doc id.  Out-of-range cover positions (short-doc whole-text
+    grams) are harmless: they match no real token position.
+
+    Returns (id, text rebuilt from surviving tokens, n_tokens_removed,
+    n_tokens long).
+    """
+    # localCheckpoint before the two Generates: both the gram explode
+    # and the token explode would otherwise re-run tokenize per emitted
+    # element (Catalyst re-evaluation trap #4, see verify skill).
+    base = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
+    ).localCheckpoint()
+    occ = base.select(
+        F.col(id_col), F.posexplode(positional_ngrams(F.col("_toks"), n))
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.substring(F.md5(F.col("col")), 1, 16).alias("_g"),
+    )
+    w = Window.partitionBy("_g").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    ranked = occ.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_tot", F.count("*").over(Window.partitionBy("_g"))
+    )
+    masked = ranked.where((F.col("_tot") >= 2) & (F.col("_rn") > 1))
+    covered = (
+        masked.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("_p"),
+        )
+        .dropDuplicates([id_col, "_p"])
+    )
+    tok_rows = base.select(
+        F.col(id_col), F.posexplode(F.col("_toks")).alias("_p", "_tok")
+    )
+    kept = tok_rows.join(covered, [id_col, "_p"], "anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_p"), F.col("_tok")))
+                ),
+                lambda s: s.getField("_tok"),
+            ),
+            " ",
+        ).alias(text_col),
+        F.count("*").alias("_n_kept"),
+    )
+    original = base.select(F.col(id_col), F.size("_toks").alias("_n_toks"))
+    return original.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        (F.col("_n_toks") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens_removed"),
+        F.col("_n_toks").cast("long").alias("n_tokens"),
     )
