@@ -3092,6 +3092,18 @@ def q_enrich_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_comments(docs, DeterministicClassifier(), text_col="text")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best dedup decision: near-dup clusters (connected components
+    over the exact n-gram-Jaccard pair graph) keep their highest-
+    quality-score member instead of the min id — the production keep
+    policy.  Oracle: recursive-CTE clustering + the shared quality
+    formula + the same (score desc, id asc) window."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.withColumn("quality", quality_score(F.col("text")))
+    pairs = dedup.ngram_jaccard_pairs(docs)
+    return dedup.dedup_keep_best(scored, pairs, score_col="quality")
+
+
 def q_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style span dedup rewrite: every 10-gram occurrence
     after the corpus-wide first masks its token positions; documents are
@@ -3277,6 +3289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "boilerplate_lines": q_boilerplate_lines,
         "remove_repeated_spans": q_remove_repeated_spans,
+        "dedup_keep_best": q_dedup_keep_best,
         # ===== r04 window, part 2: re-checks of code changed this round
         "exact_quantiles_sketched": q_exact_quantiles_sketched,
         "asof_join": q_asof_join,
@@ -5301,6 +5314,36 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_members,
                    round(avg(cos), 4) AS mean_cosine
             FROM fin GROUP BY 1 ORDER BY 1
+        """,
+        # duplicate_clusters' recursive CTE + the shared quality formula
+        # + the keep-best window (score desc, id asc).
+        "dedup_keep_best": f"""
+            WITH RECURSIVE pairs AS ({ngram_pairs}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs),
+            reach(id, comp) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.src, r.comp FROM edges e JOIN reach r
+                    ON e.dst = r.id),
+            comp AS (
+                SELECT id AS doc_id, min(comp) AS component
+                FROM reach GROUP BY id),
+            q AS (
+                SELECT doc_id, {quality_score_sql('text')} AS quality
+                FROM documents),
+            r AS (
+                SELECT c.doc_id, c.component, q.quality,
+                       row_number() OVER (
+                           PARTITION BY c.component
+                           ORDER BY q.quality DESC, c.doc_id ASC) AS rk,
+                       count(*) OVER (PARTITION BY c.component) AS cs
+                FROM comp c JOIN q USING (doc_id))
+            SELECT doc_id, component, cast(cs AS bigint) AS cluster_size,
+                   quality, (rk = 1) AS is_kept
+            FROM r
         """,
         # ExactSubstr rewrite replay: positional 10-grams, keep-first
         # rank over (doc, pos), mask the union of covered positions.

@@ -621,3 +621,38 @@ def test_remove_repeated_spans_deterministic_under_repartition(spark, sf_dir):
         )
     )
     assert a == b
+
+
+def test_dedup_keep_best_keeps_highest_score(spark):
+    rows = [
+        (1, BASE, 0.4),
+        (2, BASE, 0.9),      # same cluster as 1/3, best score
+        (3, NEAR, 0.6),
+        (4, FAR, 0.2),       # singleton
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "quality"])
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dedup_keep_best(
+            docs, pairs, score_col="quality"
+        ).collect()
+    }
+    assert len(out) == 4
+    assert [out[i]["component"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert out[2]["is_kept"] and not out[1]["is_kept"] and not out[3]["is_kept"]
+    assert out[1]["cluster_size"] == 3
+    assert out[4]["is_kept"] and out[4]["cluster_size"] == 1
+
+
+def test_dedup_keep_best_tie_breaks_to_min_id(spark):
+    rows = [(7, BASE, 0.5), (9, BASE, 0.5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "quality"])
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    out = {
+        r["doc_id"]: r["is_kept"]
+        for r in dedup.dedup_keep_best(
+            docs, pairs, score_col="quality"
+        ).collect()
+    }
+    assert out[7] and not out[9]

@@ -938,3 +938,43 @@ def remove_repeated_spans(
         .alias("n_tokens_removed"),
         F.col("_n_toks").cast("long").alias("n_tokens"),
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-BEST dedup decision: connected-component clusters over the
+    near-dup pair graph, then keep the highest-``score_col`` member per
+    cluster (ties → lowest id).
+
+    Production dedup rarely keeps the min-id copy — it keeps the best
+    copy (highest quality score, longest, most recent) and drops its
+    near-duplicates.  This composes :func:`duplicate_clusters` with any
+    scoring column into that decision surface.  One extra shuffle on
+    ``component`` beyond clustering; ranking + cluster size share the
+    single window exchange.
+
+    Returns (id, component, cluster_size, score_col, is_kept) for every
+    input document — filter ``is_kept`` for the surviving corpus, or
+    audit the dropped rows directly.
+    """
+    clusters = duplicate_clusters(docs, pairs, id_col=id_col)
+    scored = clusters.join(
+        docs.select(F.col(id_col), F.col(score_col)), id_col
+    )
+    w = Window.partitionBy("component")
+    rank_w = w.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(rank_w))
+        .withColumn("cluster_size", F.count("*").over(w).cast("long"))
+        .select(
+            F.col(id_col),
+            "component",
+            "cluster_size",
+            F.col(score_col),
+            (F.col("_rk") == 1).alias("is_kept"),
+        )
+    )
