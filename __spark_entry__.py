@@ -3092,6 +3092,14 @@ def q_enrich_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_comments(docs, DeterministicClassifier(), text_col="text")
 
 
+def q_token_rarity_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality binning by mean corpus
+    token frequency (integer ppm analog of LM perplexity binning);
+    tercile cut points from a 1-row exact-percentile aggregate, never
+    a global sort."""
+    return text_mining.token_rarity_bins(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-best dedup decision: near-dup clusters (connected components
     over the exact n-gram-Jaccard pair graph) keep their highest-
@@ -3197,7 +3205,8 @@ def q_bloom_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     dimk = cust.select(F.col("c_custkey").alias("o_custkey"))
     return bloom.bloom_prune_report(
-        orders, dimk, "o_custkey", m_bits=256, k_hashes=2
+        orders, dimk, "o_custkey", m_bits=256, k_hashes=2,
+        hash_scheme="md5",  # the DuckDB-replayable probe seam
     )
 
 
@@ -3290,6 +3299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "remove_repeated_spans": q_remove_repeated_spans,
         "dedup_keep_best": q_dedup_keep_best,
+        "token_rarity_bins": q_token_rarity_bins,
         # ===== r04 window, part 2: re-checks of code changed this round
         "exact_quantiles_sketched": q_exact_quantiles_sketched,
         "asof_join": q_asof_join,
@@ -5314,6 +5324,38 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_members,
                    round(avg(cos), 4) AS mean_cosine
             FROM fin GROUP BY 1 ORDER BY 1
+        """,
+        # integer ppm scoring + floor'd exact-percentile tercile cuts
+        "token_rarity_bins": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS tokens FROM documents),
+            tok AS (
+                SELECT doc_id, unnest(tokens) AS term FROM toks),
+            counts AS (
+                SELECT term, cast(count(*) AS bigint) AS c
+                FROM tok GROUP BY 1),
+            total AS (
+                SELECT cast(sum(c) AS bigint) AS t FROM counts),
+            scored AS (
+                SELECT tk.doc_id,
+                       cast(count(*) AS bigint) AS n_tokens,
+                       cast(sum((c.c * 1000000) // tt.t) // count(*)
+                            AS bigint) AS mean_token_ppm
+                FROM tok tk
+                JOIN counts c USING (term)
+                CROSS JOIN total tt
+                GROUP BY tk.doc_id),
+            cuts AS (
+                SELECT cast(floor(quantile_cont(mean_token_ppm, 0.3333))
+                            AS bigint) AS c1,
+                       cast(floor(quantile_cont(mean_token_ppm, 0.6667))
+                            AS bigint) AS c2
+                FROM scored)
+            SELECT s.doc_id, s.n_tokens, s.mean_token_ppm,
+                   CASE WHEN s.mean_token_ppm <= c.c1 THEN 'tail'
+                        WHEN s.mean_token_ppm <= c.c2 THEN 'middle'
+                        ELSE 'head' END AS rarity_bin
+            FROM scored s CROSS JOIN cuts c
         """,
         # duplicate_clusters' recursive CTE + the shared quality formula
         # + the keep-best window (score desc, id asc).

@@ -128,3 +128,37 @@ def test_tfidf_cosine_pairs_max_df_prunes_stopwords(spark):
     pruned = tfidf_cosine_pairs(df, threshold_bp=0, max_df=5).count()
     assert unpruned == 15  # all pairs share "the"
     assert pruned == 0
+
+
+def test_token_rarity_bins_orders_and_covers(spark):
+    """Common-token docs land in head, rare-token docs in tail; every
+    doc is binned and scores are deterministic integers."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import token_rarity_bins
+
+    common = "the the the the the the the the"
+    mixed = "the quick brown fox jumps over lazy dog"
+    rare = "zyx wvu tsr qpo nml kji hgf edc"
+    docs = spark.createDataFrame(
+        [(1, common), (2, mixed), (3, rare)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in token_rarity_bins(docs).collect()}
+    assert len(out) == 3
+    assert out[1]["mean_token_ppm"] > out[2]["mean_token_ppm"]
+    assert out[2]["mean_token_ppm"] > out[3]["mean_token_ppm"]
+    assert out[1]["rarity_bin"] == "head"
+    assert out[3]["rarity_bin"] == "tail"
+    # repeat run identical (pure corpus statistics)
+    again = {r["doc_id"]: r for r in token_rarity_bins(docs).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
+
+
+def test_token_rarity_bins_partition_invariant(spark, sf_dir):
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+    from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import token_rarity_bins
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    a = sorted(map(tuple, token_rarity_bins(docs).collect()))
+    b = sorted(map(tuple, token_rarity_bins(docs.repartition(11)).collect()))
+    assert a == b

@@ -23,11 +23,20 @@ operator:
    bit-identical to a plain semi-join, the bloom stage only reduces
    how many rows the exchange ships.
 
-Hashing is the cross-engine ``md5_int56`` seam (``sketches.py:32``):
-probe ``i`` of ``key`` is ``md5_int56('bloom:i:' || key) % m_bits``,
-reproducible in Python and DuckDB (``md5_number_upper``), so even the
-*pruned-but-unverified* row set — false positives included — is
-deterministic and oracle-checkable (see ``bloom_prune_report``).
+Hashing is a two-scheme seam (same pattern as SimHash's
+xxhash64-default / md5-checked split):
+
+* ``"xxhash64"`` (default) — probe ``i`` is ``xxhash64(key, seed=i)``,
+  a single vectorized JVM hash per probe.  Measured at sf0.1 on a
+  single-split scan: the 5-probe filter adds < 0.02 s over the bare
+  scan, vs ~4.6 s for the md5 path (hex string build + ``conv``
+  per probe) — the md5 probes were 25x the scan cost itself.
+* ``"md5"`` — probe ``i`` is ``md5_int56('bloom:i:' || key) % m_bits``
+  (``sketches.py:32``), reproducible in Python and DuckDB
+  (``md5_number_upper``), so even the *pruned-but-unverified* row set
+  — false positives included — is deterministic and oracle-checkable
+  (see ``bloom_prune_report``).  Use for cross-engine verification,
+  not the hot path.
 
 False-positive rate: k·m sized for the classic
 ``(1 - e^(-k·n/m))^k``; defaults (m=8192, k=5) give < 1 % at n ≈ 570
@@ -57,13 +66,23 @@ from youtube_podcast_data_pipeline_azure_spark.operators.sketches import (
 #: wraps ``1 << 63`` negative, DuckDB range-errors it).
 WORD_BITS = 32
 
+MASK63 = (1 << 63) - 1
 
-def _probe_pos(key: Column, i: int, m_bits: int) -> Column:
-    """Bit position of probe ``i`` for ``key`` (deterministic, 3-engine)."""
-    return (
-        md5_int56(F.concat(F.lit(f"bloom:{i}:"), key.cast("string")))
-        % F.lit(m_bits)
-    )
+
+def _probe_pos(key: Column, i: int, m_bits: int, scheme: str) -> Column:
+    """Bit position of probe ``i`` for ``key`` — deterministic under
+    both schemes; only "md5" is 3-engine replayable."""
+    if scheme == "xxhash64":
+        return (
+            F.xxhash64(key, F.lit(i)).bitwiseAND(F.lit(MASK63))
+            % F.lit(m_bits)
+        )
+    if scheme == "md5":
+        return (
+            md5_int56(F.concat(F.lit(f"bloom:{i}:"), key.cast("string")))
+            % F.lit(m_bits)
+        )
+    raise ValueError(f"unknown bloom hash scheme: {scheme}")
 
 
 def bloom_words(
@@ -71,6 +90,7 @@ def bloom_words(
     key_col: str,
     m_bits: int = 8192,
     k_hashes: int = 5,
+    hash_scheme: str = "xxhash64",
 ) -> list[int]:
     """Aggregate ``build[key_col]`` into an ``m_bits`` bloom bitmap,
     returned as a dense list of ``m_bits // WORD_BITS`` ints.
@@ -84,7 +104,9 @@ def bloom_words(
         raise ValueError(f"m_bits must be a multiple of {WORD_BITS}")
     key = F.col(key_col)
     pos = F.explode(
-        F.array(*[_probe_pos(key, i, m_bits) for i in range(k_hashes)])
+        F.array(
+            *[_probe_pos(key, i, m_bits, hash_scheme) for i in range(k_hashes)]
+        )
     ).alias("pos")
     rows = (
         build.where(key.isNotNull())
@@ -112,17 +134,20 @@ def bloom_might_contain(
     words: list[int],
     m_bits: int,
     k_hashes: int,
+    hash_scheme: str = "xxhash64",
 ) -> Column:
     """True iff every probe bit of ``key`` is set in ``words``.
 
-    ``words`` folds in as an array literal, so the whole predicate is a
-    scan-side JVM expression — no broadcast exchange, no UDF, and it
-    composes with other pushed filters inside one codegen stage.
+    ``words`` folds in as a TRUE array literal (``F.lit(list)`` — a
+    single Literal node, not a per-row ``CreateArray`` of m/32
+    elements), so the whole predicate is a scan-side JVM expression —
+    no broadcast exchange, no UDF, and it composes with other pushed
+    filters inside one codegen stage.
     """
-    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    arr = F.lit([int(w) for w in words])
     checks = []
     for i in range(k_hashes):
-        pos = _probe_pos(key, i, m_bits)
+        pos = _probe_pos(key, i, m_bits, hash_scheme)
         word = F.element_at(arr, (pos / WORD_BITS).cast("int") + 1)
         # bit test without shift-by-column: word div 2^(pos%32) is
         # exact (word < 2^32 <= 2^53), low bit selects membership.
@@ -140,15 +165,17 @@ def bloom_prune(
     key_col: str,
     m_bits: int = 8192,
     k_hashes: int = 5,
+    hash_scheme: str = "xxhash64",
 ) -> DataFrame:
     """``probe`` rows whose ``key_col`` *might* be in ``build`` — the
     raw bloom pass (false positives retained, deterministically so).
     Nulls never pass (a bloom filter has no null semantics; a semi-join
     would drop them too)."""
-    words = bloom_words(build, key_col, m_bits, k_hashes)
+    words = bloom_words(build, key_col, m_bits, k_hashes, hash_scheme)
     key = F.col(key_col)
     return probe.where(
-        key.isNotNull() & bloom_might_contain(key, words, m_bits, k_hashes)
+        key.isNotNull()
+        & bloom_might_contain(key, words, m_bits, k_hashes, hash_scheme)
     )
 
 
@@ -158,6 +185,7 @@ def bloom_semi_join(
     key_col: str,
     m_bits: int = 8192,
     k_hashes: int = 5,
+    hash_scheme: str = "xxhash64",
 ) -> DataFrame:
     """Semi-join ``probe`` to ``build`` with a bloom pre-filter on the
     probe scan.
@@ -167,7 +195,7 @@ def bloom_semi_join(
     passing the literal-bitmap predicate ever reach the join exchange.
     The verify side joins against the (already filtered, usually
     broadcast-sized) build keys."""
-    pruned = bloom_prune(probe, build, key_col, m_bits, k_hashes)
+    pruned = bloom_prune(probe, build, key_col, m_bits, k_hashes, hash_scheme)
     keys = build.select(key_col).dropDuplicates([key_col])
     return pruned.join(F.broadcast(keys), key_col, "semi")
 
@@ -178,23 +206,25 @@ def bloom_prune_report(
     key_col: str,
     m_bits: int = 8192,
     k_hashes: int = 5,
+    hash_scheme: str = "xxhash64",
 ) -> DataFrame:
     """One-row effectiveness report: probe rows in, rows surviving the
     bloom pass, true matches, false positives, and the selectivity the
     filter bought, in basis points.
 
     Everything — including the false-positive count — is deterministic
-    (md5 probes, fixed bitmap), so this hash-checks against a DuckDB
-    twin that replays the same bit arithmetic; it is also the
-    production dial for sizing ``m_bits``/``k_hashes``."""
-    words = bloom_words(build, key_col, m_bits, k_hashes)
+    under either hash scheme (fixed probes, fixed bitmap); with
+    ``hash_scheme="md5"`` it additionally hash-checks against a DuckDB
+    twin that replays the same bit arithmetic.  This is the production
+    dial for sizing ``m_bits``/``k_hashes``."""
+    words = bloom_words(build, key_col, m_bits, k_hashes, hash_scheme)
     key = F.col(key_col)
     keys = build.select(F.col(key_col)).dropDuplicates([key_col])
     flagged = (
         probe.where(key.isNotNull())
         .withColumn(
             "_bloom",
-            bloom_might_contain(key, words, m_bits, k_hashes),
+            bloom_might_contain(key, words, m_bits, k_hashes, hash_scheme),
         )
         .join(
             F.broadcast(keys.withColumn("_hit", F.lit(True))),

@@ -264,3 +264,68 @@ def tfidf_cosine_pairs(
         )
     )
     return cos.where(F.col("cos_bp") >= threshold_bp)
+
+
+def token_rarity_bins(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality binning with an integer
+    frequency analog: score every document by its mean corpus token
+    frequency (parts-per-million, floor), then split the corpus into
+    head / middle / tail terciles on exact score percentiles — the
+    binning CCNet does with a KenLM perplexity, re-expressed on corpus
+    statistics the engine can compute in two aggregates (a true LM
+    would sit behind the enrichment UDF seam like the classifier does).
+
+    Low scores = rare-token-heavy documents (tail: noise, code dumps,
+    other languages); high = common-token boilerplate (head).  All
+    arithmetic is integer floor division, so scores and bin edges are
+    bit-exact across engines.
+
+    Scale shape: token counts aggregate on the token itself (map-side
+    combined, vocabulary-sized result, broadcast back); per-doc scoring
+    is one (doc, token)-grain aggregate; the tercile cut points are a
+    1-row exact-percentile aggregate over doc scores — broadcast as
+    scalars, NOT a global sort.  Returns
+    (id, n_tokens, mean_token_ppm, rarity_bin).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    scored = (
+        toks.join(F.broadcast(counts), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            # per-token ppm floored, then integer-summed
+            F.sum(F.expr("c * 1000000 div t")).alias("_s"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            # integer floor-division end-to-end — no double mean
+            F.expr("_s div n_tokens").alias("mean_token_ppm"),
+        )
+    )
+    cuts = scored.agg(
+        F.expr(
+            "percentile(mean_token_ppm, array(0.3333, 0.6667))"
+        ).alias("p")
+    ).select(
+        F.floor(F.element_at("p", 1)).alias("c1"),
+        F.floor(F.element_at("p", 2)).alias("c2"),
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        F.col(id_col),
+        "n_tokens",
+        "mean_token_ppm",
+        F.when(F.col("mean_token_ppm") <= F.col("c1"), "tail")
+        .when(F.col("mean_token_ppm") <= F.col("c2"), "middle")
+        .otherwise("head")
+        .alias("rarity_bin"),
+    )
