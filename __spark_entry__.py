@@ -3259,8 +3259,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Only 3 registered queries remain rows-only by design (knn_ivf at
     nprobe<k and the two raw t-digest surfaces — each now has a
     driver-green twin pinning its machinery).  Late-r4 additions
-    (bloom pruning, semantic_dedup, boilerplate_lines) slot into the
-    window at part 1b, displacing three r01 re-checks to slots 51+."""
+    (bloom pruning x2, semantic_dedup, boilerplate_lines,
+    remove_repeated_spans, dedup_keep_best, token_rarity_bins) slot
+    into the window at part 1b, displacing seven r01 re-checks to
+    slots 51+ (they rotate first in r5)."""
     return {
         # ===== r04 window, part 0: curation operators added this round
         # (never checked — highest-priority evidence)
