@@ -3140,7 +3140,11 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.col("_toks"), (i * 2 + 1).cast("int"), 2), " "
         ),
     )
-    with_lines = d2.select("doc_id", lines.alias("lines"))
+    # localCheckpoint before the operator's posexplode: the chunking
+    # transform captures the token array per index and Generate would
+    # re-run it per emitted line (re-evaluation traps #2/#4, verify
+    # skill) — measured 4.5 s -> ~1 s warm at sf0.1.
+    with_lines = d2.select("doc_id", lines.alias("lines")).localCheckpoint()
     out = curation.remove_boilerplate_lines(with_lines, min_docs=10)
     return out.select(
         "doc_id",

@@ -364,6 +364,12 @@ def test_r04_window_queries_stay_within_shuffle_budget(spark, sf_dir):
         # per-doc reassembly; coverage/final joins broadcast at fixture
         # size (checkpointed token base, so no re-tokenize per Generate)
         "remove_repeated_spans": 3,
+        # clustering folds into broadcast joins at fixture size; the one
+        # hash exchange is the component-keyed keep-best window
+        "dedup_keep_best": 1,
+        # token counts + per-doc score grain + broadcast-back joins of
+        # the vocabulary dict and the two 1-row scalar aggregates
+        "token_rarity_bins": 6,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, sf_dir, name)
