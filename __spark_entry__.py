@@ -3092,6 +3092,23 @@ def q_enrich_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_comments(docs, DeterministicClassifier(), text_col="text")
 
 
+def q_upsample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-style mixture with rates above AND below 1.0:
+    low-resource languages replicate (de 3.0x, es/zh 2.5x), the head
+    language holds (en 1.0x), one downsamples (fr 0.4x).  Deterministic
+    hash-gated fractional copies — the oracle replays the identical
+    integer arithmetic per (doc, copy) pair."""
+    out = sampling.upsample_mixture(
+        _t(spark, sf_dir, "documents"),
+        strata_col="lang",
+        rates={"de": 3.0, "en": 1.0, "es": 2.5, "fr": 0.4, "zh": 2.5},
+        id_col="doc_id",
+    )
+    return out.select(
+        "doc_id", "lang", F.col("copy_id").cast("long").alias("copy_id")
+    )
+
+
 def q_token_rarity_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail quality binning by mean corpus
     token frequency (integer ppm analog of LM perplexity binning);
@@ -3306,6 +3323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_repeated_spans": q_remove_repeated_spans,
         "dedup_keep_best": q_dedup_keep_best,
         "token_rarity_bins": q_token_rarity_bins,
+        "upsample_mixture": q_upsample_mixture,
         # ===== r04 window, part 2: re-checks of code changed this round
         "exact_quantiles_sketched": q_exact_quantiles_sketched,
         "asof_join": q_asof_join,
@@ -5330,6 +5348,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_members,
                    round(avg(cos), 4) AS mean_cosine
             FROM fin GROUP BY 1 ORDER BY 1
+        """,
+        # per-(doc, copy) survival replay: full copies by milli-rate,
+        # fractional copy through the shared Knuth hash gate
+        "upsample_mixture": """
+            WITH rated AS (
+                SELECT doc_id, lang,
+                       CASE lang WHEN 'de' THEN 3000 WHEN 'en' THEN 1000
+                                 WHEN 'es' THEN 2500 WHEN 'fr' THEN 400
+                                 WHEN 'zh' THEN 2500 ELSE 0 END AS rm
+                FROM documents)
+            SELECT doc_id, lang, cast(i AS bigint) AS copy_id
+            FROM rated, generate_series(0, 2) t(i)
+            WHERE i < rm / 1000.0
+              AND ((i + 1) * 1000 <= rm
+                   OR ((doc_id * 1000003 + i) * 2654435761)
+                      % 4294967296 < (rm % 1000) * 4294967)
         """,
         # integer ppm scoring + floor'd exact-percentile tercile cuts
         "token_rarity_bins": f"""

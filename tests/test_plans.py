@@ -370,6 +370,8 @@ def test_r04_window_queries_stay_within_shuffle_budget(spark, sf_dir):
         # token counts + per-doc score grain + broadcast-back joins of
         # the vocabulary dict and the two 1-row scalar aggregates
         "token_rarity_bins": 6,
+        # pure scan map: replication explode + hash gates, ZERO shuffles
+        "upsample_mixture": 0,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, sf_dir, name)

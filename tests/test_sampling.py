@@ -167,3 +167,54 @@ def test_reservoir_per_key_is_partitioning_invariant(spark):
     assert Counter(k for k, _ in sa) == {0: 5, 1: 5, 2: 5}
     c = {(r.k, r.id) for r in reservoir_per_key(df, "k", "id", 5, seed=2).collect()}
     assert c != sa
+
+
+def test_upsample_mixture_copy_counts(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import upsample_mixture
+
+    rows = [(i, "lo" if i % 2 else "hi") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = upsample_mixture(
+        df, strata_col="lang", rates={"lo": 2.5, "hi": 0.5}, id_col="doc_id"
+    ).collect()
+    per_doc: dict[int, int] = {}
+    for r in out:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+    lo_counts = [per_doc.get(i, 0) for i in range(400) if i % 2]
+    hi_counts = [per_doc.get(i, 0) for i in range(400) if not i % 2]
+    # lo rows: 2 full copies always, maybe a gated 3rd
+    assert set(lo_counts) <= {2, 3} and 3 in lo_counts and 2 in lo_counts
+    # hi rows: only the gated fractional copy
+    assert set(hi_counts) <= {0, 1} and 0 in hi_counts and 1 in hi_counts
+    # expectation tracks the rate (hash gate is ~uniform)
+    assert 2.2 < sum(lo_counts) / len(lo_counts) < 2.8
+    assert 0.3 < sum(hi_counts) / len(hi_counts) < 0.7
+    # copy ids distinct per doc
+    seen = {(r["doc_id"], r["copy_id"]) for r in out}
+    assert len(seen) == len(out)
+
+
+def test_upsample_mixture_deterministic_and_partition_invariant(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import upsample_mixture
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kw = dict(strata_col="lang", rates={"a": 1.7, "b": 2.0}, id_col="doc_id")
+    one = sorted(map(tuple, upsample_mixture(df, **kw).collect()))
+    two = sorted(
+        map(tuple, upsample_mixture(df.repartition(17), **kw).collect())
+    )
+    assert one == two
+
+
+def test_upsample_mixture_unlisted_stratum_dropped(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import upsample_mixture
+
+    df = spark.createDataFrame(
+        [(1, "known"), (2, "unknown")], ["doc_id", "lang"]
+    )
+    out = upsample_mixture(
+        df, strata_col="lang", rates={"known": 2.0}, id_col="doc_id"
+    ).collect()
+    assert {r["doc_id"] for r in out} == {1}
+    assert len(out) == 2

@@ -191,3 +191,59 @@ def reservoir_per_key(
         .where(F.col("_rsv_rank") <= k)
         .drop("_rsv_rank")
     )
+
+
+def upsample_mixture(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Mixture building with rates ABOVE 1.0: temperature-style
+    upsampling of low-resource strata (the UniMax / T5 temperature-
+    mixing step), the replication complement of :func:`mixture_sample`'s
+    keep-rate downsampling.
+
+    A stratum at rate r emits floor(r) full copies of every row plus
+    one more gated at probability frac(r) through the shared
+    :func:`hash_bucket` gate (gate key varies per copy index, so copy
+    decisions are independent) — E[copies] = r up to the milli-rate
+    quantization, and the output is a pure function of
+    (id, seed, rates): stable under repartitioning, retries, and
+    incremental appends, like every sampling surface here.
+
+    Scale shape: one narrow explode of at most ceil(r) copy indexes per
+    row — no shuffle, no driver state.  Replicated rows get a
+    ``copy_id`` so downstream shuffles (e.g. pack_sequences grouping)
+    can keep replicas distinct.  Rates below 1.0 degenerate to
+    mixture_sample semantics (0 full copies, one gated copy).
+    """
+    import math
+
+    max_copies = max(int(math.ceil(r)) for r in rates.values()) if rates else 1
+    rate_milli = F.lit(0)
+    for value, rate in sorted(rates.items()):
+        rate_milli = F.when(
+            F.col(strata_col) == value, F.lit(int(rate * 1000))
+        ).otherwise(rate_milli)
+    with_rate = df.withColumn("_rm", rate_milli)
+    copies = F.filter(
+        F.sequence(F.lit(0), F.lit(max(max_copies - 1, 0))),
+        # copy i survives iff i < floor(r) (always) or i == floor(r)
+        # and the per-copy hash gate clears the fractional remainder
+        lambda i: (i < F.col("_rm") / 1000)
+        & (
+            ((i + 1) * 1000 <= F.col("_rm"))
+            | (
+                hash_bucket(
+                    F.col(id_col) * F.lit(1000003) + i, seed
+                )
+                < (F.col("_rm") % 1000) * F.lit(_MOD // 1000)
+            )
+        ),
+    )
+    out = with_rate.select(
+        "*", F.explode(copies).alias("copy_id")
+    ).drop("_rm")
+    return out
