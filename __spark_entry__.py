@@ -68,6 +68,7 @@ from youtube_podcast_data_pipeline_azure_spark.operators import (
     joins,
     medallion,
     multimodal,
+    observability,
     quality,
     sampling,
     similarity,
@@ -3092,6 +3093,51 @@ def q_enrich_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_comments(docs, DeterministicClassifier(), text_col="text")
 
 
+def q_pipeline_observability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 (progress reporting), engine-grade: Spark's Observation API
+    accumulates stage metrics task-side DURING the consuming action —
+    rows in, dropped-row candidates, byte volume — with zero extra
+    scans, where the reference printed 'Processed i/n' from a driver
+    loop (gold_sentiment_comments.py:85-86).  Empty texts are planted
+    (doc_id % 50 == 0) so the drop path is exercised; the oracle
+    recomputes the same aggregates in SQL."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 50 == 0, F.lit("")).otherwise(
+            F.col("text")
+        ),
+    )
+    obs_df, obs = observability.observed(
+        d,
+        "bronze_clean",
+        {
+            "rows_in": F.count(F.lit(1)),
+            "empty_text": F.sum(
+                F.when(
+                    F.col("text").isNull() | (F.trim("text") == ""), 1
+                ).otherwise(0)
+            ),
+            "total_chars": F.sum(F.length("text")),
+        },
+    )
+    cleaned = obs_df.where(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    rows_out = cleaned.count()  # the action that fills the observation
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["rows_in"]),
+                int(m["empty_text"]),
+                int(m["total_chars"]),
+                int(rows_out),
+            )
+        ],
+        "rows_in long, empty_text long, total_chars long, rows_out long",
+    )
+
+
 def q_upsample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-style mixture with rates above AND below 1.0:
     low-resource languages replicate (de 3.0x, es/zh 2.5x), the head
@@ -3281,8 +3327,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     nprobe<k and the two raw t-digest surfaces — each now has a
     driver-green twin pinning its machinery).  Late-r4 additions
     (bloom pruning x2, semantic_dedup, boilerplate_lines,
-    remove_repeated_spans, dedup_keep_best, token_rarity_bins) slot
-    into the window at part 1b, displacing seven r01 re-checks to
+    remove_repeated_spans, dedup_keep_best, token_rarity_bins,
+    upsample_mixture, pipeline_observability — the last closing A20)
+    slot into the window at part 1b, displacing nine r01 re-checks to
     slots 51+ (they rotate first in r5)."""
     return {
         # ===== r04 window, part 0: curation operators added this round
@@ -3324,6 +3371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "token_rarity_bins": q_token_rarity_bins,
         "upsample_mixture": q_upsample_mixture,
+        "pipeline_observability": q_pipeline_observability,
         # ===== r04 window, part 2: re-checks of code changed this round
         "exact_quantiles_sketched": q_exact_quantiles_sketched,
         "asof_join": q_asof_join,
@@ -5348,6 +5396,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_members,
                    round(avg(cos), 4) AS mean_cosine
             FROM fin GROUP BY 1 ORDER BY 1
+        """,
+        # the observation's aggregates recomputed declaratively
+        "pipeline_observability": """
+            SELECT cast(count(*) AS bigint) AS rows_in,
+                   cast(sum(CASE WHEN t IS NULL OR trim(t) = ''
+                            THEN 1 ELSE 0 END) AS bigint) AS empty_text,
+                   cast(sum(length(t)) AS bigint) AS total_chars,
+                   cast(sum(CASE WHEN t IS NOT NULL AND trim(t) <> ''
+                            THEN 1 ELSE 0 END) AS bigint) AS rows_out
+            FROM (SELECT CASE WHEN doc_id % 50 = 0 THEN ''
+                              ELSE text END AS t
+                  FROM documents)
         """,
         # per-(doc, copy) survival replay: full copies by milli-rate,
         # fractional copy through the shared Knuth hash gate
