@@ -3225,19 +3225,19 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Threshold 0.3: fixture embeddings are random unit vectors (max
     pairwise cosine ≈ 0.51 at sf0.01), so a production 0.95 would
-    drop nothing; 0.3 exercises bucketing, pair join, and drop rule.
+    drop nothing; 0.3 exercises collapse, bucketing, pair join, and
+    the drop rule.
 
-    n_centroids grows with corpus size (n/250, floor 8) so expected
-    cluster size — and with it the in-cluster quadratic term — stays
-    constant as data scales, which is the whole SemDeDup bargain.  At
-    every oracle-checked sf this resolves to 8, matching the static
-    LIMIT 8 Lloyd init in the DuckDB twin; the count() is one cheap
-    driver-synchronized job, same bounded posture as ivf_train."""
-    emb = _t(spark, sf_dir, "embeddings")
-    n_centroids = max(8, emb.count() // 250)
+    n_centroids=None → the operator sizes the quantizer to the
+    DISTINCT vector count (/250, floor 8) so expected cluster size —
+    and with it the in-cluster quadratic term — stays constant as
+    unique content grows, while duplicated mass never inflates k
+    (replicas collapse before training).  At every oracle-checked sf
+    this resolves to 8, matching the static LIMIT 8 Lloyd init in the
+    DuckDB twin."""
     return similarity.semantic_dedup(
-        emb,
-        n_centroids=n_centroids,
+        _t(spark, sf_dir, "embeddings"),
+        n_centroids=None,
         iters=2,
         train_sample=1024,
         cosine_threshold=0.3,

@@ -354,9 +354,10 @@ def test_r04_window_queries_stay_within_shuffle_budget(spark, sf_dir):
         # prune predicate itself adds ZERO exchanges (literal bitmap)
         "bloom_semi_join": 2,
         "bloom_prune_report": 1,      # bitmap build; final agg is global
-        # spread + centroid-id self-join (both sides; AQE stage cache
-        # reuses the identical assigned subtree) + dropped-id dedup
-        "semantic_dedup": 4,
+        # vec-hash collapse window + checkpointed rep assignment's
+        # spread + rep-dropped dedup (pair join reads the checkpoint;
+        # membership joins broadcast at fixture size)
+        "semantic_dedup": 3,
         # line docfreq agg + per-doc reassembly + hot/original joins
         # broadcast at fixture size
         "boilerplate_lines": 3,

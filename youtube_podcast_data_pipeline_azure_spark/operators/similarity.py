@@ -376,6 +376,14 @@ def _centroid_literal(cents: "np.ndarray") -> Column:
     (array<struct<centroid_id,vec>>): folds into every consumer's plan
     with ZERO extra jobs — no agg, no broadcast-subquery execution —
     because the quantizer is tiny by construction (n_centroids rows)."""
+    # Plain per-element literals.  NOT the tempting
+    # ``transform(F.lit(matrix), lambda v, i: struct(...))`` form: a
+    # higher-order-function lambda in a plan that later flows through
+    # ``localCheckpoint()`` re-analyzes with fresh lambda-variable
+    # exprIds and task-side resolution dies with
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND (reproduced on Spark 4.1).
+    # The py4j build cost (~2 s at k=80·dim=64) is driver-side, paid
+    # once per query, and k stays small wherever replicas collapse.
     return F.array(
         *[
             F.struct(
@@ -608,7 +616,7 @@ def semantic_dedup(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 8,
+    n_centroids: int | None = 8,
     iters: int = 2,
     train_sample: int | None = None,
     cosine_threshold: float = 0.95,
@@ -619,53 +627,92 @@ def semantic_dedup(
     at or above ``cosine_threshold`` (6dp-rounded, cross-engine
     deterministic).  Returns (id, centroid_id, is_kept).
 
-    This is the embedding-space analog of ``dedup.near_dup_pipeline``:
-    pairwise cosine over a 100 TB corpus is O(n²), but SemDeDup
-    (Abbas et al. 2023, arXiv:2303.09540) observed that semantic
-    duplicates co-locate under a coarse k-means quantizer, so the
-    quadratic term is bounded by cluster size — at scale you grow
-    ``n_centroids`` ∝ n to hold E[cluster] constant, and the only
-    shuffle is the hash-partition on ``centroid_id``.  Training reuses
-    the deterministic bounded-sample Lloyd's of :func:`ivf_train`
-    (lowest-id init, fixed iterations, centroids folded in as plan
-    literals — zero auxiliary jobs at assignment time).
+    This is the embedding-space analog of ``dedup.near_dup_pipeline``,
+    composed in the same replica-safe order:
 
-    Keep rule "drop iff a lower-id in-cluster neighbor is ≥ threshold"
-    is one join pass — deterministic and order-independent, unlike the
-    sequential greedy scan in the paper's reference implementation,
-    and it keeps exactly the min-id representative within every
-    fully-connected duplicate group (the common case for true dups).
+    1. **Exact-collapse** identical vectors to their min-id
+       representative (one window over a vector-hashed exchange).
+       Lossless for the drop rule: members of a value group always
+       share a cluster and sit at cosine 1.0, so every non-rep member
+       drops to its rep, and rep-level pairs decide rep drops exactly.
+       This caps every downstream quadratic term at the number of
+       DISTINCT vectors — the embedding twin of the replica-corpus
+       blowup that exact-collapse fixes for text near-dup
+       (bench_scale.py pathology: 10x identical replicas ran the flat
+       pair join at ~17 s vs ~2 s composed).
+    2. **Bucket** the representatives under a deterministic k-means
+       quantizer (bounded-sample Lloyd's of :func:`ivf_train` — lowest
+       id-hash sample, literal-folded centroids, zero aux jobs).
+       SemDeDup (Abbas et al. 2023, arXiv:2303.09540) observed that
+       semantic duplicates co-locate under a coarse quantizer, so the
+       in-bucket pair join is the only superlinear term; with
+       ``n_centroids=None`` the quantizer sizes itself to the DISTINCT
+       count (/250, floor 8) so expected cluster size stays constant —
+       duplicated mass never inflates k.
+    3. **Drop rule** over representatives — one join pass,
+       deterministic and order-independent (unlike the paper's
+       sequential greedy scan), keeping the min-id member of every
+       fully-connected duplicate group — then **expand** through group
+       membership.
     """
+    w_rep = Window.partitionBy(vec_col)
+    membership = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "_rep", F.min(id_col).over(w_rep)
+    )
+    reps = membership.where(F.col(id_col) == F.col("_rep")).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    if n_centroids is None:
+        # one bounded count job over the collapsed reps (same driver
+        # posture as ivf_train's sample collect)
+        n_centroids = max(8, reps.count() // 250)
     cents = _lloyd(
-        _train_sample_rows(corpus, id_col, vec_col, train_sample),
+        _train_sample_rows(reps, id_col, vec_col, train_sample),
         n_centroids,
         iters,
     )
     cents_col = _centroid_literal(cents)
-    assigned = spread(corpus, id_col).select(
+    # localCheckpoint: the assigned projection feeds THREE plan
+    # consumers (both pair-join sides + the output join), and only the
+    # two centroid-id exchanges are runtime-reusable — without the
+    # barrier the collapse + O(n_centroids·dim) assignment expression
+    # runs per consumer and the big centroid literal compiles each
+    # time (measured 10.5 s -> 3 s exec at 20k x k=80 pre-collapse).
+    # State is (rep id, cluster, vec) over DISTINCT vectors only.
+    assigned = spread(reps, id_col).select(
         F.col(id_col),
         _nearest_centroid(F.col(vec_col), cents_col),
         F.col(vec_col).alias("_v"),
-    )
+    ).localCheckpoint()
     a = assigned.select(
         F.col(id_col).alias("_id_a"), "centroid_id", F.col("_v").alias("_va")
     )
     b = assigned.select(
         F.col(id_col).alias("_id_b"), "centroid_id", F.col("_v").alias("_vb")
     )
-    dropped = (
+    rep_dropped = (
         a.join(b, "centroid_id")
         .where(F.col("_id_a") < F.col("_id_b"))
         .where(
             F.round(cosine_similarity("_va", "_vb"), 6)
             >= F.lit(cosine_threshold)
         )
-        .select(F.col("_id_b").alias(id_col))
-        .dropDuplicates([id_col])
-        .withColumn("_dup", F.lit(True))
+        .select(F.col("_id_b").alias("_rep"))
+        .dropDuplicates(["_rep"])
+        .withColumn("_rep_dup", F.lit(True))
     )
-    return assigned.join(dropped, id_col, "left").select(
-        F.col(id_col),
-        "centroid_id",
-        F.col("_dup").isNull().alias("is_kept"),
+    rep_cluster = assigned.select(
+        F.col(id_col).alias("_rep"), "centroid_id"
+    )
+    return (
+        membership.join(rep_cluster, "_rep")
+        .join(rep_dropped, "_rep", "left")
+        .select(
+            F.col(id_col),
+            "centroid_id",
+            (
+                (F.col(id_col) == F.col("_rep"))
+                & F.col("_rep_dup").isNull()
+            ).alias("is_kept"),
+        )
     )
