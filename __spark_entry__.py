@@ -527,6 +527,31 @@ def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup twin, batch mode: the arriving batch
+    (doc_id % 5 == 0) banded with corpus MinHash parameters, probed
+    against the standing corpus's band index, exact-Jaccard-verified
+    against its shingle sets (streaming/docs_stream.py; stream-mode
+    parity in tests/test_streaming.py).  Oracle is the exact cross-set
+    Jaccard pair list — band recall is complete at fixture pair
+    similarities, the same argument as minhash_near_dup."""
+    from youtube_podcast_data_pipeline_azure_spark.streaming.docs_stream import (
+        corpus_near_dup_index,
+        near_dup_against_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    index, corpus_sh = corpus_near_dup_index(
+        docs.where(F.col("doc_id") % 5 != 0)
+    )
+    out = near_dup_against_corpus(
+        docs.where(F.col("doc_id") % 5 == 0), index, corpus_sh
+    )
+    return out.select(
+        "in_id", "corpus_id", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
 def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access through the Spark 4 VARIANT type:
     ``try_parse_json`` the props blob once into a variant, then typed
@@ -3372,6 +3397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_rarity_bins": q_token_rarity_bins,
         "upsample_mixture": q_upsample_mixture,
         "pipeline_observability": q_pipeline_observability,
+        "streaming_near_dup": q_streaming_near_dup,
         # ===== r04 window, part 2: re-checks of code changed this round
         "exact_quantiles_sketched": q_exact_quantiles_sketched,
         "asof_join": q_asof_join,
@@ -5396,6 +5422,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_members,
                    round(avg(cos), 4) AS mean_cosine
             FROM fin GROUP BY 1 ORDER BY 1
+        """,
+        # exact cross-set Jaccard: the band-index probe's recall is
+        # complete at fixture similarities, so LSH probe + verify ==
+        # brute force (same argument as minhash_near_dup's oracle)
+        "streaming_near_dup": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS tokens FROM documents),
+            docs AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(tokens[i:i+2], ' ')
+                           for i in generate_series(
+                               1, greatest(len(tokens)-3, 0)+1)]) AS sh
+                FROM toks),
+            a AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
+            b AS (SELECT * FROM docs WHERE doc_id % 5 <> 0)
+            SELECT a.doc_id AS in_id, b.doc_id AS corpus_id,
+                   round(cast(len(list_intersect(a.sh, b.sh)) AS double)
+                         / (len(a.sh) + len(b.sh)
+                            - len(list_intersect(a.sh, b.sh))), 4)
+                       AS jaccard
+            FROM a JOIN b ON true
+            WHERE jaccard >= 0.5
         """,
         # the observation's aggregates recomputed declaratively
         "pipeline_observability": """

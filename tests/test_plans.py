@@ -373,6 +373,9 @@ def test_r04_window_queries_stay_within_shuffle_budget(spark, sf_dir):
         "token_rarity_bins": 6,
         # pure scan map: replication explode + hash gates, ZERO shuffles
         "upsample_mixture": 0,
+        # band-index probe + verify joins broadcast at fixture size;
+        # the one hash exchange is the candidate-pair dedup
+        "streaming_near_dup": 1,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, sf_dir, name)

@@ -481,3 +481,79 @@ def test_streaming_corpus_dedup_stream_equals_batch(spark, sf_dir, tmp_path):
     # emitted rows are unique
     n_rows = spark.sql("SELECT count(*) n FROM corpus_dedup_stream").first().n
     assert n_rows == len(streamed)
+
+
+def test_streaming_near_dup_planted_pair(spark):
+    """An arriving near-copy of a corpus document must be flagged with
+    its exact Jaccard; unrelated arrivals must not."""
+    from pyspark.sql import functions as F
+
+    from youtube_podcast_data_pipeline_azure_spark.streaming.docs_stream import (
+        corpus_near_dup_index,
+        near_dup_against_corpus,
+    )
+
+    base = (
+        "spark engine shuffles data across the cluster while the optimizer "
+        "prunes partitions and pushes filters down to the columnar scan"
+    )
+    corpus = spark.createDataFrame(
+        [(100, base), (101, "something else entirely about cooking pasta")],
+        ["doc_id", "text"],
+    )
+    incoming = spark.createDataFrame(
+        [
+            (1, base.replace("columnar", "vectorized")),
+            (2, "totally unrelated text with zero shared shingles here"),
+        ],
+        ["doc_id", "text"],
+    )
+    index, sh = corpus_near_dup_index(corpus)
+    pairs = {
+        (r["in_id"], r["corpus_id"]): r["jaccard"]
+        for r in near_dup_against_corpus(incoming, index, sh).collect()
+    }
+    assert (1, 100) in pairs and pairs[(1, 100)] > 0.5
+    assert all(i != 2 for i, _ in pairs)
+
+
+def test_streaming_near_dup_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The pair set is a pure function of content — identical on any
+    micro-batch split of the arriving documents."""
+    from pyspark.sql import functions as F
+
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+    from youtube_podcast_data_pipeline_azure_spark.streaming.docs_stream import (
+        corpus_near_dup_index,
+        near_dup_against_corpus,
+    )
+    from youtube_podcast_data_pipeline_azure_spark.streaming.events_stream import (
+        run_stream_to_memory,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+    index, sh = corpus_near_dup_index(docs.where(F.col("doc_id") % 5 != 0))
+
+    batch = {
+        (r["in_id"], r["corpus_id"], round(r["jaccard"], 4))
+        for r in near_dup_against_corpus(incoming, index, sh).collect()
+    }
+
+    src = str(tmp_path / "incoming_neardup")
+    incoming.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_to_memory(
+        near_dup_against_corpus(stream, index, sh), "near_dup_stream"
+    )
+    streamed = [
+        (r["in_id"], r["corpus_id"], round(r["jaccard"], 4))
+        for r in spark.sql("SELECT * FROM near_dup_stream").collect()
+    ]
+    assert set(streamed) == batch
+    # pair dedup state held across micro-batches: no pair emitted twice
+    assert len(streamed) == len(set(streamed))

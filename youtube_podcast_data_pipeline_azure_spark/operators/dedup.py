@@ -136,6 +136,54 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 128) -> Column:
     )
 
 
+def minhash_band_keys(
+    docs_sh: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 96,
+    bands: int = 24,
+) -> DataFrame:
+    """(id, band_id, band_hash) LSH band keys from a (id, ``sh``)
+    shingle projection — the compact join surface of MinHash banding
+    (an id and two longs per band, never shingle arrays).
+
+    Band key = masked polynomial fold of the signature slice — pure
+    integer ops (no per-band string building), ANSI-overflow-safe: acc
+    stays < 2^32, so ``acc*31 + x`` < 2^38.  Collisions only cost
+    extra verify work (false candidates), never correctness.  Shared
+    by the self-join pair lister (:func:`minhash_lsh_pairs`) and the
+    stream-vs-corpus index probe
+    (``streaming/docs_stream.py:near_dup_against_corpus``).
+    """
+    rows_per_band = num_hashes // bands
+    assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
+    return (
+        docs_sh.select(
+            id_col, minhash_signature(F.col("sh"), num_hashes).alias("sig")
+        )
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band_id"),
+                        F.aggregate(
+                            F.slice(
+                                "sig", b * rows_per_band + 1, rows_per_band
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: (acc * 31 + x).bitwiseAND(
+                                F.lit(MASK32)
+                            ),
+                        ).alias("band_hash"),
+                    ),
+                )
+            ).alias("band"),
+        )
+        .select(id_col, "band.band_id", "band.band_hash")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -181,37 +229,7 @@ def minhash_lsh_pairs(
 
     # Band keys only — the heavy shingle arrays must NOT ride through the
     # band explode + self-join shuffle (ids and two longs do).
-    banded = (
-        docs.select(
-            id_col, minhash_signature(F.col("sh"), num_hashes).alias("sig")
-        )
-        .select(
-            id_col,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    # Band key = masked polynomial fold of the slice —
-                    # pure integer ops (no per-band string building),
-                    # ANSI-overflow-safe: acc stays < 2^32, so
-                    # acc*31 + x < 2^38.  Collisions only cost extra
-                    # verify work (false candidates), never correctness.
-                    lambda b: F.struct(
-                        b.alias("band_id"),
-                        F.aggregate(
-                            F.slice(
-                                "sig", b * rows_per_band + 1, rows_per_band
-                            ),
-                            F.lit(0).cast("long"),
-                            lambda acc, x: (acc * 31 + x).bitwiseAND(
-                                F.lit(MASK32)
-                            ),
-                        ).alias("band_hash"),
-                    ),
-                )
-            ).alias("band"),
-        )
-        .select(id_col, "band.band_id", "band.band_hash")
-    )
+    banded = minhash_band_keys(docs, id_col, num_hashes, bands)
 
     cand = (
         banded.alias("a")

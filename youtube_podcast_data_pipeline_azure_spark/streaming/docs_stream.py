@@ -58,3 +58,103 @@ def corpus_fingerprints(existing: DataFrame, text_col: str = "text") -> DataFram
     return existing.select(
         rolling_fingerprint(F.col(text_col)).alias("fingerprint")
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# streaming NEAR-dup against a standing corpus (LSH band index probe)
+# ---------------------------------------------------------------------------
+
+def corpus_near_dup_index(
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 96,
+    bands: int = 24,
+) -> tuple[DataFrame, DataFrame]:
+    """The standing corpus reduced to its two near-dup lookup surfaces:
+
+    * the **band index** — (corpus id, band_id, band_hash), the compact
+      probe target (an id and two longs per band; at scale this is a
+      maintained table, appended as batches ingest, bucketed on
+      (band_id, band_hash) so probes are co-located joins);
+    * the **shingle sets** — (corpus id, sh), consulted ONLY for
+      candidate verification, so full text never ships to the stream.
+    """
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import (
+        minhash_band_keys,
+        shingles,
+    )
+
+    docs = existing.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    index = minhash_band_keys(docs, id_col, num_hashes, bands)
+    return index, docs
+
+
+def near_dup_against_corpus(
+    incoming: DataFrame,
+    corpus_index: DataFrame,
+    corpus_shingles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 96,
+    bands: int = 24,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs between an arriving (possibly streaming)
+    document batch and the standing corpus: band the incoming side with
+    the SAME MinHash parameters as the index, probe on
+    (band_id, band_hash), then exact-Jaccard-verify candidates against
+    the corpus shingle sets.
+
+    The streaming twin of the self-join in ``minhash_lsh_pairs`` —
+    instead of corpus × corpus, it is stream × static-index: banding is
+    a stateless narrow map on the stream, both joins are stream-static
+    inner equi-joins (no watermarks needed), and the only streaming
+    state is the pair ``dropDuplicates`` (one row per surviving pair —
+    candidate multiplicity from multi-band hits collapses there).
+
+    Returns (incoming id, corpus id, jaccard) — a pure function of
+    content, so the pair set is identical on any micro-batch split
+    (stream parity in tests/test_streaming.py) and equals the exact
+    cross-set Jaccard pair list whenever band recall is complete (the
+    fixture regime, oracle-checked like minhash_near_dup).
+    """
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import (
+        minhash_band_keys,
+        shingles,
+    )
+
+    in_docs = incoming.select(
+        F.col(id_col).alias("in_id"),
+        shingles(F.col(text_col), shingle_n).alias("in_sh"),
+    )
+    in_banded = minhash_band_keys(
+        in_docs.select(F.col("in_id").alias(id_col), F.col("in_sh").alias("sh")),
+        id_col,
+        num_hashes,
+        bands,
+    ).select(F.col(id_col).alias("in_id"), "band_id", "band_hash")
+    cand = (
+        in_banded.join(corpus_index, ["band_id", "band_hash"])
+        .select("in_id", F.col(id_col).alias("corpus_id"))
+        .dropDuplicates(["in_id", "corpus_id"])
+    )
+    c_sh = corpus_shingles.select(
+        F.col(id_col).alias("corpus_id"), F.col("sh").alias("c_sh")
+    )
+    jac = (
+        F.size(F.array_intersect("in_sh", "c_sh"))
+        / F.size(F.array_union("in_sh", "c_sh"))
+    ).alias("jaccard")
+    return (
+        cand.join(
+            in_docs.select("in_id", "in_sh"), "in_id"
+        )
+        .join(c_sh, "corpus_id")
+        .select("in_id", "corpus_id", jac)
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
