@@ -527,6 +527,17 @@ def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 8 training shards: content-hash
+    shard assignment + within-shard hash-order positions — reproducible
+    shard layout without a global sort (no range-partitioner sampling
+    job).  Oracle replays the Knuth-hash arithmetic and the per-shard
+    rank."""
+    return sampling.training_shards(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", n_shards=8
+    ).select("doc_id", "lang", "shard_id", "position")
+
+
 def q_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming NEAR-dup twin, batch mode: the arriving batch
     (doc_id % 5 == 0) banded with corpus MinHash parameters, probed
@@ -3398,6 +3409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample_mixture": q_upsample_mixture,
         "pipeline_observability": q_pipeline_observability,
         "streaming_near_dup": q_streaming_near_dup,
+        "training_shards": q_training_shards,
         # ===== r04 window, part 2: re-checks of code changed this round
         "exact_quantiles_sketched": q_exact_quantiles_sketched,
         "asof_join": q_asof_join,
@@ -5422,6 +5434,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_members,
                    round(avg(cos), 4) AS mean_cosine
             FROM fin GROUP BY 1 ORDER BY 1
+        """,
+        # Knuth-hash shard + per-shard hash-rank replay
+        "training_shards": """
+            WITH h AS (
+                SELECT doc_id, lang,
+                       ((doc_id + 0) * 2654435761) % 4294967296 AS hb
+                FROM documents)
+            SELECT doc_id, lang,
+                   cast(hb % 8 AS int) AS shard_id,
+                   cast(row_number() OVER (
+                       PARTITION BY hb % 8
+                       ORDER BY hb ASC, doc_id ASC) AS bigint) AS position
+            FROM h
         """,
         # exact cross-set Jaccard: the band-index probe's recall is
         # complete at fixture similarities, so LSH probe + verify ==

@@ -376,6 +376,9 @@ def test_r04_window_queries_stay_within_shuffle_budget(spark, sf_dir):
         # band-index probe + verify joins broadcast at fixture size;
         # the one hash exchange is the candidate-pair dedup
         "streaming_near_dup": 1,
+        # one shard-keyed window exchange; NO global sort / range
+        # partitioner sampling job
+        "training_shards": 1,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, sf_dir, name)

@@ -218,3 +218,54 @@ def test_upsample_mixture_unlisted_stratum_dropped(spark):
     ).collect()
     assert {r["doc_id"] for r in out} == {1}
     assert len(out) == 2
+
+
+def test_training_shards_deterministic_and_balanced(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(4000)], ["doc_id", "text"]
+    )
+    out = training_shards(df, id_col="doc_id", n_shards=8).collect()
+    # total preserved, shard ids in range, positions 1..size per shard
+    assert len(out) == 4000
+    per = {}
+    for r in out:
+        per.setdefault(r["shard_id"], []).append(r["position"])
+    assert set(per) <= set(range(8))
+    for shard, positions in per.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # even-ish split (hash-uniform; 4000/8 = 500 expected)
+    sizes = [len(v) for v in per.values()]
+    assert min(sizes) > 300 and max(sizes) < 700
+    # partition-invariant
+    again = training_shards(
+        df.repartition(13), id_col="doc_id", n_shards=8
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_training_shards_deorders_source_locality(spark):
+    """Consecutive ids (crawl order) must scatter: within a shard,
+    neighboring positions should rarely be neighboring ids."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import training_shards
+
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(2000)], ["doc_id", "text"]
+    )
+    rows = training_shards(df, id_col="doc_id", n_shards=4).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(
+            (r["position"], r["doc_id"])
+        )
+    adjacent = 0
+    total = 0
+    for entries in by_shard.values():
+        entries.sort()
+        ids = [d for _, d in entries]
+        for a, b in zip(ids, ids[1:]):
+            total += 1
+            if abs(a - b) <= 4:
+                adjacent += 1
+    assert adjacent / total < 0.05

@@ -247,3 +247,41 @@ def upsample_mixture(
         "*", F.explode(copies).alias("copy_id")
     ).drop("_rm")
     return out
+
+
+def training_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: every row gets
+    (shard_id, position) from the content-hash gate — the
+    write-the-training-set step, where examples must be (a) de-ordered
+    (no crawl/source locality within a shard) and (b) reproducibly
+    placed, so re-runs, retries, and incremental rebuilds yield
+    byte-identical shards.
+
+    shard = hash % n_shards (even split, no planning pass); position =
+    rank of hash within the shard (ties → id, for exact determinism).
+    One exchange on shard_id + one in-shard sort — never a global
+    ``orderBy`` (a total sort's range partitioner needs a sampling job
+    and couples every shard's boundaries; hash sharding needs neither).
+    Feed the result to ``partitionBy("shard_id")`` writes, sorted by
+    ``position`` (``io/writers.py:write_clustered`` composes).
+
+    A true uniform permutation needs position to be globally unique
+    only WITHIN a shard — cross-shard order is meaningless to a loader
+    that interleaves shards, which is what makes the per-shard window
+    scale-safe (state = one shard's rows, not the corpus).
+    """
+    h = hash_bucket(id_col, seed)
+    w = Window.partitionBy("shard_id").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard_id", (F.col("_h") % n_shards).cast("int"))
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .drop("_h")
+    )
