@@ -527,6 +527,14 @@ def q_streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer vocabulary induction: the first 4 corpus-weighted
+    merge steps, learned exactly over the word-frequency table
+    (vocab-bounded iterations — the corpus is scanned once).  Oracle
+    unrolls the same 4 argmax-and-fold iterations as CTEs."""
+    return text_mining.bpe_merges(_t(spark, sf_dir, "documents"), k=4)
+
+
 def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle into 8 training shards: content-hash
     shard assignment + within-shard hash-order positions — reproducible
@@ -3410,6 +3418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_observability": q_pipeline_observability,
         "streaming_near_dup": q_streaming_near_dup,
         "training_shards": q_training_shards,
+        "bpe_merges": q_bpe_merges,
         # ===== r04 window, part 2: re-checks of code changed this round
         "exact_quantiles_sketched": q_exact_quantiles_sketched,
         "asof_join": q_asof_join,
@@ -3687,6 +3696,58 @@ def oracle_sql() -> dict[str, str]:
 
     # Shared by ngram_jaccard_pairs and duplicate_clusters (the latter
     # wraps it in a recursive CTE); a CTE body may carry its own WITH.
+    def _bpe_level(i: int) -> str:
+        """One BPE iteration as CTEs: weighted adjacent-pair counts,
+        the argmax merge (count desc, pair asc), and the greedy
+        left-to-right fold into every word's symbol string."""
+        return f"""
+            p{i} AS (
+                SELECT pr AS pair, cast(sum(n) AS bigint) AS c FROM (
+                    SELECT n, unnest([sl[j] || ' ' || sl[j+1]
+                        for j in generate_series(
+                            1, greatest(len(sl)-1, 0))]) AS pr
+                    FROM (SELECT n, string_split(syms, ' ') AS sl
+                          FROM v{i-1}))
+                GROUP BY 1),
+            t{i} AS (
+                SELECT pair, string_split(pair, ' ')[1] AS a,
+                       string_split(pair, ' ')[2] AS b, c
+                FROM p{i} ORDER BY c DESC, pair ASC LIMIT 1),
+            v{i} AS (
+                SELECT word, n,
+                    list_reduce([''] || string_split(syms, ' '),
+                        (acc, x) -> CASE
+                            WHEN acc = '' THEN x
+                            WHEN regexp_extract(acc, '([^ ]+)$', 1) = t{i}.a
+                                 AND x = t{i}.b
+                                THEN regexp_replace(acc, '[^ ]+$', '')
+                                     || t{i}.a || t{i}.b
+                            ELSE acc || ' ' || x END) AS syms
+                FROM v{i-1}, t{i})"""
+
+    def _bpe_oracle(k: int) -> str:
+        levels = ",".join(_bpe_level(i) for i in range(1, k + 1))
+        rows = "\nUNION ALL\n".join(
+            f"SELECT cast({i} AS bigint) AS step, a AS \"left\","
+            f" b AS \"right\", a || b AS merged, c AS pair_count FROM t{i}"
+            for i in range(1, k + 1)
+        )
+        return f"""
+            WITH toks AS (
+                SELECT {tokens} AS tokens FROM documents),
+            words AS (
+                SELECT w AS word, cast(count(*) AS bigint) AS n
+                FROM (SELECT unnest(tokens) AS w FROM toks) GROUP BY 1),
+            v0 AS (
+                SELECT word, n,
+                       array_to_string([substr(word, i, 1)
+                           for i in generate_series(1, length(word))],
+                           ' ') AS syms
+                FROM words),
+            {levels}
+            {rows}
+        """
+
     ngram_pairs = f"""
             WITH toks AS (
                 SELECT doc_id, {tokens} AS tokens FROM documents),
@@ -5435,6 +5496,9 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(cos), 4) AS mean_cosine
             FROM fin GROUP BY 1 ORDER BY 1
         """,
+        # 4 unrolled argmax-and-fold BPE iterations; the list_reduce
+        # lambda mirrors the Spark aggregate fold symbol-for-symbol
+        "bpe_merges": _bpe_oracle(4),
         # Knuth-hash shard + per-shard hash-rank replay
         "training_shards": """
             WITH h AS (

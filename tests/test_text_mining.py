@@ -162,3 +162,28 @@ def test_token_rarity_bins_partition_invariant(spark, sf_dir):
     a = sorted(map(tuple, token_rarity_bins(docs).collect()))
     b = sorted(map(tuple, token_rarity_bins(docs.repartition(11)).collect()))
     assert a == b
+
+
+def test_bpe_merges_hand_computed(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import bpe_merges
+
+    # one word type "aaab" seen 3 times: merges follow the classic
+    # greedy argmax with (count desc, pair asc) ties
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "aaab")], ["doc_id", "text"]
+    )
+    out = [tuple(r) for r in bpe_merges(docs, k=4).collect()]
+    assert out[0] == (1, "a", "a", "aa", 6)   # (a,a) mass 2*3
+    assert out[1] == (2, "a", "b", "ab", 3)   # tie with (aa,a); "a b" wins
+    assert out[2] == (3, "aa", "ab", "aaab", 3)
+    assert len(out) == 3  # no pairs left -> early stop
+
+
+def test_bpe_merges_deterministic_under_repartition(spark, sf_dir):
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+    from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    a = [tuple(r) for r in bpe_merges(docs, k=3).collect()]
+    b = [tuple(r) for r in bpe_merges(docs.repartition(9), k=3).collect()]
+    assert a == b and len(a) == 3

@@ -329,3 +329,78 @@ def token_rarity_bins(
         .otherwise("head")
         .alias("rarity_bin"),
     )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 4,
+) -> DataFrame:
+    """Byte-pair-encoding vocabulary induction (Sennrich et al. 2016):
+    the top-``k`` corpus-weighted merge steps, learned exactly.
+
+    The classic trick that makes BPE tractable — and scale-safe here —
+    is that training operates on the WORD-FREQUENCY table, not the
+    corpus: one corpus-sized aggregate builds (word, count), and every
+    one of the ``k`` iterations then touches only the vocabulary
+    (bounded, ~30k types even for 100 TB of web text).  Per iteration:
+    adjacent-symbol pairs explode from the space-joined symbol strings
+    (weighted by word count, map-side combined), the argmax pair
+    (count desc, pair asc — deterministic) collects as ONE driver row
+    (the Lloyd's-training posture), and the merge folds into every
+    word's symbol string via an ``aggregate`` lambda (greedy
+    left-to-right, the reference semantics).  The vocab is
+    localCheckpoint'ed per round so plans stay O(1) deep.
+
+    Returns the merge table (step, left, right, merged, pair_count) —
+    the learned tokenizer artifact, bit-exact across engines (the
+    DuckDB oracle unrolls the same k iterations as CTEs).
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokenize(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    vocab = words.select(
+        "word", "n", F.array_join(F.split("word", ""), " ").alias("syms")
+    ).localCheckpoint()
+
+    merges = []
+    for step in range(1, k + 1):
+        sl = F.split(F.col("syms"), " ")
+        prs = F.zip_with(
+            F.slice(sl, 1, F.greatest(F.size(sl) - 1, F.lit(0))),
+            F.slice(sl, 2, F.greatest(F.size(sl) - 1, F.lit(0))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+        top = (
+            vocab.select(F.explode(prs).alias("pair"), "n")
+            .groupBy("pair")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()  # 1 row: the argmax merge (driver-bounded)
+        )
+        if not top:
+            break
+        a, b = top[0]["pair"].split(" ")
+        merges.append((step, a, b, a + b, int(top[0]["c"])))
+        fold = F.aggregate(
+            sl,
+            F.lit(""),
+            lambda acc, x: F.when(acc == "", x)
+            .when(
+                (F.regexp_extract(acc, r"([^ ]+)$", 1) == a) & (x == b),
+                F.concat(
+                    F.regexp_replace(acc, r"[^ ]+$", ""), F.lit(a + b)
+                ),
+            )
+            .otherwise(F.concat(acc, F.lit(" "), x)),
+        )
+        vocab = vocab.select("word", "n", fold.alias("syms")).localCheckpoint()
+
+    return spark.createDataFrame(
+        merges,
+        "step long, left string, right string, merged string, pair_count long",
+    )
