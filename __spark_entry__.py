@@ -535,6 +535,21 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_mining.bpe_merges(_t(spark, sf_dir, "documents"), k=4)
 
 
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE application: segment every document with the 4 merges
+    learned by bpe_merges — train + apply end-to-end, the full
+    tokenizer loop.  Folds run over the distinct-word table; documents
+    rejoin through a broadcast.  Oracle unrolls the same merges and
+    reassembles per-doc subword streams in token order."""
+    merges = [
+        (r["left"], r["right"])
+        for r in text_mining.bpe_merges(
+            _t(spark, sf_dir, "documents"), k=4
+        ).collect()
+    ]
+    return text_mining.bpe_segment(_t(spark, sf_dir, "documents"), merges)
+
+
 def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle into 8 training shards: content-hash
     shard assignment + within-shard hash-order positions — reproducible
@@ -3422,6 +3437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_near_dup": q_streaming_near_dup,
         "training_shards": q_training_shards,
         "bpe_merges": q_bpe_merges,
+        "bpe_segment": q_bpe_segment,
         # ===== r04 window, part 2: re-checks of code changed this round
         "exact_quantiles_sketched": q_exact_quantiles_sketched,
         "asof_join": q_asof_join,
@@ -3749,6 +3765,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM words),
             {levels}
             {rows}
+        """
+
+    def _bpe_segment_oracle(k: int) -> str:
+        levels = ",".join(_bpe_level(i) for i in range(1, k + 1))
+        return f"""
+            WITH dtoks AS (
+                SELECT doc_id, {tokens} AS tokens FROM documents),
+            toks AS (
+                SELECT doc_id, generate_subscripts(tokens, 1) AS pos,
+                       unnest(tokens) AS w
+                FROM dtoks),
+            words AS (
+                SELECT w AS word, cast(count(*) AS bigint) AS n
+                FROM toks GROUP BY 1),
+            v0 AS (
+                SELECT word, n,
+                       array_to_string([substr(word, i, 1)
+                           for i in generate_series(1, length(word))],
+                           ' ') AS syms
+                FROM words),
+            {levels}
+            SELECT t.doc_id,
+                   coalesce(string_agg(v.syms, ' ' ORDER BY t.pos), '')
+                       AS bpe_text,
+                   cast(coalesce(
+                       sum(len(string_split(v.syms, ' '))), 0) AS bigint)
+                       AS n_bpe_tokens
+            FROM toks t JOIN v{k} v ON t.w = v.word
+            GROUP BY t.doc_id
         """
 
     ngram_pairs = f"""
@@ -5502,6 +5547,9 @@ def oracle_sql() -> dict[str, str]:
         # 4 unrolled argmax-and-fold BPE iterations; the list_reduce
         # lambda mirrors the Spark aggregate fold symbol-for-symbol
         "bpe_merges": _bpe_oracle(4),
+        # same unrolled merges, applied: per-doc subword streams
+        # reassembled in token order from the v4 vocabulary
+        "bpe_segment": _bpe_segment_oracle(4),
         # Knuth-hash shard + per-shard hash-rank replay
         "training_shards": """
             WITH h AS (

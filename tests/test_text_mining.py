@@ -187,3 +187,54 @@ def test_bpe_merges_deterministic_under_repartition(spark, sf_dir):
     a = [tuple(r) for r in bpe_merges(docs, k=3).collect()]
     b = [tuple(r) for r in bpe_merges(docs.repartition(9), k=3).collect()]
     assert a == b and len(a) == 3
+
+
+def test_bpe_segment_applies_merges_in_order(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import bpe_segment
+
+    docs = spark.createDataFrame(
+        [(1, "banana band"), (2, "nan")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bpe_segment(docs, [("a", "n"), ("an", "a")]).collect()
+    }
+    # "banana": b a n a n a -> b an an a -> b ana? no: merge2 (an,a):
+    # b an an a -> greedy: (an,an) no; (an,a) at end -> b an ana
+    assert out[1]["bpe_text"].startswith("b an ana ")
+    assert out[1]["bpe_text"] == "b an ana b an d"
+    assert out[1]["n_bpe_tokens"] == 6
+    assert out[2]["bpe_text"] == "n an"  # n a n -> n an
+    assert out[2]["n_bpe_tokens"] == 2
+
+
+def test_bpe_train_then_segment_roundtrip_consistent(spark, sf_dir):
+    """Segmenting with the learned merges must never change character
+    content: removing spaces from bpe_text reproduces the tokens."""
+    from pyspark.sql import functions as F
+
+    from youtube_podcast_data_pipeline_azure_spark.functions.text import tokenize
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+    from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import (
+        bpe_merges,
+        bpe_segment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    merges = [
+        (r["left"], r["right"]) for r in bpe_merges(docs, k=3).collect()
+    ]
+    seg = bpe_segment(docs, merges)
+    joined = docs.select(
+        "doc_id", F.concat_ws("", tokenize(F.col("text"))).alias("flat")
+    ).join(
+        seg.select(
+            "doc_id",
+            F.replace(F.col("bpe_text"), F.lit(" "), F.lit("")).alias(
+                "seg_flat"
+            ),
+        ),
+        "doc_id",
+    )
+    bad = joined.where(F.col("flat") != F.col("seg_flat")).count()
+    assert bad == 0

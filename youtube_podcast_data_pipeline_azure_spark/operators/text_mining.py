@@ -404,3 +404,59 @@ def bpe_merges(
         merges,
         "step long, left string, right string, merged string, pair_count long",
     )
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned BPE merges (from :func:`bpe_merges`) to segment
+    every document — the tokenizer-application half of vocabulary
+    induction.
+
+    Same vocabulary trick as training: segmentation is a pure function
+    of the WORD, so the merge folds run over the distinct-word table
+    (bounded), and documents get their token streams back through a
+    broadcast join — the corpus is scanned twice (vocab build + final
+    join), never once per merge.  Greedy left-to-right fold per merge,
+    in merge order: the reference BPE application semantics.
+
+    Returns (id, bpe_text — space-joined subword symbols in original
+    token order, n_bpe_tokens).
+    """
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokenize(text_col)).alias("pos", "word")
+    )
+    vocab = toks.select("word").distinct().select(
+        "word", F.array_join(F.split("word", ""), " ").alias("syms")
+    ).localCheckpoint()
+    for a, b in merges:
+        sl = F.split(F.col("syms"), " ")
+        fold = F.aggregate(
+            sl,
+            F.lit(""),
+            lambda acc, x: F.when(acc == "", x)
+            .when(
+                (F.regexp_extract(acc, r"([^ ]+)$", 1) == a) & (x == b),
+                F.concat(
+                    F.regexp_replace(acc, r"[^ ]+$", ""), F.lit(a + b)
+                ),
+            )
+            .otherwise(F.concat(acc, F.lit(" "), x)),
+        )
+        vocab = vocab.select("word", fold.alias("syms")).localCheckpoint()
+    joined = toks.join(F.broadcast(vocab), "word")
+    return joined.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("syms")))
+                ),
+                lambda s: s.getField("syms"),
+            ),
+            " ",
+        ).alias("bpe_text"),
+        F.sum(F.size(F.split("syms", " "))).cast("long").alias("n_bpe_tokens"),
+    )
