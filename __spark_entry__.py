@@ -535,6 +535,30 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_mining.bpe_merges(_t(spark, sf_dir, "documents"), k=4)
 
 
+def q_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index persistence roundtrip: train + write the IVF index
+    (centroid table + inverted lists partitioned by centroid_id), load
+    it back, query at nprobe=n_centroids — by the partition-
+    completeness invariant the loaded-index answer must equal exact
+    brute-force KNN, which is the oracle (the knn_ivf_exhaustive
+    argument, now certifying the persistence machinery too)."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    path = tempfile.mkdtemp(prefix="spark_graft_ivf_")
+    similarity.ivf_index_write(
+        corpus, path, n_centroids=8, train_sample=1024
+    )
+    inv, cents_col = similarity.ivf_index_load(spark, path)
+    return similarity.knn_ivf_from_index(
+        inv, cents_col, queries, k=10, nprobe=8
+    )
+
+
 def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE application: segment every document with the 4 merges
     learned by bpe_merges — train + apply end-to-end, the full
@@ -3438,6 +3462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": q_training_shards,
         "bpe_merges": q_bpe_merges,
         "bpe_segment": q_bpe_segment,
+        "knn_ivf_persisted": q_knn_ivf_persisted,
         # ===== r04 window, part 2: re-checks of code changed this round
         "exact_quantiles_sketched": q_exact_quantiles_sketched,
         "asof_join": q_asof_join,
@@ -5387,6 +5412,19 @@ def oracle_sql() -> dict[str, str]:
         # With nprobe == n_centroids the inverted lists partition the
         # corpus, so IVF must equal exact brute-force KNN — same SQL.
         "knn_ivf_exhaustive": f"""
+            SELECT query_id, neighbor_id, rank, cosine FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round({cos}, 4) AS cosine,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round({cos}, 4) DESC, c.vec_id ASC) AS rank
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 5 AND c.vec_id >= 5)
+            WHERE rank <= 10
+        """,
+        # same exhaustive-equals-exact argument, through the persisted
+        # index path (write + load + probe-all-lists)
+        "knn_ivf_persisted": f"""
             SELECT query_id, neighbor_id, rank, cosine FROM (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                        round({cos}, 4) AS cosine,

@@ -656,3 +656,64 @@ def test_dedup_keep_best_tie_breaks_to_min_id(spark):
         ).collect()
     }
     assert out[7] and not out[9]
+
+
+def test_ivf_index_roundtrip_matches_in_plan_ivf(spark, sf_dir, tmp_path):
+    """Persisted-index query == in-plan knn_ivf at identical params,
+    and the lists land partitioned by centroid_id (probe pruning)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    path = str(tmp_path / "ivf_index")
+    similarity.ivf_index_write(corpus, path, n_centroids=8, train_sample=1024)
+    inv, cents = similarity.ivf_index_load(spark, path)
+    got = sorted(
+        map(
+            tuple,
+            similarity.knn_ivf_from_index(
+                inv, cents, queries, k=10, nprobe=4
+            ).collect(),
+        )
+    )
+    direct = sorted(
+        map(
+            tuple,
+            similarity.knn_ivf(
+                corpus, queries, k=10, n_centroids=8, nprobe=4,
+                train_sample=1024,
+            ).collect(),
+        )
+    )
+    assert got == direct
+    subdirs = {
+        d for d in os.listdir(f"{path}/lists") if d.startswith("centroid_id=")
+    }
+    assert len(subdirs) >= 2  # hive-partitioned inverted lists
+
+
+def test_ivf_low_nprobe_prunes_list_partitions(spark, sf_dir, tmp_path):
+    """With the index on disk and a single probed centroid, the scan
+    must read a strict subset of list partitions (partition pruning
+    through the centroid_id join key is the point of the layout)."""
+    from pyspark.sql import functions as F
+
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    path = str(tmp_path / "ivf_prune")
+    similarity.ivf_index_write(corpus, path, n_centroids=8, train_sample=1024)
+    inv, _ = similarity.ivf_index_load(spark, path)
+    pruned = inv.where(F.col("centroid_id") == 3)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(centroid_id" in plan.replace(
+        "#", ""
+    ) or "centroid_id" in plan.split("PartitionFilters")[1][:120]
