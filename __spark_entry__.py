@@ -3408,15 +3408,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-sampled since r01, so no green is more than ~2 rounds stale.
     Only 3 registered queries remain rows-only by design (knn_ivf at
     nprobe<k and the two raw t-digest surfaces — each now has a
-    driver-green twin pinning its machinery).  Twelve late-r4
+    driver-green twin pinning its machinery).  Fourteen late-r4
     additions (bloom pruning x2, semantic_dedup, boilerplate_lines,
     remove_repeated_spans, dedup_keep_best, token_rarity_bins,
     upsample_mixture, pipeline_observability — closing A20 —
-    streaming_near_dup, training_shards, bpe_merges) slot into the
-    window at part 1b, displacing twelve r01 re-checks to slots 51+
-    (they rotate first in r5).  All twelve verified on a PLAIN
-    local[32] session (driver conditions: ANSI on, no engine confs)
-    against the DuckDB oracle at sf0.01 before registration."""
+    streaming_near_dup, training_shards, bpe_merges, bpe_segment,
+    knn_ivf_persisted) slot into the window at part 1b, displacing
+    fourteen r01 re-checks to slots 51+ (they rotate first in r5).
+    All fourteen verified on a PLAIN local[32] session (driver
+    conditions: ANSI on, no engine confs) against the DuckDB oracle
+    at sf0.01 before registration."""
     return {
         # ===== r04 window, part 0: curation operators added this round
         # (never checked — highest-priority evidence)

@@ -379,6 +379,12 @@ def test_r04_window_queries_stay_within_shuffle_budget(spark, sf_dir):
         # one shard-keyed window exchange; NO global sort / range
         # partitioner sampling job
         "training_shards": 1,
+        # per-doc reassembly after the broadcast vocab join (training
+        # folds run before the final plan, over the bounded vocab)
+        "bpe_segment": 1,
+        # loaded-lists probe join broadcasts at fixture size; the one
+        # exchange is the per-query top-k window
+        "knn_ivf_persisted": 1,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, sf_dir, name)
