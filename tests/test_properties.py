@@ -183,12 +183,28 @@ def test_range_join_equals_bruteforce(spark, vals, cuts):
     ),
     dup_of=st.lists(st.integers(min_value=0, max_value=13), max_size=6),
 )
-def test_near_dup_pipeline_equals_bruteforce(spark, docs, dup_of):
+def test_near_dup_pipeline_sound_and_complete_where_guaranteed(
+    spark, docs, dup_of
+):
     """near_dup_pipeline (exact-collapse -> LSH over representatives ->
-    membership expansion) must equal the brute-force all-pairs Jaccard
-    baseline on arbitrary corpora, including exact-duplicate clusters
-    (appended via dup_of), empty docs (shingle '' semantics), and docs
-    shorter than the shingle width."""
+    membership expansion) on arbitrary corpora — asserting exactly what
+    the operator GUARANTEES:
+
+    * soundness, always: every emitted pair is a true >= threshold pair
+      with its exact (verified) Jaccard — LSH only generates
+      candidates, the verify step is exact;
+    * completeness for exact-duplicate pairs (the dup_of clusters):
+      jaccard-1.0 members collapse deterministically, no banding
+      involved;
+    * completeness for high-similarity pairs (jaccard >= 0.8): with
+      b=24, r=4 a candidate escapes banding with probability
+      (1-s^4)^24 < 4e-6 at s = 0.8 — treated as certain here.
+
+    NOT asserted: recall for 0.5 <= jaccard < 0.8, which is genuinely
+    probabilistic at the S-curve midpoint (~0.45) — the earlier
+    equals-brute-force form of this test was an overclaim that
+    hypothesis eventually falsified with tiny-vocabulary corpora
+    sitting at jaccard ~0.5."""
     from youtube_podcast_data_pipeline_azure_spark.operators import dedup
 
     rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
@@ -211,9 +227,13 @@ def test_near_dup_pipeline_equals_bruteforce(spark, docs, dup_of):
     # unrounded — compare on the common contract (pairs >= 0.5 unrounded)
     want = {k: v for k, v in want.items() if v >= 0.5}
     got = {k: round(v, 4) for k, v in got.items()}
-    assert set(got) == set(want)
+    # soundness: everything emitted is a true pair at the exact value
+    assert set(got) <= set(want)
     for k in got:
         assert got[k] == pytest.approx(want[k], abs=1e-4)
+    # completeness where guaranteed: 1.0 (exact dups) and >= 0.8
+    must_find = {k for k, v in want.items() if v >= 0.8}
+    assert must_find <= set(got)
 
 
 @settings(**_SETTINGS)
