@@ -535,6 +535,21 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_mining.bpe_merges(_t(spark, sf_dir, "documents"), k=4)
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interaction-graph triangle census: users co-touching the same
+    props item form edges (hot items above degree 25 dropped — the
+    bipartite-projection hot-cluster cap), triangles counted via the
+    ordered two-join.  Oracle replays projection, cap, and both joins."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).where(F.col("item").isNotNull())
+    edges = graph.cooccurrence_edges(
+        ev, "user_id", "item", max_item_degree=25
+    )
+    return graph.triangle_count(edges)
+
+
 def q_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index persistence roundtrip: train + write the IVF index
     (centroid table + inverted lists partitioned by centroid_id), load
@@ -3464,6 +3479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_segment": q_bpe_segment,
         "knn_ivf_persisted": q_knn_ivf_persisted,
+        "triangle_count": q_triangle_count,
         # ===== r04 window, part 2: re-checks of code changed this round
         "exact_quantiles_sketched": q_exact_quantiles_sketched,
         "asof_join": q_asof_join,
@@ -5422,6 +5438,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 5 AND c.vec_id >= 5)
             WHERE rank <= 10
+        """,
+        # bipartite projection with the degree cap, then the ordered
+        # two-join triangle census
+        "triangle_count": """
+            WITH ui AS (
+                SELECT DISTINCT user_id AS u,
+                       cast(json_extract_string(props, '$.k') AS bigint)
+                           AS i
+                FROM events
+                WHERE json_extract_string(props, '$.k') IS NOT NULL),
+            keep AS (
+                SELECT i FROM ui GROUP BY i HAVING count(*) <= 25),
+            uik AS (SELECT u, i FROM ui JOIN keep USING (i)),
+            e AS (
+                SELECT DISTINCT x.u AS a, y.u AS b
+                FROM uik x JOIN uik y ON x.i = y.i AND x.u < y.u),
+            tri AS (
+                SELECT count(*) AS n FROM e e1
+                JOIN e e2 ON e1.b = e2.a
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+            verts AS (
+                SELECT count(DISTINCT v) AS n FROM (
+                    SELECT a AS v FROM e UNION ALL SELECT b FROM e))
+            SELECT cast(verts.n AS bigint) AS n_vertices,
+                   cast((SELECT count(*) FROM e) AS bigint) AS n_edges,
+                   cast(tri.n AS bigint) AS n_triangles
+            FROM tri, verts
         """,
         # same exhaustive-equals-exact argument, through the persisted
         # index path (write + load + probe-all-lists)

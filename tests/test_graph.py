@@ -71,3 +71,41 @@ def test_duplicate_ngram_spans_cross_doc_and_internal_repeat(spark):
     assert r.first_doc == 1
     # nothing from doc 3 can appear (needs 2+ distinct docs)
     assert all(row.n_docs >= 2 for row in out)
+
+
+def test_triangle_count_known_graph(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles) plus a pendant edge (no triangle)
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges.append((4, 9))
+    df = spark.createDataFrame(edges, ["a", "b"])
+    row = triangle_count(df).collect()[0]
+    assert (row["n_vertices"], row["n_edges"], row["n_triangles"]) == (
+        5,
+        7,
+        4,
+    )
+
+
+def test_cooccurrence_degree_cap_drops_hot_items(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.graph import cooccurrence_edges
+
+    rows = [(u, "hot") for u in range(10)] + [(1, "cold"), (2, "cold")]
+    df = spark.createDataFrame(rows, ["user_id", "item"])
+    capped = cooccurrence_edges(
+        df, "user_id", "item", max_item_degree=5
+    ).collect()
+    # only the cold item survives: one edge
+    assert [(r["a"], r["b"]) for r in capped] == [(1, 2)]
+    uncapped = cooccurrence_edges(df, "user_id", "item").count()
+    assert uncapped == 45 + 1 - 1  # C(10,2) hot edges + cold (1,2) dup-merged
+
+
+def test_cooccurrence_repeat_interactions_dont_multiply(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.graph import cooccurrence_edges
+
+    rows = [(1, "x"), (1, "x"), (2, "x"), (2, "x")]
+    df = spark.createDataFrame(rows, ["user_id", "item"])
+    out = cooccurrence_edges(df, "user_id", "item").collect()
+    assert [(r["a"], r["b"]) for r in out] == [(1, 2)]

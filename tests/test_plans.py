@@ -385,6 +385,10 @@ def test_r04_window_queries_stay_within_shuffle_budget(spark, sf_dir):
         # loaded-lists probe join broadcasts at fixture size; the one
         # exchange is the per-query top-k window
         "knn_ivf_persisted": 1,
+        # edge build runs eagerly into the checkpoint before this plan
+        # is inspected; the census over the checkpointed edges
+        # broadcasts its joins at fixture size — one exchange survives
+        "triangle_count": 1,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, sf_dir, name)
