@@ -535,6 +535,12 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_mining.bpe_merges(_t(spark, sf_dir, "documents"), k=4)
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics: volume/token/dup-rate/quality/language
+    summary as (metric, value) rows — two aggregates over one scan."""
+    return curation.dataset_card(_t(spark, sf_dir, "documents"))
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interaction-graph triangle census: users co-touching the same
     props item form edges (hot items above degree 25 dropped — the
@@ -3480,6 +3486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment": q_bpe_segment,
         "knn_ivf_persisted": q_knn_ivf_persisted,
         "triangle_count": q_triangle_count,
+        "dataset_card": q_dataset_card,
         # ===== r04 window, part 2: re-checks of code changed this round
         "exact_quantiles_sketched": q_exact_quantiles_sketched,
         "asof_join": q_asof_join,
@@ -5438,6 +5445,42 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 5 AND c.vec_id >= 5)
             WHERE rank <= 10
+        """,
+        # same two aggregates: global conditional sums + per-lang counts
+        "dataset_card": f"""
+            WITH base AS (
+                SELECT doc_id, lang,
+                       cast(length(text) AS bigint) AS chars,
+                       cast(len({tokens}) AS bigint) AS words,
+                       cast(round({quality_score_sql('text')} * 10000)
+                            AS bigint) AS qbp,
+                       {fingerprint} AS fp
+                FROM documents),
+            g AS (
+                SELECT cast(count(*) AS bigint) AS n_docs,
+                       cast(sum(chars) AS bigint) AS n_chars,
+                       cast(sum(words) AS bigint) AS n_tokens,
+                       cast(count(DISTINCT fp) AS bigint)
+                           AS n_unique_texts,
+                       cast(floor(avg(qbp)) AS bigint) AS mean_quality_bp,
+                       cast(min(words) AS bigint) AS min_doc_tokens,
+                       cast(max(words) AS bigint) AS max_doc_tokens,
+                       cast(count(DISTINCT lang) AS bigint) AS n_langs
+                FROM base)
+            SELECT 'n_docs' AS metric, n_docs AS value FROM g
+            UNION ALL SELECT 'n_chars', n_chars FROM g
+            UNION ALL SELECT 'n_tokens', n_tokens FROM g
+            UNION ALL SELECT 'n_unique_texts', n_unique_texts FROM g
+            UNION ALL SELECT 'dup_rate_bp',
+                cast(floor(10000 * (n_docs - n_unique_texts) / n_docs)
+                     AS bigint) FROM g
+            UNION ALL SELECT 'mean_quality_bp', mean_quality_bp FROM g
+            UNION ALL SELECT 'min_doc_tokens', min_doc_tokens FROM g
+            UNION ALL SELECT 'max_doc_tokens', max_doc_tokens FROM g
+            UNION ALL SELECT 'n_langs', n_langs FROM g
+            UNION ALL
+            SELECT 'docs:lang=' || lang, cast(count(*) AS bigint)
+            FROM base GROUP BY lang
         """,
         # bipartite projection with the degree cap, then the ordered
         # two-join triangle census

@@ -296,3 +296,33 @@ def test_boilerplate_preserves_original_line_order(spark):
     df = spark.createDataFrame(rows, ["doc_id", "lines"])
     out = curation.remove_boilerplate_lines(df, min_docs=5).collect()[0]
     assert out["lines"] == [f"line {i:02d}" for i in range(20)]
+
+
+def test_dataset_card_values_against_direct_computation(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import dataset_card
+
+    rows = [
+        (1, "alpha beta gamma", "en"),
+        (2, "alpha beta gamma", "en"),  # exact dup of 1
+        (3, "delta epsilon", "de"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    card = {r["metric"]: r["value"] for r in dataset_card(df).collect()}
+    assert card["n_docs"] == 3
+    assert card["n_tokens"] == 8
+    assert card["n_unique_texts"] == 2
+    assert card["dup_rate_bp"] == 3333  # floor(10000 * 1/3)
+    assert card["n_langs"] == 2
+    assert card["docs:lang=en"] == 2 and card["docs:lang=de"] == 1
+    assert card["min_doc_tokens"] == 2 and card["max_doc_tokens"] == 3
+    assert 0 <= card["mean_quality_bp"] <= 10000
+
+
+def test_dataset_card_without_lang_column(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import dataset_card
+
+    df = spark.createDataFrame([(1, "just text")], ["doc_id", "text"])
+    card = {r["metric"]: r["value"] for r in dataset_card(df, lang_col=None).collect()}
+    assert "n_langs" not in card
+    assert not any(m.startswith("docs:lang=") for m in card)
+    assert card["n_docs"] == 1

@@ -389,6 +389,9 @@ def test_r04_window_queries_stay_within_shuffle_budget(spark, sf_dir):
         # is inspected; the census over the checkpointed edges
         # broadcasts its joins at fixture size — one exchange survives
         "triangle_count": 1,
+        # global conditional-sum aggregate + per-lang counts, one scan
+        # each (count-distinct fingerprint expands the global agg)
+        "dataset_card": 2,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, sf_dir, name)

@@ -337,3 +337,88 @@ def remove_boilerplate_lines(
             .alias("n_lines_removed"),
         )
     )
+
+
+def dataset_card(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """Dataset-card statistics: the one-pass corpus summary that
+    documents a training set (datasheet/dataset-card practice) —
+    volume, token/char mass, language composition, exact-duplication
+    rate, and quality-score distribution, as (metric, value) rows.
+
+    Everything reduces in TWO aggregates over ONE scan: a global
+    aggregate for corpus-wide sums (conditional aggregation, same
+    single-exchange shape as `quality.py`'s dq_report) and a per-lang
+    count; the duplication metrics ride the same scan via
+    count(distinct fingerprint) on the md5 digest.  All values are
+    integers (counts, basis points) — deterministic and
+    oracle-checkable.
+    """
+    from youtube_podcast_data_pipeline_azure_spark.functions.text import (
+        quality_score,
+        word_count,
+    )
+    from youtube_podcast_data_pipeline_azure_spark.functions.text import rolling_fingerprint
+
+    base = df.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("_chars"),
+        word_count(text_col).alias("_words"),
+        # round, not cast: the 4dp score x 10000 can sit one ulp below
+        # its integer and a truncating cast would flip it cross-engine
+        F.round(quality_score(text_col) * 10000).cast("long").alias("_qbp"),
+        rolling_fingerprint(F.col(text_col)).alias("_fp"),
+        *([F.col(lang_col).alias("_lang")] if lang_col else []),
+    )
+    g = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_chars").alias("n_chars"),
+        F.sum("_words").alias("n_tokens"),
+        F.countDistinct("_fp").alias("n_unique_texts"),
+        F.floor(F.avg("_qbp")).cast("long").alias("mean_quality_bp"),
+        F.min("_words").alias("min_doc_tokens"),
+        F.max("_words").alias("max_doc_tokens"),
+        *(
+            [F.countDistinct("_lang").alias("n_langs")]
+            if lang_col
+            else []
+        ),
+    ).withColumn(
+        "dup_rate_bp",
+        F.floor(
+            10000
+            * (F.col("n_docs") - F.col("n_unique_texts"))
+            / F.col("n_docs")
+        ).cast("long"),
+    )
+    metrics = [
+        "n_docs",
+        "n_chars",
+        "n_tokens",
+        "n_unique_texts",
+        "dup_rate_bp",
+        "mean_quality_bp",
+        "min_doc_tokens",
+        "max_doc_tokens",
+    ] + (["n_langs"] if lang_col else [])
+    stacked = g.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(m) for m in metrics]),
+                F.array(*[F.col(m).cast("long") for m in metrics]),
+            )
+        ).alias("metric", "value")
+    )
+    if lang_col:
+        per_lang = base.groupBy("_lang").agg(
+            F.count("*").cast("long").alias("value")
+        ).select(
+            F.concat(F.lit("docs:lang="), F.col("_lang")).alias("metric"),
+            "value",
+        )
+        stacked = stacked.unionByName(per_lang)
+    return stacked
