@@ -535,6 +535,18 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_mining.bpe_merges(_t(spark, sf_dir, "documents"), k=4)
 
 
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplets: anchors/positives from the exact near-dup
+    pair list, negatives from a broadcast hash-gated pool ranked by
+    md5(anchor:candidate) — fully deterministic, so the oracle replays
+    pool membership, exclusions, and per-anchor ranking."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs)
+    return curation.contrastive_pairs(
+        docs, pairs, n_negatives=3, pool_rate=0.2
+    )
+
+
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card statistics: volume/token/dup-rate/quality/language
     summary as (metric, value) rows — two aggregates over one scan."""
@@ -3429,14 +3441,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-sampled since r01, so no green is more than ~2 rounds stale.
     Only 3 registered queries remain rows-only by design (knn_ivf at
     nprobe<k and the two raw t-digest surfaces — each now has a
-    driver-green twin pinning its machinery).  Fourteen late-r4
-    additions (bloom pruning x2, semantic_dedup, boilerplate_lines,
+    driver-green twin pinning its machinery).  The late-r4 additions
+    (bloom pruning x2, semantic_dedup, boilerplate_lines,
     remove_repeated_spans, dedup_keep_best, token_rarity_bins,
     upsample_mixture, pipeline_observability — closing A20 —
     streaming_near_dup, training_shards, bpe_merges, bpe_segment,
-    knn_ivf_persisted) slot into the window at part 1b, displacing
-    fourteen r01 re-checks to slots 51+ (they rotate first in r5).
-    All fourteen verified on a PLAIN local[32] session (driver
+    knn_ivf_persisted, triangle_count, dataset_card,
+    contrastive_pairs) slot into the window at part 1b, displacing as
+    many r01 re-checks to slots 51+ (they rotate first in r5).  Every
+    part-1b query was verified on a PLAIN local[32] session (driver
     conditions: ANSI on, no engine confs) against the DuckDB oracle
     at sf0.01 before registration."""
     return {
@@ -3487,6 +3500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_persisted": q_knn_ivf_persisted,
         "triangle_count": q_triangle_count,
         "dataset_card": q_dataset_card,
+        "contrastive_pairs": q_contrastive_pairs,
         # ===== r04 window, part 2: re-checks of code changed this round
         "exact_quantiles_sketched": q_exact_quantiles_sketched,
         "asof_join": q_asof_join,
@@ -5445,6 +5459,41 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < 5 AND c.vec_id >= 5)
             WHERE rank <= 10
+        """,
+        # pool gate + exclusions + md5 per-anchor rank, replayed exactly
+        "contrastive_pairs": f"""
+            WITH pairs AS ({ngram_pairs}),
+            anchors AS (
+                SELECT DISTINCT id_a AS anchor_id FROM pairs),
+            pool AS (
+                SELECT doc_id AS negative_id FROM documents
+                WHERE ((doc_id + 0) * 2654435761) % 4294967296
+                      < {int(0.2 * 4294967296)}),
+            known AS (
+                SELECT id_a AS anchor_id, id_b AS negative_id FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs),
+            cand AS (
+                SELECT a.anchor_id, p.negative_id,
+                       md5(cast(a.anchor_id AS varchar) || ':'
+                           || cast(p.negative_id AS varchar)) AS rk
+                FROM anchors a JOIN pool p
+                    ON a.anchor_id <> p.negative_id
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM known k
+                    WHERE k.anchor_id = a.anchor_id
+                      AND k.negative_id = p.negative_id)),
+            negs AS (
+                SELECT anchor_id, negative_id,
+                       cast(row_number() OVER (
+                           PARTITION BY anchor_id
+                           ORDER BY rk ASC, negative_id ASC)
+                           AS bigint) AS neg_rank
+                FROM cand)
+            SELECT pr.id_a AS anchor_id, pr.id_b AS positive_id,
+                   n.negative_id, n.neg_rank
+            FROM pairs pr JOIN negs n ON n.anchor_id = pr.id_a
+            WHERE n.neg_rank <= 3
         """,
         # same two aggregates: global conditional sums + per-lang counts
         "dataset_card": f"""

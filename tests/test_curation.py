@@ -326,3 +326,43 @@ def test_dataset_card_without_lang_column(spark):
     assert "n_langs" not in card
     assert not any(m.startswith("docs:lang=") for m in card)
     assert card["n_docs"] == 1
+
+
+def test_contrastive_pairs_structure_and_exclusions(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import contrastive_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    out = contrastive_pairs(docs, pairs, n_negatives=4).collect()
+    # every (anchor, positive) from the pair list appears with <= 4 negs
+    triples = {(r["anchor_id"], r["positive_id"], r["negative_id"]) for r in out}
+    assert {(a, p) for a, p, _ in triples} == {(1, 2), (1, 3), (5, 6)}
+    for r in out:
+        # negatives never equal the anchor or any of its known positives
+        assert r["negative_id"] != r["anchor_id"]
+        assert (r["anchor_id"], r["negative_id"]) not in {(1, 2), (1, 3), (5, 6)}
+        assert (r["negative_id"], r["anchor_id"]) not in {(1, 2), (1, 3), (5, 6)}
+        assert 1 <= r["neg_rank"] <= 4
+    # per (anchor, positive): exactly 4 ranked negatives (pool is ample)
+    from collections import Counter
+
+    c = Counter((r["anchor_id"], r["positive_id"]) for r in out)
+    assert set(c.values()) == {4}
+
+
+def test_contrastive_pairs_deterministic(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import contrastive_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    a = sorted(map(tuple, contrastive_pairs(docs, pairs).collect()))
+    b = sorted(
+        map(tuple, contrastive_pairs(docs.repartition(7), pairs).collect())
+    )
+    assert a == b

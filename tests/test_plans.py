@@ -392,6 +392,9 @@ def test_r04_window_queries_stay_within_shuffle_budget(spark, sf_dir):
         # global conditional-sum aggregate + per-lang counts, one scan
         # each (count-distinct fingerprint expands the global agg)
         "dataset_card": 2,
+        # checkpointed pair list; anchor dedup + per-anchor rank window
+        # + exclusion anti-join + final join legs at fixture size
+        "contrastive_pairs": 5,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, sf_dir, name)

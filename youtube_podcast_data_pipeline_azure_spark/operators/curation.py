@@ -32,7 +32,7 @@ oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from youtube_podcast_data_pipeline_azure_spark.functions.text import positional_ngrams, tokenize
@@ -422,3 +422,82 @@ def dataset_card(
         )
         stacked = stacked.unionByName(per_lang)
     return stacked
+
+
+def contrastive_pairs(
+    docs: DataFrame,
+    positive_pairs: DataFrame,
+    id_col: str = "doc_id",
+    n_negatives: int = 3,
+    pool_rate: float = 0.2,
+    seed: int = 0,
+) -> DataFrame:
+    """Contrastive training triplets from a deduplicated corpus:
+    (anchor, positive, negative) rows, where positives come from a
+    near-duplicate pair list (id_a, id_b — e.g. minhash_lsh_pairs
+    output) and negatives are deterministic pseudo-random non-neighbors.
+
+    Negative sampling at scale CANNOT rank the full corpus per anchor
+    (that is n² shuffle); instead a bounded hash-gated POOL
+    (`sampling.hash_sample` semantics — pure (id, seed) membership)
+    broadcasts to every anchor, and each anchor keeps its
+    ``n_negatives`` pool members with the smallest
+    md5(anchor || ':' || candidate) — per-anchor order is deterministic
+    and uncorrelated across anchors.  Known positives (either
+    direction) and self-pairs are excluded BEFORE ranking, so the rank
+    is stable under pool collisions.
+
+    Returns (anchor_id, positive_id, negative_id, neg_rank).
+    """
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import hash_sample
+
+    # the pair list feeds FOUR consumers (anchors, both exclusion
+    # directions, the final join); without a barrier Catalyst pastes
+    # the whole upstream pair-generation pipeline into each (measured
+    # 20 exchanges vs 3 with ngram_jaccard_pairs as the source)
+    positive_pairs = positive_pairs.select("id_a", "id_b").localCheckpoint()
+    anchors = positive_pairs.select(
+        F.col("id_a").alias("anchor_id"), F.col("id_b").alias("positive_id")
+    )
+    pool = F.broadcast(
+        hash_sample(
+            docs.select(F.col(id_col).alias("negative_id")),
+            "negative_id",
+            pool_rate,
+            seed,
+        )
+    )
+    known = positive_pairs.select(
+        F.col("id_a").alias("anchor_id"), F.col("id_b").alias("negative_id")
+    ).unionByName(
+        positive_pairs.select(
+            F.col("id_b").alias("anchor_id"),
+            F.col("id_a").alias("negative_id"),
+        )
+    )
+    cand = (
+        anchors.select("anchor_id").dropDuplicates(["anchor_id"])
+        .join(pool, F.col("anchor_id") != F.col("negative_id"))
+        .join(known, ["anchor_id", "negative_id"], "anti")
+        .withColumn(
+            "_rk_key",
+            F.md5(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit(":"),
+                    F.col("negative_id").cast("string"),
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("_rk_key").asc(), F.col("negative_id").asc()
+    )
+    negs = (
+        cand.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("neg_rank") <= n_negatives)
+        .select("anchor_id", "negative_id", "neg_rank")
+    )
+    return anchors.join(negs, "anchor_id").select(
+        "anchor_id", "positive_id", "negative_id", "neg_rank"
+    )
