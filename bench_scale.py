@@ -62,6 +62,9 @@ DOCS_10X = [
     "duplicate_ngram_spans",
     "incremental_dedup",
     "boilerplate_lines",
+    "remove_repeated_spans",
+    "training_shards",
+    "streaming_near_dup",
 ]
 EMB_10X = ["knn_bruteforce", "semantic_dedup"]
 PATHOLOGY = ["ngram_jaccard_pairs", "minhash_near_dup", "near_dup_pipeline"]
