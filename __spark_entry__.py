@@ -537,13 +537,15 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive triplets: anchors/positives from the exact near-dup
-    pair list, negatives from a broadcast hash-gated pool ranked by
-    md5(anchor:candidate) — fully deterministic, so the oracle replays
-    pool membership, exclusions, and per-anchor ranking."""
+    pair list, negatives from a broadcast pool CAPPED at an absolute
+    size (global 128 smallest md5(id:seed) — corpus-size-independent,
+    VERDICT r4 #2), ranked per anchor by md5(anchor:candidate) — fully
+    deterministic, so the oracle replays pool membership, exclusions,
+    and per-anchor ranking."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs)
     return curation.contrastive_pairs(
-        docs, pairs, n_negatives=3, pool_rate=0.2
+        docs, pairs, n_negatives=3, pool_cap=128
     )
 
 
@@ -1966,6 +1968,23 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 10 != 7),
         docs.where(F.col("doc_id") % 10 == 7),
         n=8,
+    )
+
+
+def q_decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-side decontamination roundtrip (the report's consumer,
+    VERDICT r4 #7): corpus documents (doc_id % 10 != 7) that share NO
+    word 8-gram with the held-out eval slice survive; the filter is an
+    id anti-join against the sparse contamination report, so document
+    bodies never shuffle (operators/curation.py:decontaminate)."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = curation.decontaminate(
+        docs.where(F.col("doc_id") % 10 != 7),
+        docs.where(F.col("doc_id") % 10 == 7),
+        n=8,
+    )
+    return kept.select(
+        "doc_id", "lang", F.length("text").cast("long").alias("n_chars")
     )
 
 
@@ -3424,93 +3443,46 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification rotation, not taxonomy: the
     driver's per-round correctness check covers the FIRST 50 entries,
-    so each round front-loads queries needing driver evidence.  r01-r03
-    covered every then-oracle-capable query (133/142, all green).  The
-    r4 window fronts (0) the thirteen queries added this round
-    (decontamination, repetition signals, PII scan, incremental dedup +
-    streaming twin, dataset split, integer PageRank, repeated-span
-    detection, int8 embedding quantization, Python Data Source
-    connector, VARIANT extraction, GDPR delete-by-key roundtrip,
-    TF-IDF cosine pairs); (1) the approximate family, newly driver-checkable
-    via deterministic DuckDB twins — literal-hyperplane LSH replays,
-    md5-seamed simhash, Lloyd's-as-CTEs k-means, sparse-exact HLL —
-    plus the new near_dup_pipeline / ngram_jaccard_pairs_blocked /
-    knn_ivf_exhaustive / tdigest accuracy-report queries; (2) re-checks
-    of code changed this round (exact_quantiles_sketched single-probe
-    refactor, as-of _micros NTZ guard); (3) the r01-green queries not
-    re-sampled since r01, so no green is more than ~2 rounds stale.
-    Only 3 registered queries remain rows-only by design (knn_ivf at
-    nprobe<k and the two raw t-digest surfaces — each now has a
-    driver-green twin pinning its machinery).  The late-r4 additions
-    (bloom pruning x2, semantic_dedup, boilerplate_lines,
-    remove_repeated_spans, dedup_keep_best, token_rarity_bins,
-    upsample_mixture, pipeline_observability — closing A20 —
-    streaming_near_dup, training_shards, bpe_merges, bpe_segment,
-    knn_ivf_persisted, triangle_count, dataset_card,
-    contrastive_pairs) slot into the window at part 1b, displacing as
-    many r01 re-checks to slots 51+ (they rotate first in r5).  Every
-    part-1b query was verified on a PLAIN local[32] session (driver
-    conditions: ANSI on, no engine confs) against the DuckDB oracle
-    at sf0.01 before registration."""
+    so each round front-loads queries needing driver evidence.
+    Cumulative state entering r5: 181 registered, 178 hash-green in at
+    least one driver round (CORRECTNESS_r01-r04), r4 window 50/50.
+
+    The r5 window is the staleness-closing rotation VERDICT r4 #1
+    committed to: (0) the 3 never-windowed rows-only queries (knn_ivf
+    at nprobe<k and the two raw t-digest dials — approximate BY
+    CONTRACT, each pinned by an r4 hash-green exact/accuracy twin:
+    knn_ivf_exhaustive, tdigest_accuracy, tdigest_by_key_accuracy) get
+    their first-ever driver rows; (1) decontaminated_docs, new this
+    round (the drop-side consumer of contamination_report — VERDICT r4
+    #7); (2) all 33 queries whose only driver evidence was r01 — the
+    TPC-H headline pack, window/ntile/lag, set ops, string/date/math
+    packs, bronze->silver flattens, sinks; (3) re-checks of every
+    query over code changed this round — contrastive_pairs (negative
+    pool now capped at an ABSOLUTE size via global md5 top-K, VERDICT
+    r4 #2), dedup_corpus (connected components now consume linear
+    rep-pair + member->rep star edges from the _near_dup_parts seam
+    instead of the Ω(m²) within-group pair list, VERDICT r4 #3),
+    near_dup_pipeline + duplicate_clusters (share that seam/input),
+    tfidf_cosine_pairs (vocabulary + norm broadcast hints dropped,
+    VERDICT r4 #4), semantic_dedup (collapse window keyed on
+    (xxhash64(vec), vec), VERDICT r4 #5); (4) the oldest r02 greens as
+    fill.  Slots 51+ order the tail oldest-evidence-first so the r6
+    window is the remaining r02 pack.  Every window query was verified
+    on a PLAIN local[32] session (driver conditions: ANSI on, no
+    engine confs) against the DuckDB oracle at sf0.01 before this
+    registration."""
     return {
-        # ===== r04 window, part 0: curation operators added this round
-        # (never checked — highest-priority evidence)
-        "contamination_report": q_contamination_report,
-        "repetition_signals": q_repetition_signals,
-        "pii_scan": q_pii_scan,
-        "incremental_dedup": q_incremental_dedup,
-        "dataset_split": q_dataset_split,
-        "pagerank_influence": q_pagerank_influence,
-        "duplicate_ngram_spans": q_duplicate_ngram_spans,
-        "embedding_quantization": q_embedding_quantization,
-        "python_datasource_videos": q_python_datasource_videos,
-        "variant_extract": q_variant_extract,
-        "streaming_corpus_dedup": q_streaming_corpus_dedup,
-        "delete_by_key_roundtrip": q_delete_by_key_roundtrip,
-        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
-        "curation_funnel": q_curation_funnel,
-        "fingerprint_overlap_pairs": q_fingerprint_overlap_pairs,
-        # ===== r04 window, part 1: approximate family, newly checkable
-        "minhash_near_dup": q_minhash_near_dup,
-        "simhash_near_dup": q_simhash_near_dup,
-        "embedding_near_dup": q_embedding_near_dup,
-        "knn_lsh": q_knn_lsh,
-        "knn_ivf_exhaustive": q_knn_ivf_exhaustive,
-        "embedding_clusters": q_embedding_clusters,
-        "approx_distinct_users": q_approx_distinct_users,
-        "tdigest_accuracy": q_tdigest_accuracy,
-        "tdigest_by_key_accuracy": q_tdigest_by_key_accuracy,
-        "near_dup_pipeline": q_near_dup_pipeline,
-        "dedup_corpus": q_dedup_corpus,
-        "ngram_jaccard_pairs_blocked": q_ngram_jaccard_pairs_blocked,
-        # ===== r04 window, part 1b: added later in r4 (never checked)
-        "bloom_semi_join": q_bloom_semi_join,
-        "bloom_prune_report": q_bloom_prune_report,
-        "semantic_dedup": q_semantic_dedup,
-        "boilerplate_lines": q_boilerplate_lines,
-        "remove_repeated_spans": q_remove_repeated_spans,
-        "dedup_keep_best": q_dedup_keep_best,
-        "token_rarity_bins": q_token_rarity_bins,
-        "upsample_mixture": q_upsample_mixture,
-        "pipeline_observability": q_pipeline_observability,
-        "streaming_near_dup": q_streaming_near_dup,
-        "training_shards": q_training_shards,
-        "bpe_merges": q_bpe_merges,
-        "bpe_segment": q_bpe_segment,
-        "knn_ivf_persisted": q_knn_ivf_persisted,
-        "triangle_count": q_triangle_count,
-        "dataset_card": q_dataset_card,
-        "contrastive_pairs": q_contrastive_pairs,
-        # ===== r04 window, part 2: re-checks of code changed this round
-        "exact_quantiles_sketched": q_exact_quantiles_sketched,
-        "asof_join": q_asof_join,
-        "asof_join_forward": q_asof_join_forward,
-        "asof_join_nearest": q_asof_join_nearest,
-        # exact_dedup shares the fingerprint seam near_dup_pipeline
-        # collapses on (last green r02)
-        "exact_dedup": q_exact_dedup,
-        # ===== r04 window, part 3: r01-green, never re-checked since
-        "kpi_event_type_counts": q_kpi_event_type_counts,
+        # ===== r05 window, part 0: never-windowed rows-only queries
+        # (first-ever driver rows for the approximate dials; their
+        # exact/accuracy twins are r4 hash-green)
+        "knn_ivf": q_knn_ivf,
+        "tdigest_quantiles": q_tdigest_quantiles,
+        "tdigest_by_key": q_tdigest_by_key,
+        # ===== r05 window, part 1: new this round
+        "decontaminated_docs": q_decontaminated_docs,
+        # ===== r05 window, part 2: the 33 r01-stale queries (VERDICT
+        # r4 #1 — TPC-H headliners, window/set/string/date/math packs,
+        # bronze->silver, sinks; none driver-checked since r01)
         "kpi_totals": q_kpi_totals,
         "clean_documents": q_clean_documents,
         "safe_cast_props": q_safe_cast_props,
@@ -3528,15 +3500,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "cube_agg": q_cube_agg,
         "anti_join": q_anti_join,
-        # ================= end of driver's 50-slot window =================
-        # (semi_join / outer_join_agg / set_ops / distinct_segments /
-        # string_functions / date_functions / math_functions /
-        # case_when_bucketing / window_lag_lead / explode_tokens /
-        # json_roundtrip / salted_distinct_users / window_ntile_firstlast /
-        # customer_order_distribution / large_orders displaced to slots
-        # 51-65 by the fifteen new r4 queries; with returned_items they
-        # are the only r01 greens not re-checked in r4 — rotate them
-        # first in r5)
         "semi_join": q_semi_join,
         "outer_join_agg": q_outer_join_agg,
         "set_ops": q_set_ops,
@@ -3553,7 +3516,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_distribution": q_customer_order_distribution,
         "large_orders": q_large_orders,
         "returned_items": q_returned_items,
-        # oracle-backed, driver-green in r03 (CORRECTNESS_r03.json)
+        # ===== r05 window, part 3: re-checks of code changed this
+        # round (pool_cap contrastive negatives, linear-edge
+        # dedup_corpus + _near_dup_parts seam, unhinted TF-IDF joins,
+        # hash-first semantic_dedup collapse)
+        "contrastive_pairs": q_contrastive_pairs,
+        "dedup_corpus": q_dedup_corpus,
+        "near_dup_pipeline": q_near_dup_pipeline,
+        "duplicate_clusters": q_duplicate_clusters,
+        "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+        "semantic_dedup": q_semantic_dedup,
+        # ===== r05 window, part 4: oldest r02 greens (staleness
+        # rotation continues)
+        "medallion_kpis": q_medallion_kpis,
+        "array_agg_functions": q_array_agg_functions,
+        "map_functions": q_map_functions,
+        "forecast_revenue": q_forecast_revenue,
+        "market_share": q_market_share,
+        "product_type_profit": q_product_type_profit,
+        "important_parts": q_important_parts,
+        # ================= end of driver's 50-slot window =================
+        # r02-green tail (rotate into r6 window next)
+        "shipping_delay": q_shipping_delay,
+        "promo_revenue": q_promo_revenue,
+        "top_supplier": q_top_supplier,
+        "supplier_part_counts": q_supplier_part_counts,
+        "waiting_suppliers": q_waiting_suppliers,
+        "dormant_customers": q_dormant_customers,
+        "tumbling_windows": q_tumbling_windows,
+        "session_windows": q_session_windows,
+        "stream_dedup_counts": q_stream_dedup_counts,
+        "stream_static_enrich": q_stream_static_enrich,
+        "purchase_view_attribution": q_purchase_view_attribution,
+        "text_stats": q_text_stats,
+        "language_id": q_language_id,
+        "quality_scores": q_quality_scores,
+        "distinctive_terms": q_distinctive_terms,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
+        "embedding_norms": q_embedding_norms,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_label_accuracy": q_knn_label_accuracy,
+        "hash_sample": q_hash_sample,
+        "weighted_sample": q_weighted_sample,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "media_features": q_media_features,
+        "media_frame_sample": q_media_frame_sample,
+        "higher_order_funcs": q_higher_order_funcs,
+        "csv_roundtrip": q_csv_roundtrip,
+        "clustered_roundtrip": q_clustered_roundtrip,
+        "schema_evolution": q_schema_evolution,
+        "value_outliers": q_value_outliers,
+        "cohort_retention": q_cohort_retention,
+        "funnel_conversion": q_funnel_conversion,
+        "fuzzy_vocab": q_fuzzy_vocab,
+        "session_conversion": q_session_conversion,
+        "zorder_key": q_zorder_key,
+        "scd2_intervals": q_scd2_intervals,
+        "upsert_latest_wins": q_upsert_latest_wins,
+        "profile_table": q_profile_table,
+        "enrich_documents": q_enrich_documents,
+        "enrich_video_titles": q_enrich_video_titles,
+        # r03-green tail
         "rest_ingest_videos": q_rest_ingest_videos,
         "rest_ingest_comments": q_rest_ingest_comments,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -3600,60 +3624,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_inequality": q_exists_inequality,
         "min_price_supplier": q_min_price_supplier,
         "unpivot_metrics": q_unpivot_metrics,
-        # oracle-backed, driver-green in r02 (CORRECTNESS_r02.json)
-        "medallion_kpis": q_medallion_kpis,
-        "array_agg_functions": q_array_agg_functions,
-        "map_functions": q_map_functions,
-        "forecast_revenue": q_forecast_revenue,
-        "market_share": q_market_share,
-        "product_type_profit": q_product_type_profit,
-        "important_parts": q_important_parts,
-        "shipping_delay": q_shipping_delay,
-        "promo_revenue": q_promo_revenue,
-        "top_supplier": q_top_supplier,
-        "supplier_part_counts": q_supplier_part_counts,
-        "waiting_suppliers": q_waiting_suppliers,
-        "dormant_customers": q_dormant_customers,
-        "tumbling_windows": q_tumbling_windows,
-        "session_windows": q_session_windows,
-        "stream_dedup_counts": q_stream_dedup_counts,
-        "stream_static_enrich": q_stream_static_enrich,
-        "purchase_view_attribution": q_purchase_view_attribution,
-        "text_stats": q_text_stats,
-        "language_id": q_language_id,
-        "quality_scores": q_quality_scores,
-        "distinctive_terms": q_distinctive_terms,
-        "duplicate_clusters": q_duplicate_clusters,
-        "winnowing_fingerprints": q_winnowing_fingerprints,
-        "embedding_norms": q_embedding_norms,
-        "knn_bruteforce": q_knn_bruteforce,
-        "knn_label_accuracy": q_knn_label_accuracy,
-        "hash_sample": q_hash_sample,
-        "weighted_sample": q_weighted_sample,
-        "chunk_documents": q_chunk_documents,
-        "pack_sequences": q_pack_sequences,
-        "media_features": q_media_features,
-        "media_frame_sample": q_media_frame_sample,
-        "higher_order_funcs": q_higher_order_funcs,
-        "csv_roundtrip": q_csv_roundtrip,
-        "clustered_roundtrip": q_clustered_roundtrip,
-        "schema_evolution": q_schema_evolution,
-        "value_outliers": q_value_outliers,
-        "cohort_retention": q_cohort_retention,
-        "funnel_conversion": q_funnel_conversion,
-        "fuzzy_vocab": q_fuzzy_vocab,
-        "session_conversion": q_session_conversion,
-        "zorder_key": q_zorder_key,
-        "scd2_intervals": q_scd2_intervals,
-        "upsert_latest_wins": q_upsert_latest_wins,
-        "profile_table": q_profile_table,
-        "enrich_documents": q_enrich_documents,
-        "enrich_video_titles": q_enrich_video_titles,
-        # rows-only BY DESIGN (the recall/error dial itself; machinery
-        # driver-checked via knn_ivf_exhaustive / tdigest_*_accuracy)
-        "tdigest_quantiles": q_tdigest_quantiles,
-        "tdigest_by_key": q_tdigest_by_key,
-        "knn_ivf": q_knn_ivf,
+        # r04-green tail (freshest evidence)
+        "contamination_report": q_contamination_report,
+        "repetition_signals": q_repetition_signals,
+        "pii_scan": q_pii_scan,
+        "incremental_dedup": q_incremental_dedup,
+        "dataset_split": q_dataset_split,
+        "pagerank_influence": q_pagerank_influence,
+        "duplicate_ngram_spans": q_duplicate_ngram_spans,
+        "embedding_quantization": q_embedding_quantization,
+        "python_datasource_videos": q_python_datasource_videos,
+        "variant_extract": q_variant_extract,
+        "streaming_corpus_dedup": q_streaming_corpus_dedup,
+        "delete_by_key_roundtrip": q_delete_by_key_roundtrip,
+        "curation_funnel": q_curation_funnel,
+        "fingerprint_overlap_pairs": q_fingerprint_overlap_pairs,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_near_dup": q_simhash_near_dup,
+        "embedding_near_dup": q_embedding_near_dup,
+        "knn_lsh": q_knn_lsh,
+        "knn_ivf_exhaustive": q_knn_ivf_exhaustive,
+        "embedding_clusters": q_embedding_clusters,
+        "approx_distinct_users": q_approx_distinct_users,
+        "tdigest_accuracy": q_tdigest_accuracy,
+        "tdigest_by_key_accuracy": q_tdigest_by_key_accuracy,
+        "ngram_jaccard_pairs_blocked": q_ngram_jaccard_pairs_blocked,
+        "bloom_semi_join": q_bloom_semi_join,
+        "bloom_prune_report": q_bloom_prune_report,
+        "boilerplate_lines": q_boilerplate_lines,
+        "remove_repeated_spans": q_remove_repeated_spans,
+        "dedup_keep_best": q_dedup_keep_best,
+        "token_rarity_bins": q_token_rarity_bins,
+        "upsample_mixture": q_upsample_mixture,
+        "pipeline_observability": q_pipeline_observability,
+        "streaming_near_dup": q_streaming_near_dup,
+        "training_shards": q_training_shards,
+        "bpe_merges": q_bpe_merges,
+        "bpe_segment": q_bpe_segment,
+        "knn_ivf_persisted": q_knn_ivf_persisted,
+        "triangle_count": q_triangle_count,
+        "dataset_card": q_dataset_card,
+        "exact_quantiles_sketched": q_exact_quantiles_sketched,
+        "asof_join": q_asof_join,
+        "asof_join_forward": q_asof_join_forward,
+        "asof_join_nearest": q_asof_join_nearest,
+        "exact_dedup": q_exact_dedup,
+        "kpi_event_type_counts": q_kpi_event_type_counts,
     }
 
 
@@ -5080,6 +5096,31 @@ def oracle_sql() -> dict[str, str]:
             FROM corp JOIN ev USING (gram)
             GROUP BY doc_id, n_grams
         """,
+        # drop-side twin: same gram CTEs, survivors via NOT EXISTS
+        "decontaminated_docs": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS tokens FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(tokens[i:i+7], ' ')
+                           for i in generate_series(
+                               1, greatest(len(tokens)-8, 0)+1)]) AS sh
+                FROM toks),
+            ev AS (
+                SELECT DISTINCT unnest(sh) AS gram FROM sh
+                WHERE doc_id % 10 = 7),
+            corp AS (
+                SELECT doc_id, unnest(sh) AS gram
+                FROM sh WHERE doc_id % 10 <> 7),
+            hit AS (
+                SELECT DISTINCT doc_id FROM corp JOIN ev USING (gram))
+            SELECT d.doc_id, d.lang,
+                   cast(length(d.text) AS bigint) AS n_chars
+            FROM documents d
+            WHERE d.doc_id % 10 <> 7
+              AND NOT EXISTS (
+                  SELECT 1 FROM hit h WHERE h.doc_id = d.doc_id)
+        """,
         "curation_funnel": f"""
             WITH t AS (SELECT doc_id, {tokens} AS toks FROM documents),
             b AS (
@@ -5467,8 +5508,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT id_a AS anchor_id FROM pairs),
             pool AS (
                 SELECT doc_id AS negative_id FROM documents
-                WHERE ((doc_id + 0) * 2654435761) % 4294967296
-                      < {int(0.2 * 4294967296)}),
+                ORDER BY md5(cast(doc_id AS varchar) || ':0') ASC,
+                         doc_id ASC
+                LIMIT 128),
             known AS (
                 SELECT id_a AS anchor_id, id_b AS negative_id FROM pairs
                 UNION ALL

@@ -51,3 +51,19 @@ def test_run_with_metrics_returns_one_row_df(spark, sf_dir):
     assert out.columns == ["a", "b"]  # stable sorted schema
     assert len(rows) == 1
     assert rows[0]["b"] == d.count()
+
+
+def test_collect_with_metrics_returns_result_and_metrics(spark, sf_dir):
+    """The non-discarding twin: one action yields BOTH the pipeline
+    result and the observation — no double-acting the plan."""
+    d = load_table(spark, sf_dir, "documents")
+    obs_df, obs = observability.observed(
+        d, "m4", {"rows_in": F.count(F.lit(1))}
+    )
+    kept = obs_df.where(F.length("text") > 10)
+    result, metrics = observability.collect_with_metrics(
+        spark, kept, obs, action="collect"
+    )
+    mrow = metrics.collect()[0]
+    assert mrow["rows_in"] == d.count()  # metric point = pre-filter
+    assert len(result) == d.where(F.length("text") > 10).count()

@@ -429,7 +429,7 @@ def contrastive_pairs(
     positive_pairs: DataFrame,
     id_col: str = "doc_id",
     n_negatives: int = 3,
-    pool_rate: float = 0.2,
+    pool_cap: int = 4096,
     seed: int = 0,
 ) -> DataFrame:
     """Contrastive training triplets from a deduplicated corpus:
@@ -438,19 +438,25 @@ def contrastive_pairs(
     output) and negatives are deterministic pseudo-random non-neighbors.
 
     Negative sampling at scale CANNOT rank the full corpus per anchor
-    (that is n² shuffle); instead a bounded hash-gated POOL
-    (`sampling.hash_sample` semantics — pure (id, seed) membership)
+    (that is n² shuffle); instead a pool of AT MOST ``pool_cap``
+    candidates — the global smallest md5(id || ':' || seed), i.e. a
+    deterministic uniform draw that is corpus-size-independent —
     broadcasts to every anchor, and each anchor keeps its
     ``n_negatives`` pool members with the smallest
-    md5(anchor || ':' || candidate) — per-anchor order is deterministic
+    md5(anchor || ':' || candidate); per-anchor order is deterministic
     and uncorrelated across anchors.  Known positives (either
     direction) and self-pairs are excluded BEFORE ranking, so the rank
-    is stable under pool collisions.
+    is stable under pool membership changes.
+
+    The cap is ABSOLUTE, not a rate: a rate-proportional pool makes
+    candidate generation O(anchors · rate·corpus) — quadratic at web
+    scale and unbroadcastable.  The capped pool bounds the candidate
+    join at O(anchors · pool_cap) and the pool selection itself is a
+    two-phase top-K (`TakeOrderedAndProject`: per-partition top-K,
+    driver merges partitions × pool_cap rows — bounded).
 
     Returns (anchor_id, positive_id, negative_id, neg_rank).
     """
-    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import hash_sample
-
     # the pair list feeds FOUR consumers (anchors, both exclusion
     # directions, the final join); without a barrier Catalyst pastes
     # the whole upstream pair-generation pipeline into each (measured
@@ -459,13 +465,23 @@ def contrastive_pairs(
     anchors = positive_pairs.select(
         F.col("id_a").alias("anchor_id"), F.col("id_b").alias("positive_id")
     )
+    # md5 (not xxhash64) is the DuckDB-replayable seam; it runs once
+    # per corpus id in the pool draw, not per candidate pair.
     pool = F.broadcast(
-        hash_sample(
-            docs.select(F.col(id_col).alias("negative_id")),
-            "negative_id",
-            pool_rate,
-            seed,
+        docs.select(F.col(id_col).alias("negative_id"))
+        .withColumn(
+            "_pool_key",
+            F.md5(
+                F.concat(
+                    F.col("negative_id").cast("string"),
+                    F.lit(":"),
+                    F.lit(str(seed)),
+                )
+            ),
         )
+        .orderBy(F.col("_pool_key").asc(), F.col("negative_id").asc())
+        .limit(pool_cap)
+        .select("negative_id")
     )
     known = positive_pairs.select(
         F.col("id_a").alias("anchor_id"), F.col("id_b").alias("negative_id")

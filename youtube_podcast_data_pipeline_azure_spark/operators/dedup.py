@@ -612,6 +612,56 @@ def duplicate_clusters(
 # Scale-safe near-dup composition (exact-collapse -> LSH -> expand)
 # ---------------------------------------------------------------------------
 
+def _near_dup_parts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    num_hashes: int,
+    bands: int,
+    jaccard_threshold: float,
+) -> tuple[DataFrame, DataFrame]:
+    """The internal seam of :func:`near_dup_pipeline`: exact-collapse to
+    min-id representatives, then MinHash-LSH over the UNIQUE reps only.
+
+    Returns ``(rep_pairs, membership)`` where ``rep_pairs`` is
+    (id_a, id_b, jaccard) over representatives and ``membership`` is
+    (member_id, rep_id) covering EVERY input row (reps map to
+    themselves).  Exposed so consumers that only need CONNECTIVITY
+    (:func:`dedup_corpus`) can take the linear member→rep star edges
+    instead of the Ω(m²) within-group pair expansion.
+    """
+    fp = rolling_fingerprint(F.col(text_col)).alias("fingerprint")
+    members = df.select(F.col(id_col), F.col(text_col)).withColumn(
+        "fingerprint", fp
+    )
+    groups = members.groupBy("fingerprint").agg(
+        F.min(id_col).alias("rep_id"), F.count("*").alias("n_copies")
+    )
+    # (member id -> representative id); the join key is the 32-char
+    # digest, so this is a compact hash-shuffle (or broadcast when the
+    # distinct side is small after collapse).
+    membership = members.join(groups, "fingerprint").select(
+        F.col(id_col).alias("member_id"), "rep_id"
+    )
+    reps = (
+        members.join(
+            groups.select(F.col("rep_id").alias(id_col)), id_col, "semi"
+        ).select(id_col, text_col)
+    )
+
+    rep_pairs = minhash_lsh_pairs(
+        reps,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+    )
+    return rep_pairs, membership
+
+
 def near_dup_pipeline(
     df: DataFrame,
     text_col: str = "text",
@@ -646,27 +696,8 @@ def near_dup_pipeline(
     (fixture-verified by the DuckDB oracle).  Returns
     (id_a, id_b, jaccard) with id_a < id_b, jaccard unrounded.
     """
-    fp = rolling_fingerprint(F.col(text_col)).alias("fingerprint")
-    members = df.select(F.col(id_col), F.col(text_col)).withColumn(
-        "fingerprint", fp
-    )
-    groups = members.groupBy("fingerprint").agg(
-        F.min(id_col).alias("rep_id"), F.count("*").alias("n_copies")
-    )
-    # (member id -> representative id); the join key is the 32-char
-    # digest, so this is a compact hash-shuffle (or broadcast when the
-    # distinct side is small after collapse).
-    membership = members.join(groups, "fingerprint").select(
-        F.col(id_col).alias("member_id"), "rep_id"
-    )
-    reps = (
-        members.join(
-            groups.select(F.col("rep_id").alias(id_col)), id_col, "semi"
-        ).select(id_col, text_col)
-    )
-
-    rep_pairs = minhash_lsh_pairs(
-        reps,
+    rep_pairs, membership = _near_dup_parts(
+        df,
         text_col=text_col,
         id_col=id_col,
         shingle_n=shingle_n,
@@ -720,10 +751,21 @@ def dedup_corpus(
     bands: int = 24,
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
-    """The end-to-end keep-one dedup surface: :func:`near_dup_pipeline`
-    pair generation -> :func:`duplicate_clusters` connected components
-    -> one surviving row per cluster (the min-id member, which is by
-    construction the component label).
+    """The end-to-end keep-one dedup surface: near-dup pair generation
+    -> :func:`duplicate_clusters` connected components -> one surviving
+    row per cluster (the min-id member, which is by construction the
+    component label).
+
+    Unlike the pair-LISTING contract (:func:`near_dup_pipeline`, which
+    must emit all m²/2 within-group pairs for an m-replica exact
+    group), connectivity only needs m−1 edges — so the component input
+    here is the LINEAR edge set: rep-level LSH pairs ∪ member→rep star
+    edges from the exact-collapse seam (:func:`_near_dup_parts`).  The
+    components are identical (every member connects to its rep; reps
+    connect exactly when their expanded members would), but a
+    10⁶-replica boilerplate page contributes 10⁶ edges instead of
+    5·10¹¹ intermediate pair rows — the difference between a dedup run
+    that finishes and one that doesn't at 100 TB.
 
     This is what a training-data pipeline actually consumes — pair
     lists are the intermediate; the product is the deduplicated corpus
@@ -731,7 +773,7 @@ def dedup_corpus(
     (id_col, n_duplicates_removed) with one row per SURVIVING document
     (singletons included with 0 removed).
     """
-    pairs = near_dup_pipeline(
+    rep_pairs, membership = _near_dup_parts(
         df,
         text_col=text_col,
         id_col=id_col,
@@ -740,7 +782,12 @@ def dedup_corpus(
         bands=bands,
         jaccard_threshold=jaccard_threshold,
     )
-    comps = duplicate_clusters(df.select(id_col), pairs, id_col=id_col)
+    edges = rep_pairs.select("id_a", "id_b").unionByName(
+        membership.where(F.col("member_id") != F.col("rep_id")).select(
+            F.col("member_id").alias("id_a"), F.col("rep_id").alias("id_b")
+        )
+    )
+    comps = duplicate_clusters(df.select(id_col), edges, id_col=id_col)
     sizes = comps.groupBy("component").agg(
         (F.count("*") - 1).alias("n_duplicates_removed")
     )

@@ -46,13 +46,37 @@ def run_with_metrics(
     """Run ``action`` on ``df`` and return the observation's metrics as
     a 1-row DataFrame (sorted column order for a stable schema).
 
-    The action's result is discarded — callers wanting both should run
-    their own action and then read ``obs.get``.  Metrics are plain
-    aggregates of the observed subplan, so they are deterministic and
-    (for SQL-expressible metrics) oracle-checkable.
+    The action's result is discarded — pipelines that need BOTH the
+    action's result and the metrics should use
+    :func:`collect_with_metrics`, which pays for exactly one action.
+    Metrics are plain aggregates of the observed subplan, so they are
+    deterministic and (for SQL-expressible metrics) oracle-checkable.
     """
     getattr(df, action)()
     got = obs.get
     cols = sorted(got)
     row = [tuple(got[c] for c in cols)]
     return spark.createDataFrame(row, cols)
+
+
+def collect_with_metrics(
+    spark: SparkSession,
+    df: DataFrame,
+    obs: Observation,
+    action: str = "count",
+):
+    """Run ``action`` on ``df`` once and return
+    ``(result, metrics_df)`` — the action's own result plus the
+    observation as a 1-row DataFrame (sorted column order).
+
+    This is the non-discarding twin of :func:`run_with_metrics`: the
+    metrics ride along inside the SAME job (``CollectMetrics``
+    accumulates task-side), so a pipeline that writes a sink or
+    collects a result gets its row/quality counters for free instead
+    of double-acting the plan.
+    """
+    result = getattr(df, action)()
+    got = obs.get
+    cols = sorted(got)
+    row = [tuple(got[c] for c in cols)]
+    return result, spark.createDataFrame(row, cols)

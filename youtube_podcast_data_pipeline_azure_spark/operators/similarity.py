@@ -740,7 +740,14 @@ def semantic_dedup(
        fully-connected duplicate group — then **expand** through group
        membership.
     """
-    w_rep = Window.partitionBy(vec_col)
+    # Collapse window partitioned by (xxhash64(vec), vec) rather than
+    # the raw vector alone: the exchange's partitioning and the window
+    # sort decide on the 8-byte hash first and consult the full float
+    # array ONLY on hash ties, so equal-vector verification stays exact
+    # (a colliding pair of distinct vectors lands in distinct window
+    # partitions) while the hot comparator path is fixed-width — the
+    # embedding-space twin of the text path's md5 fingerprint groupBy.
+    w_rep = Window.partitionBy(F.xxhash64(F.col(vec_col)), F.col(vec_col))
     membership = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
         "_rep", F.min(id_col).over(w_rep)
     )

@@ -208,7 +208,9 @@ def tfidf_cosine_pairs(
 
     Plan: one explode to (doc, term, w), a self-join ON TERM (the
     inverted index — candidate volume is Σ df², not n²), one aggregate
-    per pair, broadcast norm lookups.  At scale: (a) cap ``max_df`` to
+    per pair, norm lookups joined without broadcast hints (both the
+    vocabulary df table and the per-doc norms grow with the corpus;
+    AQE broadcasts them at runtime when they fit).  At scale: (a) cap ``max_df`` to
     skip stopword-grade terms, which bound Σ df² on Zipfian vocabularies
     while barely moving high-threshold cosines (their idf weight is
     negligible); (b) rescale weights (e.g. idf in basis points of a
@@ -224,8 +226,14 @@ def tfidf_cosine_pairs(
     if max_df is not None:
         df_ = df_.where(F.col("df") <= max_df)
     n = docs.agg(F.count("*").alias("n_docs"))
+    # NO broadcast hint on the df (vocabulary) table: at web scale the
+    # vocabulary is 10⁸+ distinct tokens and a forced broadcast OOMs
+    # the executors.  The join key is `term` — the same key the
+    # inverted-index self-join below shuffles on — so the plain join
+    # co-partitions with work the stage already does, and AQE still
+    # converts it to a broadcast at runtime when df IS small.
     w = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "id", "term", F.expr("tf * n_docs * 1000 div df").alias("w")
@@ -244,11 +252,14 @@ def tfidf_cosine_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot"))
     )
+    # norm lookups likewise unhinted: norms is one row per DOCUMENT —
+    # as unbroadcastable as the corpus itself at scale; AQE broadcasts
+    # it at runtime whenever it fits.
     na = norms.select(F.col("id").alias("id_a"), F.col("norm2").alias("n2_a"))
     nb = norms.select(F.col("id").alias("id_b"), F.col("norm2").alias("n2_b"))
     cos = (
-        dots.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
         .select(
             "id_a",
             "id_b",
