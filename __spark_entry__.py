@@ -549,6 +549,30 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-calibration yield curve: docs/tokens surviving each
+    candidate quality threshold, in one scan with a map-side-collapsed
+    threshold fan-out (operators/curation.py:quality_yield_curve).
+    All-integer outputs; the oracle replays the same fan-out as a
+    CROSS JOIN against the threshold list."""
+    return curation.quality_yield_curve(_t(spark, sf_dir, "documents"))
+
+
+def q_corpus_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus containment audit: what fraction of corpus B
+    (doc_id % 3 != 0) already exists in corpus A (doc_id % 3 == 0),
+    exactly (fingerprint) and nearly (cross-corpus MinHash-LSH over
+    distinct-text reps, exact-Jaccard-verified at 0.5 — same b=24/r=4
+    recall regime as the hash-green minhash_near_dup).  Oracle is the
+    brute-force cross-split Jaccard (operators/dedup.py:
+    corpus_overlap_report)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.corpus_overlap_report(
+        docs.where(F.col("doc_id") % 3 == 0),
+        docs.where(F.col("doc_id") % 3 != 0),
+    )
+
+
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-card statistics: volume/token/dup-rate/quality/language
     summary as (metric, value) rows — two aggregates over one scan."""
@@ -3452,9 +3476,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     at nprobe<k and the two raw t-digest dials — approximate BY
     CONTRACT, each pinned by an r4 hash-green exact/accuracy twin:
     knn_ivf_exhaustive, tdigest_accuracy, tdigest_by_key_accuracy) get
-    their first-ever driver rows; (1) decontaminated_docs, new this
-    round (the drop-side consumer of contamination_report — VERDICT r4
-    #7); (2) all 33 queries whose only driver evidence was r01 — the
+    their first-ever driver rows; (1) the three queries new this round
+    — decontaminated_docs (the drop-side consumer of
+    contamination_report, VERDICT r4 #7), quality_yield_curve (filter
+    calibration: per-threshold corpus yield in one scan), and
+    corpus_overlap_report (cross-corpus exact+near containment audit
+    over distinct-text reps); (2) all 33 queries whose only driver
+    evidence was r01 — the
     TPC-H headline pack, window/ntile/lag, set ops, string/date/math
     packs, bronze->silver flattens, sinks; (3) re-checks of every
     query over code changed this round — contrastive_pairs (negative
@@ -3480,6 +3508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_by_key": q_tdigest_by_key,
         # ===== r05 window, part 1: new this round
         "decontaminated_docs": q_decontaminated_docs,
+        "quality_yield_curve": q_quality_yield_curve,
+        "corpus_overlap_report": q_corpus_overlap_report,
         # ===== r05 window, part 2: the 33 r01-stale queries (VERDICT
         # r4 #1 — TPC-H headliners, window/set/string/date/math packs,
         # bronze->silver, sinks; none driver-checked since r01)
@@ -3533,10 +3563,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_functions": q_map_functions,
         "forecast_revenue": q_forecast_revenue,
         "market_share": q_market_share,
+        # ================= end of driver's 50-slot window =================
+        # r02-green tail (rotate into r6 window next; the two newest
+        # r5 queries displaced product_type_profit / important_parts)
         "product_type_profit": q_product_type_profit,
         "important_parts": q_important_parts,
-        # ================= end of driver's 50-slot window =================
-        # r02-green tail (rotate into r6 window next)
         "shipping_delay": q_shipping_delay,
         "promo_revenue": q_promo_revenue,
         "top_supplier": q_top_supplier,
@@ -5120,6 +5151,64 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id % 10 <> 7
               AND NOT EXISTS (
                   SELECT 1 FROM hit h WHERE h.doc_id = d.doc_id)
+        """,
+        # same fan-out as a CROSS JOIN against the threshold list
+        "quality_yield_curve": f"""
+            WITH q AS (
+                SELECT cast(round({quality_score_sql('text')} * 10000)
+                            AS bigint) AS qbp,
+                       cast(len({tokens}) AS bigint) AS toks
+                FROM documents),
+            t AS (
+                SELECT unnest([0, 2500, 5000, 6000, 7000, 8000, 9000,
+                               9500]) AS threshold_bp)
+            SELECT cast(threshold_bp AS bigint) AS threshold_bp,
+                   cast(sum(CASE WHEN qbp >= threshold_bp THEN 1
+                            ELSE 0 END) AS bigint) AS n_docs_kept,
+                   cast(sum(CASE WHEN qbp >= threshold_bp THEN toks
+                            ELSE 0 END) AS bigint) AS n_tokens_kept,
+                   cast(floor(sum(CASE WHEN qbp >= threshold_bp THEN 1
+                                  ELSE 0 END) * 10000 / count(*))
+                        AS bigint) AS docs_kept_bp
+            FROM q CROSS JOIN t
+            GROUP BY threshold_bp
+        """,
+        # brute-force cross-split containment (exact fp + jaccard>=0.5)
+        "corpus_overlap_report": f"""
+            WITH base AS (
+                SELECT doc_id, {fingerprint} AS fp, {tokens} AS tokens
+                FROM documents),
+            sh AS (
+                SELECT doc_id, fp,
+                       list_distinct([array_to_string(tokens[i:i+2], ' ')
+                           for i in generate_series(
+                               1, greatest(len(tokens)-3, 0)+1)]) AS sh
+                FROM base),
+            ca AS (SELECT * FROM sh WHERE doc_id % 3 = 0),
+            cb AS (SELECT * FROM sh WHERE doc_id % 3 <> 0),
+            exact_ids AS (
+                SELECT DISTINCT cb.doc_id FROM cb
+                JOIN (SELECT DISTINCT fp FROM ca) af ON cb.fp = af.fp),
+            near_ids AS (
+                SELECT DISTINCT cb.doc_id
+                FROM cb JOIN ca ON
+                    len(cb.sh) + len(ca.sh)
+                        - len(list_intersect(cb.sh, ca.sh)) > 0
+                    AND cast(len(list_intersect(cb.sh, ca.sh)) AS double)
+                        / (len(cb.sh) + len(ca.sh)
+                           - len(list_intersect(cb.sh, ca.sh))) >= 0.5),
+            g AS (
+                SELECT (SELECT count(*) FROM cb) AS n_b_docs,
+                       (SELECT count(*) FROM exact_ids) AS n_exact_in_a,
+                       (SELECT count(*) FROM near_ids) AS n_near_in_a)
+            SELECT cast(n_b_docs AS bigint) AS n_b_docs,
+                   cast(n_exact_in_a AS bigint) AS n_exact_in_a,
+                   cast(n_near_in_a AS bigint) AS n_near_in_a,
+                   cast(floor(n_exact_in_a * 10000 / n_b_docs)
+                        AS bigint) AS exact_bp,
+                   cast(floor(n_near_in_a * 10000 / n_b_docs)
+                        AS bigint) AS near_bp
+            FROM g
         """,
         "curation_funnel": f"""
             WITH t AS (SELECT doc_id, {tokens} AS toks FROM documents),

@@ -65,12 +65,25 @@ DOCS_10X = [
     "remove_repeated_spans",
     "training_shards",
     "streaming_near_dup",
+    # capped negative pool (r5): candidates are O(anchors * pool_cap),
+    # so wall growth must track ANCHOR growth (linear here), not corpus²
+    "contrastive_pairs",
 ]
 EMB_10X = ["knn_bruteforce", "semantic_dedup"]
-PATHOLOGY = ["ngram_jaccard_pairs", "minhash_near_dup", "near_dup_pipeline"]
+PATHOLOGY = [
+    "ngram_jaccard_pairs",
+    "minhash_near_dup",
+    "near_dup_pipeline",
+    "dedup_corpus",
+]
 #: exact pair-listers are Ω(output); on the pathology corpus the output
 #: itself is quadratic, so a big ratio is the contract, not a defect
 OUTPUT_BOUND = {"ngram_jaccard_pairs"}
+#: pathology queries whose OUTPUT stays linear (one row per survivor) —
+#: these ARE ratio-flagged even on the replica corpus: since r5 the
+#: component edges are rep pairs + member->rep stars, so a quadratic
+#: ratio here would mean the linear-edge seam regressed
+PATHOLOGY_LINEAR = {"dedup_corpus"}
 
 
 def _copy(spark, src, dst, table):
@@ -307,12 +320,17 @@ def main() -> None:
         base = time_queries(spark, qs, PATHOLOGY, sf_dir, runs)
         scaled = time_queries(spark, qs, PATHOLOGY, dst, runs)
         for n in PATHOLOGY:
+            linear = n in PATHOLOGY_LINEAR
             experiments[f"replica_pathology:{n}"] = {
                 "growth": "10 near-identical replicas/doc",
                 "base_sec": base[n],
                 "scaled_sec": scaled[n],
                 "ratio": round(scaled[n] / max(base[n], 1e-9), 2),
-                "output_bound": True,  # pair output is quadratic here
+                # pair output is quadratic here — except for the
+                # keep-one surfaces, whose output (and, since the
+                # linear-edge seam, work) stays linear
+                "output_bound": not linear,
+                **({"growth_factor": 10} if linear else {}),
             }
         # the point of the composition: candidate generation over unique
         # representatives must keep the pipeline at-or-below raw MinHash

@@ -366,3 +366,41 @@ def test_contrastive_pairs_deterministic(spark):
         map(tuple, contrastive_pairs(docs.repartition(7), pairs).collect())
     )
     assert a == b
+
+
+def test_quality_yield_curve_monotone_and_total(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        quality_yield_curve,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs on"),
+            (2, "a b"),
+            (3, "!!!! ???? ;;;; ::::"),
+            (4, "this is a longer sentence with plenty of ordinary words in it"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["threshold_bp"]: r
+        for r in quality_yield_curve(docs, thresholds_bp=(0, 5000, 9999)).collect()
+    }
+    assert set(rows) == {0, 5000, 9999}
+    # threshold 0 keeps every document and all tokens
+    assert rows[0]["n_docs_kept"] == 4
+    assert rows[0]["docs_kept_bp"] == 10000
+    # yields are non-increasing in the threshold
+    assert rows[0]["n_docs_kept"] >= rows[5000]["n_docs_kept"] >= rows[9999]["n_docs_kept"]
+    assert rows[0]["n_tokens_kept"] >= rows[5000]["n_tokens_kept"] >= rows[9999]["n_tokens_kept"]
+
+
+def test_quality_yield_curve_single_aggregate_plan(spark):
+    """The fan-out must collapse map-side: one scan, one exchange."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        quality_yield_curve,
+    )
+
+    docs = spark.createDataFrame([(1, "some text here")], ["doc_id", "text"])
+    plan = quality_yield_curve(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -717,3 +717,38 @@ def test_ivf_low_nprobe_prunes_list_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(centroid_id" in plan.replace(
         "#", ""
     ) or "centroid_id" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_corpus_overlap_report_counts(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import corpus_overlap_report
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    a = spark.createDataFrame(
+        [(1, base), (2, "completely different text about other things entirely")],
+        ["doc_id", "text"],
+    )
+    b = spark.createDataFrame(
+        [
+            (10, base),                       # exact copy of a#1
+            (11, base + " lambda"),           # near-dup of a#1 (high jaccard)
+            (12, "nothing shared with corpus a at all in any way"),
+            (13, base),                       # second exact copy (same fp group)
+        ],
+        ["doc_id", "text"],
+    )
+    row = corpus_overlap_report(a, b, jaccard_threshold=0.5).collect()[0]
+    assert row["n_b_docs"] == 4
+    assert row["n_exact_in_a"] == 2          # 10 and 13
+    assert row["n_near_in_a"] == 3           # 10, 11, 13
+    assert row["exact_bp"] == 5000
+    assert row["near_bp"] == 7500
+
+
+def test_corpus_overlap_report_disjoint_is_zero(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import corpus_overlap_report
+
+    a = spark.createDataFrame([(1, "one two three four five six")], ["doc_id", "text"])
+    b = spark.createDataFrame([(2, "seven eight nine ten eleven twelve")], ["doc_id", "text"])
+    row = corpus_overlap_report(a, b).collect()[0]
+    assert (row["n_exact_in_a"], row["n_near_in_a"]) == (0, 0)
+    assert (row["exact_bp"], row["near_bp"]) == (0, 0)

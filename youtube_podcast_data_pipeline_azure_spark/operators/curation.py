@@ -424,6 +424,66 @@ def dataset_card(
     return stacked
 
 
+def quality_yield_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds_bp: tuple[int, ...] = (
+        0, 2500, 5000, 6000, 7000, 8000, 9000, 9500,
+    ),
+) -> DataFrame:
+    """Filter-calibration report: for each candidate quality threshold,
+    the corpus yield if only documents scoring at least that much were
+    kept — the table a curation team reads before committing to a
+    cutoff (choose the knee of docs-kept vs tokens-kept, instead of
+    running the filter N times).
+
+    One scan: quality and token count are projected once per document
+    (below the threshold fan-out, so the Generate only copies computed
+    values), each document emits one row per candidate threshold, and
+    the partial aggregate collapses the fan-out map-side — the shuffle
+    carries at most ``len(thresholds_bp)`` rows per task, regardless of
+    corpus size.  All outputs integer (basis points via floor), so the
+    report is bit-exact cross-engine.
+
+    Returns (threshold_bp, n_docs_kept, n_tokens_kept, docs_kept_bp),
+    one row per threshold.
+    """
+    from youtube_podcast_data_pipeline_azure_spark.functions.text import (
+        quality_score,
+        word_count,
+    )
+
+    base = df.select(
+        F.round(quality_score(F.col(text_col)) * 10000)
+        .cast("long")
+        .alias("qbp"),
+        word_count(F.col(text_col)).cast("long").alias("toks"),
+    )
+    thr = F.explode(
+        F.array(*[F.lit(int(t)) for t in thresholds_bp])
+    ).alias("threshold_bp")
+    kept = F.col("qbp") >= F.col("threshold_bp")
+    return (
+        base.select("qbp", "toks", thr)
+        .groupBy("threshold_bp")
+        .agg(
+            F.count("*").alias("_n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_docs_kept"),
+            F.sum(F.when(kept, F.col("toks")).otherwise(F.lit(0))).alias(
+                "n_tokens_kept"
+            ),
+        )
+        .select(
+            F.col("threshold_bp").cast("long").alias("threshold_bp"),
+            F.col("n_docs_kept").cast("long").alias("n_docs_kept"),
+            F.col("n_tokens_kept").cast("long").alias("n_tokens_kept"),
+            F.floor(F.col("n_docs_kept") * 10000 / F.col("_n_docs"))
+            .cast("long")
+            .alias("docs_kept_bp"),
+        )
+    )
+
+
 def contrastive_pairs(
     docs: DataFrame,
     positive_pairs: DataFrame,

@@ -798,6 +798,130 @@ def dedup_corpus(
     )
 
 
+def corpus_overlap_report(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 96,
+    bands: int = 24,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-corpus containment audit: how much of corpus B already
+    exists in corpus A — the check run before merging a new crawl into
+    a standing training corpus (how much is genuinely new?) or between
+    a train corpus and an eval set (version-level contamination).
+
+    Two containment notions per B document: **exact** (identical
+    normalized text exists in A — fingerprint match) and **near**
+    (some A document at Jaccard ≥ ``jaccard_threshold``; exact hits
+    are near hits at 1.0 by construction).
+
+    Composition is the replica-safe order of :func:`near_dup_pipeline`:
+    both corpora exact-collapse to distinct-text representatives
+    first, the MinHash band join runs A-reps × B-reps (cross-corpus —
+    candidate volume is bounded by DISTINCT texts, so a boilerplate
+    page repeated 10⁶ times in B costs one probe), and hits expand
+    through B's per-fingerprint member counts as a sum, never a pair
+    list.  Exact containment is a fingerprint semi-join — 32-char
+    digests shuffle, bodies never do.
+
+    Returns ONE row: (n_b_docs, n_exact_in_a, n_near_in_a, exact_bp,
+    near_bp) where *_bp = floor(10000 · count / n_b_docs).
+    """
+    fp = rolling_fingerprint(F.col(text_col)).alias("fingerprint")
+    a_m = corpus_a.select(F.col(id_col), F.col(text_col)).withColumn(
+        "fingerprint", fp
+    )
+    b_m = corpus_b.select(F.col(id_col), F.col(text_col)).withColumn(
+        "fingerprint", fp
+    )
+    a_g = a_m.groupBy("fingerprint").agg(F.min(id_col).alias("rep_id"))
+    b_g = b_m.groupBy("fingerprint").agg(
+        F.min(id_col).alias("rep_id"), F.count("*").alias("n_members")
+    )
+
+    n_b = corpus_b.agg(F.count("*").cast("long").alias("n_b_docs"))
+    exact = (
+        b_g.join(a_g.select("fingerprint"), "fingerprint", "semi")
+        .agg(F.coalesce(F.sum("n_members"), F.lit(0)).cast("long")
+             .alias("n_exact_in_a"))
+    )
+
+    # Cross-corpus LSH over distinct-text representatives only.
+    a_sh = spread(
+        a_m.join(
+            a_g.select(F.col("rep_id").alias(id_col)), id_col, "semi"
+        ).select(F.col(id_col), F.col(text_col)),
+        id_col,
+    ).select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
+    b_sh = spread(
+        b_m.join(
+            b_g.select(F.col("rep_id").alias(id_col)), id_col, "semi"
+        ).select(F.col(id_col), F.col(text_col)),
+        id_col,
+    ).select(F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh"))
+
+    ba = minhash_band_keys(a_sh, id_col, num_hashes, bands)
+    bb = minhash_band_keys(b_sh, id_col, num_hashes, bands)
+    cand = (
+        bb.alias("b")
+        .join(
+            ba.alias("a"),
+            on=[
+                F.col("b.band_id") == F.col("a.band_id"),
+                F.col("b.band_hash") == F.col("a.band_hash"),
+            ],
+        )
+        .select(
+            F.col(f"b.{id_col}").alias("b_rep"),
+            F.col(f"a.{id_col}").alias("a_rep"),
+        )
+        .dropDuplicates(["b_rep", "a_rep"])
+    )
+    jac = (
+        F.size(F.array_intersect("sh_b", "sh_a"))
+        / F.size(F.array_union("sh_b", "sh_a"))
+    ).alias("jaccard")
+    hit_reps = (
+        cand.join(
+            b_sh.select(F.col(id_col).alias("b_rep"), F.col("sh").alias("sh_b")),
+            "b_rep",
+        )
+        .join(
+            a_sh.select(F.col(id_col).alias("a_rep"), F.col("sh").alias("sh_a")),
+            "a_rep",
+        )
+        .select("b_rep", jac)
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("b_rep")
+        .dropDuplicates(["b_rep"])
+    )
+    near = (
+        b_g.join(hit_reps, b_g.rep_id == hit_reps.b_rep, "semi")
+        .agg(F.coalesce(F.sum("n_members"), F.lit(0)).cast("long")
+             .alias("n_near_in_a"))
+    )
+
+    # 1-row × 1-row assemblies — the only acceptable crossJoins.
+    return (
+        n_b.crossJoin(exact)
+        .crossJoin(near)
+        .select(
+            "n_b_docs",
+            "n_exact_in_a",
+            "n_near_in_a",
+            F.floor(F.col("n_exact_in_a") * 10000 / F.col("n_b_docs"))
+            .cast("long")
+            .alias("exact_bp"),
+            F.floor(F.col("n_near_in_a") * 10000 / F.col("n_b_docs"))
+            .cast("long")
+            .alias("near_bp"),
+        )
+    )
+
+
 def duplicate_ngram_spans(
     df: DataFrame,
     text_col: str = "text",
