@@ -558,6 +558,14 @@ def q_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.quality_yield_curve(_t(spark, sf_dir, "documents"))
 
 
+def q_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-novelty decay over 10 id-ordered corpus slices: per slice,
+    docs that are genuinely new text vs exact duplicates of anything
+    earlier (operators/dedup.py:novelty_curve — per-fingerprint MIN
+    bucket, digests shuffle, bodies never)."""
+    return dedup.novelty_curve(_t(spark, sf_dir, "documents"), n_buckets=10)
+
+
 def q_corpus_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus containment audit: what fraction of corpus B
     (doc_id % 3 != 0) already exists in corpus A (doc_id % 3 == 0),
@@ -570,6 +578,30 @@ def q_corpus_overlap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.corpus_overlap_report(
         docs.where(F.col("doc_id") % 3 == 0),
         docs.where(F.col("doc_id") % 3 != 0),
+    )
+
+
+def q_vocabulary_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth over 10 id-ordered corpus prefixes:
+    per-bucket and cumulative token/vocabulary counts — 'is new data
+    still adding lexical diversity?' (operators/text_mining.py:
+    vocabulary_growth).  Equal-width id buckets (no ntile global sort);
+    cumulative vocab via per-term MIN bucket, so no set unions."""
+    return text_mining.vocabulary_growth(
+        _t(spark, sf_dir, "documents"), n_buckets=10
+    )
+
+
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing capacity report over the same per-source
+    2048-token bins as pack_sequences: bin count, token mass, nominal
+    capacity, utilization basis points, oversize-document count
+    (operators/sampling.py:packing_efficiency)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", word_count("text").alias("tok")
+    )
+    return sampling.packing_efficiency(
+        docs, "tok", group_col="source", budget=2048
     )
 
 
@@ -3476,12 +3508,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     at nprobe<k and the two raw t-digest dials — approximate BY
     CONTRACT, each pinned by an r4 hash-green exact/accuracy twin:
     knn_ivf_exhaustive, tdigest_accuracy, tdigest_by_key_accuracy) get
-    their first-ever driver rows; (1) the three queries new this round
+    their first-ever driver rows; (1) the six queries new this round
     — decontaminated_docs (the drop-side consumer of
     contamination_report, VERDICT r4 #7), quality_yield_curve (filter
-    calibration: per-threshold corpus yield in one scan), and
+    calibration: per-threshold corpus yield in one scan),
     corpus_overlap_report (cross-corpus exact+near containment audit
-    over distinct-text reps); (2) all 33 queries whose only driver
+    over distinct-text reps), vocabulary_growth (Heaps-law curve via
+    per-term min-bucket, no ntile global sort), packing_efficiency
+    (padding-waste report over pack_sequences bins), and novelty_curve
+    (per-slice new-text vs duplicate mass via per-fingerprint
+    min-bucket); (2) all 33 queries whose only driver
     evidence was r01 — the
     TPC-H headline pack, window/ntile/lag, set ops, string/date/math
     packs, bronze->silver flattens, sinks; (3) re-checks of every
@@ -3510,6 +3546,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminated_docs": q_decontaminated_docs,
         "quality_yield_curve": q_quality_yield_curve,
         "corpus_overlap_report": q_corpus_overlap_report,
+        "vocabulary_growth": q_vocabulary_growth,
+        "packing_efficiency": q_packing_efficiency,
+        "novelty_curve": q_novelty_curve,
         # ===== r05 window, part 2: the 33 r01-stale queries (VERDICT
         # r4 #1 — TPC-H headliners, window/set/string/date/math packs,
         # bronze->silver, sinks; none driver-checked since r01)
@@ -3560,12 +3599,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation continues)
         "medallion_kpis": q_medallion_kpis,
         "array_agg_functions": q_array_agg_functions,
+        # ================= end of driver's 50-slot window =================
         "map_functions": q_map_functions,
+        # r02-green tail (rotate into r6 window next; the five r5-new
+        # queries displaced forecast_revenue / market_share /
+        # product_type_profit / important_parts and one more fill)
         "forecast_revenue": q_forecast_revenue,
         "market_share": q_market_share,
-        # ================= end of driver's 50-slot window =================
-        # r02-green tail (rotate into r6 window next; the two newest
-        # r5 queries displaced product_type_profit / important_parts)
         "product_type_profit": q_product_type_profit,
         "important_parts": q_important_parts,
         "shipping_delay": q_shipping_delay,
@@ -5548,6 +5588,96 @@ def oracle_sql() -> dict[str, str]:
                                      AND 1 PRECEDING), 0)
                         / 2048.0) AS bigint) AS pack_id
             FROM d
+        """,
+        # same window binning as pack_sequences, reduced to one row;
+        # distinct (source, pack_id) via subquery (engine-portable)
+        "packing_efficiency": f"""
+            WITH d AS (
+                SELECT source, doc_id,
+                       cast(len({tokens}) AS bigint) AS n_tokens
+                FROM documents),
+            p AS (
+                SELECT source, n_tokens,
+                       cast(floor(coalesce(sum(n_tokens) OVER (
+                                PARTITION BY source ORDER BY doc_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0)
+                            / 2048.0) AS bigint) AS pack_id
+                FROM d),
+            bins AS (
+                SELECT count(*) AS n_bins FROM (
+                    SELECT DISTINCT source, pack_id FROM p))
+            SELECT cast(count(*) AS bigint) AS n_docs,
+                   cast((SELECT n_bins FROM bins) AS bigint) AS n_bins,
+                   cast(sum(n_tokens) AS bigint) AS total_tokens,
+                   cast((SELECT n_bins FROM bins) * 2048 AS bigint)
+                       AS capacity_tokens,
+                   cast(floor(sum(n_tokens) * 10000
+                        / ((SELECT n_bins FROM bins) * 2048))
+                       AS bigint) AS utilization_bp,
+                   cast(sum(CASE WHEN n_tokens > 2048 THEN 1 ELSE 0 END)
+                       AS bigint) AS n_oversize_docs
+            FROM p
+        """,
+        # equal-width id buckets; a text is novel once, in its
+        # fingerprint's MIN bucket
+        "novelty_curve": f"""
+            WITH b AS (
+                SELECT min(doc_id) AS mn, max(doc_id) AS mx
+                FROM documents),
+            base AS (
+                SELECT {fingerprint} AS fp,
+                       least(cast(floor((doc_id - mn) * 10
+                                / (mx - mn + 1)) AS bigint), 9) AS bucket
+                FROM documents, b),
+            pb AS (
+                SELECT bucket, cast(count(*) AS bigint) AS n_docs
+                FROM base GROUP BY bucket),
+            fs AS (
+                SELECT fp, min(bucket) AS bucket FROM base GROUP BY fp),
+            nv AS (
+                SELECT bucket, cast(count(*) AS bigint) AS n_novel
+                FROM fs GROUP BY bucket)
+            SELECT pb.bucket, pb.n_docs,
+                   cast(coalesce(nv.n_novel, 0) AS bigint) AS n_novel,
+                   cast(pb.n_docs - coalesce(nv.n_novel, 0) AS bigint)
+                       AS n_dup,
+                   cast(floor(coalesce(nv.n_novel, 0) * 10000
+                        / pb.n_docs) AS bigint) AS novelty_bp
+            FROM pb LEFT JOIN nv ON pb.bucket = nv.bucket
+        """,
+        # equal-width id buckets; cumulative vocab via per-term MIN
+        # bucket (a term joins the vocabulary exactly once)
+        "vocabulary_growth": f"""
+            WITH b AS (
+                SELECT min(doc_id) AS mn, max(doc_id) AS mx
+                FROM documents),
+            toks AS (
+                SELECT least(cast(floor((doc_id - mn) * 10
+                                 / (mx - mn + 1)) AS bigint), 9) AS bucket,
+                       unnest({tokens}) AS term
+                FROM documents, b),
+            pb AS (
+                SELECT bucket, cast(count(*) AS bigint) AS n_tokens
+                FROM toks GROUP BY bucket),
+            fs AS (
+                SELECT term, min(bucket) AS bucket FROM toks
+                GROUP BY term),
+            nt AS (
+                SELECT bucket, cast(count(*) AS bigint) AS new_terms
+                FROM fs GROUP BY bucket)
+            SELECT pb.bucket,
+                   pb.n_tokens,
+                   cast(sum(pb.n_tokens) OVER (
+                        ORDER BY pb.bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS bigint) AS cum_tokens,
+                   cast(coalesce(nt.new_terms, 0) AS bigint) AS new_terms,
+                   cast(sum(coalesce(nt.new_terms, 0)) OVER (
+                        ORDER BY pb.bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS bigint) AS cum_vocab
+            FROM pb LEFT JOIN nt ON pb.bucket = nt.bucket
         """,
         "knn_label_accuracy": f"""
             WITH sc AS (

@@ -752,3 +752,23 @@ def test_corpus_overlap_report_disjoint_is_zero(spark):
     row = corpus_overlap_report(a, b).collect()[0]
     assert (row["n_exact_in_a"], row["n_near_in_a"]) == (0, 0)
     assert (row["exact_bp"], row["near_bp"]) == (0, 0)
+
+
+def test_novelty_curve_buckets(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import novelty_curve
+
+    t = "some repeated document text here"
+    docs = spark.createDataFrame(
+        [(0, t), (1, "fresh one"), (2, t), (3, t), (4, "another fresh")],
+        ["doc_id", "text"],
+    )
+    # buckets: ids 0-2 -> 0 (width ceil), 3-4 -> 1 with n_buckets=2:
+    # floor((id-0)*2/5): 0,0,0,1,1
+    rows = {r["bucket"]: r for r in novelty_curve(docs, n_buckets=2).collect()}
+    assert rows[0]["n_docs"] == 3
+    assert rows[0]["n_novel"] == 2      # t (first copy) + "fresh one"
+    assert rows[0]["n_dup"] == 1        # second copy of t
+    assert rows[1]["n_docs"] == 2
+    assert rows[1]["n_novel"] == 1      # "another fresh"
+    assert rows[1]["n_dup"] == 1        # third copy of t
+    assert rows[1]["novelty_bp"] == 5000

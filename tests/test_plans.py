@@ -407,3 +407,41 @@ def test_r04_window_queries_stay_within_shuffle_budget(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 12, plan.count(
         "Exchange hashpartitioning"
     )
+
+
+def test_r05_window_queries_stay_within_shuffle_budget(spark, sf_dir):
+    """Audited exact hash-exchange counts for the queries added or
+    rewritten in r5 (static plans at the fixture SF; AQE's stage cache
+    reuses repeated subplan exchanges at runtime)."""
+    budgets = {
+        # sparse contamination report joins back as an id anti-join;
+        # eval grams broadcast — corpus bodies never shuffle
+        "decontaminated_docs": 2,
+        # threshold fan-out collapses map-side into ONE partial+final agg
+        "quality_yield_curve": 1,
+        # per-term min-bucket + per-bucket token agg + the tiny
+        # n_buckets-row cumsum window
+        "vocabulary_growth": 3,
+        # one per-source packing window; the report agg is global
+        "packing_efficiency": 1,
+        # fingerprint project + per-bucket count + per-fp min-bucket
+        # double agg; digests shuffle, bodies never
+        "novelty_curve": 3,
+        # linear-edge components (rep pairs ∪ member→rep stars): the
+        # static plan shows the fingerprint collapse + edge build; the
+        # label-prop loop runs eagerly through localCheckpoints before
+        # this plan is inspected
+        "dedup_corpus": 2,
+    }
+    for name, budget in budgets.items():
+        plan = _plan(spark, sf_dir, name)
+        got = plan.count("Exchange hashpartitioning")
+        assert got == budget, (name, got, budget)
+    # corpus_overlap_report is a wide composition (two collapse aggs,
+    # two band-key builds, candidate dedup, verify joins, three 1-row
+    # assemblies) — bound it like near_dup_pipeline instead of pinning
+    # an AQE-sensitive exact count
+    plan = _plan(spark, sf_dir, "corpus_overlap_report")
+    assert plan.count("Exchange hashpartitioning") <= 14, plan.count(
+        "Exchange hashpartitioning"
+    )

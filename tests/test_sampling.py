@@ -269,3 +269,20 @@ def test_training_shards_deorders_source_locality(spark):
             if abs(a - b) <= 4:
                 adjacent += 1
     assert adjacent / total < 0.05
+
+
+def test_packing_efficiency_report(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import packing_efficiency
+
+    docs = spark.createDataFrame(
+        [(i, 60) for i in range(10)] + [(100, 150)],
+        ["doc_id", "tok"],
+    )
+    row = packing_efficiency(docs, "tok", budget=100).collect()[0]
+    assert row["n_docs"] == 11
+    assert row["total_tokens"] == 750
+    # running-sum bins: floor(cumulative-before / 100) over id order
+    assert row["n_bins"] == 7
+    assert row["capacity_tokens"] == 700
+    assert row["utilization_bp"] == 750 * 10000 // 700
+    assert row["n_oversize_docs"] == 1  # the 150-token doc

@@ -238,3 +238,31 @@ def test_bpe_train_then_segment_roundtrip_consistent(spark, sf_dir):
     )
     bad = joined.where(F.col("flat") != F.col("seg_flat")).count()
     assert bad == 0
+
+
+def test_vocabulary_growth_cumulative_invariants(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import vocabulary_growth
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta alpha"),
+            (1, "alpha gamma"),
+            (2, "delta delta epsilon"),
+            (3, "alpha beta gamma delta"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = vocabulary_growth(docs, n_buckets=2).orderBy("bucket").collect()
+    assert [r["bucket"] for r in rows] == [0, 1]
+    # bucket 0 = docs 0-1: 5 tokens, vocab {alpha, beta, gamma}
+    assert rows[0]["n_tokens"] == 5
+    assert rows[0]["new_terms"] == 3
+    assert rows[0]["cum_vocab"] == 3
+    # bucket 1 = docs 2-3: 7 tokens; new terms {delta, epsilon}
+    assert rows[1]["n_tokens"] == 7
+    assert rows[1]["cum_tokens"] == 12
+    assert rows[1]["new_terms"] == 2
+    assert rows[1]["cum_vocab"] == 5
+    # cumulative columns are monotone non-decreasing by construction
+    assert rows[1]["cum_tokens"] >= rows[0]["cum_tokens"]
+    assert rows[1]["cum_vocab"] >= rows[0]["cum_vocab"]

@@ -798,6 +798,75 @@ def dedup_corpus(
     )
 
 
+def novelty_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Crawl-novelty decay: per id-ordered corpus slice, how many
+    documents are genuinely NEW text vs exact duplicates of anything
+    seen in earlier slices (or earlier in the same slice) — the yield
+    forecast that tells a crawl team when re-crawling stops paying.
+
+    Same prefix construction as ``text_mining.vocabulary_growth``
+    (equal-width id ranges between the corpus min/max id — no ntile
+    global sort), same no-set-union trick: a TEXT is novel exactly once,
+    in its fingerprint's MINIMUM bucket, so
+    ``n_novel(b) = #{fingerprints: min_bucket = b}`` — one fingerprint
+    groupBy (32-char digests shuffle, bodies never) against a per-bucket
+    doc count.  Everything else in the bucket is duplicate mass.
+
+    Returns (bucket, n_docs, n_novel, n_dup, novelty_bp) with
+    ``novelty_bp = floor(10000 · n_novel / n_docs)``, one row per
+    non-empty bucket, all integer.
+    """
+    bounds = df.agg(
+        F.min(id_col).alias("_min_id"), F.max(id_col).alias("_max_id")
+    )
+    base = (
+        df.select(F.col(id_col), rolling_fingerprint(F.col(text_col)).alias("fp"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "fp",
+            F.least(
+                F.floor(
+                    (F.col(id_col) - F.col("_min_id"))
+                    * n_buckets
+                    / (F.col("_max_id") - F.col("_min_id") + 1)
+                ),
+                F.lit(n_buckets - 1),
+            ).cast("long").alias("bucket"),
+        )
+    )
+    per_bucket = base.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    first_seen = (
+        base.groupBy("fp")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_novel"))
+    )
+    return (
+        per_bucket.join(first_seen, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_novel",
+            (F.col("n_docs") - F.col("n_novel")).cast("long").alias("n_dup"),
+            F.floor(F.col("n_novel") * 10000 / F.col("n_docs"))
+            .cast("long")
+            .alias("novelty_bp"),
+        )
+    )
+
+
 def corpus_overlap_report(
     corpus_a: DataFrame,
     corpus_b: DataFrame,

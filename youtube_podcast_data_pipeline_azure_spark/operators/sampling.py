@@ -285,3 +285,48 @@ def training_shards(
         .withColumn("position", F.row_number().over(w).cast("long"))
         .drop("_h")
     )
+
+
+def packing_efficiency(
+    df: DataFrame,
+    token_count_col: str,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    budget: int = 2048,
+) -> DataFrame:
+    """Capacity-planning report for :func:`pack_sequences`: how full the
+    fixed-budget packing bins actually are — the number a training team
+    checks before burning GPU-hours on a padding-heavy layout.
+
+    Composes the packing assignment (same deterministic id-order
+    running-sum bins) and reduces it to ONE row: document/bin counts,
+    total token mass, nominal capacity (bins × budget), utilization in
+    basis points (floor), and how many documents individually exceed
+    the budget (those need :func:`chunk_documents` first — packing
+    cannot split them).
+
+    Returns (n_docs, n_bins, total_tokens, capacity_tokens,
+    utilization_bp, n_oversize_docs).
+    """
+    packed = pack_sequences(
+        df, token_count_col, id_col=id_col, group_col=group_col,
+        budget=budget,
+    )
+    parts = [group_col] if group_col else []
+    return packed.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct(*(parts + ["pack_id"])).cast("long").alias("n_bins"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.countDistinct(*(parts + ["pack_id"])) * budget)
+        .cast("long")
+        .alias("capacity_tokens"),
+        F.floor(
+            F.sum("n_tokens") * 10000
+            / (F.countDistinct(*(parts + ["pack_id"])) * budget)
+        )
+        .cast("long")
+        .alias("utilization_bp"),
+        F.sum(F.when(F.col("n_tokens") > budget, 1).otherwise(0))
+        .cast("long")
+        .alias("n_oversize_docs"),
+    )

@@ -471,3 +471,77 @@ def bpe_segment(
         ).alias("bpe_text"),
         F.sum(F.size(F.split("syms", " "))).cast("long").alias("n_bpe_tokens"),
     )
+
+
+def vocabulary_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative token volume vs
+    cumulative DISTINCT-vocabulary size over id-ordered corpus prefixes
+    — the dataset-documentation view of "how fast is new vocabulary
+    still arriving?" (a flattening curve says more of the same data
+    adds volume, not lexical diversity; tokenizer and dedup planning
+    both read this).
+
+    Prefixes are ``n_buckets`` equal-width id ranges between the
+    corpus min/max id — NOT an ntile (which would funnel every row
+    through one global-sort partition).  The id bounds come from a
+    1-row aggregate cross-joined back (bounded), the per-bucket token
+    mass is one explode + partial-agg'd groupBy, and the cumulative
+    vocabulary needs no set union: a term enters the vocabulary in its
+    MINIMUM bucket, so ``cum_vocab(b) = #{terms: min_bucket <= b}`` —
+    one groupBy(term) over (term, bucket) pairs, then a window cumsum
+    over the ``n_buckets``-row aggregate (driver-scale frame).
+
+    Returns (bucket, n_tokens, cum_tokens, new_terms, cum_vocab), one
+    row per non-empty bucket, all integer.
+    """
+    bounds = df.agg(
+        F.min(id_col).alias("_min_id"), F.max(id_col).alias("_max_id")
+    )
+    toks = (
+        df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "term",
+            F.least(
+                F.floor(
+                    (F.col(id_col) - F.col("_min_id"))
+                    * n_buckets
+                    / (F.col("_max_id") - F.col("_min_id") + 1)
+                ),
+                F.lit(n_buckets - 1),
+            ).cast("long").alias("bucket"),
+        )
+    )
+    per_bucket = toks.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    first_seen = (
+        toks.groupBy("term")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("new_terms"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(first_seen, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.coalesce("new_terms", F.lit(0)).cast("long").alias("new_terms"),
+        )
+        .select(
+            "bucket",
+            "n_tokens",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            "new_terms",
+            F.sum("new_terms").over(w).cast("long").alias("cum_vocab"),
+        )
+        .select(
+            "bucket", "n_tokens", "cum_tokens", "new_terms", "cum_vocab"
+        )
+    )
