@@ -359,3 +359,76 @@ def test_winnowing_guarantee_shared_run_always_pairs(spark, left, right, shared)
         for r in fingerprint_overlap_pairs(df, min_shared=1).collect()
     }
     assert (1, 2) in pairs
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.sampled_from(["aa bb cc", "dd ee", "ff gg hh ii", "aa bb cc dd"]),
+        min_size=1,
+        max_size=40,
+    ),
+    n_buckets=st.sampled_from([1, 2, 5]),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_novelty_curve_equals_bruteforce(spark, texts, n_buckets, parts):
+    """Per-bucket novelty counts equal a python reference on any
+    partitioning; totals conserve docs and distinct texts."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import novelty_curve
+
+    rows = [(i * 3 + 1, t) for i, t in enumerate(texts)]  # non-contiguous ids
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(parts)
+    got = {r["bucket"]: r for r in novelty_curve(df, n_buckets=n_buckets).collect()}
+
+    mn = min(i for i, _ in rows)
+    mx = max(i for i, _ in rows)
+    width = mx - mn + 1
+    seen: set[str] = set()
+    ref: dict[int, list[int]] = {}
+    for i, t in rows:  # createDataFrame preserves row order per id asc here
+        b = min((i - mn) * n_buckets // width, n_buckets - 1)
+        ref.setdefault(b, [0, 0])
+        ref[b][0] += 1
+    for i, t in sorted(rows):  # novelty is id-order-first-seen
+        b = min((i - mn) * n_buckets // width, n_buckets - 1)
+        if t not in seen:
+            seen.add(t)
+            ref[b][1] += 1
+    assert set(got) == set(ref)
+    for b, (n_docs, n_novel) in ref.items():
+        assert got[b]["n_docs"] == n_docs, (b, dict(got[b].asDict()), ref)
+        assert got[b]["n_novel"] == n_novel
+        assert got[b]["n_dup"] == n_docs - n_novel
+    assert sum(r["n_novel"] for r in got.values()) == len({t for _, t in rows})
+    assert sum(r["n_docs"] for r in got.values()) == len(rows)
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.sampled_from(["x y z", "p q", "x y z w v", "m n o p q r"]),
+        min_size=1,
+        max_size=30,
+    ),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_vocabulary_growth_conserves_totals(spark, texts, parts):
+    """Final cumulative row equals whole-corpus totals; per-bucket token
+    counts sum to the total token mass — on any partitioning."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import (
+        vocabulary_growth,
+    )
+
+    rows = [(i * 2, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(parts)
+    out = vocabulary_growth(df, n_buckets=4).orderBy("bucket").collect()
+    all_tokens = [w for _, t in rows for w in t.split()]
+    assert out[-1]["cum_tokens"] == len(all_tokens)
+    assert out[-1]["cum_vocab"] == len(set(all_tokens))
+    assert sum(r["n_tokens"] for r in out) == len(all_tokens)
+    assert sum(r["new_terms"] for r in out) == len(set(all_tokens))
+    # cumulative columns are running sums of the per-bucket columns
+    ct = cv = 0
+    for r in out:
+        ct += r["n_tokens"]; cv += r["new_terms"]
+        assert (r["cum_tokens"], r["cum_vocab"]) == (ct, cv)
