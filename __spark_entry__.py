@@ -558,6 +558,19 @@ def q_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.quality_yield_curve(_t(spark, sf_dir, "documents"))
 
 
+def q_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al. 2014, operators/graph.py:connected_components_star)
+    over the SAME exact n-gram-Jaccard pair graph as
+    duplicate_clusters: O(log² n) rounds regardless of graph diameter —
+    the engine duplicate_clusters falls back to when label propagation
+    hits its iteration cap.  Shares duplicate_clusters' recursive-CTE
+    oracle; the two algorithms must hash-match exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs)
+    return graph.connected_components_star(docs, pairs)
+
+
 def q_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-novelty decay over 10 id-ordered corpus slices: per slice,
     docs that are genuinely new text vs exact duplicates of anything
@@ -3515,9 +3528,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     corpus_overlap_report (cross-corpus exact+near containment audit
     over distinct-text reps), vocabulary_growth (Heaps-law curve via
     per-term min-bucket, no ntile global sort), packing_efficiency
-    (padding-waste report over pack_sequences bins), and novelty_curve
+    (padding-waste report over pack_sequences bins), novelty_curve
     (per-slice new-text vs duplicate mass via per-fingerprint
-    min-bucket); (2) all 33 queries whose only driver
+    min-bucket), and duplicate_clusters_star (diameter-independent
+    large-star/small-star components sharing duplicate_clusters'
+    oracle — also the fallback engine duplicate_clusters now uses when
+    label propagation hits its iteration cap, a silent-wrong-labels
+    bug caught in r5); (2) all 33 queries whose only driver
     evidence was r01 — the
     TPC-H headline pack, window/ntile/lag, set ops, string/date/math
     packs, bronze->silver flattens, sinks; (3) re-checks of every
@@ -3593,13 +3610,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": q_dedup_corpus,
         "near_dup_pipeline": q_near_dup_pipeline,
         "duplicate_clusters": q_duplicate_clusters,
+        "duplicate_clusters_star": q_duplicate_clusters_star,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "semantic_dedup": q_semantic_dedup,
         # ===== r05 window, part 4: oldest r02 greens (staleness
         # rotation continues)
         "medallion_kpis": q_medallion_kpis,
-        "array_agg_functions": q_array_agg_functions,
         # ================= end of driver's 50-slot window =================
+        "array_agg_functions": q_array_agg_functions,
         "map_functions": q_map_functions,
         # r02-green tail (rotate into r6 window next; the five r5-new
         # queries displaced forecast_revenue / market_share /
@@ -3977,6 +3995,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN docs db ON db.doc_id = id_b
             WHERE jaccard >= 0.5
     """
+    # Shared by duplicate_clusters (min-label propagation) and
+    # duplicate_clusters_star (large-star/small-star) — one contract,
+    # two engines, both must hash-match this recursive CTE.
+    duplicate_clusters_sql = f"""
+            WITH RECURSIVE pairs AS ({ngram_pairs}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs),
+            reach(id, comp) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
+            SELECT id AS doc_id, min(comp) AS component
+            FROM reach GROUP BY id
+        """
     # Shared by rest_ingest_videos (transport-seam connector) and
     # python_datasource_videos (Spark 4 Python Data Source) — both must
     # land byte-identical silver rows.
@@ -5475,19 +5509,9 @@ def oracle_sql() -> dict[str, str]:
             FROM spans ORDER BY n_occurrences DESC, gram ASC LIMIT 100
         """,
         "ngram_jaccard_pairs": ngram_pairs,
-        "duplicate_clusters": f"""
-            WITH RECURSIVE pairs AS ({ngram_pairs}),
-            edges AS (
-                SELECT id_a AS src, id_b AS dst FROM pairs
-                UNION ALL
-                SELECT id_b, id_a FROM pairs),
-            reach(id, comp) AS (
-                SELECT doc_id, doc_id FROM documents
-                UNION
-                SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
-            SELECT id AS doc_id, min(comp) AS component
-            FROM reach GROUP BY id
-        """,
+        "duplicate_clusters": duplicate_clusters_sql,
+        # identical contract, star algorithm — one oracle, two engines
+        "duplicate_clusters_star": duplicate_clusters_sql,
         "fingerprint_overlap_pairs": f"""
             WITH toks AS (
                 SELECT doc_id, {tokens} AS tokens FROM documents),

@@ -109,3 +109,46 @@ def test_cooccurrence_repeat_interactions_dont_multiply(spark):
     df = spark.createDataFrame(rows, ["user_id", "item"])
     out = cooccurrence_edges(df, "user_id", "item").collect()
     assert [(r["a"], r["b"]) for r in out] == [(1, 2)]
+
+
+def test_star_cc_equals_label_propagation_on_cliques_and_chains(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import duplicate_clusters
+    from youtube_podcast_data_pipeline_azure_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 31)], "doc_id long")
+    pairs = spark.createDataFrame(
+        # a clique, a pair, a triangle-with-tail, singletons implicit
+        [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    a = sorted(map(tuple, connected_components_star(nodes, pairs).collect()))
+    b = sorted(map(tuple, duplicate_clusters(nodes, pairs).collect()))
+    assert a == b
+
+
+def test_duplicate_clusters_long_chain_falls_back_to_star(spark):
+    """A graph whose diameter exceeds the label-propagation iteration
+    cap must still return CORRECT components (r5: the capped loop used
+    to split a 40-chain into 20 bogus components silently)."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import duplicate_clusters
+
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+    )
+    comps = {r["component"] for r in duplicate_clusters(nodes, chain).collect()}
+    assert comps == {1}
+
+
+def test_star_cc_handles_empty_and_singletons(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    nodes = spark.createDataFrame([(5,), (7,), (9,)], "doc_id long")
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    got = sorted(map(tuple, connected_components_star(nodes, empty).collect()))
+    assert got == [(5, 5), (7, 7), (9, 9)]

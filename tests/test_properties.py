@@ -432,3 +432,34 @@ def test_vocabulary_growth_conserves_totals(spark, texts, parts):
     for r in out:
         ct += r["n_tokens"]; cv += r["new_terms"]
         assert (r["cum_tokens"], r["cum_vocab"]) == (ct, cv)
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=25),
+            st.integers(min_value=1, max_value=25),
+        ),
+        max_size=30,
+    ),
+)
+def test_star_cc_equals_label_propagation(spark, edges):
+    """large-star/small-star and (converged) min-label propagation must
+    produce identical components on arbitrary graphs."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import duplicate_clusters
+    from youtube_podcast_data_pipeline_azure_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 26)], "doc_id long")
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long"
+    )
+    if not edges:
+        pairs = pairs.where("id_a < 0")
+    a = sorted(map(tuple, connected_components_star(nodes, pairs).collect()))
+    b = sorted(
+        map(tuple, duplicate_clusters(nodes, pairs, max_iterations=30).collect())
+    )
+    assert a == b

@@ -559,10 +559,16 @@ def duplicate_clusters(
     localCheckpoint'ed: the plan stays O(1) deep instead of O(rounds)
     (lineage blow-up is the classic iterative-algorithm failure mode on
     Spark).  At 100 TB the same loop holds — state is one (id, label)
-    row per document and edges are never materialized driver-side; for
-    pathological long-chain graphs, switch to large-star/small-star
-    (Kiveris et al. '14) which squares the propagation distance per
-    round.
+    row per document and edges are never materialized driver-side.
+
+    If the loop does NOT converge within ``max_iterations`` (a graph
+    with diameter > max_iterations — long chains, not cliques), the
+    function falls back to
+    ``graph.connected_components_star`` (Kiveris et al. '14
+    large-star/small-star, O(log² n) rounds regardless of diameter)
+    rather than returning silently-wrong partial labels — caught live
+    in r5 by a 40-node chain, which the capped loop split into 20
+    bogus components.
 
     Returns (id_col, component) for EVERY input document (singletons are
     their own component).
@@ -578,6 +584,7 @@ def duplicate_clusters(
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iterations):
         nbr_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -603,8 +610,18 @@ def duplicate_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # diameter > max_iterations: partial labels would be WRONG, not
+        # merely stale — hand the graph to the diameter-independent
+        # star algorithm instead
+        from youtube_podcast_data_pipeline_azure_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        return connected_components_star(docs, pairs, id_col=id_col)
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
 
 
