@@ -750,6 +750,46 @@ def q_python_datasource_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return medallion.bronze_videos_to_silver(bronze)
 
 
+def q_python_datasource_videos_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The video feed as a Spark 4 Python Data Source STREAM
+    (io/pyds.py:VideosStreamReader) — the reference's timer-triggered
+    poll (function_app.py:36-44) as a real micro-batch source with
+    JSON-checkpointable offsets: 5 rate-limited micro-batches of 100
+    ids, each chunked into executor detail-fetch tasks, drained to a
+    memory sink, then the same silver flatten and the same oracle as
+    the batch connector — stream and batch must land identical rows."""
+    import time
+    import uuid
+
+    from youtube_podcast_data_pipeline_azure_spark.io.pyds import VideosDataSource
+
+    spark.dataSource.register(VideosDataSource)
+    name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("youtube_videos")
+        .option("sf_dir", sf_dir)
+        .option("max_results", "500")
+        .option("batch_ids", "100")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.table(name).count() >= 500:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    return medallion.bronze_videos_to_silver(spark.table(name))
+
+
 def q_medallion_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14/A15/A16 full-pipeline KPI row: bronze → silver → deterministic
     gold enrichment → single KPI record (reference final_kpis.py:25-58).
@@ -3566,6 +3606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary_growth": q_vocabulary_growth,
         "packing_efficiency": q_packing_efficiency,
         "novelty_curve": q_novelty_curve,
+        "python_datasource_videos_stream": q_python_datasource_videos_stream,
         # ===== r05 window, part 2: the 33 r01-stale queries (VERDICT
         # r4 #1 — TPC-H headliners, window/set/string/date/math packs,
         # bronze->silver, sinks; none driver-checked since r01)
@@ -3615,8 +3656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         # ===== r05 window, part 4: oldest r02 greens (staleness
         # rotation continues)
-        "medallion_kpis": q_medallion_kpis,
         # ================= end of driver's 50-slot window =================
+        "medallion_kpis": q_medallion_kpis,
         "array_agg_functions": q_array_agg_functions,
         "map_functions": q_map_functions,
         # r02-green tail (rotate into r6 window next; the five r5-new
@@ -4093,6 +4134,7 @@ def oracle_sql() -> dict[str, str]:
         # same landed rows by contract, different connector surface
         # (Spark 4 Python Data Source, io/pyds.py)
         "python_datasource_videos": videos_silver_sql,
+        "python_datasource_videos_stream": videos_silver_sql,
         "rest_ingest_comments": """
             SELECT 'vid' || (doc_id % 100) AS videoId,
                    'c' || doc_id AS commentId,

@@ -230,3 +230,44 @@ def test_python_datasource_respects_max_results(spark, sf_dir):
         .count()
     )
     assert n == 7
+
+
+def test_pyds_stream_equals_batch_any_batch_size(spark, sf_dir):
+    """The streaming reader must land exactly the batch reader's rows
+    regardless of the per-trigger id page size (odd size forces a
+    ragged final micro-batch)."""
+    import time
+
+    from youtube_podcast_data_pipeline_azure_spark.io.pyds import VideosDataSource
+
+    spark.dataSource.register(VideosDataSource)
+    stream = (
+        spark.readStream.format("youtube_videos")
+        .option("sf_dir", sf_dir)
+        .option("max_results", "500")
+        .option("batch_ids", "37")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_parity")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.table("pyds_parity").count() >= 500:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    batch = (
+        spark.read.format("youtube_videos")
+        .option("sf_dir", sf_dir)
+        .option("max_results", "500")
+        .load()
+    )
+    a = sorted(map(tuple, spark.table("pyds_parity").collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert len(a) == 500
+    assert a == b

@@ -28,7 +28,12 @@ byte-comparable with the ``rest_ingest_videos`` oracle.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from youtube_podcast_data_pipeline_azure_spark.schemas import BRONZE_VIDEO_ITEM
 
@@ -115,3 +120,84 @@ class VideosDataSource(DataSource):
 
     def reader(self, schema) -> VideosReader:
         return VideosReader(self.options)
+
+    def streamReader(self, schema) -> "VideosStreamReader":
+        return VideosStreamReader(self.options)
+
+
+class VideosStreamReader(DataSourceStreamReader):
+    """Micro-batch stream over the same simulated feed: the streaming
+    twin of the reference's TIMER-triggered ingestion
+    (``function_app.py:36-44`` — a cron poll that fetches the next
+    videos each run), expressed as a Spark 4 Python Data Source
+    streaming reader.
+
+    Offsets are ``{"index": n}`` positions into the sorted id list —
+    JSON-checkpointable, so a restarted query resumes exactly where the
+    checkpoint says.  ``latestOffset`` advances at most ``batch_ids``
+    per trigger (the feed-poll page size); ``partitions`` re-chunks the
+    (start, end) id range into the same ≤``chunk``-id executor tasks as
+    the batch reader — detail fetch stays distributed and the driver
+    only ever touches the metadata-sized id column.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.sf_dir = options["sf_dir"]
+        self.max_results = int(options.get("max_results", 500))
+        self.batch_ids = int(options.get("batch_ids", 100))
+        self.chunk = int(options.get("chunk", DEFAULT_CHUNK))
+        import pyarrow.parquet as pq
+
+        keys = (
+            pq.read_table(
+                f"{self.sf_dir}/orders.parquet", columns=["o_orderkey"]
+            )
+            .column("o_orderkey")
+            .to_pylist()
+        )
+        self.keys = sorted(keys)[: self.max_results]
+        self._pos = 0
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        # rate-limited poll: at most batch_ids new ids become visible
+        # per trigger (the page size of the simulated feed poll)
+        self._pos = min(self._pos + self.batch_ids, len(self.keys))
+        return {"index": self._pos}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # restart healing: a fresh reader's rate limiter starts at 0,
+        # but the checkpoint may hand us a later start — jump the poll
+        # position forward so the next latestOffset() advances PAST the
+        # checkpoint instead of replanning history (end <= start plans
+        # an empty batch, never a negative range)
+        self._pos = max(self._pos, start["index"])
+        ids = self.keys[start["index"]:end["index"]]
+        return [
+            InputPartition(ids[i : i + self.chunk])
+            for i in range(0, len(ids), self.chunk)
+        ]
+
+    def read(self, partition: InputPartition):
+        import pyarrow.parquet as pq
+
+        ids = partition.value
+        rows = pq.read_table(
+            f"{self.sf_dir}/orders.parquet",
+            columns=[
+                "o_orderkey",
+                "o_custkey",
+                "o_orderdate",
+                "o_orderpriority",
+                "o_totalprice",
+            ],
+            filters=[("o_orderkey", "in", ids)],
+        ).to_pylist()
+        rows.sort(key=lambda r: r["o_orderkey"])
+        for r in rows:
+            yield _video_row(r)
+
+    def commit(self, end: dict) -> None:
+        pass
