@@ -68,6 +68,11 @@ DOCS_10X = [
     # capped negative pool (r5): candidates are O(anchors * pool_cap),
     # so wall growth must track ANCHOR growth (linear here), not corpus²
     "contrastive_pairs",
+    # cross-corpus containment (r5): collapse-first, so candidate volume
+    # is bounded by DISTINCT texts on both sides
+    "corpus_overlap_report",
+    # per-fingerprint min-bucket accounting: one digest groupBy
+    "novelty_curve",
 ]
 EMB_10X = ["knn_bruteforce", "semantic_dedup"]
 PATHOLOGY = [
