@@ -271,3 +271,31 @@ def test_pyds_stream_equals_batch_any_batch_size(spark, sf_dir):
     b = sorted(map(tuple, batch.collect()))
     assert len(a) == 500
     assert a == b
+
+
+def test_pyds_stream_reader_offsets_and_restart_healing(sf_dir):
+    """Offset arithmetic without a Spark session: rate-limited
+    latestOffset pages, ragged tail, and the restart case where the
+    checkpoint start is AHEAD of a fresh reader's rate limiter (must
+    plan an empty batch and jump the poll position forward, never a
+    negative range)."""
+    from youtube_podcast_data_pipeline_azure_spark.io.pyds import VideosStreamReader
+
+    r = VideosStreamReader(
+        {"sf_dir": sf_dir, "max_results": "250", "batch_ids": "100"}
+    )
+    assert r.initialOffset() == {"index": 0}
+    assert r.latestOffset() == {"index": 100}
+    assert r.latestOffset() == {"index": 200}
+    assert r.latestOffset() == {"index": 250}   # ragged tail, then clamps
+    assert r.latestOffset() == {"index": 250}
+    parts = r.partitions({"index": 0}, {"index": 100})
+    assert [len(p.value) for p in parts] == [50, 50]
+
+    # fresh reader (simulated restart) with a checkpoint ahead of it
+    r2 = VideosStreamReader(
+        {"sf_dir": sf_dir, "max_results": "250", "batch_ids": "100"}
+    )
+    assert r2.latestOffset() == {"index": 100}  # trails the checkpoint
+    assert r2.partitions({"index": 200}, {"index": 100}) == []  # heals, no negative range
+    assert r2.latestOffset() == {"index": 250}  # jumped past the checkpoint
