@@ -3591,7 +3591,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window is the remaining r02 pack.  Every window query was verified
     on a PLAIN local[32] session (driver conditions: ANSI on, no
     engine confs) against the DuckDB oracle at sf0.01 before this
-    registration."""
+    registration — and in r5 that check was extended to ALL 188
+    registered queries (window + both tail segments, three plain-
+    session sweeps, 188/188 green), plus the engine-session mirror at
+    sf0.001 and sf0.01 (188/188)."""
     return {
         # ===== r05 window, part 0: never-windowed rows-only queries
         # (first-ever driver rows for the approximate dials; their
