@@ -558,6 +558,32 @@ def q_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.quality_yield_curve(_t(spark, sf_dir, "documents"))
 
 
+def q_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiler over documents: does doc_id
+    determine lang (yes — key), does source determine lang / lang
+    determine source (no — many-to-many)?  One count-distinct
+    aggregate per candidate pair, keys+counts only on the shuffle
+    (operators/quality.py:functional_dependency_report)."""
+    return quality.functional_dependency_report(
+        _t(spark, sf_dir, "documents"),
+        [("doc_id", "lang"), ("source", "lang"), ("lang", "source")],
+    )
+
+
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join audit for orders ⋈ customer on custkey: exact
+    inner-join output cardinality (Σ cnt_l·cnt_r over matched keys)
+    and the worst per-key fan-out, from the two per-key count tables —
+    the hidden-cross-product check before a 100 TB join
+    (operators/skew.py:join_cardinality_report)."""
+    return skew.join_cardinality_report(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+    )
+
+
 def q_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components via alternating large-star/small-star
     (Kiveris et al. 2014, operators/graph.py:connected_components_star)
@@ -3660,6 +3686,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== r05 window, part 4: oldest r02 greens (staleness
         # rotation continues)
         # ================= end of driver's 50-slot window =================
+        # newest first below the line: functional_dependencies and
+        # join_cardinality were added after the r5 window filled with
+        # the verdict-mandated rotation; locally verified (sf0.001 +
+        # plain-session sf0.01), they rotate into the r6 window first
+        "functional_dependencies": q_functional_dependencies,
+        "join_cardinality": q_join_cardinality,
         "medallion_kpis": q_medallion_kpis,
         "array_agg_functions": q_array_agg_functions,
         "map_functions": q_map_functions,
@@ -5657,6 +5689,50 @@ def oracle_sql() -> dict[str, str]:
                                      AND 1 PRECEDING), 0)
                         / 2048.0) AS bigint) AS pack_id
             FROM d
+        """,
+        # one count-distinct aggregate per candidate FD pair
+        "functional_dependencies": """
+            SELECT 'doc_id' AS determinant, 'lang' AS dependent,
+                   cast(count(*) AS bigint) AS n_keys,
+                   cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                        AS bigint) AS n_violating_keys,
+                   sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+            FROM (SELECT doc_id, count(DISTINCT lang) AS nd
+                  FROM documents GROUP BY doc_id)
+            UNION ALL
+            SELECT 'source', 'lang', cast(count(*) AS bigint),
+                   cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                        AS bigint),
+                   sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+            FROM (SELECT source, count(DISTINCT lang) AS nd
+                  FROM documents GROUP BY source)
+            UNION ALL
+            SELECT 'lang', 'source', cast(count(*) AS bigint),
+                   cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+                        AS bigint),
+                   sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+            FROM (SELECT lang, count(DISTINCT source) AS nd
+                  FROM documents GROUP BY lang)
+        """,
+        # exact inner cardinality from the two per-key count tables
+        "join_cardinality": """
+            WITH lc AS (
+                SELECT o_custkey AS k, count(*) AS cl
+                FROM orders GROUP BY o_custkey),
+            rc AS (
+                SELECT c_custkey AS k, count(*) AS cr
+                FROM customer GROUP BY c_custkey),
+            m AS (SELECT cl * cr AS mm FROM lc JOIN rc USING (k))
+            SELECT
+                cast((SELECT count(*) FROM orders) AS bigint) AS n_left,
+                cast((SELECT count(*) FROM customer) AS bigint) AS n_right,
+                cast((SELECT count(*) FROM lc) AS bigint) AS n_left_keys,
+                cast((SELECT count(*) FROM rc) AS bigint) AS n_right_keys,
+                cast((SELECT count(*) FROM m) AS bigint) AS n_matched_keys,
+                cast((SELECT coalesce(sum(mm), 0) FROM m) AS bigint)
+                    AS inner_rows,
+                cast((SELECT coalesce(max(mm), 0) FROM m) AS bigint)
+                    AS max_key_fanout
         """,
         # same window binning as pack_sequences, reduced to one row;
         # distinct (source, pack_id) via subquery (engine-portable)

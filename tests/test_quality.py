@@ -116,3 +116,51 @@ def test_snapshot_diff_null_values_compare_stably(spark):
     new = spark.createDataFrame([(1, None), (2, "x")], "k long, s string")
     got = {(r.k, r.change_type) for r in Q.snapshot_diff(old, new, ["k"]).collect()}
     assert got == {(2, "changed")}
+
+
+def test_functional_dependency_report(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.quality import (
+        functional_dependency_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "us", "a"), (2, "us", "a"), (3, "de", "b"), (4, "de", "c")],
+        ["id", "country", "zone"],
+    )
+    rows = {
+        (r["determinant"], r["dependent"]): r
+        for r in functional_dependency_report(
+            df, [("id", "country"), ("country", "zone"), ("zone", "country")]
+        ).collect()
+    }
+    assert rows[("id", "country")]["holds"] is True
+    assert rows[("id", "country")]["n_violating_keys"] == 0
+    # country 'de' maps to two zones -> violated
+    assert rows[("country", "zone")]["holds"] is False
+    assert rows[("country", "zone")]["n_violating_keys"] == 1
+    # every zone maps to one country -> holds
+    assert rows[("zone", "country")]["holds"] is True
+
+
+def test_join_cardinality_report_exact(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.skew import (
+        join_cardinality_report,
+    )
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (9,)], ["k"]
+    )
+    right = spark.createDataFrame([(1,), (1,), (2,), (3,)], ["j"])
+    row = join_cardinality_report(left, right, "k", "j").collect()[0]
+    assert row["n_left"] == 5 and row["n_right"] == 4
+    assert row["n_left_keys"] == 3 and row["n_right_keys"] == 3
+    assert row["n_matched_keys"] == 2
+    # exact: key 1 -> 3*2=6, key 2 -> 1*1=1
+    assert row["inner_rows"] == 7
+    assert row["inner_rows"] == left.join(right, left.k == right.j).count()
+    assert row["max_key_fanout"] == 6
+
+    disjoint = spark.createDataFrame([(100,)], ["j"])
+    row2 = join_cardinality_report(left, disjoint, "k", "j").collect()[0]
+    assert (row2["inner_rows"], row2["max_key_fanout"]) == (0, 0)

@@ -196,3 +196,44 @@ def referential_violations(
         .groupBy(child_key)
         .agg(F.count(F.lit(1)).alias("n_orphans"))
     )
+
+
+def functional_dependency_report(
+    df: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Functional-dependency profiler: for each candidate FD
+    ``determinant → dependent``, how many determinant values map to
+    MORE than one distinct dependent value — the classic schema-
+    discovery / normalization check (does `nation` really determine
+    `region`?  is `source → lang` safe to denormalize on?).
+
+    One aggregate per pair over (determinant) grain: the shuffle
+    carries the two columns only, count-distinct runs as Spark's
+    standard partial/final expansion, and the per-pair summaries
+    (a handful of rows) union into one report.  Returns
+    (determinant, dependent, n_keys, n_violating_keys, holds), one row
+    per requested pair; ``holds`` iff no determinant value has 2+
+    dependents.
+    """
+    reports = []
+    for det, dep in pairs:
+        per_key = df.groupBy(det).agg(
+            F.countDistinct(dep).alias("_n_dep")
+        )
+        reports.append(
+            per_key.agg(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                F.count("*").cast("long").alias("n_keys"),
+                F.sum(F.when(F.col("_n_dep") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating_keys"),
+                (
+                    F.sum(F.when(F.col("_n_dep") > 1, 1).otherwise(0)) == 0
+                ).alias("holds"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -106,3 +106,45 @@ def key_skew_report(df: DataFrame, key_col: str, top: int = 20) -> DataFrame:
         .withColumn("share_bp", F.expr("n * 10000 div _total"))
         .drop("_total")
     )
+
+
+def join_cardinality_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Pre-join audit: EXACT inner-join output cardinality and the
+    worst per-key fan-out, computed from the two per-key count tables
+    — the check you run before committing a 100 TB join, because a
+    hidden many-to-many key turns a "join" into a cross product.
+
+    Cost is two map-side-combined groupBys (the shuffle carries key +
+    count, never payload columns) and one join of the two count
+    tables (vocabulary-sized relative to the inputs).  Exact, not an
+    estimate: Σ cnt_l(k)·cnt_r(k) over shared keys IS the inner-join
+    row count.  Returns ONE row: (n_left, n_right,
+    n_left_keys, n_right_keys, n_matched_keys, inner_rows,
+    max_key_fanout) — ``max_key_fanout`` = max over matched keys of
+    cnt_l·cnt_r (0 when no keys match).
+    """
+    lc = left.groupBy(F.col(left_key).alias("_k")).agg(
+        F.count("*").alias("_cl")
+    )
+    rc = right.groupBy(F.col(right_key).alias("_k")).agg(
+        F.count("*").alias("_cr")
+    )
+    matched = lc.join(rc, "_k").select(
+        (F.col("_cl") * F.col("_cr")).alias("_m")
+    )
+    n_l = left.agg(F.count("*").cast("long").alias("n_left"))
+    n_r = right.agg(F.count("*").cast("long").alias("n_right"))
+    k_l = lc.agg(F.count("*").cast("long").alias("n_left_keys"))
+    k_r = rc.agg(F.count("*").cast("long").alias("n_right_keys"))
+    m = matched.agg(
+        F.count("*").cast("long").alias("n_matched_keys"),
+        F.coalesce(F.sum("_m"), F.lit(0)).cast("long").alias("inner_rows"),
+        F.coalesce(F.max("_m"), F.lit(0)).cast("long").alias("max_key_fanout"),
+    )
+    # 1-row × 1-row assemblies only
+    return n_l.crossJoin(n_r).crossJoin(k_l).crossJoin(k_r).crossJoin(m)
