@@ -427,6 +427,12 @@ def test_r05_window_queries_stay_within_shuffle_budget(spark, sf_dir):
         # fingerprint project + per-bucket count + per-fp min-bucket
         # double agg; digests shuffle, bodies never
         "novelty_curve": 3,
+        # one count-distinct expansion per candidate FD pair (3 pairs);
+        # keys+counts only
+        "functional_dependencies": 6,
+        # two per-key count groupBys + the count-table join + the
+        # matched-key aggregate; payload columns never shuffle
+        "join_cardinality": 4,
         # linear-edge components (rep pairs ∪ member→rep stars): the
         # static plan shows the fingerprint collapse + edge build; the
         # label-prop loop runs eagerly through localCheckpoints before
