@@ -597,6 +597,14 @@ def q_duplicate_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.connected_components_star(docs, pairs)
 
 
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-duplication matrix: distinct texts shared by
+    each source pair (operators/dedup.py:source_overlap_matrix) — the
+    mixture-design view of cross-source duplication.  Fingerprints
+    shuffle, bodies never; per-key fan-out bounded by #sources."""
+    return dedup.source_overlap_matrix(_t(spark, sf_dir, "documents"))
+
+
 def q_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-novelty decay over 10 id-ordered corpus slices: per slice,
     docs that are genuinely new text vs exact duplicates of anything
@@ -3692,6 +3700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plain-session sf0.01), they rotate into the r6 window first
         "functional_dependencies": q_functional_dependencies,
         "join_cardinality": q_join_cardinality,
+        "source_overlap_matrix": q_source_overlap_matrix,
         "medallion_kpis": q_medallion_kpis,
         "array_agg_functions": q_array_agg_functions,
         "map_functions": q_map_functions,
@@ -5763,6 +5772,17 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(CASE WHEN n_tokens > 2048 THEN 1 ELSE 0 END)
                        AS bigint) AS n_oversize_docs
             FROM p
+        """,
+        # distinct (fp, source) self-join, source_a < source_b
+        "source_overlap_matrix": f"""
+            WITH fs AS (
+                SELECT DISTINCT {fingerprint} AS fp, source
+                FROM documents)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   cast(count(*) AS bigint) AS n_shared_texts
+            FROM fs a JOIN fs b
+                ON a.fp = b.fp AND a.source < b.source
+            GROUP BY a.source, b.source
         """,
         # equal-width id buckets; a text is novel once, in its
         # fingerprint's MIN bucket

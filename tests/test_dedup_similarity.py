@@ -772,3 +772,23 @@ def test_novelty_curve_buckets(spark):
     assert rows[1]["n_novel"] == 1      # "another fresh"
     assert rows[1]["n_dup"] == 1        # third copy of t
     assert rows[1]["novelty_bp"] == 5000
+
+
+def test_source_overlap_matrix_counts_distinct_texts(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import source_overlap_matrix
+
+    t1, t2, t3 = "shared text one", "shared text two", "only in a"
+    docs = spark.createDataFrame(
+        [
+            (1, t1, "a"), (2, t1, "a"),      # within-source copy: counts once
+            (3, t1, "b"),
+            (4, t2, "a"), (5, t2, "b"), (6, t2, "c"),
+            (7, t3, "a"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r["n_shared_texts"]
+        for r in source_overlap_matrix(docs).collect()
+    }
+    assert rows == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}

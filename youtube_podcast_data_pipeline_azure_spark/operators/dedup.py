@@ -815,6 +815,42 @@ def dedup_corpus(
     )
 
 
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise source-duplication matrix: for every pair of sources,
+    how many DISTINCT texts appear in both — the mixture-design view of
+    duplication (if crawl-B is 80% contained in crawl-A, its mixture
+    weight is buying far less novelty than its row count suggests).
+
+    One fingerprint projection (digests shuffle, bodies never), one
+    distinct on (fingerprint, source) — collapsing within-source
+    copies so the matrix counts shared TEXTS, not shared rows — then a
+    fingerprint-keyed self-join restricted to ``source_a < source_b``.
+    The join's per-key fan-out is bounded by the number of sources
+    (single digits), so candidate volume is O(distinct texts ·
+    sources²) at worst and the usual case is one row per fingerprint.
+
+    Returns (source_a, source_b, n_shared_texts) for every source pair
+    with at least one shared text, source_a < source_b.
+    """
+    fp = rolling_fingerprint(F.col(text_col)).alias("fp")
+    fs = (
+        df.select(F.col(source_col).alias("_src"), fp)
+        .dropDuplicates(["fp", "_src"])
+    )
+    a = fs.select("fp", F.col("_src").alias("source_a"))
+    b = fs.select("fp", F.col("_src").alias("source_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared_texts"))
+    )
+
+
 def novelty_curve(
     df: DataFrame,
     text_col: str = "text",
