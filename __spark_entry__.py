@@ -558,6 +558,41 @@ def q_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.quality_yield_curve(_t(spark, sf_dir, "documents"))
 
 
+def q_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-bucketed co-located join: orders and customer land as
+    bucketBy(8, custkey) catalog tables (io/writers.py:
+    write_bucketed_table), then join WITHOUT shuffling either side —
+    the write-once-join-many layout for recurring fact joins; the
+    zero-exchange join plan is pinned in test_storage_layout.py.
+    Oracle: the same join + rollup over the raw parquet."""
+    import uuid
+
+    from youtube_podcast_data_pipeline_azure_spark.io.writers import write_bucketed_table
+
+    tag = uuid.uuid4().hex[:8]
+    to, tc = f"bt_orders_{tag}", f"bt_cust_{tag}"
+    write_bucketed_table(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        to, "o_custkey", 8, sort_col="o_custkey",
+    )
+    write_bucketed_table(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        tc, "c_custkey", 8, sort_col="c_custkey",
+    )
+    return (
+        spark.table(to)
+        .join(spark.table(tc), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long")
+            .alias("total_cents"),
+        )
+    )
+
+
 def q_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency profiler over documents: does doc_id
     determine lang (yes — key), does source determine lang / lang
@@ -3701,6 +3736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "functional_dependencies": q_functional_dependencies,
         "join_cardinality": q_join_cardinality,
         "source_overlap_matrix": q_source_overlap_matrix,
+        "bucketed_join_roundtrip": q_bucketed_join_roundtrip,
         "medallion_kpis": q_medallion_kpis,
         "array_agg_functions": q_array_agg_functions,
         "map_functions": q_map_functions,
@@ -5698,6 +5734,15 @@ def oracle_sql() -> dict[str, str]:
                                      AND 1 PRECEDING), 0)
                         / 2048.0) AS bigint) AS pack_id
             FROM d
+        """,
+        # same join + rollup over the raw parquet (layout-independent)
+        "bucketed_join_roundtrip": """
+            SELECT c_mktsegment,
+                   cast(count(*) AS bigint) AS n_orders,
+                   cast(sum(floor(o_totalprice * 100)) AS bigint)
+                       AS total_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
         """,
         # one count-distinct aggregate per candidate FD pair
         "functional_dependencies": """

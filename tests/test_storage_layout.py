@@ -147,3 +147,53 @@ def test_delete_by_key_no_matches_is_noop(spark, tmp_path):
     doomed = spark.createDataFrame([(99,)], "user_id long")
     assert delete_by_key(spark, sink, doomed, "user_id", "part") == 0
     assert spark.read.parquet(sink).count() == 2
+
+
+def test_bucketed_tables_join_with_zero_exchanges(spark, sf_dir):
+    """The point of bucketBy: both sides pre-hashed into the same 8
+    buckets on the join key, so the sort-merge join plans with NO
+    exchange on either input (broadcast disabled to force the join
+    strategy the layout exists for)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+    from youtube_podcast_data_pipeline_azure_spark.io.writers import write_bucketed_table
+
+    tag = uuid.uuid4().hex[:8]
+    to, tc = f"t_bucket_o_{tag}", f"t_bucket_c_{tag}"
+    write_bucketed_table(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        to, "o_custkey", 8, sort_col="o_custkey",
+    )
+    write_bucketed_table(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        tc, "c_custkey", 8, sort_col="c_custkey",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table(to).join(
+            spark.table(tc), F.col("o_custkey") == F.col("c_custkey")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange") == 0  # neither side shuffles
+        # correctness: equals the plain parquet join
+        expected = (
+            load_table(spark, sf_dir, "orders")
+            .join(
+                load_table(spark, sf_dir, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .count()
+        )
+        assert j.count() == expected
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql(f"DROP TABLE IF EXISTS {to}")
+    spark.sql(f"DROP TABLE IF EXISTS {tc}")

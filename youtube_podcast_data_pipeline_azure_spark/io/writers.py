@@ -260,3 +260,30 @@ def delete_by_key(
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(hpath, True)
     return len(affected)
+
+
+def write_bucketed_table(
+    df,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Persist ``df`` as a STORAGE-BUCKETED catalog table
+    (``bucketBy`` + optional ``sortBy`` + ``saveAsTable``): rows are
+    hash-distributed into ``n_buckets`` files per partition by
+    ``bucket_col``, and the catalog records the layout.
+
+    This is the co-located-join primitive: two tables bucketed on
+    their join key with the SAME bucket count join with ZERO
+    exchanges — the sort-merge join reads matching bucket files
+    directly (bucket pruning also serves point lookups).  At 100 TB
+    this is the difference between shuffling both fact tables on
+    every join and shuffling them ONCE at write time; pick
+    ``n_buckets`` so a bucket's rows fit an executor task
+    (rows/bucket ≈ table / n_buckets).
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
