@@ -303,12 +303,21 @@ def connected_components_star(
             .dropDuplicates(["u", "v"])
             .localCheckpoint()
         )
-        changed = (
-            folded.subtract(edges)
-            .union(edges.subtract(folded))
-            .limit(1)
-            .count()
-        )
+        # convergence = exact edge fixpoint; the two-sided subtract is
+        # the expensive part, so gate it on the cheap count probe
+        # (different cardinality ⇒ definitely changed — both frames are
+        # canonical + deduplicated, so equal sets ⇒ equal counts).
+        # Both sides are localCheckpoint'ed, so the counts are block
+        # scans, not recomputation.
+        if folded.count() != edges.count():
+            changed = 1
+        else:
+            changed = (
+                folded.subtract(edges)
+                .union(edges.subtract(folded))
+                .limit(1)
+                .count()
+            )
         edges = folded
         if changed == 0:
             break
