@@ -451,3 +451,59 @@ def test_r05_window_queries_stay_within_shuffle_budget(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 14, plan.count(
         "Exchange hashpartitioning"
     )
+
+
+def test_vocabulary_joins_carry_no_broadcast_hint(spark, sf_dir):
+    """r6 sweep (VERDICT r5 #1): the vocabulary-sized lookup tables —
+    document frequency (distinctive_terms), unigram counts
+    (collocations, both sides), per-token counts (token_rarity_bins) —
+    must NOT be hint-forced into broadcasts: at web scale each is 10⁸+
+    rows and a forced broadcast is an executor OOM ceiling.  With
+    size-based promotion disabled, the ONLY broadcasts left in these
+    plans are the deliberate 1-row scalar assemblies (nested-loop cross
+    joins), so any BroadcastHashJoin means a reintroduced hint."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name in ("distinctive_terms", "collocations", "token_rarity_bins"):
+            plan = _plan(spark, sf_dir, name)
+            assert plan.count("BroadcastHashJoin") == 0, (
+                name,
+                plan.count("BroadcastHashJoin"),
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_cooccurrence_cap_broadcasts_only_the_hot_set(spark, sf_dir):
+    """The degree cap in cooccurrence_edges broadcasts the tiny
+    OVER-cap hot-item set as a LEFT ANTI probe — never the under-cap
+    side, which is essentially the whole item catalog.  With size-based
+    promotion off, exactly one BroadcastHashJoin (the anti join)
+    survives; the bipartite self-join stays shuffled."""
+    from pyspark.sql import functions as F
+
+    from youtube_podcast_data_pipeline_azure_spark.operators import graph
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ev = (
+            entry._t(spark, sf_dir, "events")
+            .select(
+                "user_id",
+                F.get_json_object("props", "$.k").cast("long").alias("item"),
+            )
+            .where(F.col("item").isNotNull())
+        )
+        edges = graph.cooccurrence_edges(
+            ev, "user_id", "item", max_item_degree=25
+        )
+        plan = edges._jdf.queryExecution().executedPlan().toString()
+        # the ui subtree feeds both self-join legs, so the static plan
+        # pastes the anti join twice (AQE reuses the exchange at
+        # runtime) — every broadcast must be a LeftAnti probe build
+        n_bhj = plan.count("BroadcastHashJoin")
+        assert n_bhj >= 1 and n_bhj == plan.count("LeftAnti"), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

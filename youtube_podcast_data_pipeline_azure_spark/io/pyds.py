@@ -11,11 +11,15 @@ ingest function.
 
 Connector anatomy (the shape any production REST/paged source takes):
 
-* **Planning (driver)** — reads ONLY the id column of the simulated
-  remote feed (metadata-sized, like the reference's step-2 playlist id
-  scan), applies the ``max_results`` LIMIT pushdown at the source, and
-  chunks ids into :class:`~pyspark.sql.datasource.InputPartition`\\ s of
-  ``chunk`` ids (50 = the YouTube API's per-call detail cap).
+* **Planning (driver)** — a genuinely bounded id scan of the simulated
+  remote feed (like the reference's step-2 playlist id scan): the
+  ``max_results`` LIMIT is pushed INTO the read — Arrow batches stream
+  through a smallest-k buffer and row groups whose min-id statistic
+  exceeds the current k-th smallest are skipped (``_lowest_keys``), so
+  planning memory is O(max_results) however large the feed grows.  The
+  surviving ids chunk into
+  :class:`~pyspark.sql.datasource.InputPartition`\\ s of ``chunk`` ids
+  (50 = the YouTube API's per-call detail cap).
 * **Read (executors)** — each task "fetches details" for its chunk: a
   pyarrow read with an ``o_orderkey IN (...)`` filter (row-group
   predicate pushdown), conformed to the same BRONZE_VIDEO_ITEM rows
@@ -40,6 +44,52 @@ from youtube_podcast_data_pipeline_azure_spark.schemas import BRONZE_VIDEO_ITEM
 #: per-detail-call id cap (public YouTube API limit, reference
 #: function_app.py batches ids the same way).
 DEFAULT_CHUNK = 50
+
+
+def _lowest_keys(sf_dir: str, k: int, batch_rows: int = 65536) -> list[int]:
+    """The lowest ``k`` feed ids, with BOUNDED driver memory — the real
+    LIMIT pushdown for planning.
+
+    Never materializes the id column: streams it row-group by
+    row-group in Arrow batches, keeps only a running smallest-``k``
+    buffer (``np.partition`` — O(batch + k) resident), and once the
+    buffer is full SKIPS every remaining row group whose min statistic
+    already exceeds the current k-th smallest (on an id-sorted feed
+    file, that prunes the scan to ~``k`` rows of IO).  Driver planning
+    cost is O(k) memory regardless of feed size.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/orders.parquet")
+    meta = pf.metadata
+    if meta.num_row_groups == 0 or k <= 0:
+        return []
+    cidx = next(
+        i
+        for i in range(meta.row_group(0).num_columns)
+        if meta.row_group(0).column(i).path_in_schema == "o_orderkey"
+    )
+    best = np.empty(0, dtype="int64")
+    kth: int | None = None  # current k-th smallest, once buffer is full
+    for rg in range(meta.num_row_groups):
+        stats = meta.row_group(rg).column(cidx).statistics
+        if (
+            kth is not None
+            and stats is not None
+            and stats.has_min_max
+            and stats.min > kth
+        ):
+            continue
+        for batch in pf.iter_batches(
+            batch_size=batch_rows, row_groups=[rg], columns=["o_orderkey"]
+        ):
+            arr = batch.column(0).to_numpy(zero_copy_only=False)
+            best = np.concatenate([best, arr.astype("int64", copy=False)])
+            if len(best) >= k:
+                best = np.partition(best, k - 1)[:k]
+                kth = int(best.max())
+    return sorted(int(x) for x in best)
 
 
 def _video_row(r: dict) -> tuple:
@@ -69,18 +119,10 @@ class VideosReader(DataSourceReader):
         self.chunk = int(options.get("chunk", DEFAULT_CHUNK))
 
     def partitions(self) -> list[InputPartition]:
-        # Driver-side id scan: single metadata-sized column, LIMIT
-        # pushed into the source (lowest max_results keys).
-        import pyarrow.parquet as pq
-
-        keys = (
-            pq.read_table(
-                f"{self.sf_dir}/orders.parquet", columns=["o_orderkey"]
-            )
-            .column("o_orderkey")
-            .to_pylist()
-        )
-        keys = sorted(keys)[: self.max_results]
+        # Driver-side planning scan: LIMIT pushed into the source —
+        # bounded smallest-k streaming read with row-group stats
+        # pruning, never the whole id column (see _lowest_keys).
+        keys = _lowest_keys(self.sf_dir, self.max_results)
         return [
             InputPartition(keys[i : i + self.chunk])
             for i in range(0, len(keys), self.chunk)
@@ -146,16 +188,10 @@ class VideosStreamReader(DataSourceStreamReader):
         self.max_results = int(options.get("max_results", 500))
         self.batch_ids = int(options.get("batch_ids", 100))
         self.chunk = int(options.get("chunk", DEFAULT_CHUNK))
-        import pyarrow.parquet as pq
-
-        keys = (
-            pq.read_table(
-                f"{self.sf_dir}/orders.parquet", columns=["o_orderkey"]
-            )
-            .column("o_orderkey")
-            .to_pylist()
-        )
-        self.keys = sorted(keys)[: self.max_results]
+        # same bounded planning read as the batch reader: the stream's
+        # id universe is the pushed-down LIMIT prefix, O(max_results)
+        # driver memory, not the full feed id column
+        self.keys = _lowest_keys(self.sf_dir, self.max_results)
         self._pos = 0
 
     def initialOffset(self) -> dict:

@@ -168,17 +168,22 @@ def cooccurrence_edges(
     ``max_df``-style escape hatch as `fingerprint_overlap_pairs` —
     items touched by more users are connectivity-free boilerplate
     (everyone saw the homepage) and are dropped BEFORE the join, which
-    caps per-item fan-out.  Distinct (user, item) first, so repeat
-    interactions don't multiply edges; output edges are distinct.
+    caps per-item fan-out.  The cap is enforced by broadcasting the
+    OVER-cap hot-item set and LEFT-ANTI joining it out: the under-cap
+    side is essentially the whole item catalog (10⁹+ items at scale —
+    unbroadcastable), while the over-cap set is by construction tiny
+    (at most ``Σdegree / cap`` items), so that is the side that can be
+    safely pinned executor-resident.  Distinct (user, item) first, so
+    repeat interactions don't multiply edges; output edges are
+    distinct.
     """
     ui = df.select(
         F.col(user_col).alias("u"), F.col(item_col).alias("i")
     ).dropDuplicates(["u", "i"])
     if max_item_degree is not None:
         deg = ui.groupBy("i").agg(F.count("*").alias("_d"))
-        ui = ui.join(
-            F.broadcast(deg.where(F.col("_d") <= max_item_degree)), "i"
-        ).select("u", "i")
+        hot = deg.where(F.col("_d") > max_item_degree).select("i")
+        ui = ui.join(F.broadcast(hot), "i", "left_anti")
     a = ui.select(F.col("i"), F.col("u").alias("a"))
     b = ui.select(F.col("i"), F.col("u").alias("b"))
     return (

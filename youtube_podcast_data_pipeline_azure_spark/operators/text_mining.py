@@ -38,10 +38,15 @@ def distinctive_terms(
     Plan shape: explode once, aggregate to (doc, term) grain — the wide
     shuffle carries (id, term) pairs only.  Document frequency is a
     second aggregate OVER THE (doc, term) GRAIN (already distinct, so a
-    plain count — no count-distinct expansion), and joins back on term;
-    the term dictionary is vocabulary-sized, far smaller than the
-    corpus, and broadcast.  Corpus size N is a 1-row aggregate,
-    cross-joined (broadcast) as a scalar.
+    plain count — no count-distinct expansion), and joins back on
+    ``term`` with NO broadcast hint: the df table is the corpus
+    vocabulary (10⁸+ distinct tokens at web scale — an executor OOM if
+    forced into a broadcast), and ``term`` is already the shuffle key
+    of the aggregate that produced it, so the plain sort-merge join
+    co-partitions with work the stage already does; AQE still converts
+    it to a broadcast at runtime whenever df IS small (same rationale
+    as :func:`tfidf_cosine_pairs`).  Corpus size N is a 1-row
+    aggregate, cross-joined (broadcast) as a scalar.
     """
     tf = (
         docs.select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
@@ -51,7 +56,7 @@ def distinctive_terms(
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n))
         .select(
             F.col(id_col),
@@ -91,11 +96,13 @@ def collocations(
     monotone PMI analog), among pairs seen at least ``min_count`` times.
 
     Plan shape: one explode for bigram counts, one for unigram counts
-    (both aggregate map-side before their shuffles); unigram counts are
-    a vocabulary-sized table broadcast twice (left word, right word);
-    total-bigram count T is a broadcast scalar.  Final deterministic
-    top-N is a global ``TakeOrderedAndProject`` on the already-tiny
-    filtered pair list.
+    (both aggregate map-side before their shuffles); the unigram table
+    is the corpus VOCABULARY — unbroadcastable at web scale — so both
+    lookups (left word, right word) join with no hint: the bigram table
+    is already shuffled on word keys and AQE broadcasts the unigram
+    side at runtime whenever it fits.  Total-bigram count T is a
+    broadcast scalar.  Final deterministic top-N is a global
+    ``TakeOrderedAndProject`` on the already-tiny filtered pair list.
     """
     toks = docs.select(tokenize(text_col).alias("toks"))
     pairs = (
@@ -113,11 +120,11 @@ def collocations(
     scored = (
         pairs.where(F.col("pair_count") >= min_count)
         .join(
-            F.broadcast(uni.select(F.col("w").alias("word_a"), F.col("c").alias("c_a"))),
+            uni.select(F.col("w").alias("word_a"), F.col("c").alias("c_a")),
             "word_a",
         )
         .join(
-            F.broadcast(uni.select(F.col("w").alias("word_b"), F.col("c").alias("c_b"))),
+            uni.select(F.col("w").alias("word_b"), F.col("c").alias("c_b")),
             "word_b",
         )
         .crossJoin(F.broadcast(t))
@@ -296,10 +303,15 @@ def token_rarity_bins(
     bit-exact across engines.
 
     Scale shape: token counts aggregate on the token itself (map-side
-    combined, vocabulary-sized result, broadcast back); per-doc scoring
-    is one (doc, token)-grain aggregate; the tercile cut points are a
-    1-row exact-percentile aggregate over doc scores — broadcast as
-    scalars, NOT a global sort.  Returns
+    combined, vocabulary-sized result) and join back on ``term`` with
+    NO broadcast hint — the per-token count table is the corpus
+    vocabulary, an OOM ceiling if forced executor-resident; the token
+    stream shuffles on ``term`` for a join AQE downgrades-to-broadcast
+    at runtime whenever counts fit (same rationale as
+    :func:`tfidf_cosine_pairs`).  Per-doc scoring is one
+    (doc, token)-grain aggregate; the tercile cut points are a 1-row
+    exact-percentile aggregate over doc scores — broadcast as scalars,
+    NOT a global sort.  Returns
     (id, n_tokens, mean_token_ppm, rarity_bin).
     """
     toks = docs.select(
@@ -308,7 +320,7 @@ def token_rarity_bins(
     counts = toks.groupBy("term").agg(F.count("*").alias("c"))
     total = counts.agg(F.sum("c").alias("t"))
     scored = (
-        toks.join(F.broadcast(counts), "term")
+        toks.join(counts, "term")
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(
