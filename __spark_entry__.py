@@ -708,6 +708,48 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_count(edges)
 
 
+def q_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite co-interaction projection surfaced directly (r5
+    VERDICT polish item): distinct user pairs (a < b) co-touching the
+    same props item, hot items above degree 64 dropped via the
+    broadcast-anti cap — the edge-build step triangle_count consumes
+    (operators/graph.py:cooccurrence_edges).  Cap 64 (vs
+    triangle_count's 25) keeps the mid-degree items at the driver SF so
+    the edge list itself is exercised non-trivially."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    ).where(F.col("item").isNotNull())
+    return graph.cooccurrence_edges(
+        ev, "user_id", "item", max_item_degree=64
+    )
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: split assignment is a pure
+    function of the duplicate-CLUSTER id (connected components over the
+    exact n-gram-Jaccard pair graph), so both copies of a duplicated
+    page land in the same split — the train/test-contamination guard
+    plain per-doc hash splits lack
+    (operators/curation.py:leakage_safe_split).  Oracle: recursive-CTE
+    components + the same content-hash CASE on the component id."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs)
+    return curation.leakage_safe_split(docs, pairs, seed=11)
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning (the Pile/LLaMA data-mix table):
+    per-source available vs targeted tokens and the epoch factor, all
+    integer floor division, one stratum aggregate + a broadcast budget
+    scalar (operators/sampling.py:mixture_plan)."""
+    docs = _t(spark, sf_dir, "documents")
+    weights = {"src0": 4000, "src1": 2000, "src2": 1000, "src3": 500}
+    return sampling.mixture_plan(
+        docs, "source", weights, word_count("text")
+    ).orderBy("stratum")
+
+
 def q_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index persistence roundtrip: train + write the IVF index
     (centroid table + inverted lists partitioned by centroid_id), load
@@ -3622,66 +3664,203 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification rotation, not taxonomy: the
     driver's per-round correctness check covers the FIRST 50 entries,
     so each round front-loads queries needing driver evidence.
-    Cumulative state entering r5: 181 registered, 178 hash-green in at
-    least one driver round (CORRECTNESS_r01-r04), r4 window 50/50.
+    Cumulative state entering r6: 192 registered, 185 hash-green in at
+    least one driver round, 3 rows-only by contract (with driver rows
+    since r5), 4 never driver-windowed (CORRECTNESS_r01-r05).
 
-    The r5 window is the staleness-closing rotation VERDICT r4 #1
-    committed to: (0) the 3 never-windowed rows-only queries (knn_ivf
-    at nprobe<k and the two raw t-digest dials — approximate BY
-    CONTRACT, each pinned by an r4 hash-green exact/accuracy twin:
-    knn_ivf_exhaustive, tdigest_accuracy, tdigest_by_key_accuracy) get
-    their first-ever driver rows; (1) the six queries new this round
-    — decontaminated_docs (the drop-side consumer of
-    contamination_report, VERDICT r4 #7), quality_yield_curve (filter
-    calibration: per-threshold corpus yield in one scan),
-    corpus_overlap_report (cross-corpus exact+near containment audit
-    over distinct-text reps), vocabulary_growth (Heaps-law curve via
-    per-term min-bucket, no ntile global sort), packing_efficiency
-    (padding-waste report over pack_sequences bins), novelty_curve
-    (per-slice new-text vs duplicate mass via per-fingerprint
-    min-bucket), and duplicate_clusters_star (diameter-independent
-    large-star/small-star components sharing duplicate_clusters'
-    oracle — also the fallback engine duplicate_clusters now uses when
-    label propagation hits its iteration cap, a silent-wrong-labels
-    bug caught in r5); (2) all 33 queries whose only driver
-    evidence was r01 — the
-    TPC-H headline pack, window/ntile/lag, set ops, string/date/math
-    packs, bronze->silver flattens, sinks; (3) re-checks of every
-    query over code changed this round — contrastive_pairs (negative
-    pool now capped at an ABSOLUTE size via global md5 top-K, VERDICT
-    r4 #2), dedup_corpus (connected components now consume linear
-    rep-pair + member->rep star edges from the _near_dup_parts seam
-    instead of the Ω(m²) within-group pair list, VERDICT r4 #3),
-    near_dup_pipeline + duplicate_clusters (share that seam/input),
-    tfidf_cosine_pairs (vocabulary + norm broadcast hints dropped,
-    VERDICT r4 #4), semantic_dedup (collapse window keyed on
-    (xxhash64(vec), vec), VERDICT r4 #5); (4) the oldest r02 greens as
-    fill.  Slots 51+ order the tail oldest-evidence-first so the r6
-    window is the remaining r02 pack.  Every window query was verified
-    on a PLAIN local[32] session (driver conditions: ANSI on, no
-    engine confs) against the DuckDB oracle at sf0.01 before this
-    registration — and in r5 that check was extended to ALL 188
-    registered queries (window + both tail segments, three plain-
-    session sweeps, 188/188 green), plus the engine-session mirror at
-    sf0.001 and sf0.01 (188/188)."""
+    The r6 window executes VERDICT r5's Next-round list: (0) the 4
+    never-windowed queries get their first driver rows
+    (functional_dependencies, join_cardinality, source_overlap_matrix,
+    bucketed_join_roundtrip — all added after the r5 window was fixed;
+    VERDICT #2); (1) the three queries new this round —
+    cooccurrence_edges (the bipartite projection surfaced directly,
+    VERDICT #7), leakage_safe_split (near-dup-cluster-keyed train/val/
+    test assignment — the split-leakage guard), and mixture_plan (the
+    token-budget data-mix table); (2) re-checks of every query whose
+    code changed this round — the vocabulary-broadcast sweep (VERDICT
+    #1: distinctive_terms, collocations, token_rarity_bins unhinted;
+    cooccurrence_edges'/triangle_count's degree cap now a broadcast
+    LEFT ANTI of the over-cap set) and the bounded Data Source planning
+    scan (VERDICT #5: python_datasource_videos + its streaming twin now
+    plan via a smallest-k row-group-stat-pruned read, never the full id
+    column); (3) 37 of the 46 remaining r02-stale queries,
+    oldest-evidence-first (VERDICT #3) — the 9 that did not fit are
+    parked immediately below the line as the r7 window head.  Every
+    window query was verified on a PLAIN local[32] session (driver
+    conditions: ANSI on, no engine confs) against the DuckDB oracle at
+    sf0.01 before this registration, and the engine-session mirror ran
+    the full registry at sf0.001 and sf0.01."""
     return {
-        # ===== r05 window, part 0: never-windowed rows-only queries
-        # (first-ever driver rows for the approximate dials; their
-        # exact/accuracy twins are r4 hash-green)
+        # ===== r06 window, part 0: the 4 never-windowed queries (added
+        # after the r5 window was fixed; locally oracle-mirrored +
+        # plan-pinned, zero driver rows until now — VERDICT r5 #2)
+        "functional_dependencies": q_functional_dependencies,
+        "join_cardinality": q_join_cardinality,
+        "source_overlap_matrix": q_source_overlap_matrix,
+        "bucketed_join_roundtrip": q_bucketed_join_roundtrip,
+        # ===== r06 window, part 1: new this round
+        "cooccurrence_edges": q_cooccurrence_edges,
+        "leakage_safe_split": q_leakage_safe_split,
+        "mixture_plan": q_mixture_plan,
+        # ===== r06 window, part 2: re-checks of code changed this
+        # round (vocabulary-broadcast sweep VERDICT r5 #1/#4;
+        # bounded Data Source planning scan VERDICT r5 #5)
+        "distinctive_terms": q_distinctive_terms,
+        "collocations": q_collocations,
+        "token_rarity_bins": q_token_rarity_bins,
+        "triangle_count": q_triangle_count,
+        "python_datasource_videos": q_python_datasource_videos,
+        "python_datasource_videos_stream": q_python_datasource_videos_stream,
+        # ===== r06 window, part 3: staleness rotation — 37 of the 46
+        # remaining r02-stale queries, oldest-evidence-first
+        # (VERDICT r5 #3)
+        "medallion_kpis": q_medallion_kpis,
+        "array_agg_functions": q_array_agg_functions,
+        "map_functions": q_map_functions,
+        "forecast_revenue": q_forecast_revenue,
+        "market_share": q_market_share,
+        "product_type_profit": q_product_type_profit,
+        "important_parts": q_important_parts,
+        "shipping_delay": q_shipping_delay,
+        "promo_revenue": q_promo_revenue,
+        "top_supplier": q_top_supplier,
+        "supplier_part_counts": q_supplier_part_counts,
+        "waiting_suppliers": q_waiting_suppliers,
+        "dormant_customers": q_dormant_customers,
+        "tumbling_windows": q_tumbling_windows,
+        "session_windows": q_session_windows,
+        "stream_dedup_counts": q_stream_dedup_counts,
+        "stream_static_enrich": q_stream_static_enrich,
+        "purchase_view_attribution": q_purchase_view_attribution,
+        "text_stats": q_text_stats,
+        "language_id": q_language_id,
+        "quality_scores": q_quality_scores,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
+        "embedding_norms": q_embedding_norms,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_label_accuracy": q_knn_label_accuracy,
+        "hash_sample": q_hash_sample,
+        "weighted_sample": q_weighted_sample,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "media_features": q_media_features,
+        "media_frame_sample": q_media_frame_sample,
+        "higher_order_funcs": q_higher_order_funcs,
+        "csv_roundtrip": q_csv_roundtrip,
+        "clustered_roundtrip": q_clustered_roundtrip,
+        "schema_evolution": q_schema_evolution,
+        "value_outliers": q_value_outliers,
+        "cohort_retention": q_cohort_retention,
+        # ================= end of driver's 50-slot window =================
+        # the 9 r02-stale queries the r6 window could not fit —
+        # they are the r7 window head
+        "funnel_conversion": q_funnel_conversion,
+        "fuzzy_vocab": q_fuzzy_vocab,
+        "session_conversion": q_session_conversion,
+        "zorder_key": q_zorder_key,
+        "scd2_intervals": q_scd2_intervals,
+        "upsert_latest_wins": q_upsert_latest_wins,
+        "profile_table": q_profile_table,
+        "enrich_documents": q_enrich_documents,
+        "enrich_video_titles": q_enrich_video_titles,
+        # r03/r04-green tail (relative order preserved)
+        "rest_ingest_videos": q_rest_ingest_videos,
+        "rest_ingest_comments": q_rest_ingest_comments,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "mg_heavy_hitters": q_mg_heavy_hitters,
+        "dq_report": q_dq_report,
+        "dq_referential_orphans": q_dq_referential_orphans,
+        "dq_unique_violations": q_dq_unique_violations,
+        "table_fingerprint": q_table_fingerprint,
+        "snapshot_diff": q_snapshot_diff,
+        "volume_shipping": q_volume_shipping,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "promo_part_suppliers": q_promo_part_suppliers,
+        "sql_api_top_orders": q_sql_api_top_orders,
+        "udtf_sentences": q_udtf_sentences,
+        "incremental_agg": q_incremental_agg,
+        "streaming_incremental_kpis": q_streaming_incremental_kpis,
+        "compaction_roundtrip": q_compaction_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
+        "sliding_windows": q_sliding_windows,
+        "purchase_attribution_outer": q_purchase_attribution_outer,
+        "user_running_totals": q_user_running_totals,
+        "foreach_batch_sink": q_foreach_batch_sink,
+        "top_tokens_per_lang": q_top_tokens_per_lang,
+        "token_set_dedup": q_token_set_dedup,
+        "mixture_sample": q_mixture_sample,
+        "reservoir_per_key": q_reservoir_per_key,
+        "media_thumbnails": q_media_thumbnails,
+        "media_audio_stats": q_media_audio_stats,
+        "window_rank_stats": q_window_rank_stats,
+        "key_skew_report": q_key_skew_report,
+        "resample_daily": q_resample_daily,
+        "rolling_activity": q_rolling_activity,
+        "shipping_priority": q_shipping_priority,
+        "window_running": q_window_running,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "range_join_bands": q_range_join_bands,
+        "salted_join": q_salted_join,
+        "percentiles": q_percentiles,
+        "grouping_sets": q_grouping_sets,
+        "pivot_event_types": q_pivot_event_types,
+        "scalar_subquery": q_scalar_subquery,
+        "exists_inequality": q_exists_inequality,
+        "min_price_supplier": q_min_price_supplier,
+        "unpivot_metrics": q_unpivot_metrics,
+        "contamination_report": q_contamination_report,
+        "repetition_signals": q_repetition_signals,
+        "pii_scan": q_pii_scan,
+        "incremental_dedup": q_incremental_dedup,
+        "dataset_split": q_dataset_split,
+        "pagerank_influence": q_pagerank_influence,
+        "duplicate_ngram_spans": q_duplicate_ngram_spans,
+        "embedding_quantization": q_embedding_quantization,
+        "variant_extract": q_variant_extract,
+        "streaming_corpus_dedup": q_streaming_corpus_dedup,
+        "delete_by_key_roundtrip": q_delete_by_key_roundtrip,
+        "curation_funnel": q_curation_funnel,
+        "fingerprint_overlap_pairs": q_fingerprint_overlap_pairs,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_near_dup": q_simhash_near_dup,
+        "embedding_near_dup": q_embedding_near_dup,
+        "knn_lsh": q_knn_lsh,
+        "knn_ivf_exhaustive": q_knn_ivf_exhaustive,
+        "embedding_clusters": q_embedding_clusters,
+        "approx_distinct_users": q_approx_distinct_users,
+        "tdigest_accuracy": q_tdigest_accuracy,
+        "tdigest_by_key_accuracy": q_tdigest_by_key_accuracy,
+        "ngram_jaccard_pairs_blocked": q_ngram_jaccard_pairs_blocked,
+        "bloom_semi_join": q_bloom_semi_join,
+        "bloom_prune_report": q_bloom_prune_report,
+        "boilerplate_lines": q_boilerplate_lines,
+        "remove_repeated_spans": q_remove_repeated_spans,
+        "dedup_keep_best": q_dedup_keep_best,
+        "upsample_mixture": q_upsample_mixture,
+        "pipeline_observability": q_pipeline_observability,
+        "streaming_near_dup": q_streaming_near_dup,
+        "training_shards": q_training_shards,
+        "bpe_merges": q_bpe_merges,
+        "bpe_segment": q_bpe_segment,
+        "knn_ivf_persisted": q_knn_ivf_persisted,
+        "dataset_card": q_dataset_card,
+        "exact_quantiles_sketched": q_exact_quantiles_sketched,
+        "asof_join": q_asof_join,
+        "asof_join_forward": q_asof_join_forward,
+        "asof_join_nearest": q_asof_join_nearest,
+        "exact_dedup": q_exact_dedup,
+        "kpi_event_type_counts": q_kpi_event_type_counts,
+        # r05-green tail (freshest evidence)
         "knn_ivf": q_knn_ivf,
         "tdigest_quantiles": q_tdigest_quantiles,
         "tdigest_by_key": q_tdigest_by_key,
-        # ===== r05 window, part 1: new this round
         "decontaminated_docs": q_decontaminated_docs,
         "quality_yield_curve": q_quality_yield_curve,
         "corpus_overlap_report": q_corpus_overlap_report,
         "vocabulary_growth": q_vocabulary_growth,
         "packing_efficiency": q_packing_efficiency,
         "novelty_curve": q_novelty_curve,
-        "python_datasource_videos_stream": q_python_datasource_videos_stream,
-        # ===== r05 window, part 2: the 33 r01-stale queries (VERDICT
-        # r4 #1 — TPC-H headliners, window/set/string/date/math packs,
-        # bronze->silver, sinks; none driver-checked since r01)
         "kpi_totals": q_kpi_totals,
         "clean_documents": q_clean_documents,
         "safe_cast_props": q_safe_cast_props,
@@ -3715,10 +3894,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_distribution": q_customer_order_distribution,
         "large_orders": q_large_orders,
         "returned_items": q_returned_items,
-        # ===== r05 window, part 3: re-checks of code changed this
-        # round (pool_cap contrastive negatives, linear-edge
-        # dedup_corpus + _near_dup_parts seam, unhinted TF-IDF joins,
-        # hash-first semantic_dedup collapse)
         "contrastive_pairs": q_contrastive_pairs,
         "dedup_corpus": q_dedup_corpus,
         "near_dup_pipeline": q_near_dup_pipeline,
@@ -3726,160 +3901,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_clusters_star": q_duplicate_clusters_star,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "semantic_dedup": q_semantic_dedup,
-        # ===== r05 window, part 4: oldest r02 greens (staleness
-        # rotation continues)
-        # ================= end of driver's 50-slot window =================
-        # newest first below the line: functional_dependencies and
-        # join_cardinality were added after the r5 window filled with
-        # the verdict-mandated rotation; locally verified (sf0.001 +
-        # plain-session sf0.01), they rotate into the r6 window first
-        "functional_dependencies": q_functional_dependencies,
-        "join_cardinality": q_join_cardinality,
-        "source_overlap_matrix": q_source_overlap_matrix,
-        "bucketed_join_roundtrip": q_bucketed_join_roundtrip,
-        "medallion_kpis": q_medallion_kpis,
-        "array_agg_functions": q_array_agg_functions,
-        "map_functions": q_map_functions,
-        # r02-green tail (rotate into r6 window next; the five r5-new
-        # queries displaced forecast_revenue / market_share /
-        # product_type_profit / important_parts and one more fill)
-        "forecast_revenue": q_forecast_revenue,
-        "market_share": q_market_share,
-        "product_type_profit": q_product_type_profit,
-        "important_parts": q_important_parts,
-        "shipping_delay": q_shipping_delay,
-        "promo_revenue": q_promo_revenue,
-        "top_supplier": q_top_supplier,
-        "supplier_part_counts": q_supplier_part_counts,
-        "waiting_suppliers": q_waiting_suppliers,
-        "dormant_customers": q_dormant_customers,
-        "tumbling_windows": q_tumbling_windows,
-        "session_windows": q_session_windows,
-        "stream_dedup_counts": q_stream_dedup_counts,
-        "stream_static_enrich": q_stream_static_enrich,
-        "purchase_view_attribution": q_purchase_view_attribution,
-        "text_stats": q_text_stats,
-        "language_id": q_language_id,
-        "quality_scores": q_quality_scores,
-        "distinctive_terms": q_distinctive_terms,
-        "winnowing_fingerprints": q_winnowing_fingerprints,
-        "embedding_norms": q_embedding_norms,
-        "knn_bruteforce": q_knn_bruteforce,
-        "knn_label_accuracy": q_knn_label_accuracy,
-        "hash_sample": q_hash_sample,
-        "weighted_sample": q_weighted_sample,
-        "chunk_documents": q_chunk_documents,
-        "pack_sequences": q_pack_sequences,
-        "media_features": q_media_features,
-        "media_frame_sample": q_media_frame_sample,
-        "higher_order_funcs": q_higher_order_funcs,
-        "csv_roundtrip": q_csv_roundtrip,
-        "clustered_roundtrip": q_clustered_roundtrip,
-        "schema_evolution": q_schema_evolution,
-        "value_outliers": q_value_outliers,
-        "cohort_retention": q_cohort_retention,
-        "funnel_conversion": q_funnel_conversion,
-        "fuzzy_vocab": q_fuzzy_vocab,
-        "session_conversion": q_session_conversion,
-        "zorder_key": q_zorder_key,
-        "scd2_intervals": q_scd2_intervals,
-        "upsert_latest_wins": q_upsert_latest_wins,
-        "profile_table": q_profile_table,
-        "enrich_documents": q_enrich_documents,
-        "enrich_video_titles": q_enrich_video_titles,
-        # r03-green tail
-        "rest_ingest_videos": q_rest_ingest_videos,
-        "rest_ingest_comments": q_rest_ingest_comments,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "mg_heavy_hitters": q_mg_heavy_hitters,
-        "dq_report": q_dq_report,
-        "dq_referential_orphans": q_dq_referential_orphans,
-        "dq_unique_violations": q_dq_unique_violations,
-        "table_fingerprint": q_table_fingerprint,
-        "snapshot_diff": q_snapshot_diff,
-        "volume_shipping": q_volume_shipping,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "promo_part_suppliers": q_promo_part_suppliers,
-        "sql_api_top_orders": q_sql_api_top_orders,
-        "udtf_sentences": q_udtf_sentences,
-        "incremental_agg": q_incremental_agg,
-        "streaming_incremental_kpis": q_streaming_incremental_kpis,
-        "compaction_roundtrip": q_compaction_roundtrip,
-        "orc_roundtrip": q_orc_roundtrip,
-        "sliding_windows": q_sliding_windows,
-        "purchase_attribution_outer": q_purchase_attribution_outer,
-        "user_running_totals": q_user_running_totals,
-        "foreach_batch_sink": q_foreach_batch_sink,
-        "collocations": q_collocations,
-        "top_tokens_per_lang": q_top_tokens_per_lang,
-        "token_set_dedup": q_token_set_dedup,
-        "mixture_sample": q_mixture_sample,
-        "reservoir_per_key": q_reservoir_per_key,
-        "media_thumbnails": q_media_thumbnails,
-        "media_audio_stats": q_media_audio_stats,
-        "window_rank_stats": q_window_rank_stats,
-        "key_skew_report": q_key_skew_report,
-        "resample_daily": q_resample_daily,
-        "rolling_activity": q_rolling_activity,
-        "shipping_priority": q_shipping_priority,
-        "window_running": q_window_running,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "range_join_bands": q_range_join_bands,
-        "salted_join": q_salted_join,
-        "percentiles": q_percentiles,
-        "grouping_sets": q_grouping_sets,
-        "pivot_event_types": q_pivot_event_types,
-        "scalar_subquery": q_scalar_subquery,
-        "exists_inequality": q_exists_inequality,
-        "min_price_supplier": q_min_price_supplier,
-        "unpivot_metrics": q_unpivot_metrics,
-        # r04-green tail (freshest evidence)
-        "contamination_report": q_contamination_report,
-        "repetition_signals": q_repetition_signals,
-        "pii_scan": q_pii_scan,
-        "incremental_dedup": q_incremental_dedup,
-        "dataset_split": q_dataset_split,
-        "pagerank_influence": q_pagerank_influence,
-        "duplicate_ngram_spans": q_duplicate_ngram_spans,
-        "embedding_quantization": q_embedding_quantization,
-        "python_datasource_videos": q_python_datasource_videos,
-        "variant_extract": q_variant_extract,
-        "streaming_corpus_dedup": q_streaming_corpus_dedup,
-        "delete_by_key_roundtrip": q_delete_by_key_roundtrip,
-        "curation_funnel": q_curation_funnel,
-        "fingerprint_overlap_pairs": q_fingerprint_overlap_pairs,
-        "minhash_near_dup": q_minhash_near_dup,
-        "simhash_near_dup": q_simhash_near_dup,
-        "embedding_near_dup": q_embedding_near_dup,
-        "knn_lsh": q_knn_lsh,
-        "knn_ivf_exhaustive": q_knn_ivf_exhaustive,
-        "embedding_clusters": q_embedding_clusters,
-        "approx_distinct_users": q_approx_distinct_users,
-        "tdigest_accuracy": q_tdigest_accuracy,
-        "tdigest_by_key_accuracy": q_tdigest_by_key_accuracy,
-        "ngram_jaccard_pairs_blocked": q_ngram_jaccard_pairs_blocked,
-        "bloom_semi_join": q_bloom_semi_join,
-        "bloom_prune_report": q_bloom_prune_report,
-        "boilerplate_lines": q_boilerplate_lines,
-        "remove_repeated_spans": q_remove_repeated_spans,
-        "dedup_keep_best": q_dedup_keep_best,
-        "token_rarity_bins": q_token_rarity_bins,
-        "upsample_mixture": q_upsample_mixture,
-        "pipeline_observability": q_pipeline_observability,
-        "streaming_near_dup": q_streaming_near_dup,
-        "training_shards": q_training_shards,
-        "bpe_merges": q_bpe_merges,
-        "bpe_segment": q_bpe_segment,
-        "knn_ivf_persisted": q_knn_ivf_persisted,
-        "triangle_count": q_triangle_count,
-        "dataset_card": q_dataset_card,
-        "exact_quantiles_sketched": q_exact_quantiles_sketched,
-        "asof_join": q_asof_join,
-        "asof_join_forward": q_asof_join_forward,
-        "asof_join_nearest": q_asof_join_nearest,
-        "exact_dedup": q_exact_dedup,
-        "kpi_event_type_counts": q_kpi_event_type_counts,
     }
 
 
@@ -6028,6 +6049,68 @@ def oracle_sql() -> dict[str, str]:
                    cast((SELECT count(*) FROM e) AS bigint) AS n_edges,
                    cast(tri.n AS bigint) AS n_triangles
             FROM tri, verts
+        """,
+        # same projection + degree cap, edges surfaced directly
+        "cooccurrence_edges": """
+            WITH ui AS (
+                SELECT DISTINCT user_id AS u,
+                       cast(json_extract_string(props, '$.k') AS bigint)
+                           AS i
+                FROM events
+                WHERE json_extract_string(props, '$.k') IS NOT NULL),
+            keep AS (
+                SELECT i FROM ui GROUP BY i HAVING count(*) <= 64),
+            uik AS (SELECT u, i FROM ui JOIN keep USING (i))
+            SELECT DISTINCT x.u AS a, y.u AS b
+            FROM uik x JOIN uik y ON x.i = y.i AND x.u < y.u
+        """,
+        # recursive-CTE components + the dataset_split hash CASE applied
+        # to the COMPONENT id (seed 11 — same constants as
+        # dataset_split's oracle)
+        "leakage_safe_split": f"""
+            WITH RECURSIVE pairs AS ({ngram_pairs}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs),
+            reach(id, comp) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+            comps AS (
+                SELECT id AS doc_id, min(comp) AS component
+                FROM reach GROUP BY id)
+            SELECT doc_id, component,
+                   CASE WHEN ((component + 11) * 2654435761) % 4294967296
+                            < 3435973836 THEN 'train'
+                        WHEN ((component + 11) * 2654435761) % 4294967296
+                            < 3865470566 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM comps
+        """,
+        # one stratum aggregate + a scalar budget; integer floor
+        # division end-to-end (DuckDB // == Spark div on bigints)
+        "mixture_plan": f"""
+            WITH per AS (
+                SELECT source AS stratum,
+                       cast(count(*) AS bigint) AS n_docs,
+                       cast(sum(len({tokens})) AS bigint) AS n_tokens
+                FROM documents GROUP BY 1),
+            b AS (SELECT cast(sum(n_tokens) AS bigint) AS budget FROM per),
+            w AS (
+                SELECT stratum, n_docs, n_tokens,
+                       cast(CASE stratum
+                            WHEN 'src0' THEN 4000 WHEN 'src1' THEN 2000
+                            WHEN 'src2' THEN 1000 WHEN 'src3' THEN 500
+                            ELSE 0 END AS bigint) AS weight_bp,
+                       budget
+                FROM per, b)
+            SELECT stratum, n_docs, n_tokens, weight_bp,
+                   cast(budget * weight_bp // 10000 AS bigint)
+                       AS target_tokens,
+                   cast((budget * weight_bp // 10000) * 1000 // n_tokens
+                        AS bigint) AS epochs_milli
+            FROM w
         """,
         # same exhaustive-equals-exact argument, through the persisted
         # index path (write + load + probe-all-lists)

@@ -355,6 +355,41 @@ def main() -> None:
             < _ratio("ngram_jaccard_pairs"),
         }
         shutil.rmtree(dst, ignore_errors=True)
+
+        # pathological graph: a pure chain — diameter = n, the case
+        # where iteration-capped label propagation silently mislabels
+        # (duplicate_clusters' fallback trigger, fixed r5).  Per-round
+        # star-CC cost is O(|E|) and rounds are O(log² n), independent
+        # of diameter, so 5x the chain must grow wall-clock ~linearly
+        # in |E| (ratio <= growth_factor), NOT with the 5x-deeper
+        # diameter label propagation would need.  The single-component
+        # check doubles as the correctness probe for the fallback path.
+        from youtube_podcast_data_pipeline_azure_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        def _chain_cc_seconds(n: int) -> float:
+            nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+            pairs = spark.range(n - 1).select(
+                F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+            )
+            t0 = time.perf_counter()
+            comp = connected_components_star(nodes, pairs)
+            ncomp = comp.select("component").distinct().count()
+            dt = time.perf_counter() - t0
+            assert ncomp == 1, f"chain CC wrong: {ncomp} components"
+            return dt
+
+        base_n, scaled_n = 20_000, 100_000
+        cb = _chain_cc_seconds(base_n)
+        cs = _chain_cc_seconds(scaled_n)
+        experiments["chain_cc:connected_components_star"] = {
+            "growth": f"chain diameter {base_n} -> {scaled_n}",
+            "growth_factor": scaled_n // base_n,
+            "base_sec": round(cb, 3),
+            "scaled_sec": round(cs, 3),
+            "ratio": round(cs / max(cb, 1e-9), 2),
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

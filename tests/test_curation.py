@@ -404,3 +404,60 @@ def test_quality_yield_curve_single_aggregate_plan(spark):
     docs = spark.createDataFrame([(1, "some text here")], ["doc_id", "text"])
     plan = quality_yield_curve(docs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every member of a near-dup component gets the SAME split, and
+    the assignment equals dataset_split applied to the component id."""
+    from pyspark.sql import Row
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import leakage_safe_split
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import dataset_split
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}") for i in range(40)]
+    )
+    # chain 0-1-2 one cluster; pair 10-11; the rest singletons
+    pairs = spark.createDataFrame(
+        [Row(id_a=0, id_b=1), Row(id_a=1, id_b=2), Row(id_a=10, id_b=11)]
+    )
+    out = leakage_safe_split(docs, pairs, seed=11).collect()
+    assert len(out) == 40
+    by_id = {r.doc_id: r for r in out}
+    # cluster members share component AND split
+    assert {by_id[i].component for i in (0, 1, 2)} == {0}
+    assert len({by_id[i].split for i in (0, 1, 2)}) == 1
+    assert by_id[10].split == by_id[11].split
+    # equals the plain hash split evaluated on the component id
+    comp_df = spark.createDataFrame(
+        [Row(component=r.component) for r in out]
+    ).distinct()
+    expect = {
+        r.component: r.split
+        for r in dataset_split(comp_df, "component", seed=11).collect()
+    }
+    for r in out:
+        assert r.split == expect[r.component], r
+
+
+def test_leakage_safe_split_singletons_match_dataset_split(spark):
+    """With no pairs at all, the component is the doc id, so the
+    assignment degenerates to dataset_split on doc_id exactly."""
+    from pyspark.sql import Row
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import leakage_safe_split
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import dataset_split
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"t {i}") for i in range(30)]
+    )
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r.doc_id: r.split
+        for r in leakage_safe_split(docs, pairs, seed=7).collect()
+    }
+    want = {
+        r.doc_id: r.split
+        for r in dataset_split(docs, "doc_id", seed=7).collect()
+    }
+    assert got == want

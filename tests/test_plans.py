@@ -507,3 +507,24 @@ def test_cooccurrence_cap_broadcasts_only_the_hot_set(spark, sf_dir):
         assert n_bhj >= 1 and n_bhj == plan.count("LeftAnti"), plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_r06_new_queries_stay_within_shuffle_budget(spark, sf_dir):
+    """Audited exact hash-exchange counts for the queries added in r6
+    (static plans at the fixture SF)."""
+    budgets = {
+        # the deduped ui subtree is pasted into both self-join legs
+        # (AQE reuses the exchange at runtime): 2x (distinct + deg agg
+        # + anti probe) + the final edge dedup
+        "cooccurrence_edges": 7,
+        # components run eagerly through the label-prop/star
+        # localCheckpoints; the final plan is a checkpoint scan + the
+        # hash-CASE split projection — zero exchanges
+        "leakage_safe_split": 0,
+        # one stratum aggregate + the budget scalar's pasted re-agg
+        "mixture_plan": 2,
+    }
+    for name, budget in budgets.items():
+        plan = _plan(spark, sf_dir, name)
+        got = plan.count("Exchange hashpartitioning")
+        assert got == budget, (name, got, budget)

@@ -286,3 +286,44 @@ def test_packing_efficiency_report(spark):
     assert row["capacity_tokens"] == 700
     assert row["utilization_bp"] == 750 * 10000 // 700
     assert row["n_oversize_docs"] == 1  # the 150-token doc
+
+
+def test_mixture_plan_integer_math_and_default_weight(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import mixture_plan
+
+    rows = [
+        Row(source="a", tok=100),
+        Row(source="a", tok=300),
+        Row(source="b", tok=600),
+        Row(source="c", tok=1000),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.stratum: r
+        for r in mixture_plan(
+            df, "source", {"a": 5000, "b": 2500}, F.col("tok")
+        ).collect()
+    }
+    # budget = corpus total = 2000 tokens
+    assert out["a"].n_docs == 2 and out["a"].n_tokens == 400
+    assert out["a"].weight_bp == 5000
+    assert out["a"].target_tokens == 2000 * 5000 // 10000 == 1000
+    # 1000 targeted / 400 available -> 2.5 epochs (upsample)
+    assert out["a"].epochs_milli == 1000 * 1000 // 400 == 2500
+    # b: 500 targeted / 600 available -> 0.833 keep rate (subsample)
+    assert out["b"].target_tokens == 500
+    assert out["b"].epochs_milli == 500 * 1000 // 600 == 833
+    # absent from the mix -> weight 0, still reports availability
+    assert out["c"].weight_bp == 0 and out["c"].target_tokens == 0
+    assert out["c"].n_tokens == 1000
+
+
+def test_mixture_plan_explicit_budget(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import mixture_plan
+
+    df = spark.createDataFrame([Row(source="a", tok=50)])
+    row = mixture_plan(
+        df, "source", {"a": 10000}, F.col("tok"), token_budget=500
+    ).collect()[0]
+    assert row.target_tokens == 500
+    assert row.epochs_milli == 10000

@@ -577,3 +577,39 @@ def contrastive_pairs(
     return anchors.join(negs, "anchor_id").select(
         "anchor_id", "positive_id", "negative_id", "neg_rank"
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    seed: int = 0,
+) -> DataFrame:
+    """Near-dup-aware train/val/test assignment: the split is a pure
+    function of the document's duplicate-CLUSTER id, not the document
+    id, so every member of a near-dup cluster lands in the SAME split
+    — the guard against the classic evaluation leak where one copy of
+    a duplicated page trains and its twin validates.  Plain
+    per-document hash splits (``dataset_split``) and ``randomSplit``
+    both have this leak on any corpus with near-duplicates.
+
+    Composition: connected components over the supplied near-dup
+    ``pairs`` graph (``dedup.duplicate_clusters`` — min-reachable-id
+    labels, star-CC fallback on pathological diameters), then the
+    content-hash split gate applied to the component id
+    (``sampling.dataset_split``).  Stable under re-runs, retries,
+    repartitioning, and appends, like every hash-gated sampler here.
+
+    Returns (id_col, component, split) for every input document.
+    Singletons are their own component, so un-duplicated documents
+    split exactly as ``dataset_split`` over component=id would.
+    """
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import duplicate_clusters
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import dataset_split
+
+    comps = duplicate_clusters(docs, pairs, id_col=id_col)
+    return dataset_split(
+        comps, "component", weights=weights, names=names, seed=seed
+    )

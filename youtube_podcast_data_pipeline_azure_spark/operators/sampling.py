@@ -330,3 +330,67 @@ def packing_efficiency(
         .cast("long")
         .alias("n_oversize_docs"),
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    strata_col: str,
+    weights_bp: dict[str, int],
+    token_col: Column | str,
+    token_budget: int | None = None,
+) -> DataFrame:
+    """Token-budget mixture planning: the Pile/LLaMA-style data-mix
+    table.  Given target mixture weights (basis points per stratum) and
+    a total token budget (default: the corpus's own token total),
+    report per stratum how many tokens are available, how many the mix
+    wants, and the resulting epoch factor:
+
+        target_tokens = budget * weight_bp // 10000
+        epochs_milli  = target_tokens * 1000 // n_tokens
+
+    ``epochs_milli`` < 1000 means subsample (it IS the keep rate in
+    milli-units, feed it to :func:`mixture_sample`); > 1000 means the
+    stratum must repeat (upsample epochs, feed
+    :func:`upsample_mixture`).  Strata absent from ``weights_bp`` get
+    weight 0 but still report availability.  All arithmetic is 64-bit
+    integer floor division — bit-exact on any engine (budget·10⁴ stays
+    under 2⁶³ for any real corpus).
+
+    Scale shape: ONE map-side-combined aggregate on the stratum key;
+    the budget is a 1-row aggregate cross-joined back as a broadcast
+    scalar; output is one row per stratum.  Nothing document-sized
+    shuffles.
+    """
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    per = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(tok).cast("long").alias("n_tokens"),
+    )
+    if token_budget is None:
+        budget = per.agg(F.sum("n_tokens").alias("_budget"))
+        per = per.crossJoin(F.broadcast(budget))
+    else:
+        per = per.withColumn(
+            "_budget", F.lit(int(token_budget)).cast("long")
+        )
+    w = None
+    for value, bp in sorted(weights_bp.items()):
+        clause = (F.col("stratum") == value, F.lit(int(bp)))
+        w = F.when(*clause) if w is None else w.when(*clause)
+    w = (F.lit(0) if w is None else w.otherwise(F.lit(0))).cast("long")
+    return (
+        per.withColumn("weight_bp", w)
+        .withColumn(
+            "target_tokens", F.expr("_budget * weight_bp div 10000")
+        )
+        .select(
+            "stratum",
+            "n_docs",
+            "n_tokens",
+            "weight_bp",
+            "target_tokens",
+            F.expr("target_tokens * 1000 div n_tokens").alias(
+                "epochs_milli"
+            ),
+        )
+    )
