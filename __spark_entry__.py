@@ -750,6 +750,61 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stratum")
 
 
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity curve for near-dup dedup: pairs and
+    distinct docs implicated per candidate Jaccard threshold, from ONE
+    prefix-filtered pair pass at the lowest threshold; all comparisons
+    integer cross-multiplications (operators/dedup.py:
+    dedup_threshold_curve).  Oracle: brute-force integer-Jaccard pairs
+    fanned over the same thresholds."""
+    return dedup.dedup_threshold_curve(
+        _t(spark, sf_dir, "documents"),
+        thresholds_bp=(5000, 6000, 7000, 8000, 9000, 9500),
+    )
+
+
+def q_component_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution (n_clusters/n_docs per size)
+    — the over-merge diagnostic: a giant component means the threshold
+    is bridging unrelated docs (operators/dedup.py:
+    component_size_report).  Oracle: recursive-CTE components + the
+    same two aggregates."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs)
+    return dedup.component_size_report(docs, pairs)
+
+
+def q_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one dedup with provenance: per duplicate cluster the min-id
+    survivor, member count, and sorted distinct member sources — the
+    attribution/takedown audit trail (operators/dedup.py:
+    dedup_provenance).  Oracle: recursive-CTE components + per-
+    component string_agg of sorted distinct sources."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs)
+    return dedup.dedup_provenance(docs, pairs)
+
+
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-error audit on the md5 oracle seam: |estimate
+    − exact Jaccard| in integer basis points by exact-similarity
+    decile, over a deterministic near-dup ∪ id-stride pair sample —
+    the t-digest-accuracy pattern applied to the dedup sketch
+    (operators/dedup.py:minhash_accuracy_report).  Oracle recomputes
+    the identical 64-slot signature via md5_number_upper."""
+    return dedup.minhash_accuracy_report(
+        _t(spark, sf_dir, "documents"), num_hashes=64, strides=(1, 157)
+    )
+
+
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram diversity (total/distinct/ratio-bp per n in 1-3)
+    — the cheap templating/memorization signal (operators/
+    text_mining.py:ngram_diversity).  Oracle: the same positional-
+    n-gram unnest per n with count/count-distinct."""
+    return text_mining.ngram_diversity(_t(spark, sf_dir, "documents"))
+
+
 def q_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index persistence roundtrip: train + write the IVF index
     (centroid table + inverted lists partitioned by centroid_id), load
@@ -3702,6 +3757,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence_edges": q_cooccurrence_edges,
         "leakage_safe_split": q_leakage_safe_split,
         "mixture_plan": q_mixture_plan,
+        "dedup_threshold_curve": q_dedup_threshold_curve,
+        "component_size_report": q_component_size_report,
+        "dedup_provenance": q_dedup_provenance,
+        "minhash_accuracy": q_minhash_accuracy,
+        "ngram_diversity": q_ngram_diversity,
         # ===== r06 window, part 2: re-checks of code changed this
         # round (vocabulary-broadcast sweep VERDICT r5 #1/#4;
         # bounded Data Source planning scan VERDICT r5 #5)
@@ -6111,6 +6171,198 @@ def oracle_sql() -> dict[str, str]:
                    cast((budget * weight_bp // 10000) * 1000 // n_tokens
                         AS bigint) AS epochs_milli
             FROM w
+        """,
+        # brute-force integer-Jaccard pairs fanned over the same
+        # thresholds; integer cross-multiplication only, no float at
+        # the boundary (matches dedup.py:_exact_pair_sizes)
+        "dedup_threshold_curve": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS tokens FROM documents),
+            docs AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(tokens[i:i+2], ' ')
+                           for i in generate_series(
+                               1, greatest(len(tokens)-3, 0)+1)]) AS sh
+                FROM toks),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       cast(len(list_intersect(a.sh, b.sh)) AS bigint)
+                           AS inter,
+                       cast(len(a.sh) + len(b.sh)
+                            - len(list_intersect(a.sh, b.sh)) AS bigint)
+                           AS uni
+                FROM docs a JOIN docs b ON a.doc_id < b.doc_id),
+            thr AS (
+                SELECT cast(unnest(
+                    [5000, 6000, 7000, 8000, 9000, 9500]) AS bigint)
+                    AS threshold_bp),
+            fanned AS (
+                SELECT threshold_bp, id_a, id_b
+                FROM pairs, thr
+                WHERE uni > 0 AND inter * 10000 >= threshold_bp * uni),
+            np AS (
+                SELECT threshold_bp, cast(count(*) AS bigint) AS n_pairs
+                FROM fanned GROUP BY 1),
+            nd AS (
+                SELECT threshold_bp,
+                       cast(count(DISTINCT id) AS bigint)
+                           AS n_docs_affected
+                FROM (SELECT threshold_bp, unnest([id_a, id_b]) AS id
+                      FROM fanned)
+                GROUP BY 1)
+            SELECT t.threshold_bp,
+                   coalesce(n_pairs, 0) AS n_pairs,
+                   coalesce(n_docs_affected, 0) AS n_docs_affected
+            FROM thr t
+            LEFT JOIN np USING (threshold_bp)
+            LEFT JOIN nd USING (threshold_bp)
+        """,
+        # recursive-CTE components (same pair list as
+        # duplicate_clusters) + the two size aggregates
+        "component_size_report": f"""
+            WITH RECURSIVE pairs AS ({ngram_pairs}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs),
+            reach(id, comp) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.src, r.comp FROM edges e JOIN reach r
+                    ON e.dst = r.id),
+            comps AS (
+                SELECT id AS doc_id, min(comp) AS component
+                FROM reach GROUP BY id),
+            sizes AS (
+                SELECT component, cast(count(*) AS bigint) AS cluster_size
+                FROM comps GROUP BY 1)
+            SELECT cluster_size,
+                   cast(count(*) AS bigint) AS n_clusters,
+                   cast(sum(cluster_size) AS bigint) AS n_docs
+            FROM sizes GROUP BY 1
+        """,
+        # recursive-CTE components + per-component sorted distinct
+        # source list (array_to_string == Spark array_join)
+        "dedup_provenance": f"""
+            WITH RECURSIVE pairs AS ({ngram_pairs}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs),
+            reach(id, comp) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.src, r.comp FROM edges e JOIN reach r
+                    ON e.dst = r.id),
+            comps AS (
+                SELECT id AS doc_id, min(comp) AS component
+                FROM reach GROUP BY id)
+            SELECT cast(min(c.doc_id) AS bigint) AS rep_id,
+                   cast(count(*) AS bigint) AS n_docs,
+                   cast(count(DISTINCT d.source) AS bigint) AS n_sources,
+                   array_to_string(list_sort(list(DISTINCT d.source)), ',')
+                       AS sources
+            FROM comps c JOIN documents d USING (doc_id)
+            GROUP BY c.component
+        """,
+        # identical 64-slot md5-seam signature (Kirsch-Mitzenmacher
+        # slot i = min (h1 + i*h2) & 2^32-1), same deterministic pair
+        # sample, integer floor division end-to-end
+        "minhash_accuracy": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS tokens FROM documents),
+            docs AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(tokens[i:i+2], ' ')
+                           for i in generate_series(
+                               1, greatest(len(tokens)-3, 0)+1)]) AS sh
+                FROM toks),
+            shl AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+            hs AS (
+                SELECT doc_id,
+                       cast({sketches.md5_int56_sql('s')}
+                            & 4294967295 AS bigint) AS h1,
+                       cast(({sketches.md5_int56_sql("s || ':7'")}
+                             & 4294967295) | 1 AS bigint) AS h2
+                FROM shl),
+            sig AS (
+                SELECT doc_id, i,
+                       min((h1 + i * h2) & 4294967295) AS v
+                FROM hs CROSS JOIN range(64) r(i) GROUP BY 1, 2),
+            ids AS (SELECT doc_id FROM documents),
+            stride AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM ids a JOIN ids b
+                    ON b.doc_id = a.doc_id + 1
+                       OR b.doc_id = a.doc_id + 157),
+            near AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+                WHERE (len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh))) > 0
+                  AND len(list_intersect(a.sh, b.sh)) * 10000
+                      >= 5000 * (len(a.sh) + len(b.sh)
+                                 - len(list_intersect(a.sh, b.sh)))),
+            sample AS (
+                SELECT DISTINCT id_a, id_b FROM (
+                    SELECT * FROM stride UNION ALL SELECT * FROM near)),
+            ex AS (
+                SELECT s.id_a, s.id_b,
+                       cast(len(list_intersect(a.sh, b.sh)) AS bigint)
+                           AS inter,
+                       cast(len(a.sh) + len(b.sh)
+                            - len(list_intersect(a.sh, b.sh)) AS bigint)
+                           AS uni
+                FROM sample s
+                JOIN docs a ON a.doc_id = s.id_a
+                JOIN docs b ON b.doc_id = s.id_b),
+            mt AS (
+                SELECT s.id_a, s.id_b,
+                       cast(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END)
+                            AS bigint) AS matches
+                FROM sample s
+                JOIN sig sa ON sa.doc_id = s.id_a
+                JOIN sig sb ON sb.doc_id = s.id_b AND sb.i = sa.i
+                GROUP BY 1, 2),
+            scored AS (
+                SELECT (matches * 10000) // 64 AS est_bp,
+                       (inter * 10000) // uni AS exact_bp
+                FROM ex JOIN mt USING (id_a, id_b)
+                WHERE uni > 0)
+            SELECT cast(exact_bp // 1000 AS bigint) AS jaccard_bucket,
+                   cast(count(*) AS bigint) AS n_pairs,
+                   cast(sum(abs(est_bp - exact_bp)) // count(*) AS bigint)
+                       AS mean_abs_err_bp,
+                   cast(max(abs(est_bp - exact_bp)) AS bigint)
+                       AS max_abs_err_bp
+            FROM scored GROUP BY 1
+        """,
+        # same positional-n-gram construction per n (short docs yield
+        # one partial gram, empty docs one '' gram — the
+        # positional_ngrams contract), count/count-distinct + floor div
+        "ngram_diversity": f"""
+            WITH toks AS (SELECT {tokens} AS tokens FROM documents),
+            g AS (
+                SELECT 1 AS n, unnest([array_to_string(tokens[i:i], ' ')
+                    for i in generate_series(
+                        1, greatest(len(tokens)-1, 0)+1)]) AS gram
+                FROM toks
+                UNION ALL
+                SELECT 2, unnest([array_to_string(tokens[i:i+1], ' ')
+                    for i in generate_series(
+                        1, greatest(len(tokens)-2, 0)+1)])
+                FROM toks
+                UNION ALL
+                SELECT 3, unnest([array_to_string(tokens[i:i+2], ' ')
+                    for i in generate_series(
+                        1, greatest(len(tokens)-3, 0)+1)])
+                FROM toks)
+            SELECT cast(n AS bigint) AS n,
+                   cast(count(*) AS bigint) AS total_ngrams,
+                   cast(count(DISTINCT gram) AS bigint) AS distinct_ngrams,
+                   cast(count(DISTINCT gram) * 10000 // count(*) AS bigint)
+                       AS distinct_ratio_bp
+            FROM g GROUP BY 1
         """,
         # same exhaustive-equals-exact argument, through the persisted
         # index path (write + load + probe-all-lists)

@@ -792,3 +792,85 @@ def test_source_overlap_matrix_counts_distinct_texts(spark):
         for r in source_overlap_matrix(docs).collect()
     }
     assert rows == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+# ---------------------------------------------------------------------------
+# Dedup audit reports (threshold curve, component sizes, provenance,
+# MinHash estimator accuracy)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_threshold_curve_monotone_with_endpoints(docs):
+    out = {
+        r["threshold_bp"]: (r["n_pairs"], r["n_docs_affected"])
+        for r in dedup.dedup_threshold_curve(docs).collect()
+    }
+    assert sorted(out) == [5000, 6000, 7000, 8000, 9000, 9500]  # zero-fill
+    # pairs/docs both non-increasing in the threshold
+    thrs = sorted(out)
+    assert all(
+        out[a][0] >= out[b][0] and out[a][1] >= out[b][1]
+        for a, b in zip(thrs, thrs[1:])
+    )
+    # at 0.5 the whole planted cluster {1,2,3} is implicated
+    assert out[5000] == (3, 3)
+    # at 0.95 only the exact duplicate (j=1.0) survives
+    assert out[9500] == (1, 2)
+
+
+def test_component_size_report_histogram(docs):
+    out = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+        for r in dedup.component_size_report(
+            docs, dedup.ngram_jaccard_pairs(docs)
+        ).collect()
+    }
+    # one 3-cluster {1,2,3} and two singletons {4}, {5}
+    assert out == {3: (1, 3), 1: (2, 2)}
+
+
+def test_dedup_provenance_sources_sorted(spark):
+    rows = [
+        (1, BASE, "srcB"),
+        (2, BASE, "srcA"),  # exact dup of 1, different source
+        (3, NEAR, "srcB"),  # near dup of 1
+        (4, FAR, "srcC"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        r["rep_id"]: (r["n_docs"], r["n_sources"], r["sources"])
+        for r in dedup.dedup_provenance(
+            d, dedup.ngram_jaccard_pairs(d)
+        ).collect()
+    }
+    assert out[1] == (3, 2, "srcA,srcB")  # sorted, distinct
+    assert out[4] == (1, 1, "srcC")
+
+
+def test_minhash_accuracy_exact_dup_bucket_is_errorless(spark):
+    # identical texts ⇒ identical shingle sets ⇒ identical signatures:
+    # bucket 10 (j=1.0) must report zero error; unrelated stride pairs
+    # (j≈0) land in bucket 0 with tiny error (E[matches] = 64·j ≈ 0).
+    rows = [(1, BASE), (2, BASE)] + [
+        # fully disjoint word sets: exact jaccard 0 between any two
+        (10 + i, " ".join(f"w{i}x{j}" for j in range(8)))
+        for i in range(6)
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["jaccard_bucket"]: r
+        for r in dedup.minhash_accuracy_report(
+            d, strides=(1,), num_hashes=64
+        ).collect()
+    }
+    assert set(out) <= set(range(11))
+    assert out[10]["mean_abs_err_bp"] == 0
+    assert out[10]["max_abs_err_bp"] == 0
+    assert out[0]["n_pairs"] >= 4  # the stride-1 background pairs
+    assert out[0]["mean_abs_err_bp"] <= 1500
+
+
+def test_minhash_accuracy_deterministic(docs):
+    a = sorted(map(tuple, dedup.minhash_accuracy_report(docs).collect()))
+    b = sorted(map(tuple, dedup.minhash_accuracy_report(docs).collect()))
+    assert a == b

@@ -523,6 +523,19 @@ def test_r06_new_queries_stay_within_shuffle_budget(spark, sf_dir):
         "leakage_safe_split": 0,
         # one stratum aggregate + the budget scalar's pasted re-agg
         "mixture_plan": 2,
+        # pair pass runs eagerly through the localCheckpoint (was 12
+        # exchanges with the PPJoin pasted per aggregate); final plan =
+        # checkpoint scan -> fan-out -> two aggs + zero-fill joins
+        "dedup_threshold_curve": 4,
+        # components run through the label-prop checkpoints; final plan
+        # = checkpoint scan + source join + one aggregate per grain
+        "component_size_report": 2,
+        "dedup_provenance": 2,
+        # two deliberate corpus passes (sig per join side) + the PPJoin
+        # near leg + stride joins — the documented audit contract
+        "minhash_accuracy": 11,
+        # |ns| narrow explodes unioned + one two-level count-distinct agg
+        "ngram_diversity": 2,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, sf_dir, name)

@@ -7,6 +7,7 @@ from pyspark.sql import Row
 from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import (
     collocations,
     distinctive_terms,
+    ngram_diversity,
 )
 
 
@@ -266,3 +267,29 @@ def test_vocabulary_growth_cumulative_invariants(spark):
     # cumulative columns are monotone non-decreasing by construction
     assert rows[1]["cum_tokens"] >= rows[0]["cum_tokens"]
     assert rows[1]["cum_vocab"] >= rows[0]["cum_vocab"]
+
+
+def test_ngram_diversity_hand_counted(spark):
+    d = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    out = {
+        r["n"]: (r["total_ngrams"], r["distinct_ngrams"], r["distinct_ratio_bp"])
+        for r in ngram_diversity(d).collect()
+    }
+    # 1-grams: a b a b a b c -> 7 total, 3 distinct
+    assert out[1] == (7, 3, 4285)
+    # 2-grams: "a b","b a","a b" + "a b","b c" -> 5 total, 3 distinct
+    assert out[2] == (5, 3, 6000)
+    # 3-grams: "a b a","b a b" + "a b c" -> 3 total, all distinct
+    assert out[3] == (3, 3, 10000)
+
+
+def test_ngram_diversity_empty_doc_contract(spark):
+    # the positional_ngrams contract: an empty doc yields ONE '' gram
+    # per n, so totals count it and '' joins the distinct set
+    d = spark.createDataFrame([(1, "x y"), (2, "")], ["doc_id", "text"])
+    out = {r["n"]: r for r in ngram_diversity(d).collect()}
+    assert out[1]["total_ngrams"] == 3  # x, y, ''
+    assert out[3]["total_ngrams"] == 2  # 'x y' (short-doc gram), ''
+    assert out[3]["distinct_ngrams"] == 2

@@ -1289,3 +1289,381 @@ def dedup_keep_best(
             (F.col("_rk") == 1).alias("is_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup audit reports: threshold sensitivity, cluster-size distribution,
+# provenance, and MinHash estimator accuracy
+# ---------------------------------------------------------------------------
+
+def _exact_pair_sizes(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    base_bp: int,
+) -> DataFrame:
+    """Prefix-filtered exact-Jaccard pairs with INTEGER set sizes:
+    (id_a, id_b, inter, uni) for every pair with
+    ``inter * 10000 >= base_bp * uni`` — the all-integer form of
+    ``jaccard >= base_bp/10000`` (exact, no float rounding at the
+    threshold boundary, reproducible bit-for-bit in any engine).
+
+    Same PPJoin prefix-filter shape as :func:`ngram_jaccard_pairs`
+    (md5 canonical order, candidates O(matching prefixes)); kept
+    separate because the audit operators below need the raw
+    intersection/union counts, not the rounded ratio.
+    """
+    docs = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    sz = F.size("sh")
+    t = base_bp / 10000.0
+    prefix_len = (sz - F.ceil(F.lit(t) * sz) + 1).cast("int")
+    pref = docs.select(
+        id_col,
+        F.explode(
+            F.slice(
+                F.array_sort(F.transform("sh", lambda s: F.md5(s))),
+                F.lit(1),
+                prefix_len,
+            )
+        ).alias("pkey"),
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            on=[
+                F.col("a.pkey") == F.col("b.pkey"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a_sh = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b_sh = docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    uni = (F.size("sh_a") + F.size("sh_b")).cast("long") - inter
+    return (
+        cand.join(a_sh, "id_a")
+        .join(b_sh, "id_b")
+        .select("id_a", "id_b", inter.alias("inter"), uni.alias("uni"))
+        .where(
+            (F.col("uni") > 0)
+            & (F.col("inter") * 10000 >= F.lit(base_bp) * F.col("uni"))
+        )
+    )
+
+
+def dedup_threshold_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    thresholds_bp: tuple[int, ...] = (5000, 6000, 7000, 8000, 9000, 9500),
+) -> DataFrame:
+    """Threshold-sensitivity report for near-dup dedup: for each
+    candidate Jaccard threshold, how many pairs and how many distinct
+    documents would be implicated — the choose-your-threshold view a
+    curation run needs BEFORE committing to a dedup pass (too low ⇒
+    false merges, too high ⇒ residual duplication).
+
+    One pair-generation pass at the LOWEST threshold (prefix filtering
+    is lossless above it), then a per-threshold fan-out over the pair
+    list — the fan-out multiplies the (small, Ω(output)) pair list by
+    |thresholds|, never the corpus.  All comparisons are integer
+    cross-multiplications (``inter·10⁴ ≥ thr·union``), so the curve is
+    bit-identical on any engine.  At 100 TB the pair list is the
+    near-dup output — millions of rows, not corpus-sized — and both
+    aggregates run with map-side partials on it.
+
+    Returns (threshold_bp, n_pairs, n_docs_affected), one row per
+    threshold (0-row thresholds report 0).
+    """
+    base_bp = min(thresholds_bp)
+    # The prefix-filtered pair pass is the expensive subtree and feeds
+    # BOTH aggregates below — without a checkpoint Catalyst pastes it
+    # per consumer and the PPJoin runs twice (measured 7.7 s → 2.6 s at
+    # sf0.1).  The checkpointed rows are the Ω(output) pair list
+    # (id, id, two longs), never corpus-sized.
+    pairs = _exact_pair_sizes(
+        df, text_col, id_col, shingle_n, base_bp
+    ).localCheckpoint()
+    fanned = (
+        pairs.select(
+            "id_a",
+            "id_b",
+            "inter",
+            "uni",
+            F.explode(
+                F.array(*[F.lit(int(t)) for t in sorted(thresholds_bp)])
+            ).alias("threshold_bp"),
+        )
+        .where(F.col("inter") * 10000 >= F.col("threshold_bp") * F.col("uni"))
+    )
+    n_pairs = fanned.groupBy("threshold_bp").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    n_docs = (
+        fanned.select(
+            "threshold_bp",
+            F.explode(F.array("id_a", "id_b")).alias("_id"),
+        )
+        .dropDuplicates(["threshold_bp", "_id"])
+        .groupBy("threshold_bp")
+        .agg(F.count("*").cast("long").alias("n_docs_affected"))
+    )
+    thr = F.explode(
+        F.array(*[F.lit(int(t)) for t in sorted(thresholds_bp)])
+    ).alias("threshold_bp")
+    all_thr = df.sparkSession.range(1).select(thr)
+    return (
+        all_thr.join(n_pairs, "threshold_bp", "left")
+        .join(n_docs, "threshold_bp", "left")
+        .select(
+            F.col("threshold_bp").cast("long").alias("threshold_bp"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0))
+            .cast("long")
+            .alias("n_docs_affected"),
+        )
+    )
+
+
+def component_size_report(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-size distribution of the near-dup graph: how many
+    duplicate clusters exist at each size, and how many documents they
+    hold.  The over-merge diagnostic: a healthy near-dup graph is
+    overwhelmingly singletons + small cliques; a giant component (one
+    huge max-size row) means the threshold is too low or boilerplate
+    is bridging unrelated documents — THE standing failure mode of
+    web-scale dedup, worth one cheap report before deleting anything.
+
+    Components via :func:`duplicate_clusters` (min-label propagation
+    with the diameter-safe star fallback), then two aggregates —
+    component → size, size → (n_clusters, n_docs) — both map-side
+    partial, both over (id, label) rows only.
+
+    Returns (cluster_size, n_clusters, n_docs), one row per occurring
+    size.
+    """
+    comps = duplicate_clusters(docs, pairs, id_col=id_col)
+    sizes = comps.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )
+
+
+def dedup_provenance(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Keep-one dedup WITH provenance: one row per duplicate cluster
+    carrying the surviving (min-id) representative, the member count,
+    and the sorted distinct sources the cluster's members came from —
+    the C4/Dolma-style audit trail that lets a training run answer
+    "this kept document also appeared in sources X,Y" after the
+    duplicates are gone (attribution, takedown, and mixture-accounting
+    all need it).
+
+    Cost shape: components over the pair graph, one join to re-attach
+    the source column (id-keyed, digests-only shuffle), one aggregate
+    per component.  The collected set is DISTINCT SOURCES (single
+    digits), never member ids, so the per-group state is tiny at any
+    corpus size.  Sources are serialized as a sorted comma-join, making
+    the row hashable and engine-stable.
+
+    Returns (rep_id, n_docs, n_sources, sources).
+    """
+    comps = duplicate_clusters(docs, pairs, id_col=id_col)
+    with_src = comps.join(
+        docs.select(F.col(id_col), F.col(source_col)), id_col
+    )
+    return (
+        with_src.groupBy("component")
+        .agg(
+            F.min(id_col).cast("long").alias("rep_id"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct(source_col).cast("long").alias("n_sources"),
+            F.array_join(
+                F.array_sort(F.collect_set(source_col)), ","
+            ).alias("sources"),
+        )
+        .drop("component")
+    )
+
+
+def _minhash_signature_md5(shingle_col: Column, num_hashes: int) -> Column:
+    """MinHash signature on the md5 oracle seam: identical
+    Kirsch-Mitzenmacher construction to :func:`minhash_signature`
+    (slot *i* = min over shingles of ``(h1 + i·h2) & 0xffffffff``) but
+    with ``h1 = md5_int56(s) & MASK32`` and
+    ``h2 = (md5_int56(s || ':7') & MASK32) | 1`` — the same
+    engine-portable hash :mod:`sketches` uses for SimHash, so a SQL
+    oracle can recompute the signature bit-for-bit.  Production dials
+    stay on the xxhash64 signature (md5 costs ~25× per hash); this
+    seam exists for the accuracy AUDIT, which runs on a bounded pair
+    sample, not the corpus hot path.
+    """
+    from youtube_podcast_data_pipeline_azure_spark.operators.sketches import (
+        md5_int56,
+    )
+
+    hashed = F.transform(
+        shingle_col,
+        lambda s: F.struct(
+            md5_int56(s).bitwiseAND(F.lit(MASK32)).alias("h1"),
+            md5_int56(F.concat(s, F.lit(":7")))
+            .bitwiseAND(F.lit(MASK32))
+            .bitwiseOR(F.lit(1))
+            .alias("h2"),
+        ),
+    )
+    idx = F.array(*[F.lit(i).cast("long") for i in range(num_hashes)])
+    return F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(MASK32).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                idx,
+                lambda i: (h.getField("h1") + i * h.getField("h2")).bitwiseAND(
+                    F.lit(MASK32)
+                ),
+            ),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+
+
+def minhash_accuracy_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    strides: tuple[int, ...] = (1, 157),
+    near_dup_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash estimator-error audit: on a bounded, deterministic pair
+    sample, compare the signature's Jaccard estimate (matching slots /
+    k) against EXACT set Jaccard and report the absolute error by
+    exact-similarity decile — the t-digest-accuracy pattern applied to
+    the dedup sketch.  This is the dial-tuning evidence (is k=64 enough
+    at my operating threshold?) that an approximate dedup pass should
+    ship with; the expected |error| is ~sqrt(j(1-j)/k) per the binomial
+    estimator, and the report makes that measurable on the actual
+    corpus rather than assumed.
+
+    Pair sample = the near-dup pair set (exact-verified, j ≥ threshold
+    — the regime dedup acts on) ∪ fixed id-stride pairs (id, id+s)
+    (the j ≈ 0 background) — both deterministic, both linear in the
+    corpus, never an all-pairs product.  Signatures ride the md5 oracle
+    seam (:func:`_minhash_signature_md5`); estimates, exact Jaccard,
+    and errors are all integer basis points via floor division
+    (``k=64`` is a power of two, so est_bp is exact even through
+    doubles).
+
+    Returns (jaccard_bucket, n_pairs, mean_abs_err_bp, max_abs_err_bp),
+    bucket = exact-Jaccard decile 0-10.
+
+    Cost contract: the signature subtree is deliberately evaluated once
+    per join side (two corpus passes) rather than materialized — at
+    100 TB, checkpointing (id, shingles, signature) rows would persist
+    a corpus-sized intermediate for a one-shot audit; two streaming
+    passes over the scan are the cheaper trade.  Pipelines that reuse
+    signatures across MANY audits should persist
+    ``_minhash_signature_md5`` output as a table instead.
+    """
+    docs = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    ids = docs.select(F.col(id_col).alias("id_a"))
+    stride_pairs = None
+    for s in strides:
+        p = ids.join(
+            docs.select((F.col(id_col) - s).alias("id_a")).select("id_a"),
+            "id_a",
+        ).select("id_a", (F.col("id_a") + s).alias("id_b"))
+        stride_pairs = p if stride_pairs is None else stride_pairs.union(p)
+    near = _exact_pair_sizes(
+        df, text_col, id_col, shingle_n, int(near_dup_threshold * 10000)
+    ).select("id_a", "id_b")
+    sample = stride_pairs.union(near).dropDuplicates(["id_a", "id_b"])
+
+    sig = docs.select(
+        F.col(id_col),
+        F.col("sh"),
+        _minhash_signature_md5(F.col("sh"), num_hashes).alias("sig"),
+    )
+    a = sig.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    uni = (F.size("sh_a") + F.size("sh_b")).cast("long") - inter
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc + m,
+    )
+    scored = (
+        sample.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("inter"),
+            uni.alias("uni"),
+            matches.alias("matches"),
+        )
+        .where(F.col("uni") > 0)
+        .select(
+            F.floor(F.col("matches") * 10000 / F.lit(num_hashes))
+            .cast("long")
+            .alias("est_bp"),
+            F.floor(F.col("inter") * 10000 / F.col("uni"))
+            .cast("long")
+            .alias("exact_bp"),
+        )
+    )
+    return (
+        scored.select(
+            F.floor(F.col("exact_bp") / 1000).cast("long").alias(
+                "jaccard_bucket"
+            ),
+            F.abs(F.col("est_bp") - F.col("exact_bp")).alias("err_bp"),
+        )
+        .groupBy("jaccard_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.floor(F.sum("err_bp") / F.count("*"))
+            .cast("long")
+            .alias("mean_abs_err_bp"),
+            F.max("err_bp").cast("long").alias("max_abs_err_bp"),
+        )
+    )

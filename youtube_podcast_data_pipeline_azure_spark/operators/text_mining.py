@@ -557,3 +557,46 @@ def vocabulary_growth(
             "bucket", "n_tokens", "cum_tokens", "new_terms", "cum_vocab"
         )
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Corpus n-gram diversity report: for each n, total positional
+    n-gram occurrences, distinct n-grams, and the distinct/total ratio
+    in basis points — the cheap memorization/templating signal (a
+    corpus whose 3-gram distinct ratio is far below its 1-gram ratio
+    is dominated by repeated phrasing; self-BLEU's denominator without
+    the quadratic pairwise BLEU).
+
+    One scan: each document fans out to its positional n-grams per n
+    (|ns| narrow explodes unioned, no joins), then one aggregate per n
+    with map-side partials; the count-distinct runs as Spark's standard
+    two-level expand.  Shuffle rows are (n, gram) — never document
+    bodies.  The ratio uses floor division on counts (< 2⁵³), so the
+    report is integer-exact on any engine.
+
+    Returns (n, total_ngrams, distinct_ngrams, distinct_ratio_bp).
+    """
+    from youtube_podcast_data_pipeline_azure_spark.functions.text import (
+        positional_ngrams,
+    )
+
+    grams = None
+    toks = tokenize(F.col(text_col))
+    for n in ns:
+        g = df.select(
+            F.lit(n).cast("long").alias("n"),
+            F.explode(positional_ngrams(toks, n)).alias("gram"),
+        )
+        grams = g if grams is None else grams.unionAll(g)
+    return grams.groupBy("n").agg(
+        F.count("*").cast("long").alias("total_ngrams"),
+        F.countDistinct("gram").cast("long").alias("distinct_ngrams"),
+        F.floor(F.countDistinct("gram") * 10000 / F.count("*"))
+        .cast("long")
+        .alias("distinct_ratio_bp"),
+    )
