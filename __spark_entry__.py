@@ -797,6 +797,20 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language BPE fertility (subword tokens per word) and chars
+    per token under the 4 merges learned by bpe_merges — the standard
+    multilingual-tokenizer skew report (operators/text_mining.py:
+    tokenizer_fertility).  Oracle: the bpe_segment CTE unroll + one
+    language aggregate, all-integer milli ratios."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in text_mining.bpe_merges(docs, k=4).collect()
+    ]
+    return text_mining.tokenizer_fertility(docs, merges)
+
+
 def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus n-gram diversity (total/distinct/ratio-bp per n in 1-3)
     — the cheap templating/memorization signal (operators/
@@ -3762,6 +3776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_provenance": q_dedup_provenance,
         "minhash_accuracy": q_minhash_accuracy,
         "ngram_diversity": q_ngram_diversity,
+        "tokenizer_fertility": q_tokenizer_fertility,
         # ===== r06 window, part 2: re-checks of code changed this
         # round (vocabulary-broadcast sweep VERDICT r5 #1/#4;
         # bounded Data Source planning scan VERDICT r5 #5)
@@ -6363,6 +6378,26 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(DISTINCT gram) * 10000 // count(*) AS bigint)
                        AS distinct_ratio_bp
             FROM g GROUP BY 1
+        """,
+        # bpe_segment CTE unroll (same 4 learned merges) + one
+        # language-keyed aggregate; milli ratios by integer floor div
+        "tokenizer_fertility": f"""
+            WITH seg AS ({_bpe_segment_oracle(4)}),
+            base AS (
+                SELECT doc_id, lang,
+                       cast(len({tokens}) AS bigint) AS n_words,
+                       cast(n_chars AS bigint) AS n_chars
+                FROM documents)
+            SELECT b.lang,
+                   cast(count(*) AS bigint) AS n_docs,
+                   cast(sum(b.n_words) AS bigint) AS n_words,
+                   cast(sum(s.n_bpe_tokens) AS bigint) AS n_bpe_tokens,
+                   cast(sum(s.n_bpe_tokens) * 1000 // sum(b.n_words)
+                        AS bigint) AS fertility_milli,
+                   cast(sum(b.n_chars) * 1000 // sum(s.n_bpe_tokens)
+                        AS bigint) AS chars_per_token_milli
+            FROM seg s JOIN base b USING (doc_id)
+            GROUP BY b.lang
         """,
         # same exhaustive-equals-exact argument, through the persisted
         # index path (write + load + probe-all-lists)

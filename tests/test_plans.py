@@ -536,6 +536,10 @@ def test_r06_new_queries_stay_within_shuffle_budget(spark, sf_dir):
         "minhash_accuracy": 11,
         # |ns| narrow explodes unioned + one two-level count-distinct agg
         "ngram_diversity": 2,
+        # BPE folds run eagerly over the checkpointed vocabulary during
+        # construction; final plan = toks + broadcast vocab join + one
+        # doc agg + one lang agg
+        "tokenizer_fertility": 2,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, sf_dir, name)

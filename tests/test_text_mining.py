@@ -293,3 +293,40 @@ def test_ngram_diversity_empty_doc_contract(spark):
     assert out[1]["total_ngrams"] == 3  # x, y, ''
     assert out[3]["total_ngrams"] == 2  # 'x y' (short-doc gram), ''
     assert out[3]["distinct_ngrams"] == 2
+
+
+def test_tokenizer_fertility_hand_counted(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import (
+        tokenizer_fertility,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "aa aa b", "en", 7), (2, "aa aa", "de", 5)],
+        ["doc_id", "text", "lang", "n_chars"],
+    )
+    # merge (a,a): "aa" -> one subword, "b" -> one subword
+    out = {
+        r["lang"]: r
+        for r in tokenizer_fertility(d, [("a", "a")]).collect()
+    }
+    en = out["en"]  # 3 words -> 3 bpe tokens, 7 chars
+    assert (en["n_docs"], en["n_words"], en["n_bpe_tokens"]) == (1, 3, 3)
+    assert en["fertility_milli"] == 1000
+    assert en["chars_per_token_milli"] == 2333  # floor(7000/3)
+    de = out["de"]  # 2 words -> 2 bpe tokens, 5 chars
+    assert de["fertility_milli"] == 1000
+    assert de["chars_per_token_milli"] == 2500
+
+
+def test_tokenizer_fertility_no_merges_is_char_level(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import (
+        tokenizer_fertility,
+    )
+
+    # zero merges: every word splits into its characters
+    d = spark.createDataFrame(
+        [(1, "abc de", "en", 6)], ["doc_id", "text", "lang", "n_chars"]
+    )
+    r = tokenizer_fertility(d, []).collect()[0]
+    assert r["n_bpe_tokens"] == 5  # a b c + d e
+    assert r["fertility_milli"] == 2500  # 5 tokens / 2 words
