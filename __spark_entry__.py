@@ -811,6 +811,29 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_mining.tokenizer_fertility(docs, merges)
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of customers under the (nation, market
+    segment) quasi-identifier pair: classes below k and rows they
+    expose, per candidate k — the release-gate governance check
+    (operators/quality.py:k_anonymity_report).  Oracle: the same
+    class-size aggregate fanned over k."""
+    cust = _t(spark, sf_dir, "customer")
+    return quality.k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment"], k_thresholds=(2, 5, 10)
+    )
+
+
+def q_source_overlap_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup twin of source_overlap_matrix: distinct near-dup
+    CLUSTERS shared per source pair — cross-source duplication the
+    exact-fingerprint matrix misses; exact ≤ real ≤ near brackets the
+    truth (operators/dedup.py:source_overlap_near).  Oracle:
+    recursive-CTE components + distinct (component, source) self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs)
+    return dedup.source_overlap_near(docs, pairs)
+
+
 def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus n-gram diversity (total/distinct/ratio-bp per n in 1-3)
     — the cheap templating/memorization signal (operators/
@@ -3777,6 +3800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_accuracy": q_minhash_accuracy,
         "ngram_diversity": q_ngram_diversity,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "k_anonymity": q_k_anonymity,
+        "source_overlap_near": q_source_overlap_near,
         # ===== r06 window, part 2: re-checks of code changed this
         # round (vocabulary-broadcast sweep VERDICT r5 #1/#4;
         # bounded Data Source planning scan VERDICT r5 #5)
@@ -6398,6 +6423,50 @@ def oracle_sql() -> dict[str, str]:
                         AS bigint) AS chars_per_token_milli
             FROM seg s JOIN base b USING (doc_id)
             GROUP BY b.lang
+        """,
+        # one QI class-size aggregate fanned over the k thresholds
+        "k_anonymity": """
+            WITH classes AS (
+                SELECT c_nationkey, c_mktsegment,
+                       cast(count(*) AS bigint) AS class_size
+                FROM customer GROUP BY 1, 2),
+            fanned AS (
+                SELECT class_size,
+                       cast(unnest([2, 5, 10]) AS bigint) AS k
+                FROM classes)
+            SELECT k,
+                   cast(count(*) AS bigint) AS n_classes,
+                   cast(sum(CASE WHEN class_size < k THEN 1 ELSE 0 END)
+                        AS bigint) AS n_classes_below_k,
+                   cast(sum(CASE WHEN class_size < k THEN class_size
+                            ELSE 0 END) AS bigint) AS n_rows_at_risk,
+                   cast(min(class_size) AS bigint) AS min_class_size
+            FROM fanned GROUP BY 1
+        """,
+        # recursive-CTE components + distinct (component, source)
+        # self-join, source_a < source_b
+        "source_overlap_near": f"""
+            WITH RECURSIVE pairs AS ({ngram_pairs}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs),
+            reach(id, comp) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.src, r.comp FROM edges e JOIN reach r
+                    ON e.dst = r.id),
+            comps AS (
+                SELECT id AS doc_id, min(comp) AS component
+                FROM reach GROUP BY id),
+            cs AS (
+                SELECT DISTINCT c.component, d.source
+                FROM comps c JOIN documents d USING (doc_id))
+            SELECT a.source AS source_a, b.source AS source_b,
+                   cast(count(*) AS bigint) AS n_shared_clusters
+            FROM cs a JOIN cs b
+                ON a.component = b.component AND a.source < b.source
+            GROUP BY 1, 2
         """,
         # same exhaustive-equals-exact argument, through the persisted
         # index path (write + load + probe-all-lists)

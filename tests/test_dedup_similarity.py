@@ -874,3 +874,22 @@ def test_minhash_accuracy_deterministic(docs):
     a = sorted(map(tuple, dedup.minhash_accuracy_report(docs).collect()))
     b = sorted(map(tuple, dedup.minhash_accuracy_report(docs).collect()))
     assert a == b
+
+
+def test_source_overlap_near_counts_clusters_once_per_source_pair(spark):
+    rows = [
+        (1, BASE, "srcB"),
+        (2, BASE, "srcA"),   # exact dup, different source
+        (3, NEAR, "srcB"),   # near dup, same source as 1
+        (4, FAR, "srcC"),    # singleton: no pair can involve srcC
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        (r["source_a"], r["source_b"]): r["n_shared_clusters"]
+        for r in dedup.source_overlap_near(
+            d, dedup.ngram_jaccard_pairs(d)
+        ).collect()
+    }
+    # one cluster {1,2,3} spans srcA+srcB exactly once, despite srcB
+    # appearing twice in it
+    assert out == {("srcA", "srcB"): 1}

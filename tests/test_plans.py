@@ -540,6 +540,12 @@ def test_r06_new_queries_stay_within_shuffle_budget(spark, sf_dir):
         # construction; final plan = toks + broadcast vocab join + one
         # doc agg + one lang agg
         "tokenizer_fertility": 2,
+        # QI class-size agg + the per-k re-agg after the fan-out
+        "k_anonymity": 2,
+        # components run through the label-prop checkpoints; final plan
+        # = checkpoint scan + source join + (component, source)
+        # distinct pasted into both self-join legs + pair agg
+        "source_overlap_near": 5,
     }
     for name, budget in budgets.items():
         plan = _plan(spark, sf_dir, name)

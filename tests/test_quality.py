@@ -164,3 +164,26 @@ def test_join_cardinality_report_exact(spark):
     disjoint = spark.createDataFrame([(100,)], ["j"])
     row2 = join_cardinality_report(left, disjoint, "k", "j").collect()[0]
     assert (row2["inner_rows"], row2["max_key_fanout"]) == (0, 0)
+
+
+def test_k_anonymity_hand_counted(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.quality import (
+        k_anonymity_report,
+    )
+
+    rows = (
+        [("A", "X")] * 3 + [("A", "Y")] * 1 + [("B", "X")] * 5
+    )
+    df = spark.createDataFrame(rows, ["nation", "segment"])
+    out = {
+        r["k"]: r
+        for r in k_anonymity_report(
+            df, ["nation", "segment"], k_thresholds=(2, 5)
+        ).collect()
+    }
+    assert out[2]["n_classes"] == 3
+    assert out[2]["n_classes_below_k"] == 1  # the singleton class
+    assert out[2]["n_rows_at_risk"] == 1
+    assert out[2]["min_class_size"] == 1
+    assert out[5]["n_classes_below_k"] == 2  # sizes 1 and 3
+    assert out[5]["n_rows_at_risk"] == 4

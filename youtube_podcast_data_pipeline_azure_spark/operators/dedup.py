@@ -1667,3 +1667,41 @@ def minhash_accuracy_report(
             F.max("err_bp").cast("long").alias("max_abs_err_bp"),
         )
     )
+
+
+def source_overlap_near(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """NEAR-duplicate twin of :func:`source_overlap_matrix`: for every
+    source pair, how many distinct near-dup CLUSTERS contain documents
+    from both — catching cross-source duplication the exact-fingerprint
+    matrix misses (syndicated articles with edited bylines, re-crawls
+    with template changes).  Together the two matrices bound the truth:
+    exact ≤ real ≤ near.
+
+    Components over the pair graph, one distinct on (component, source)
+    — collapsing within-source members so clusters count once per
+    source — then a component-keyed self-join whose per-key fan-out is
+    bounded by the source count (single digits), the
+    :func:`source_overlap_matrix` argument.
+
+    Returns (source_a, source_b, n_shared_clusters), source_a <
+    source_b.
+    """
+    comps = duplicate_clusters(docs, pairs, id_col=id_col)
+    cs = (
+        comps.join(docs.select(F.col(id_col), F.col(source_col)), id_col)
+        .select("component", F.col(source_col).alias("_src"))
+        .dropDuplicates(["component", "_src"])
+    )
+    a = cs.select("component", F.col("_src").alias("source_a"))
+    b = cs.select("component", F.col("_src").alias("source_b"))
+    return (
+        a.join(b, "component")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared_clusters"))
+    )

@@ -237,3 +237,48 @@ def functional_dependency_report(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    k_thresholds: tuple[int, ...] = (2, 5, 10),
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: for each
+    candidate k, how many equivalence classes (distinct QI tuples) fall
+    below k members and how many rows those classes expose — the
+    release-gate check for any dataset carrying person-adjacent
+    attributes (a row whose QI class has < k members is re-identifiable
+    by joining the QI columns against an external table).
+
+    One aggregate builds the class-size table (shuffle key = the QI
+    tuple, map-side partial), then the per-k fan-out multiplies CLASS
+    rows (bounded by distinct QI combinations, not table rows).  Emits
+    a row per k even when nothing is at risk, so downstream gates can
+    assert ``n_rows_at_risk == 0`` without an existence check.
+
+    Returns (k, n_classes, n_classes_below_k, n_rows_at_risk,
+    min_class_size), all bigint.
+    """
+    classes = df.groupBy(*quasi_identifiers).agg(
+        F.count("*").cast("long").alias("class_size")
+    )
+    fanned = classes.select(
+        "class_size",
+        F.explode(
+            F.array(*[F.lit(int(k)).cast("long") for k in sorted(k_thresholds)])
+        ).alias("k"),
+    )
+    return fanned.groupBy("k").agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum(F.when(F.col("class_size") < F.col("k"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_classes_below_k"),
+        F.sum(
+            F.when(F.col("class_size") < F.col("k"), F.col("class_size"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.min("class_size").cast("long").alias("min_class_size"),
+    )
