@@ -953,6 +953,43 @@ def q_python_datasource_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return medallion.bronze_videos_to_silver(bronze)
 
 
+def q_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE side of the Python Data Source surface: silver video
+    rows exported through the ``gold_export`` custom sink
+    (io/export_sink.py — staged part files per task, manifest-last
+    two-phase commit) and read back manifest-resolved — the
+    reference's terminal KPI-blob upload (final_kpis.py:52-58) as a
+    first-class ``df.write.format(...)`` sink.  The export contract is
+    string/long columns, so published_at rides as its formatted
+    string; the oracle is the shared videos-silver SQL with the same
+    string cast."""
+    import tempfile
+
+    from youtube_podcast_data_pipeline_azure_spark.io.export_sink import (
+        GoldExportDataSource,
+        read_export,
+    )
+    from youtube_podcast_data_pipeline_azure_spark.io.pyds import VideosDataSource
+
+    spark.dataSource.register(GoldExportDataSource)
+    spark.dataSource.register(VideosDataSource)
+    bronze = (
+        spark.read.format("youtube_videos")
+        .option("sf_dir", sf_dir)
+        .option("max_results", "500")
+        .load()
+    )
+    silver = medallion.bronze_videos_to_silver(bronze).withColumn(
+        "published_at",
+        F.date_format("published_at", "yyyy-MM-dd HH:mm:ss"),
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_export_")
+    silver.write.format("gold_export").option("path", path).mode(
+        "append"
+    ).save()
+    return read_export(spark, path, silver.schema)
+
+
 def q_python_datasource_videos_stream(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3802,6 +3839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "k_anonymity": q_k_anonymity,
         "source_overlap_near": q_source_overlap_near,
+        "python_datasource_sink": q_python_datasource_sink,
         # ===== r06 window, part 2: re-checks of code changed this
         # round (vocabulary-broadcast sweep VERDICT r5 #1/#4;
         # bounded Data Source planning scan VERDICT r5 #5)
@@ -4336,6 +4374,16 @@ def oracle_sql() -> dict[str, str]:
         # (Spark 4 Python Data Source, io/pyds.py)
         "python_datasource_videos": videos_silver_sql,
         "python_datasource_videos_stream": videos_silver_sql,
+        # same silver rows through the gold_export sink roundtrip; the
+        # export contract carries published_at as its formatted string
+        "python_datasource_sink": f"""
+            SELECT video_id, title,
+                   strftime(published_at, '%Y-%m-%d %H:%M:%S')
+                       AS published_at,
+                   channel_title, duration, duration_seconds,
+                   view_count, like_count, comment_count
+            FROM ({videos_silver_sql})
+        """,
         "rest_ingest_comments": """
             SELECT 'vid' || (doc_id % 100) AS videoId,
                    'c' || doc_id AS commentId,

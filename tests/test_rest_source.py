@@ -299,3 +299,95 @@ def test_pyds_stream_reader_offsets_and_restart_healing(sf_dir):
     assert r2.latestOffset() == {"index": 100}  # trails the checkpoint
     assert r2.partitions({"index": 200}, {"index": 100}) == []  # heals, no negative range
     assert r2.latestOffset() == {"index": 250}  # jumped past the checkpoint
+
+
+# ---------------------------------------------------------------------------
+# gold_export Python Data Source WRITER (two-phase commit)
+# ---------------------------------------------------------------------------
+
+
+def _export_write(spark, tmp_path, rows, mode="append", parts=3):
+    from youtube_podcast_data_pipeline_azure_spark.io.export_sink import (
+        GoldExportDataSource,
+    )
+
+    spark.dataSource.register(GoldExportDataSource)
+    df = spark.createDataFrame(rows, "k long, v string")
+    df.repartition(parts).write.format("gold_export").option(
+        "path", str(tmp_path)
+    ).mode(mode).save()
+    return df.schema
+
+
+def test_export_sink_roundtrip_and_manifest(spark, tmp_path):
+    import json
+    import os
+
+    from youtube_podcast_data_pipeline_azure_spark.io.export_sink import (
+        MANIFEST,
+        read_export,
+    )
+
+    rows = [(i, f"v{i}") for i in range(20)]
+    schema = _export_write(spark, tmp_path, rows)
+    with open(os.path.join(str(tmp_path), MANIFEST)) as fh:
+        manifest = json.load(fh)
+    assert manifest["total_rows"] == 20
+    assert sum(f["rows"] for f in manifest["files"]) == 20
+    # no staged leftovers; every manifest file exists under final name
+    names = os.listdir(str(tmp_path))
+    assert not [n for n in names if n.startswith("_staged-")]
+    got = sorted(
+        (r["k"], r["v"])
+        for r in read_export(spark, str(tmp_path), schema).collect()
+    )
+    assert got == rows
+
+
+def test_export_sink_ignores_orphaned_staged_files(spark, tmp_path):
+    from youtube_podcast_data_pipeline_azure_spark.io.export_sink import (
+        read_export,
+    )
+
+    schema = _export_write(spark, tmp_path, [(1, "a")])
+    # a torn write from a dead job must stay invisible to readers
+    (tmp_path / "_staged-dead-deadbeef.jsonl").write_text(
+        '{"k": 99, "v": "ghost"}\n'
+    )
+    got = [tuple(r) for r in read_export(spark, str(tmp_path), schema).collect()]
+    assert got == [(1, "a")]
+
+
+def test_export_sink_overwrite_supersedes_previous_manifest(spark, tmp_path):
+    from youtube_podcast_data_pipeline_azure_spark.io.export_sink import (
+        read_export,
+    )
+
+    _export_write(spark, tmp_path, [(i, "old") for i in range(30)])
+    # fewer tasks than the previous job: part-00001/2 must be removed
+    schema = _export_write(
+        spark, tmp_path, [(1, "new")], mode="overwrite", parts=1
+    )
+    got = [tuple(r) for r in read_export(spark, str(tmp_path), schema).collect()]
+    assert got == [(1, "new")]
+    import os
+
+    # superseded part files physically removed after the new manifest
+    parts = [n for n in os.listdir(str(tmp_path)) if n.startswith("part-")]
+    assert len(parts) == 1
+
+
+def test_export_sink_abort_removes_staged(tmp_path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from youtube_podcast_data_pipeline_azure_spark.io.export_sink import (
+        ExportCommit,
+        GoldExportWriter,
+    )
+
+    schema = StructType([StructField("k", LongType())])
+    w = GoldExportWriter({"path": str(tmp_path)}, schema, overwrite=False)
+    staged = tmp_path / "_staged-0-feed.jsonl"
+    staged.write_text('{"k": 1}\n')
+    w.abort([ExportCommit(staged=staged.name, rows=1), None])
+    assert not staged.exists()

@@ -1,0 +1,146 @@
+"""Spark 4 Python Data Source WRITER: a newline-JSON gold export with
+real two-phase commit — the write-side completion of the Python Data
+Source surface (``io/pyds.py`` covers batch + streaming READ).
+
+The reference pipeline's terminal step uploads gold KPI blobs for a
+BI consumer (final_kpis.py:52-58 writes the KPI JSON out through the
+storage client); this module expresses that "export curated rows to a
+feed consumers can read atomically" step as a first-class
+``df.write.format("gold_export")`` sink instead of a driver loop.
+
+Commit protocol (the part worth copying):
+
+* **write (executors)** — each task serializes its partition to a
+  STAGED file (``_staged-<partition>-<uuid>.jsonl``) and returns the
+  filename + row count as its commit message.  Staged files are
+  invisible to readers: consumers only ever read what the manifest
+  lists.
+* **commit (driver)** — renames every staged file to its final
+  ``part-<i>.jsonl`` name and THEN writes ``_MANIFEST.json`` (file
+  list + per-file and total row counts) last; the manifest write is
+  the single atomicity point, so a reader sees the old export or the
+  new one, never a torn mix.  ``mode("overwrite")`` superseded files
+  from a previous manifest are removed after the new manifest lands.
+* **abort (driver)** — deletes whatever staged files the failed job
+  managed to produce; the previous manifest (if any) stays intact.
+
+Values are serialized with explicit keys per the DataFrame schema
+(string/long/double only — the export contract; cast timestamps to
+strings upstream), so a read-back with the same explicit schema is
+value-exact.  At scale the sink is embarrassingly parallel: one file
+per task, no driver fan-in of data, commit touches filenames only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+MANIFEST = "_MANIFEST.json"
+
+
+@dataclass
+class ExportCommit(WriterCommitMessage):
+    staged: str
+    rows: int
+
+
+class GoldExportWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema, overwrite: bool) -> None:
+        self.path = options["path"]
+        self.fields = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> ExportCommit:
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        name = f"_staged-{pid}-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as fh:
+            for row in iterator:
+                fh.write(
+                    json.dumps(
+                        {k: row[k] for k in self.fields}, sort_keys=True
+                    )
+                )
+                fh.write("\n")
+                n += 1
+            fh.flush()
+            os.fsync(fh.fileno())
+        return ExportCommit(staged=name, rows=n)
+
+    def commit(self, messages) -> None:
+        previous: list[str] = []
+        mpath = os.path.join(self.path, MANIFEST)
+        if self.overwrite and os.path.exists(mpath):
+            with open(mpath) as fh:
+                previous = [f["name"] for f in json.load(fh)["files"]]
+        files = []
+        for i, m in enumerate(sorted(
+            (m for m in messages if m is not None), key=lambda m: m.staged
+        )):
+            final = f"part-{i:05d}.jsonl"
+            os.replace(
+                os.path.join(self.path, m.staged),
+                os.path.join(self.path, final),
+            )
+            files.append({"name": final, "rows": m.rows})
+        # the manifest write is the commit point: readers resolve the
+        # export through it, so everything above is invisible until here
+        tmp = mpath + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"files": files, "total_rows": sum(f["rows"] for f in files)},
+                fh,
+            )
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, mpath)
+        kept = {f["name"] for f in files}
+        for name in previous:
+            if name not in kept:
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except FileNotFoundError:
+                    pass
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.staged))
+                except FileNotFoundError:
+                    pass
+
+
+class GoldExportDataSource(DataSource):
+    """``df.write.format("gold_export").option("path", ...).save()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "gold_export"
+
+    def writer(self, schema, overwrite: bool) -> GoldExportWriter:
+        return GoldExportWriter(self.options, schema, overwrite)
+
+
+def read_export(spark, path: str, schema):
+    """Read a committed export: manifest-listed part files ONLY (staged
+    or orphaned files are never visible), with the explicit schema the
+    export contract guarantees round-trips value-exact."""
+    with open(os.path.join(path, MANIFEST)) as fh:
+        manifest = json.load(fh)
+    files = [os.path.join(path, f["name"]) for f in manifest["files"]]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
