@@ -1030,6 +1030,58 @@ def q_python_datasource_videos_stream(
     return medallion.bronze_videos_to_silver(spark.table(name))
 
 
+def q_python_datasource_stream_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end custom-connector streaming: the Python Data Source
+    STREAM reader feeding the gold_export STREAM writer
+    (io/export_sink.py:GoldExportStreamWriter — per-micro-batch
+    manifests, idempotent batch commit), silver-flattened in flight;
+    the read-back unions every committed batch's manifest, so the
+    result must equal the batch connector's 500 silver rows — same
+    oracle as python_datasource_sink."""
+    import tempfile
+    import time
+
+    from youtube_podcast_data_pipeline_azure_spark.io.export_sink import (
+        GoldExportDataSource,
+        read_stream_export,
+    )
+    from youtube_podcast_data_pipeline_azure_spark.io.pyds import VideosDataSource
+
+    spark.dataSource.register(VideosDataSource)
+    spark.dataSource.register(GoldExportDataSource)
+    stream = (
+        spark.readStream.format("youtube_videos")
+        .option("sf_dir", sf_dir)
+        .option("max_results", "500")
+        .option("batch_ids", "100")
+        .load()
+    )
+    silver = medallion.bronze_videos_to_silver(stream).withColumn(
+        "published_at",
+        F.date_format("published_at", "yyyy-MM-dd HH:mm:ss"),
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_sexport_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_sexport_ckpt_")
+    q = (
+        silver.writeStream.format("gold_export")
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        out = read_stream_export(spark, path, silver.schema)
+        if out.count() >= 500:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    return read_stream_export(spark, path, silver.schema)
+
+
 def q_medallion_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14/A15/A16 full-pipeline KPI row: bronze → silver → deterministic
     gold enrichment → single KPI record (reference final_kpis.py:25-58).
@@ -3840,6 +3892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "source_overlap_near": q_source_overlap_near,
         "python_datasource_sink": q_python_datasource_sink,
+        "python_datasource_stream_sink": q_python_datasource_stream_sink,
         # ===== r06 window, part 2: re-checks of code changed this
         # round (vocabulary-broadcast sweep VERDICT r5 #1/#4;
         # bounded Data Source planning scan VERDICT r5 #5)
@@ -4374,6 +4427,14 @@ def oracle_sql() -> dict[str, str]:
         # (Spark 4 Python Data Source, io/pyds.py)
         "python_datasource_videos": videos_silver_sql,
         "python_datasource_videos_stream": videos_silver_sql,
+        "python_datasource_stream_sink": f"""
+            SELECT video_id, title,
+                   strftime(published_at, '%Y-%m-%d %H:%M:%S')
+                       AS published_at,
+                   channel_title, duration, duration_seconds,
+                   view_count, like_count, comment_count
+            FROM ({videos_silver_sql})
+        """,
         # same silver rows through the gold_export sink roundtrip; the
         # export contract carries published_at as its formatted string
         "python_datasource_sink": f"""

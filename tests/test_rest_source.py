@@ -391,3 +391,65 @@ def test_export_sink_abort_removes_staged(tmp_path):
     staged.write_text('{"k": 1}\n')
     w.abort([ExportCommit(staged=staged.name, rows=1), None])
     assert not staged.exists()
+
+
+def test_stream_export_idempotent_batch_commit(spark, tmp_path):
+    import json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from youtube_podcast_data_pipeline_azure_spark.io.export_sink import (
+        ExportCommit,
+        GoldExportStreamWriter,
+        read_stream_export,
+    )
+
+    schema = StructType([StructField("k", LongType())])
+    w = GoldExportStreamWriter({"path": str(tmp_path)}, schema)
+
+    def stage(val):
+        name = f"_staged-0-{val}.jsonl"
+        (tmp_path / name).write_text(json.dumps({"k": val}) + "\n")
+        return ExportCommit(staged=name, rows=1)
+
+    w.commit([stage(1)], batchId=0)
+    w.commit([stage(2)], batchId=1)
+    # restart replay of batch 0: manifest exists -> staged rows DISCARDED
+    w.commit([stage(99)], batchId=0)
+    got = sorted(
+        r["k"]
+        for r in read_stream_export(spark, str(tmp_path), schema).collect()
+    )
+    assert got == [1, 2]  # no duplicate, no ghost 99
+    import os
+
+    assert not [
+        n for n in os.listdir(str(tmp_path)) if n.startswith("_staged-")
+    ]
+
+
+def test_stream_export_abort_keeps_committed_batches(spark, tmp_path):
+    import json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from youtube_podcast_data_pipeline_azure_spark.io.export_sink import (
+        ExportCommit,
+        GoldExportStreamWriter,
+        read_stream_export,
+    )
+
+    schema = StructType([StructField("k", LongType())])
+    w = GoldExportStreamWriter({"path": str(tmp_path)}, schema)
+    name = "_staged-0-ok.jsonl"
+    (tmp_path / name).write_text(json.dumps({"k": 1}) + "\n")
+    w.commit([ExportCommit(staged=name, rows=1)], batchId=0)
+    bad = "_staged-0-bad.jsonl"
+    (tmp_path / bad).write_text(json.dumps({"k": 2}) + "\n")
+    w.abort([ExportCommit(staged=bad, rows=1), None], batchId=1)
+    got = [
+        r["k"]
+        for r in read_stream_export(spark, str(tmp_path), schema).collect()
+    ]
+    assert got == [1]
+    assert not (tmp_path / bad).exists()

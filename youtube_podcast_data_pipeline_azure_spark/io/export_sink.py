@@ -40,6 +40,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -133,6 +134,9 @@ class GoldExportDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> GoldExportWriter:
         return GoldExportWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> "GoldExportStreamWriter":
+        return GoldExportStreamWriter(self.options, schema)
+
 
 def read_export(spark, path: str, schema):
     """Read a committed export: manifest-listed part files ONLY (staged
@@ -141,6 +145,110 @@ def read_export(spark, path: str, schema):
     with open(os.path.join(path, MANIFEST)) as fh:
         manifest = json.load(fh)
     files = [os.path.join(path, f["name"]) for f in manifest["files"]]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
+
+
+class GoldExportStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of :class:`GoldExportWriter`: one manifest PER
+    MICRO-BATCH (``_MANIFEST-<batchId>.json``), written last, with
+    **idempotent batch commit** — if a restarted query replays a batch
+    whose manifest already exists (the checkpoint said "in flight" but
+    the commit actually landed), the replayed batch's staged files are
+    discarded instead of double-publishing rows.  That turns Structured
+    Streaming's at-least-once sink contract into exactly-once
+    visibility for manifest-resolving readers, the same trick file/
+    Delta sinks use (transaction log keyed by batch id).
+
+    Part files are ``part-<batchId>-<i>.jsonl`` so batches never
+    collide; abort removes only the aborted batch's staged files and
+    already-committed manifests stay intact.
+    """
+
+    def __init__(self, options: dict, schema) -> None:
+        self.path = options["path"]
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, iterator) -> ExportCommit:
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        name = f"_staged-{pid}-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as fh:
+            for row in iterator:
+                fh.write(
+                    json.dumps(
+                        {k: row[k] for k in self.fields}, sort_keys=True
+                    )
+                )
+                fh.write("\n")
+                n += 1
+            fh.flush()
+            os.fsync(fh.fileno())
+        return ExportCommit(staged=name, rows=n)
+
+    def _manifest_path(self, batch_id: int) -> str:
+        return os.path.join(self.path, f"_MANIFEST-{batch_id}.json")
+
+    def commit(self, messages, batchId: int) -> None:
+        live = [m for m in messages if m is not None]
+        if os.path.exists(self._manifest_path(batchId)):
+            # replay of an already-committed batch after a restart:
+            # its rows are already visible — discard, don't duplicate
+            for m in live:
+                try:
+                    os.remove(os.path.join(self.path, m.staged))
+                except FileNotFoundError:
+                    pass
+            return
+        files = []
+        for i, m in enumerate(sorted(live, key=lambda m: m.staged)):
+            final = f"part-{batchId}-{i:05d}.jsonl"
+            os.replace(
+                os.path.join(self.path, m.staged),
+                os.path.join(self.path, final),
+            )
+            files.append({"name": final, "rows": m.rows})
+        tmp = self._manifest_path(batchId) + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "batch_id": batchId,
+                    "files": files,
+                    "total_rows": sum(f["rows"] for f in files),
+                },
+                fh,
+            )
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._manifest_path(batchId))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.staged))
+                except FileNotFoundError:
+                    pass
+
+
+def read_stream_export(spark, path: str, schema):
+    """Read every committed micro-batch of a streaming export: the
+    union of all per-batch manifests' part files (staged/aborted files
+    stay invisible, replayed batches appear once)."""
+    import re
+
+    files: list[str] = []
+    for name in sorted(os.listdir(path)):
+        if re.fullmatch(r"_MANIFEST-\d+\.json", name):
+            with open(os.path.join(path, name)) as fh:
+                manifest = json.load(fh)
+            files += [
+                os.path.join(path, f["name"]) for f in manifest["files"]
+            ]
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(files)
