@@ -1030,6 +1030,30 @@ def q_python_datasource_videos_stream(
     return medallion.bronze_videos_to_silver(spark.table(name))
 
 
+def q_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushdown INTO the Python Data Source (Spark 4.1
+    Filter API, io/pyds.py:VideosPushdownReader): the id-membership
+    predicate is consumed at partition planning — the REST-native
+    fetch-by-id the reference does at function_app.py:63-66 — so the
+    scan plans only the matching detail chunks and the plan carries no
+    Spark Filter node (pinned in test_rest_source.py).  Oracle: the
+    shared videos-silver SQL restricted to the same id list."""
+    from youtube_podcast_data_pipeline_azure_spark.io.pyds import VideosDataSource
+
+    spark.dataSource.register(VideosDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    vids = [f"vid{k}" for k in range(0, 200)]
+    bronze = (
+        spark.read.format("youtube_videos")
+        .option("sf_dir", sf_dir)
+        .option("max_results", "500")
+        .option("pushdown", "true")
+        .load()
+        .where(F.col("id").isin(vids))
+    )
+    return medallion.bronze_videos_to_silver(bronze)
+
+
 def q_python_datasource_stream_sink(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3893,6 +3917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_near": q_source_overlap_near,
         "python_datasource_sink": q_python_datasource_sink,
         "python_datasource_stream_sink": q_python_datasource_stream_sink,
+        "python_datasource_pushdown": q_python_datasource_pushdown,
         # ===== r06 window, part 2: re-checks of code changed this
         # round (vocabulary-broadcast sweep VERDICT r5 #1/#4;
         # bounded Data Source planning scan VERDICT r5 #5)
@@ -4427,6 +4452,11 @@ def oracle_sql() -> dict[str, str]:
         # (Spark 4 Python Data Source, io/pyds.py)
         "python_datasource_videos": videos_silver_sql,
         "python_datasource_videos_stream": videos_silver_sql,
+        # same silver rows, restricted to the pushed id list
+        "python_datasource_pushdown": f"""
+            SELECT * FROM ({videos_silver_sql})
+            WHERE cast(substr(video_id, 4) AS bigint) < 200
+        """,
         "python_datasource_stream_sink": f"""
             SELECT video_id, title,
                    strftime(published_at, '%Y-%m-%d %H:%M:%S')

@@ -453,3 +453,94 @@ def test_stream_export_abort_keeps_committed_batches(spark, tmp_path):
     ]
     assert got == [1]
     assert not (tmp_path / bad).exists()
+
+
+# ---------------------------------------------------------------------------
+# Python Data Source predicate pushdown (Spark 4.1 Filter API)
+# ---------------------------------------------------------------------------
+
+
+def test_pyds_pushdown_prunes_partitions_at_planning(sf_dir):
+    from pyspark.sql.datasource import EqualTo, In
+
+    from youtube_podcast_data_pipeline_azure_spark.io.pyds import (
+        VideosPushdownReader,
+    )
+
+    r = VideosPushdownReader({"sf_dir": sf_dir, "max_results": "500"})
+    rest = list(
+        r.pushFilters(
+            [
+                In(("id",), ("vid1", "vid2", "vid999999999", "nope")),
+                EqualTo(("title",), "x"),  # unsupported column
+            ]
+        )
+    )
+    # unsupported filter handed back to Spark; id filter fully consumed
+    assert rest == [EqualTo(("title",), "x")]
+    # only feed-resident matching ids planned (ghost + unparseable drop)
+    assert [p.value for p in r.partitions()] == [[1, 2]]
+    # AND-intersection with a second pushed filter
+    list(r.pushFilters([EqualTo(("id",), "vid2")]))
+    assert [p.value for p in r.partitions()] == [[2]]
+    # empty intersection: zero partitions, feed never contacted
+    list(r.pushFilters([EqualTo(("id",), "vid1")]))
+    assert r.partitions() == []
+
+
+def test_pyds_pushdown_plan_carries_no_filter_node(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from youtube_podcast_data_pipeline_azure_spark.io.pyds import (
+        VideosDataSource,
+    )
+
+    spark.dataSource.register(VideosDataSource)
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = (
+            spark.read.format("youtube_videos")
+            .option("sf_dir", sf_dir)
+            .option("max_results", "500")
+            .option("pushdown", "true")
+            .load()
+            .where(F.col("id").isin(["vid1", "vid2", "vid3"]))
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the predicate was consumed by the source: no Filter node
+        assert "\n" + "+- *(1) Filter" not in plan and "Filter id#" not in plan
+        assert sorted(r["id"] for r in df.select("id").collect()) == [
+            "vid1",
+            "vid2",
+            "vid3",
+        ]
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+
+
+def test_pyds_default_reader_works_without_pushdown_conf(spark, sf_dir):
+    """The default reader must NOT implement pushFilters: Spark refuses
+    to initialize readers that override it while the (default-off)
+    pushdown conf is disabled, and the driver harness runs plain
+    sessions."""
+    from youtube_podcast_data_pipeline_azure_spark.io.pyds import (
+        VideosDataSource,
+        VideosReader,
+    )
+
+    assert "pushFilters" not in VideosReader.__dict__
+    spark.dataSource.register(VideosDataSource)
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        n = (
+            spark.read.format("youtube_videos")
+            .option("sf_dir", sf_dir)
+            .option("max_results", "120")
+            .load()
+            .count()
+        )
+        assert n == 120
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)

@@ -112,17 +112,31 @@ def _video_row(r: dict) -> tuple:
     )
 
 
+def _vid_to_key(v) -> int | None:
+    """``'vid<k>'`` → feed key ``k``; None for values no feed row can
+    ever match (wrong prefix / non-numeric), which prune to nothing."""
+    if isinstance(v, str) and v.startswith("vid") and v[3:].isdigit():
+        return int(v[3:])
+    return None
+
+
 class VideosReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.sf_dir = options["sf_dir"]
         self.max_results = int(options.get("max_results", 500))
         self.chunk = int(options.get("chunk", DEFAULT_CHUNK))
+        #: intersection of pushed id predicates, or None = unfiltered
+        self.allowed_keys: set[int] | None = None
 
     def partitions(self) -> list[InputPartition]:
         # Driver-side planning scan: LIMIT pushed into the source —
         # bounded smallest-k streaming read with row-group stats
         # pruning, never the whole id column (see _lowest_keys).
         keys = _lowest_keys(self.sf_dir, self.max_results)
+        if self.allowed_keys is not None:
+            # pushed id predicates prune BEFORE chunking: fewer detail
+            # calls, and an empty intersection plans zero partitions
+            keys = [k for k in keys if k in self.allowed_keys]
         return [
             InputPartition(keys[i : i + self.chunk])
             for i in range(0, len(keys), self.chunk)
@@ -150,6 +164,43 @@ class VideosReader(DataSourceReader):
             yield _video_row(r)
 
 
+class VideosPushdownReader(VideosReader):
+    """Opt-in predicate-pushdown variant (``option("pushdown",
+    "true")``): equality/membership predicates on the feed's natural
+    key (``id``) are consumed at planning — exactly what a REST detail
+    endpoint supports natively (the reference fetches videos BY ID,
+    function_app.py:63-66) — so they prune partitions and never become
+    a Spark Filter node; everything else is yielded back for Spark to
+    evaluate post-scan.  Pushed sets intersect (the list is an AND);
+    an empty intersection plans ZERO partitions, so a provably-empty
+    scan never contacts the feed.
+
+    A separate subclass, not a method on :class:`VideosReader`:
+    Spark 4.1 refuses to initialize any reader that OVERRIDES
+    ``pushFilters`` while ``spark.sql.python.filterPushdown.enabled``
+    is false (the default), and the driver harness runs plain
+    sessions — the default reader must keep working there.  Callers
+    opting in must also arm that conf (runtime-settable).
+    """
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import EqualTo, In
+
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("id",):
+                keys = {_vid_to_key(f.value)} - {None}
+            elif isinstance(f, In) and f.attribute == ("id",):
+                keys = {_vid_to_key(v) for v in f.value} - {None}
+            else:
+                yield f  # unsupported: Spark evaluates it post-scan
+                continue
+            self.allowed_keys = (
+                keys
+                if self.allowed_keys is None
+                else self.allowed_keys & keys
+            )
+
+
 class VideosDataSource(DataSource):
     """``spark.read.format("youtube_videos").option("sf_dir", ...)``"""
 
@@ -161,6 +212,8 @@ class VideosDataSource(DataSource):
         return BRONZE_VIDEO_ITEM
 
     def reader(self, schema) -> VideosReader:
+        if self.options.get("pushdown", "").lower() == "true":
+            return VideosPushdownReader(self.options)
         return VideosReader(self.options)
 
     def streamReader(self, schema) -> "VideosStreamReader":
