@@ -1030,6 +1030,21 @@ def q_python_datasource_videos_stream(
     return medallion.bronze_videos_to_silver(spark.table(name))
 
 
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption pairs, deterministic: token blocks
+    masked by an md5 content hash become <extra_id_N> sentinels in the
+    input, with the hidden tokens in the target — denoising-pretraining
+    data as a batch operator (operators/curation.py:
+    span_corruption_pairs).  Oracle replays the identical mask hash,
+    span numbering, and ordered reassembly in SQL."""
+    return curation.span_corruption_pairs(
+        _t(spark, sf_dir, "documents"),
+        span_len=3,
+        noise_pct=15,
+        mask_hash=sketches.md5_int56,
+    )
+
+
 def q_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicate pushdown INTO the Python Data Source (Spark 4.1
     Filter API, io/pyds.py:VideosPushdownReader): the id-membership
@@ -3918,6 +3933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "python_datasource_sink": q_python_datasource_sink,
         "python_datasource_stream_sink": q_python_datasource_stream_sink,
         "python_datasource_pushdown": q_python_datasource_pushdown,
+        "span_corruption": q_span_corruption,
         # ===== r06 window, part 2: re-checks of code changed this
         # round (vocabulary-broadcast sweep VERDICT r5 #1/#4;
         # bounded Data Source planning scan VERDICT r5 #5)
@@ -6515,6 +6531,48 @@ def oracle_sql() -> dict[str, str]:
                    cast(max(abs(est_bp - exact_bp)) AS bigint)
                        AS max_abs_err_bp
             FROM scored GROUP BY 1
+        """,
+        # identical mask hash (md5 seam), span numbering, and ordered
+        # reassembly; string_agg ORDER BY pos == the struct-sort rebuild
+        "span_corruption": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS tokens FROM documents),
+            t AS (
+                SELECT doc_id, generate_subscripts(tokens, 1) - 1 AS pos,
+                       unnest(tokens) AS tok
+                FROM toks),
+            tb AS (
+                SELECT doc_id, pos, tok, pos // 3 AS blk,
+                       ({sketches.md5_int56_sql("doc_id || ':' || (pos // 3)")}
+                        % 100) < 15 AS masked
+                FROM t),
+            spans AS (
+                SELECT doc_id, blk,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY blk) - 1 AS sid
+                FROM (SELECT DISTINCT doc_id, blk FROM tb WHERE masked)),
+            j AS (
+                SELECT tb.*, s.sid
+                FROM tb LEFT JOIN spans s USING (doc_id, blk)),
+            o AS (
+                SELECT doc_id, pos, masked, blk,
+                       CASE WHEN NOT masked THEN tok
+                            WHEN pos = blk * 3
+                                THEN '<extra_id_' || sid || '>' END AS out_in,
+                       CASE WHEN masked AND pos = blk * 3
+                                THEN '<extra_id_' || sid || '>' || ' ' || tok
+                            WHEN masked THEN tok END AS out_tg
+                FROM j)
+            SELECT doc_id,
+                   coalesce(string_agg(out_in, ' ' ORDER BY pos)
+                       FILTER (out_in IS NOT NULL), '') AS input_text,
+                   coalesce(string_agg(out_tg, ' ' ORDER BY pos)
+                       FILTER (out_tg IS NOT NULL), '') AS target_text,
+                   cast(count(DISTINCT CASE WHEN masked THEN blk END)
+                        AS bigint) AS n_spans,
+                   cast(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS bigint)
+                       AS n_masked_tokens
+            FROM o GROUP BY doc_id
         """,
         # same positional-n-gram construction per n (short docs yield
         # one partial gram, empty docs one '' gram — the

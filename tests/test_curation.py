@@ -461,3 +461,53 @@ def test_leakage_safe_split_singletons_match_dataset_split(spark):
         for r in dataset_split(docs, "doc_id", seed=7).collect()
     }
     assert got == want
+
+
+def test_span_corruption_structure(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        span_corruption_pairs,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l"), (2, "x y"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in span_corruption_pairs(d, span_len=3, noise_pct=40).collect()
+    }
+    assert 3 not in out  # empty doc drops (no tokens to corrupt)
+    r1 = out[1]
+    # sentinels numbered densely from 0 in block order, once per span
+    for n in range(r1["n_spans"]):
+        assert r1["input_text"].count(f"<extra_id_{n}>") == 1
+        assert r1["target_text"].count(f"<extra_id_{n}>") == 1
+    # reassembling input (sentinels -> their target spans) restores text
+    restored = r1["input_text"]
+    tg = r1["target_text"].split(" ")
+    spans, cur = {}, None
+    for tok in tg:
+        if tok.startswith("<extra_id_"):
+            cur = tok
+            spans[cur] = []
+        else:
+            spans[cur].append(tok)
+    for sent, toks in spans.items():
+        restored = restored.replace(sent, " ".join(toks))
+    assert restored == "a b c d e f g h i j k l"
+    # token accounting
+    assert r1["n_masked_tokens"] == sum(len(v) for v in spans.values())
+
+
+def test_span_corruption_deterministic_under_repartition(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        span_corruption_pairs,
+    )
+
+    d = spark.createDataFrame(
+        [(i, f"tok{j} " * 20) for i in range(10) for j in [i]],
+        ["doc_id", "text"],
+    )
+    a = sorted(map(tuple, span_corruption_pairs(d).collect()))
+    b = sorted(map(tuple, span_corruption_pairs(d.repartition(7)).collect()))
+    assert a == b

@@ -542,6 +542,8 @@ def test_r06_new_queries_stay_within_shuffle_budget(spark, sf_dir):
         "tokenizer_fertility": 2,
         # QI class-size agg + the per-k re-agg after the fan-out
         "k_anonymity": 2,
+        # token explode + span distinct/rank + rejoin + doc reassembly
+        "span_corruption": 4,
         # components run through the label-prop checkpoints; final plan
         # = checkpoint scan + source join + (component, source)
         # distinct pasted into both self-join legs + pair agg

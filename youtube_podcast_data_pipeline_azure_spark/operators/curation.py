@@ -613,3 +613,119 @@ def leakage_safe_split(
     return dataset_split(
         comps, "component", weights=weights, names=names, seed=seed
     )
+
+
+def span_corruption_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 3,
+    noise_pct: int = 15,
+    mask_hash=None,
+) -> DataFrame:
+    """T5-style span-corruption training pairs (Raffel et al. 2020),
+    deterministically: the corpus becomes (input with masked spans
+    replaced by ``<extra_id_N>`` sentinels, target holding each
+    sentinel followed by the tokens it hides) — the denoising
+    pretraining objective as a batch operator.  Where T5 samples spans
+    randomly, here a token block (``span_len`` consecutive tokens) is
+    masked iff ``hash(doc_id:block) % 100 < noise_pct`` — a pure
+    content function, so re-runs, retries, and the SQL oracle all
+    produce byte-identical pairs (the same determinism argument as
+    ``dataset_split``'s hash gate).  ``mask_hash`` defaults to
+    xxhash64 (the hot-path hash — one per TOKEN row); pass
+    ``sketches.md5_int56`` to make the mask SQL-replayable for audits,
+    the same dial :func:`dedup.simhash_near_dup_pairs` exposes.
+
+    Shape: one posexplode to (doc, pos, token) rows, the mask decision
+    per row (md5 on the 8-byte-ish ``id:block`` key, never the token
+    text), one small distinct+rank frame to number each doc's masked
+    spans, and one per-doc aggregate that reassembles both sequences
+    via sort_array(struct(pos, out)) — collect_list alone is
+    order-nondeterministic under retries; the struct sort makes the
+    rebuild exact.  Shuffles carry (id, pos, short token) rows; at
+    100 TB this is the same cost class as tokenization itself.
+
+    Returns (id, input_text, target_text, n_spans, n_masked_tokens);
+    docs with no maskable tokens keep target_text = ''.
+    """
+    if mask_hash is None:
+        def mask_hash(c):
+            return F.pmod(F.xxhash64(c), F.lit(100))
+
+    t = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok"),
+        )
+        .withColumn("blk", (F.col("pos") / span_len).cast("long"))
+        .withColumn(
+            "masked",
+            mask_hash(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    F.col("blk").cast("string"),
+                )
+            )
+            % 100
+            < noise_pct,
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("blk")
+    spans = (
+        t.where("masked")
+        .select(id_col, "blk")
+        .distinct()
+        .withColumn("sid", F.row_number().over(w) - 1)
+    )
+    t = t.join(spans, [id_col, "blk"], "left")
+    sentinel = F.concat(
+        F.lit("<extra_id_"), F.col("sid").cast("string"), F.lit(">")
+    )
+    first_of_blk = F.col("pos") == F.col("blk") * span_len
+    out_in = F.when(~F.col("masked"), F.col("tok")).when(
+        first_of_blk, sentinel
+    )
+    out_tg = F.when(
+        F.col("masked") & first_of_blk,
+        F.concat(sentinel, F.lit(" "), F.col("tok")),
+    ).when(F.col("masked"), F.col("tok"))
+
+    agg = t.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            out_in.isNotNull(),
+                            F.struct(F.col("pos").alias("p"), out_in.alias("v")),
+                        )
+                    )
+                ),
+                lambda s: s.getField("v"),
+            ),
+            " ",
+        ).alias("input_text"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            out_tg.isNotNull(),
+                            F.struct(F.col("pos").alias("p"), out_tg.alias("v")),
+                        )
+                    )
+                ),
+                lambda s: s.getField("v"),
+            ),
+            " ",
+        ).alias("target_text"),
+        F.countDistinct(F.when(F.col("masked"), F.col("blk")))
+        .cast("long")
+        .alias("n_spans"),
+        F.sum(F.when(F.col("masked"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_masked_tokens"),
+    )
+    return agg
