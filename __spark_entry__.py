@@ -1030,6 +1030,25 @@ def q_python_datasource_videos_stream(
     return medallion.bronze_videos_to_silver(spark.table(name))
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF (nprobe=2 of 8 cells) vs exact brute force, per
+    query, in integer basis points — the standard ANN quality audit,
+    fully SQL-replayable because the Lloyd training, probe order, and
+    score order are all deterministic with total tie-breaks
+    (operators/similarity.py:ann_recall_report).  Oracle replays
+    training (2 Lloyd CTE iterations over the corpus side), round-6
+    probe selection (ties: centroid id DESC — the reverse(array_sort)
+    contract), round-4 scoring, and the recall aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return similarity.ann_recall_report(
+        corpus, queries, k=10, n_centroids=8, nprobe=2, iters=2
+    )
+
+
 def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5-style span-corruption pairs, deterministic: token blocks
     masked by an md5 content hash become <extra_id_N> sentinels in the
@@ -3934,6 +3953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "python_datasource_stream_sink": q_python_datasource_stream_sink,
         "python_datasource_pushdown": q_python_datasource_pushdown,
         "span_corruption": q_span_corruption,
+        "ann_recall": q_ann_recall,
         # ===== r06 window, part 2: re-checks of code changed this
         # round (vocabulary-broadcast sweep VERDICT r5 #1/#4;
         # bounded Data Source planning scan VERDICT r5 #5)
@@ -6789,6 +6809,95 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Deterministic Lloyd's replayed as CTEs (lowest-8-id init, two
         # iterations), then the rounded final assignment and profile.
+        # IVF recall@k vs brute force: training (2 Lloyd CTE iters over
+        # the CORPUS side only — `e` is shadowed to vec_id >= 5 so the
+        # shared _lloyd_iter CTEs train on the right set), round-6
+        # probe order (ties cid DESC — reverse(array_sort)), round-4
+        # scores, integer recall
+        "ann_recall": f"""
+            WITH eall AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> x::DOUBLE) AS v
+                FROM embeddings),
+            e AS (SELECT vec_id, v FROM eall WHERE vec_id >= 5),
+            qs AS (SELECT vec_id, v FROM eall WHERE vec_id < 5),
+            dims AS (
+                SELECT vec_id, generate_subscripts(v, 1) AS d,
+                       unnest(v) AS val
+                FROM e),
+            c0 AS (
+                SELECT cast(row_number() OVER (ORDER BY vec_id) - 1
+                            AS int) AS cid, v
+                FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+            {_lloyd_iter('c0', 'a1', 'c1')},
+            {_lloyd_iter('c1', 'a2', 'c2')},
+            assign AS (
+                SELECT vec_id, cid FROM (
+                    SELECT e.vec_id, c.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY round(list_dot_product(e.v, c.v)
+                                   / (sqrt(list_dot_product(e.v, e.v))
+                                      * sqrt(list_dot_product(c.v, c.v))),
+                                   6) DESC,
+                                   c.cid ASC) AS rn
+                    FROM e CROSS JOIN c2 c)
+                WHERE rn = 1),
+            probes AS (
+                SELECT query_id, cid FROM (
+                    SELECT q.vec_id AS query_id, c.cid,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY round(list_dot_product(q.v, c.v)
+                                   / (sqrt(list_dot_product(q.v, q.v))
+                                      * sqrt(list_dot_product(c.v, c.v))),
+                                   6) DESC,
+                                   c.cid DESC) AS rn
+                    FROM qs q CROSS JOIN c2 c)
+                WHERE rn <= 2),
+            approx AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT p.query_id, a.vec_id AS neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY p.query_id
+                               ORDER BY round(
+                                   list_dot_product(ce.v, q.v)
+                                   / (sqrt(list_dot_product(ce.v, ce.v))
+                                      * sqrt(list_dot_product(q.v, q.v))),
+                                   4) DESC,
+                                   a.vec_id ASC) AS rn
+                    FROM probes p
+                    JOIN assign a ON a.cid = p.cid
+                    JOIN e ce ON ce.vec_id = a.vec_id
+                    JOIN qs q ON q.vec_id = p.query_id)
+                WHERE rn <= 10),
+            exact AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY round(list_dot_product(c.v, q.v)
+                                   / (sqrt(list_dot_product(c.v, c.v))
+                                      * sqrt(list_dot_product(q.v, q.v))),
+                                   4) DESC,
+                                   c.vec_id ASC) AS rn
+                    FROM qs q CROSS JOIN e c)
+                WHERE rn <= 10),
+            hits AS (
+                SELECT ex.query_id, ex.neighbor_id,
+                       CASE WHEN ap.neighbor_id IS NOT NULL
+                            THEN 1 ELSE 0 END AS hit
+                FROM exact ex
+                LEFT JOIN approx ap
+                    ON ap.query_id = ex.query_id
+                       AND ap.neighbor_id = ex.neighbor_id)
+            SELECT query_id,
+                   cast(count(*) AS bigint) AS n_exact,
+                   cast(sum(hit) AS bigint) AS n_hits,
+                   cast(sum(hit) * 10000 // count(*) AS bigint)
+                       AS recall_bp
+            FROM hits GROUP BY 1
+        """,
         "embedding_clusters": f"""
             WITH e AS (
                 SELECT vec_id,

@@ -893,3 +893,29 @@ def test_source_overlap_near_counts_clusters_once_per_source_pair(spark):
     # one cluster {1,2,3} spans srcA+srcB exactly once, despite srcB
     # appearing twice in it
     assert out == {("srcA", "srcB"): 1}
+
+
+def test_ann_recall_report_bounds_and_exhaustive_perfect(embeddings):
+    from youtube_podcast_data_pipeline_azure_spark.operators.similarity import (
+        ann_recall_report,
+    )
+
+    queries = embeddings.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = embeddings.where(F.col("vec_id") >= 3)
+    # probing EVERY cell must recover the exact top-k: recall == 1
+    full = ann_recall_report(
+        corpus, queries, k=5, n_centroids=4, nprobe=4
+    ).collect()
+    assert len(full) == 3
+    assert all(r["recall_bp"] == 10000 and r["n_hits"] == r["n_exact"]
+               for r in full)
+    # partial probing: recall in [0, 1], n_hits <= n_exact == k
+    part = ann_recall_report(
+        corpus, queries, k=5, n_centroids=4, nprobe=1
+    ).collect()
+    for r in part:
+        assert r["n_exact"] == 5
+        assert 0 <= r["n_hits"] <= 5
+        assert r["recall_bp"] == r["n_hits"] * 10000 // 5

@@ -544,6 +544,9 @@ def test_r06_new_queries_stay_within_shuffle_budget(spark, sf_dir):
         "k_anonymity": 2,
         # token explode + span distinct/rank + rejoin + doc reassembly
         "span_corruption": 4,
+        # two searches (brute-force window + IVF probe/score window)
+        # + the recall join/aggregate; centroids are plan literals
+        "ann_recall": 7,
         # components run through the label-prop checkpoints; final plan
         # = checkpoint scan + source join + (component, source)
         # distinct pasted into both self-join legs + pair agg

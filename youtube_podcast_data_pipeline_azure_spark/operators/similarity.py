@@ -808,3 +808,64 @@ def semantic_dedup(
             ).alias("is_kept"),
         )
     )
+
+
+def ann_recall_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    iters: int = 2,
+    train_sample: int | None = None,
+) -> DataFrame:
+    """Recall@k audit of the IVF index against exact brute force — THE
+    standard ANN quality metric, and the dial-tuning evidence an
+    approximate search deployment ships with (is nprobe=2 of 8 cells
+    enough on MY vectors?).  Per query: how many of the true top-k the
+    probe-limited search recovered, as integer basis points.
+
+    Both legs are the engine's own operators (:func:`knn_bruteforce`,
+    :func:`knn_ivf`) — the report is one semi-join-shaped left join +
+    a per-query aggregate on two k-row-per-query frames, so its cost
+    is the two searches themselves.  Everything downstream of the
+    searches is integer, and the searches' tie-breaks are total
+    (round-6 probe order, round-4 score order, id asc), so the report
+    is bit-exact and fully SQL-replayable — unusual for an ANN recall
+    harness, and exactly why the deterministic lowest-id Lloyd
+    training exists.
+
+    Returns (query_id, n_exact, n_hits, recall_bp).
+    """
+    exact = knn_bruteforce(corpus, queries, k, corpus_id, query_id, vec_col)
+    approx = knn_ivf(
+        corpus,
+        queries,
+        k,
+        corpus_id,
+        query_id,
+        vec_col,
+        n_centroids=n_centroids,
+        nprobe=nprobe,
+        iters=iters,
+        train_sample=train_sample,
+    ).select(query_id, "neighbor_id", F.lit(1).alias("_hit"))
+    return (
+        exact.select(query_id, "neighbor_id")
+        .join(approx, [query_id, "neighbor_id"], "left")
+        .groupBy(query_id)
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+            F.floor(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) * 10000 / F.count("*")
+            )
+            .cast("long")
+            .alias("recall_bp"),
+        )
+    )
