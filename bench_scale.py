@@ -73,8 +73,16 @@ DOCS_10X = [
     "corpus_overlap_report",
     # per-fingerprint min-bucket accounting: one digest groupBy
     "novelty_curve",
+    # r6 additions: span corruption is linear in tokens (explode +
+    # rank + reassembly); ngram_diversity is |ns| explodes + one agg
+    "span_corruption",
+    "ngram_diversity",
+    # Ω(pair list) by contract — disjoint replica vocabularies keep the
+    # true pair set linear, so wall growth must stay ~linear here
+    # (construct+collect timing includes the eager checkpoint pass)
+    "dedup_threshold_curve",
 ]
-EMB_10X = ["knn_bruteforce", "semantic_dedup"]
+EMB_10X = ["knn_bruteforce", "semantic_dedup", "ann_recall"]
 PATHOLOGY = [
     "ngram_jaccard_pairs",
     "minhash_near_dup",
