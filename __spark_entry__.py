@@ -1030,6 +1030,30 @@ def q_python_datasource_videos_stream(
     return medallion.bronze_videos_to_silver(spark.table(name))
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between snapshot halves (even
+    vec_ids = reference, odd = current): quantizer trained on the
+    reference ONLY (drift needs a fixed ruler), both halves assigned
+    to its cells, per-cell shares in integer permille
+    (operators/similarity.py:embedding_drift_report).  Oracle replays
+    the Lloyd training on the even half + both assignments."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    cur = emb.where(F.col("vec_id") % 2 == 1)
+    return similarity.embedding_drift_report(
+        ref, cur, n_centroids=8, iters=2
+    )
+
+
+def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-insensitive exact dedup: canonicalize (lower,
+    strip punctuation to spaces, collapse whitespace), fingerprint,
+    keep min-id — plus how many RAW-distinct texts each canonical
+    group unified (operators/dedup.py:canonical_dedup).  Oracle: the
+    same two regex passes + md5 group in SQL."""
+    return dedup.canonical_dedup(_t(spark, sf_dir, "documents"))
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of IVF (nprobe=2 of 8 cells) vs exact brute force, per
     query, in integer basis points — the standard ANN quality audit,
@@ -3954,6 +3978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "python_datasource_pushdown": q_python_datasource_pushdown,
         "span_corruption": q_span_corruption,
         "ann_recall": q_ann_recall,
+        "canonical_dedup": q_canonical_dedup,
+        "embedding_drift": q_embedding_drift,
         # ===== r06 window, part 2: re-checks of code changed this
         # round (vocabulary-broadcast sweep VERDICT r5 #1/#4;
         # bounded Data Source planning scan VERDICT r5 #5)
@@ -5592,6 +5618,19 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY 1
         """,
+        # same canonicalization (two global regex passes, identical RE2/
+        # Java character classes) + md5 group; raw fp = the shared
+        # rolling_fingerprint twin
+        "canonical_dedup": f"""
+            SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+                       AS fingerprint,
+                   min(doc_id) AS doc_id,
+                   cast(count(*) AS bigint) AS n_copies,
+                   cast(count(DISTINCT {fingerprint}) AS bigint)
+                       AS n_raw_distinct
+            FROM documents GROUP BY 1
+        """,
         "token_set_dedup": f"""
             SELECT md5(array_to_string(list_sort(list_distinct({tokens})), ' '))
                        AS tokenset_key,
@@ -6897,6 +6936,71 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(hit) * 10000 // count(*) AS bigint)
                        AS recall_bp
             FROM hits GROUP BY 1
+        """,
+        # Lloyd training on the EVEN half (the fixed ruler), round-6
+        # ties-asc assignment of both halves, integer permille shares
+        "embedding_drift": f"""
+            WITH eall AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> x::DOUBLE) AS v
+                FROM embeddings),
+            e AS (SELECT vec_id, v FROM eall WHERE vec_id % 2 = 0),
+            cur AS (SELECT vec_id, v FROM eall WHERE vec_id % 2 = 1),
+            dims AS (
+                SELECT vec_id, generate_subscripts(v, 1) AS d,
+                       unnest(v) AS val
+                FROM e),
+            c0 AS (
+                SELECT cast(row_number() OVER (ORDER BY vec_id) - 1
+                            AS int) AS cid, v
+                FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+            {_lloyd_iter('c0', 'a1', 'c1')},
+            {_lloyd_iter('c1', 'a2', 'c2')},
+            aref AS (
+                SELECT vec_id, cid FROM (
+                    SELECT e.vec_id, c.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY round(list_dot_product(e.v, c.v)
+                                   / (sqrt(list_dot_product(e.v, e.v))
+                                      * sqrt(list_dot_product(c.v, c.v))),
+                                   6) DESC,
+                                   c.cid ASC) AS rn
+                    FROM e CROSS JOIN c2 c)
+                WHERE rn = 1),
+            acur AS (
+                SELECT vec_id, cid FROM (
+                    SELECT q.vec_id, c.cid,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY round(list_dot_product(q.v, c.v)
+                                   / (sqrt(list_dot_product(q.v, q.v))
+                                      * sqrt(list_dot_product(c.v, c.v))),
+                                   6) DESC,
+                                   c.cid ASC) AS rn
+                    FROM cur q CROSS JOIN c2 c)
+                WHERE rn = 1),
+            nr AS (SELECT cid, cast(count(*) AS bigint) AS n_ref
+                   FROM aref GROUP BY 1),
+            nc AS (SELECT cid, cast(count(*) AS bigint) AS n_cur
+                   FROM acur GROUP BY 1),
+            j AS (
+                SELECT coalesce(nr.cid, nc.cid) AS cid,
+                       coalesce(n_ref, 0) AS n_ref,
+                       coalesce(n_cur, 0) AS n_cur
+                FROM nr FULL JOIN nc ON nr.cid = nc.cid),
+            t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+            SELECT cast(cid AS bigint) AS centroid_id,
+                   cast(n_ref AS bigint) AS n_ref,
+                   cast(n_cur AS bigint) AS n_cur,
+                   cast(n_ref * 1000 // greatest(tr, 1) AS bigint)
+                       AS ref_permille,
+                   cast(n_cur * 1000 // greatest(tc, 1) AS bigint)
+                       AS cur_permille,
+                   cast(n_cur * 1000 // greatest(tc, 1)
+                        - n_ref * 1000 // greatest(tr, 1) AS bigint)
+                       AS drift_permille
+            FROM j, t
         """,
         "embedding_clusters": f"""
             WITH e AS (

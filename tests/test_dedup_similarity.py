@@ -919,3 +919,55 @@ def test_ann_recall_report_bounds_and_exhaustive_perfect(embeddings):
         assert r["n_exact"] == 5
         assert 0 <= r["n_hits"] <= 5
         assert r["recall_bp"] == r["n_hits"] * 10000 // 5
+
+
+def test_canonical_dedup_unifies_case_and_punctuation(spark):
+    rows = [
+        (1, "Hello, World!"),
+        (2, "hello world"),          # same canonical form as 1
+        (3, 'HELLO -- "WORLD"'),     # and 3
+        (4, "hello worlds"),         # different
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.canonical_dedup(d).collect()}
+    assert set(out) == {1, 4}
+    assert out[1]["n_copies"] == 3
+    # three RAW-distinct texts collapsed by normalization alone
+    assert out[1]["n_raw_distinct"] == 3
+    assert out[4]["n_copies"] == 1 and out[4]["n_raw_distinct"] == 1
+
+
+def test_embedding_drift_identical_snapshots_zero_drift(embeddings):
+    from youtube_podcast_data_pipeline_azure_spark.operators.similarity import (
+        embedding_drift_report,
+    )
+
+    half = embeddings.limit(100)
+    out = embedding_drift_report(half, half, n_centroids=4).collect()
+    assert sum(r["n_ref"] for r in out) == 100
+    for r in out:
+        # same snapshot on both sides: counts and shares must agree
+        assert r["n_ref"] == r["n_cur"]
+        assert r["drift_permille"] == 0
+
+
+def test_embedding_drift_disjoint_cell_detected(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.similarity import (
+        embedding_drift_report,
+    )
+
+    # reference on two axis clusters; current entirely on one of them
+    ref = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(5)]
+        + [(10 + i, [0.0, 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    cur = spark.createDataFrame(
+        [(100 + i, [0.0, 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["centroid_id"]: r for r in embedding_drift_report(
+        ref, cur, n_centroids=2, iters=1).collect()}
+    pm = {c: (r["ref_permille"], r["cur_permille"]) for c, r in out.items()}
+    # one cell lost its whole 500-permille share, the other doubled
+    assert sorted(pm.values()) == [(500, 0), (500, 1000)]

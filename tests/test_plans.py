@@ -547,6 +547,11 @@ def test_r06_new_queries_stay_within_shuffle_budget(spark, sf_dir):
         # two searches (brute-force window + IVF probe/score window)
         # + the recall join/aggregate; centroids are plan literals
         "ann_recall": 7,
+        # digest-keyed group + the count-distinct expand level
+        "canonical_dedup": 2,
+        # two per-snapshot cell aggregates + the full join + the
+        # global-total window (centroids are plan literals)
+        "embedding_drift": 4,
         # components run through the label-prop checkpoints; final plan
         # = checkpoint scan + source join + (component, source)
         # distinct pasted into both self-join legs + pair agg

@@ -1705,3 +1705,48 @@ def source_overlap_near(
         .groupBy("source_a", "source_b")
         .agg(F.count("*").cast("long").alias("n_shared_clusters"))
     )
+
+
+def canonical_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Normalization-insensitive exact dedup (the C4/RefinedWeb
+    canonicalization step): lowercase, strip every non-alphanumeric
+    character to a space, collapse whitespace — THEN fingerprint and
+    keep the min-id representative.  Catches the re-encodes plain
+    exact dedup misses (case changes, punctuation edits, smart-quote
+    swaps) without paying for near-dup machinery; sits between
+    :func:`exact_dedup` and the shingle pipelines on the
+    cost/recall curve.
+
+    Same scale shape as :func:`exact_dedup`: the canonicalization is a
+    narrow per-row expression, the shuffle key is the 32-char digest,
+    bodies never shuffle.  Reports both the surviving id and how many
+    RAW-distinct texts each canonical group collapsed (n_raw_distinct >
+    1 ⇒ documents that only normalization unified — the interesting
+    rows for an audit).
+
+    Returns (fingerprint, doc_id, n_copies, n_raw_distinct).
+    """
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.col(text_col)), "[^a-z0-9 ]", " "
+            ),
+            " +",
+            " ",
+        )
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.md5(canon).alias("fingerprint"),
+            rolling_fingerprint(F.col(text_col)).alias("_raw_fp"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").cast("long").alias("n_copies"),
+            F.countDistinct("_raw_fp").cast("long").alias("n_raw_distinct"),
+        )
+    )

@@ -869,3 +869,72 @@ def ann_recall_report(
             .alias("recall_bp"),
         )
     )
+
+
+def embedding_drift_report(
+    reference: DataFrame,
+    current: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    iters: int = 2,
+    train_sample: int | None = None,
+) -> DataFrame:
+    """Embedding-distribution drift between two corpus snapshots: train
+    the quantizer on the REFERENCE snapshot, assign BOTH snapshots to
+    those fixed cells, and report per-cell membership in permille of
+    each snapshot — the standard population-stability view (a cell
+    whose share moved from 18% to 4% of traffic means the embedding
+    distribution shifted; retrain your ANN index / re-balance your
+    mixture before quality silently degrades).
+
+    The quantizer is deliberately trained on ``reference`` ONLY: drift
+    must be measured against a FIXED ruler — retraining on the union
+    would chase the drift it is supposed to expose.  Same deterministic
+    Lloyd machinery as :func:`knn_ivf` (lowest-id init, fixed
+    iterations, literal-folded centroids), so assignment is a narrow
+    map over each snapshot, one aggregate each, and the whole report is
+    SQL-replayable.  All shares integer permille.
+
+    Returns (centroid_id, n_ref, n_cur, ref_permille, cur_permille,
+    drift_permille = cur − ref), one row per centroid with members in
+    either snapshot.
+    """
+    cents_col = _centroid_literal(
+        _lloyd(
+            _train_sample_rows(reference, id_col, vec_col, train_sample),
+            n_centroids,
+            iters,
+        )
+    )
+
+    def _cells(df: DataFrame, out: str) -> DataFrame:
+        return (
+            spread(df, id_col)
+            .select(_nearest_centroid(F.col(vec_col), cents_col))
+            .groupBy("centroid_id")
+            .agg(F.count("*").cast("long").alias(out))
+        )
+
+    ref = _cells(reference, "n_ref")
+    cur = _cells(current, "n_cur")
+    joined = (
+        ref.join(cur, "centroid_id", "full")
+        .select(
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    tot_ref = F.sum("n_ref").over(Window.partitionBy())
+    tot_cur = F.sum("n_cur").over(Window.partitionBy())
+    ref_pm = F.floor(F.col("n_ref") * 1000 / F.greatest(tot_ref, F.lit(1)))
+    cur_pm = F.floor(F.col("n_cur") * 1000 / F.greatest(tot_cur, F.lit(1)))
+    return joined.select(
+        "centroid_id",
+        "n_ref",
+        "n_cur",
+        ref_pm.cast("long").alias("ref_permille"),
+        cur_pm.cast("long").alias("cur_permille"),
+        (cur_pm - ref_pm).cast("long").alias("drift_permille"),
+    )
