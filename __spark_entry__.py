@@ -1045,6 +1045,16 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_mixture_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture card: docs/tokens/share-permille/mean-quality
+    /within-source dup count — the stratum table mixture weights are
+    designed against (operators/curation.py:source_mixture_card).
+    Quality integerized per row before summing, so the mean is an exact
+    integer division.  Oracle: the shared quality/fingerprint macros +
+    one source aggregate + a scalar total."""
+    return curation.source_mixture_card(_t(spark, sf_dir, "documents"))
+
+
 def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization-insensitive exact dedup: canonicalize (lower,
     strip punctuation to spaces, collapse whitespace), fingerprint,
@@ -3980,6 +3990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "canonical_dedup": q_canonical_dedup,
         "embedding_drift": q_embedding_drift,
+        "source_mixture_card": q_source_mixture_card,
         # ===== r06 window, part 2: re-checks of code changed this
         # round (vocabulary-broadcast sweep VERDICT r5 #1/#4;
         # bounded Data Source planning scan VERDICT r5 #5)
@@ -5630,6 +5641,26 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(DISTINCT {fingerprint}) AS bigint)
                        AS n_raw_distinct
             FROM documents GROUP BY 1
+        """,
+        # shared quality/fingerprint macros; per-row floor(q*1e4+0.5)
+        # then exact integer sums; scalar token total
+        "source_mixture_card": f"""
+            WITH per AS (
+                SELECT source,
+                       cast(count(*) AS bigint) AS n_docs,
+                       cast(sum(len({tokens})) AS bigint) AS n_tokens,
+                       cast(sum(floor({qual} * 10000 + 0.5)) AS bigint)
+                           AS sum_qbp,
+                       cast(count(DISTINCT {fingerprint}) AS bigint)
+                           AS n_distinct
+                FROM documents GROUP BY 1),
+            t AS (SELECT cast(sum(n_tokens) AS bigint) AS total FROM per)
+            SELECT source, n_docs, n_tokens,
+                   cast(n_tokens * 1000 // greatest(total, 1) AS bigint)
+                       AS token_share_permille,
+                   cast(sum_qbp // n_docs AS bigint) AS mean_quality_bp,
+                   cast(n_docs - n_distinct AS bigint) AS n_dup_docs
+            FROM per, t
         """,
         "token_set_dedup": f"""
             SELECT md5(array_to_string(list_sort(list_distinct({tokens})), ' '))

@@ -511,3 +511,25 @@ def test_span_corruption_deterministic_under_repartition(spark):
     a = sorted(map(tuple, span_corruption_pairs(d).collect()))
     b = sorted(map(tuple, span_corruption_pairs(d.repartition(7)).collect()))
     assert a == b
+
+
+def test_source_mixture_card_hand_counted(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        source_mixture_card,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over it", "a"),
+        (2, "the quick brown fox jumps over it", "a"),  # exact dup in a
+        (3, "one two three", "b"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in source_mixture_card(d).collect()}
+    a, b = out["a"], out["b"]
+    assert (a["n_docs"], a["n_tokens"], a["n_dup_docs"]) == (2, 14, 1)
+    assert (b["n_docs"], b["n_tokens"], b["n_dup_docs"]) == (1, 3, 0)
+    # shares sum to <= 1000 and reflect 14/17 vs 3/17
+    assert a["token_share_permille"] == 14 * 1000 // 17
+    assert b["token_share_permille"] == 3 * 1000 // 17
+    # mean quality of two identical docs == the single-doc value
+    assert 0 <= a["mean_quality_bp"] <= 10000

@@ -552,6 +552,9 @@ def test_r06_new_queries_stay_within_shuffle_budget(spark, sf_dir):
         # two per-snapshot cell aggregates + the full join + the
         # global-total window (centroids are plan literals)
         "embedding_drift": 4,
+        # source agg (with the count-distinct expand) + the scalar
+        # token-total window over one-row-per-source
+        "source_mixture_card": 2,
         # components run through the label-prop checkpoints; final plan
         # = checkpoint scan + source join + (component, source)
         # distinct pasted into both self-join legs + pair agg

@@ -729,3 +729,69 @@ def span_corruption_pairs(
         .alias("n_masked_tokens"),
     )
     return agg
+
+
+def source_mixture_card(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source mixture card: the stratum-level slice of
+    :func:`dataset_card` that mixture design actually consumes — for
+    each source, volume (docs/tokens), its token share of the corpus,
+    mean quality, and the within-source exact-duplicate count.  This is
+    the table you look at BEFORE writing mixture weights: a source
+    whose share is 40% but whose mean quality and dup rate are the
+    corpus's worst is over-weighted by construction.
+
+    One scan → one source-keyed aggregate (count / token sum /
+    integerized-quality sum / distinct-fingerprint count) + a global
+    token total window over the (tiny, one-row-per-source) aggregate.
+    Quality is integerized PER ROW (``floor(q·10⁴ + 0.5)`` on the
+    4dp-rounded score) before summing, so the mean is an exact integer
+    division — float summation order never touches the result.
+
+    Returns (source, n_docs, n_tokens, token_share_permille,
+    mean_quality_bp, n_dup_docs) where n_dup_docs = docs minus distinct
+    normalized texts within the source.
+    """
+    from youtube_podcast_data_pipeline_azure_spark.functions.text import (
+        quality_score,
+        rolling_fingerprint,
+        word_count,
+    )
+
+    q_bp = F.floor(quality_score(F.col(text_col)) * 10000 + F.lit(0.5)).cast(
+        "long"
+    )
+    per = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            word_count(F.col(text_col)).alias("_nw"),
+            q_bp.alias("_qbp"),
+            rolling_fingerprint(F.col(text_col)).alias("_fp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_nw").cast("long").alias("n_tokens"),
+            F.sum("_qbp").cast("long").alias("_sum_qbp"),
+            F.countDistinct("_fp").cast("long").alias("_n_distinct"),
+        )
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.floor(F.col("n_tokens") * 1000 / F.greatest(total, F.lit(1)))
+        .cast("long")
+        .alias("token_share_permille"),
+        F.floor(F.col("_sum_qbp") / F.col("n_docs"))
+        .cast("long")
+        .alias("mean_quality_bp"),
+        (F.col("n_docs") - F.col("_n_distinct")).cast("long").alias(
+            "n_dup_docs"
+        ),
+    )
