@@ -1045,6 +1045,16 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_language_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix — the
+    metadata-trust audit (operators/text_mining.py:
+    language_mismatch_matrix); detector and oracle are generated from
+    the same stopword lexicon so they can never drift."""
+    return text_mining.language_mismatch_matrix(
+        _t(spark, sf_dir, "documents")
+    )
+
+
 def q_source_mixture_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source mixture card: docs/tokens/share-permille/mean-quality
     /within-source dup count — the stratum table mixture weights are
@@ -3991,6 +4001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_dedup": q_canonical_dedup,
         "embedding_drift": q_embedding_drift,
         "source_mixture_card": q_source_mixture_card,
+        "language_mismatch": q_language_mismatch,
         # ===== r06 window, part 2: re-checks of code changed this
         # round (vocabulary-broadcast sweep VERDICT r5 #1/#4;
         # bounded Data Source planning scan VERDICT r5 #5)
@@ -5644,6 +5655,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # shared quality/fingerprint macros; per-row floor(q*1e4+0.5)
         # then exact integer sums; scalar token total
+        # same lexicon-generated detector; per-declared total as a
+        # window over the tiny (declared, detected) aggregate
+        "language_mismatch": f"""
+            WITH per AS (
+                SELECT lang AS declared_lang, {lang} AS detected_lang,
+                       cast(count(*) AS bigint) AS n_docs
+                FROM documents GROUP BY 1, 2)
+            SELECT declared_lang, detected_lang, n_docs,
+                   cast(n_docs * 1000 // sum(n_docs) OVER (
+                        PARTITION BY declared_lang) AS bigint)
+                       AS share_of_declared_permille
+            FROM per
+        """,
         "source_mixture_card": f"""
             WITH per AS (
                 SELECT source,

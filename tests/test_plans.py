@@ -555,6 +555,8 @@ def test_r06_new_queries_stay_within_shuffle_budget(spark, sf_dir):
         # source agg (with the count-distinct expand) + the scalar
         # token-total window over one-row-per-source
         "source_mixture_card": 2,
+        # (declared, detected) agg + the per-declared total window
+        "language_mismatch": 2,
         # components run through the label-prop checkpoints; final plan
         # = checkpoint scan + source join + (component, source)
         # distinct pasted into both self-join legs + pair agg

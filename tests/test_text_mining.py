@@ -330,3 +330,25 @@ def test_tokenizer_fertility_no_merges_is_char_level(spark):
     r = tokenizer_fertility(d, []).collect()[0]
     assert r["n_bpe_tokens"] == 5  # a b c + d e
     assert r["fertility_milli"] == 2500  # 5 tokens / 2 words
+
+
+def test_language_mismatch_matrix_confusion(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import (
+        language_mismatch_matrix,
+    )
+
+    rows = [
+        (1, "the cat and the dog are in the house with it", "en"),  # en OK
+        (2, "der hund und die katze sind mit das haus", "en"),       # de mistagged en
+        (3, "zz qq xx yy ww", "de"),                                 # und under de
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {
+        (r["declared_lang"], r["detected_lang"]): r
+        for r in language_mismatch_matrix(d).collect()
+    }
+    assert out[("en", "en")]["n_docs"] == 1
+    assert out[("en", "de")]["n_docs"] == 1  # the mistag, surfaced
+    assert out[("en", "en")]["share_of_declared_permille"] == 500
+    assert out[("de", "und")]["n_docs"] == 1
+    assert out[("de", "und")]["share_of_declared_permille"] == 1000

@@ -649,3 +649,48 @@ def tokenizer_fertility(
             .alias("chars_per_token_milli"),
         )
     )
+
+
+def language_mismatch_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Declared-vs-detected language confusion matrix: for every
+    (declared, detected) pair, how many documents and what fraction of
+    the declared language's volume — the metadata-trust audit every
+    multilingual ingest needs (upstream ``lang`` tags are routinely
+    wrong for boilerplate, code, and mixed-language pages, and a
+    mixture plan keyed on bad tags inherits the error).  Off-diagonal
+    mass IS the finding: a declared-en row that is 30% detected-und
+    means the tag pipeline, not the corpus, needs fixing.
+
+    One scan: the detector (:func:`~youtube_podcast_data_pipeline_azure_spark.functions.
+    text.language_id` — stopword-lexicon argmax, deterministic ties,
+    generated from the same lexicon as its SQL twin) is a narrow
+    per-row expression; one (declared, detected) aggregate; the
+    per-declared total rides a window over the (tiny, ≤langs²-row)
+    aggregate.  All-integer output.
+
+    Returns (declared_lang, detected_lang, n_docs,
+    share_of_declared_permille).
+    """
+    from youtube_podcast_data_pipeline_azure_spark.functions.text import language_id
+
+    per = (
+        df.select(
+            F.col(lang_col).alias("declared_lang"),
+            language_id(F.col(text_col)).alias("detected_lang"),
+        )
+        .groupBy("declared_lang", "detected_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    tot = F.sum("n_docs").over(Window.partitionBy("declared_lang"))
+    return per.select(
+        "declared_lang",
+        "detected_lang",
+        "n_docs",
+        F.floor(F.col("n_docs") * 1000 / tot)
+        .cast("long")
+        .alias("share_of_declared_permille"),
+    )
