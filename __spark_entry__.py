@@ -1045,6 +1045,21 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mg_heavy_hitters_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact heavy-hitter tokens (count > 1/150 of the
+    language's token mass) through per-key Misra-Gries summaries —
+    bounded per-key state, candidates exact-counted, provable capture
+    (operators/sketches.py:heavy_hitters_exact_by_key).  Oracle: the
+    full GROUP BY lang, token HAVING the same integer threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    items = docs.select(
+        F.col("lang"), F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    return sketches.heavy_hitters_exact_by_key(
+        items, "lang", "token", denom=150, k=255
+    )
+
+
 def q_language_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared-vs-detected language confusion matrix — the
     metadata-trust audit (operators/text_mining.py:
@@ -4002,6 +4017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "source_mixture_card": q_source_mixture_card,
         "language_mismatch": q_language_mismatch,
+        "mg_heavy_hitters_by_key": q_mg_heavy_hitters_by_key,
         # ===== r06 window, part 2: re-checks of code changed this
         # round (vocabulary-broadcast sweep VERDICT r5 #1/#4;
         # bounded Data Source planning scan VERDICT r5 #5)
@@ -5657,6 +5673,17 @@ def oracle_sql() -> dict[str, str]:
         # then exact integer sums; scalar token total
         # same lexicon-generated detector; per-declared total as a
         # window over the tiny (declared, detected) aggregate
+        # full per-key GROUP BY with the same integer threshold — the
+        # sketch-shaped plan must land exactly this
+        "mg_heavy_hitters_by_key": f"""
+            WITH toks AS (
+                SELECT lang, unnest({tokens}) AS token FROM documents),
+            tot AS (SELECT lang, count(*) AS n_lang FROM toks GROUP BY 1)
+            SELECT t.lang, t.token, cast(count(*) AS bigint) AS n
+            FROM toks t JOIN tot USING (lang)
+            GROUP BY t.lang, t.token, tot.n_lang
+            HAVING count(*) * 150 > tot.n_lang
+        """,
         "language_mismatch": f"""
             WITH per AS (
                 SELECT lang AS declared_lang, {lang} AS detected_lang,

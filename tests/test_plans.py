@@ -557,6 +557,9 @@ def test_r06_new_queries_stay_within_shuffle_budget(spark, sf_dir):
         "source_mixture_card": 2,
         # (declared, detected) agg + the per-declared total window
         "language_mismatch": 2,
+        # MG summary merge + per-key totals + candidate exact-count +
+        # final threshold join — each over ≤k-per-partition summaries
+        "mg_heavy_hitters_by_key": 4,
         # components run through the label-prop checkpoints; final plan
         # = checkpoint scan + source join + (component, source)
         # distinct pasted into both self-join legs + pair agg

@@ -309,3 +309,35 @@ def test_tdigest_by_key_rows_only_query_runs(spark, sf_dir):
     # 5 event types x 4 probs
     assert len(rows) == 20
     assert all(r.quantile is not None for r in rows)
+
+
+def test_heavy_hitters_by_key_equals_exact_group_by(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.sketches import (
+        heavy_hitters_exact_by_key,
+    )
+    from pyspark.sql import functions as F
+
+    # key 'a': 'x' is 60% (heavy at denom=3); key 'b': uniform, none heavy
+    rows = (
+        [("a", "x")] * 60 + [("a", "y")] * 25 + [("a", "z")] * 15
+        + [("b", f"t{i}") for i in range(90) for _ in range(1)]
+    )
+    df = spark.createDataFrame(rows, ["k", "item"]).repartition(8)
+    got = {
+        (r["k"], r["item"]): r["n"]
+        for r in heavy_hitters_exact_by_key(df, "k", "item", denom=3, k=16).collect()
+    }
+    # exact per-key heavy hitters: count*3 > N_key
+    assert got == {("a", "x"): 60}
+
+
+def test_heavy_hitters_by_key_rejects_bad_dials(spark):
+    import pytest as _pt
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.sketches import (
+        heavy_hitters_exact_by_key,
+    )
+
+    df = spark.createDataFrame([("a", "x")], ["k", "item"])
+    with _pt.raises(ValueError):
+        heavy_hitters_exact_by_key(df, "k", "item", denom=300, k=16)

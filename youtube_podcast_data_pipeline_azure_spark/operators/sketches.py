@@ -525,3 +525,91 @@ def heavy_hitters_exact(
         .where(F.col("n") * denom > F.col("_N"))
         .select(item_col, "n")
     )
+
+
+def heavy_hitters_exact_by_key(
+    items: DataFrame,
+    key_col: str,
+    item_col: str,
+    denom: int = 100,
+    k: int = 255,
+) -> DataFrame:
+    """Per-key EXACT heavy hitters (items with count·denom > the KEY's
+    total) via per-key Misra-Gries summaries — the grouped twin of
+    :func:`heavy_hitters_exact`, for "top terms per language / per
+    source" style questions where a plain ``GROUP BY key, item`` would
+    shuffle one row per distinct (key, item) pair (vocabulary ×
+    strata at 100 TB).
+
+    Pass 1 keeps an MG summary of ≤ k counters PER KEY per partition
+    (state O(keys-in-partition · k); pre-``repartition(key)`` first if
+    the key cardinality is itself huge), pruned after every Arrow
+    batch.  The per-key merged undercount is ≤ N_key/(k+1), so with
+    k+1 ≥ denom the candidate set provably captures every true per-key
+    heavy hitter; pass 2 exact-counts candidates only (left-semi on
+    (key, item)) and applies the exact per-key threshold.  Integer
+    arithmetic throughout ⇒ bit-identical to the full GROUP BY on any
+    engine, which is what makes the sketch-shaped plan
+    oracle-checkable.
+
+    Returns (key_col, item_col, n), n the exact count, rows where
+    n·denom > N_key.
+    """
+    if (k + 1) < denom:
+        raise ValueError(
+            f"k+1={k + 1} must be >= denom={denom} for the per-key MG "
+            "capture guarantee"
+        )
+    key_type = items.schema[key_col].dataType.simpleString()
+    item_type = items.schema[item_col].dataType.simpleString()
+    src = items.select(key_col, item_col)
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        state: dict = {}
+        for pdf in batches:
+            grouped = pdf.groupby([key_col, item_col]).size()
+            for (key, item), c in grouped.items():
+                d = state.setdefault(key, {})
+                d[item] = d.get(item, 0) + int(c)
+            for key in list(state):
+                d = state[key]
+                if len(d) > k:
+                    cut = sorted(d.values(), reverse=True)[k]
+                    state[key] = {
+                        i: c - cut for i, c in d.items() if c > cut
+                    }
+        rows = [
+            (key, i, c)
+            for key, d in state.items()
+            for i, c in d.items()
+        ]
+        if rows:
+            yield pd.DataFrame(rows, columns=[key_col, "item", "mg_count"])
+
+    summaries = src.mapInPandas(
+        run, schema=f"{key_col} {key_type}, item {item_type}, mg_count long"
+    )
+    merged = summaries.groupBy(key_col, "item").agg(
+        F.sum("mg_count").alias("mg_est")
+    )
+    totals = src.groupBy(key_col).agg(F.count(F.lit(1)).alias("_N"))
+    cand = (
+        merged.join(totals, key_col)
+        .where(
+            F.col("mg_est") * denom * (k + 1)
+            > F.col("_N") * (k + 1 - denom)
+        )
+        .select(key_col, F.col("item").alias(item_col))
+    )
+    exact = (
+        src.join(cand, [key_col, item_col], "left_semi")
+        .groupBy(key_col, item_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        exact.join(totals, key_col)
+        .where(F.col("n") * denom > F.col("_N"))
+        .select(key_col, item_col, "n")
+    )
