@@ -377,6 +377,105 @@ def test_export_sink_overwrite_supersedes_previous_manifest(spark, tmp_path):
     assert len(parts) == 1
 
 
+def test_export_sink_append_preserves_previous_rows(spark, tmp_path):
+    """mode('append') is a real append: the new manifest lists the
+    previous generation's files plus the new ones, nothing is deleted."""
+    from youtube_podcast_data_pipeline_azure_spark.io.export_sink import (
+        read_export,
+    )
+
+    _export_write(spark, tmp_path, [(1, "a"), (2, "b")], parts=2)
+    schema = _export_write(spark, tmp_path, [(3, "c")], parts=1)
+    got = sorted(
+        (r["k"], r["v"])
+        for r in read_export(spark, str(tmp_path), schema).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_export_sink_overwrite_never_reuses_old_filenames(spark, tmp_path):
+    """Final part names are commit-unique, so an overwrite cannot
+    mutate any file the still-live old manifest lists (no torn reads
+    for a reader that resolved the old manifest before the swap)."""
+    import json
+    import os
+
+    from youtube_podcast_data_pipeline_azure_spark.io.export_sink import (
+        MANIFEST,
+        read_export,
+    )
+
+    _export_write(spark, tmp_path, [(i, "old") for i in range(10)], parts=3)
+    with open(os.path.join(str(tmp_path), MANIFEST)) as fh:
+        old_names = {f["name"] for f in json.load(fh)["files"]}
+    schema = _export_write(
+        spark, tmp_path, [(1, "new")], mode="overwrite", parts=2
+    )
+    with open(os.path.join(str(tmp_path), MANIFEST)) as fh:
+        new_names = {f["name"] for f in json.load(fh)["files"]}
+    assert not (old_names & new_names)
+    got = [tuple(r) for r in read_export(spark, str(tmp_path), schema).collect()]
+    assert got == [(1, "new")]
+
+
+def test_export_sink_crash_before_manifest_swap_keeps_old_export(
+    spark, tmp_path, monkeypatch
+):
+    """A reader holding the old manifest reads consistent OLD rows even
+    if an overwrite crashes after renaming its parts but before the
+    manifest swap — and the next successful overwrite GCs the orphans."""
+    import json
+    import os
+
+    from youtube_podcast_data_pipeline_azure_spark.io import export_sink
+    from youtube_podcast_data_pipeline_azure_spark.io.export_sink import (
+        MANIFEST,
+        ExportCommit,
+        GoldExportWriter,
+        read_export,
+    )
+
+    old_rows = [(i, "old") for i in range(6)]
+    schema = _export_write(spark, tmp_path, old_rows, parts=2)
+    with open(os.path.join(str(tmp_path), MANIFEST)) as fh:
+        old_manifest = json.load(fh)
+
+    # stage a new generation by hand, then crash the manifest swap
+    w = GoldExportWriter({"path": str(tmp_path)}, spark.createDataFrame(
+        [(9, "new")], "k long, v string"
+    ).schema, overwrite=True)
+    staged = "_staged-0-crashme.jsonl"
+    (tmp_path / staged).write_text('{"k": 9, "v": "new"}\n')
+    real_replace = os.replace
+
+    def exploding_replace(src, dst):
+        if dst.endswith(MANIFEST):
+            raise OSError("simulated crash at the commit point")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(export_sink.os, "replace", exploding_replace)
+    try:
+        w.commit([ExportCommit(staged=staged, rows=1)])
+    except OSError:
+        pass
+    monkeypatch.setattr(export_sink.os, "replace", real_replace)
+
+    # the old manifest is untouched and every file it lists still holds
+    # old-generation bytes: a reader mid-crash sees the old export
+    with open(os.path.join(str(tmp_path), MANIFEST)) as fh:
+        assert json.load(fh) == old_manifest
+    got = sorted(
+        (r["k"], r["v"])
+        for r in read_export(spark, str(tmp_path), schema).collect()
+    )
+    assert got == old_rows
+
+    # the next successful overwrite removes the crashed commit's orphans
+    _export_write(spark, tmp_path, [(1, "v3")], mode="overwrite", parts=1)
+    parts = [n for n in os.listdir(str(tmp_path)) if n.startswith("part-")]
+    assert len(parts) == 1
+
+
 def test_export_sink_abort_removes_staged(tmp_path):
     from pyspark.sql.types import LongType, StructField, StructType
 

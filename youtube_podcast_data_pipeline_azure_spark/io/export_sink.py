@@ -15,12 +15,21 @@ Commit protocol (the part worth copying):
   filename + row count as its commit message.  Staged files are
   invisible to readers: consumers only ever read what the manifest
   lists.
-* **commit (driver)** — renames every staged file to its final
-  ``part-<i>.jsonl`` name and THEN writes ``_MANIFEST.json`` (file
+* **commit (driver)** — renames every staged file to its final,
+  **commit-unique** ``part-<txn>-<i>.jsonl`` name (txn is a fresh
+  uuid per commit, so no generation ever reuses a previous
+  generation's filename) and THEN writes ``_MANIFEST.json`` (file
   list + per-file and total row counts) last; the manifest write is
   the single atomicity point, so a reader sees the old export or the
-  new one, never a torn mix.  ``mode("overwrite")`` superseded files
-  from a previous manifest are removed after the new manifest lands.
+  new one, never a torn mix — a reader holding the OLD manifest keeps
+  reading the old generation's (untouched) files mid-commit, and a
+  crash before the manifest swap leaves the old manifest pointing at
+  old bytes.  ``mode("overwrite")``: part files NOT listed by the new
+  manifest (the superseded generation + any orphans from crashed
+  commits) are removed only after the new manifest lands.
+  ``mode("append")`` is a real append: the new manifest lists the
+  previous manifest's files plus the new ones, and nothing is
+  deleted — prior committed rows stay visible.
 * **abort (driver)** — deletes whatever staged files the failed job
   managed to produce; the previous manifest (if any) stays intact.
 
@@ -81,21 +90,30 @@ class GoldExportWriter(DataSourceWriter):
         return ExportCommit(staged=name, rows=n)
 
     def commit(self, messages) -> None:
-        previous: list[str] = []
+        previous: list[dict] = []
         mpath = os.path.join(self.path, MANIFEST)
-        if self.overwrite and os.path.exists(mpath):
+        if os.path.exists(mpath):
             with open(mpath) as fh:
-                previous = [f["name"] for f in json.load(fh)["files"]]
+                previous = json.load(fh)["files"]
+        # commit-unique final names: a new generation NEVER reuses a
+        # previous generation's filename, so the renames below cannot
+        # mutate any file the still-live old manifest lists (no torn
+        # reads), and a crash before the manifest swap leaves the old
+        # manifest pointing at intact old bytes.
+        txn = uuid.uuid4().hex[:12]
         files = []
         for i, m in enumerate(sorted(
             (m for m in messages if m is not None), key=lambda m: m.staged
         )):
-            final = f"part-{i:05d}.jsonl"
+            final = f"part-{txn}-{i:05d}.jsonl"
             os.replace(
                 os.path.join(self.path, m.staged),
                 os.path.join(self.path, final),
             )
             files.append({"name": final, "rows": m.rows})
+        if not self.overwrite:
+            # real append: prior generations stay listed (and visible)
+            files = previous + files
         # the manifest write is the commit point: readers resolve the
         # export through it, so everything above is invisible until here
         tmp = mpath + f".{uuid.uuid4().hex}.tmp"
@@ -107,13 +125,24 @@ class GoldExportWriter(DataSourceWriter):
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, mpath)
-        kept = {f["name"] for f in files}
-        for name in previous:
-            if name not in kept:
-                try:
-                    os.remove(os.path.join(self.path, name))
-                except FileNotFoundError:
-                    pass
+        if self.overwrite:
+            # only after the manifest swap: drop every part file the new
+            # manifest does not list — the superseded generation plus
+            # any orphans left by crashed commits.  A reader that loaded
+            # the old manifest before the swap may briefly see deleted
+            # files; that is the same read-after-overwrite hazard every
+            # snapshot store has, and it never yields torn/mixed rows.
+            kept = {f["name"] for f in files}
+            for name in os.listdir(self.path):
+                if (
+                    name.startswith("part-")
+                    and name.endswith(".jsonl")
+                    and name not in kept
+                ):
+                    try:
+                        os.remove(os.path.join(self.path, name))
+                    except FileNotFoundError:
+                        pass
 
     def abort(self, messages) -> None:
         for m in messages:
