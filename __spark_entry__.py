@@ -1055,8 +1055,11 @@ def q_mg_heavy_hitters_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = docs.select(
         F.col("lang"), F.explode(tokenize(F.col("text"))).alias("token")
     )
+    # key = language: bounded tiny cardinality, so skip the
+    # key-cardinality probe job (the auto-probe + repartition path is
+    # exercised by test_sketches.py::test_heavy_hitters_by_key_many_keys)
     return sketches.heavy_hitters_exact_by_key(
-        items, "lang", "token", denom=150, k=255
+        items, "lang", "token", denom=150, k=255, repartition_by_key=False
     )
 
 

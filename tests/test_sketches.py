@@ -331,6 +331,102 @@ def test_heavy_hitters_by_key_equals_exact_group_by(spark):
     assert got == {("a", "x"): 60}
 
 
+def test_heavy_hitters_by_key_many_keys_repartitions_and_stays_exact(spark):
+    """The pathological shape the state bound exists for: key
+    cardinality large enough that un-repartitioned pass-1 state would
+    be O(n_keys · k) per partition.  Forced repartition_by_key=True
+    must (a) put an extra hashpartitioning(key) exchange on the pass-1
+    input and (b) still return the bit-exact GROUP BY answer."""
+    from pyspark.sql import functions as F
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.sketches import (
+        heavy_hitters_exact_by_key,
+    )
+
+    # 500 keys; each key has one 50%-heavy item and a uniform tail
+    base = spark.range(500).select(
+        F.concat(F.lit("key"), F.col("id")).alias("k")
+    )
+    heavy = base.crossJoin(
+        spark.range(10).select(F.lit("hot").alias("item"))
+    ).select("k", "item")
+    tail = base.crossJoin(
+        spark.range(10).select(
+            F.concat(F.lit("t"), F.col("id")).alias("item")
+        )
+    ).select("k", "item")
+    df = heavy.unionAll(tail).repartition(16)
+
+    got = heavy_hitters_exact_by_key(
+        df, "k", "item", denom=3, k=8, repartition_by_key=True
+    )
+    rows = {(r["k"], r["item"]): r["n"] for r in got.collect()}
+    # per key: 'hot' has 10/20 = 50% > 1/3; every tail item 5% — not heavy
+    assert len(rows) == 500
+    assert all(item == "hot" and n == 10 for (k, item), n in rows.items())
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(k" in plan
+
+
+def test_heavy_hitters_by_key_auto_probe_small_keys_skips_repartition(spark):
+    """Default repartition_by_key=None probes key cardinality; with 2
+    keys the pass-1 input must NOT gain a repartition exchange (the
+    summaries feed arrives partition-local, same plan as before the
+    guard existed)."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.sketches import (
+        heavy_hitters_exact_by_key,
+    )
+
+    rows = [("a", "x")] * 6 + [("a", "y")] * 2 + [("b", "z")] * 4
+    df = spark.createDataFrame(rows, ["k", "item"]).repartition(4)
+    got = heavy_hitters_exact_by_key(df, "k", "item", denom=3, k=16)
+    assert {(r["k"], r["item"]): r["n"] for r in got.collect()} == {
+        ("a", "x"): 6,
+        ("b", "z"): 4,
+    }
+    # the probe decided False: identical exchange budget to an explicit
+    # False, exactly one fewer hash exchange than a forced True
+    def _n_hash_exchanges(frame):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning")
+
+    explicit = heavy_hitters_exact_by_key(
+        df, "k", "item", denom=3, k=16, repartition_by_key=False
+    )
+    forced = heavy_hitters_exact_by_key(
+        df, "k", "item", denom=3, k=16, repartition_by_key=True
+    )
+    explicit.collect()  # finalize AQE so all three plans are comparable
+    forced.collect()
+    assert _n_hash_exchanges(got) == _n_hash_exchanges(explicit)
+    assert _n_hash_exchanges(forced) == _n_hash_exchanges(got) + 1
+
+
+def test_heavy_hitters_by_key_null_keys_and_items_excluded(spark):
+    """Nulls are excluded on BOTH passes (documented contract): a null
+    key's items and null items within a key never surface, and non-null
+    totals are computed over the non-null subset only."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.sketches import (
+        heavy_hitters_exact_by_key,
+    )
+
+    rows = (
+        [("a", "x")] * 6
+        + [("a", None)] * 50   # heavy null item: must not appear
+        + [(None, "q")] * 50   # heavy item under null key: must not appear
+        + [("a", "y")] * 2
+    )
+    df = spark.createDataFrame(rows, ["k", "item"]).repartition(4)
+    got = {
+        (r["k"], r["item"]): r["n"]
+        for r in heavy_hitters_exact_by_key(
+            df, "k", "item", denom=3, k=16
+        ).collect()
+    }
+    # totals over non-null subset: key 'a' has 8 rows, x=6 -> 6*3 > 8
+    assert got == {("a", "x"): 6}
+
+
 def test_heavy_hitters_by_key_rejects_bad_dials(spark):
     import pytest as _pt
 

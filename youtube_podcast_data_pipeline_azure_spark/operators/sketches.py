@@ -533,6 +533,7 @@ def heavy_hitters_exact_by_key(
     item_col: str,
     denom: int = 100,
     k: int = 255,
+    repartition_by_key: bool | None = None,
 ) -> DataFrame:
     """Per-key EXACT heavy hitters (items with count·denom > the KEY's
     total) via per-key Misra-Gries summaries — the grouped twin of
@@ -541,16 +542,32 @@ def heavy_hitters_exact_by_key(
     shuffle one row per distinct (key, item) pair (vocabulary ×
     strata at 100 TB).
 
-    Pass 1 keeps an MG summary of ≤ k counters PER KEY per partition
-    (state O(keys-in-partition · k); pre-``repartition(key)`` first if
-    the key cardinality is itself huge), pruned after every Arrow
-    batch.  The per-key merged undercount is ≤ N_key/(k+1), so with
+    Pass 1 keeps an MG summary of ≤ k counters PER KEY per partition,
+    pruned after every Arrow batch — state O(keys-in-partition · k).
+    That bound is enforced by CONTRACT, not caller discipline:
+    ``repartition_by_key=None`` (the default) probes
+    ``approx_count_distinct(key)`` (one bounded 1-row driver fan-in)
+    and, when the worst-case per-partition counter count
+    ``n_keys·(k+1)`` exceeds ~4M, hash-repartitions the PASS-1 input by
+    key so each partition holds only its hash-share of keys.  Pass the
+    bool explicitly to skip the probe (``False`` — caller asserts key
+    cardinality is small; ``True`` — always repartition).  Only the
+    ``mapInPandas`` input is repartitioned — totals/exact-count
+    branches keep their own optimal shuffles.
+
+    The per-key merged undercount is ≤ N_key/(k+1), so with
     k+1 ≥ denom the candidate set provably captures every true per-key
     heavy hitter; pass 2 exact-counts candidates only (left-semi on
     (key, item)) and applies the exact per-key threshold.  Integer
     arithmetic throughout ⇒ bit-identical to the full GROUP BY on any
     engine, which is what makes the sketch-shaped plan
     oracle-checkable.
+
+    Null contract: rows with a NULL key or NULL item are EXCLUDED on
+    both passes (pandas ``groupby`` drops them from summaries, so they
+    could never become candidates; filtering them from totals too keeps
+    the two passes consistent).  Semantics = the full
+    ``GROUP BY key, item`` over the non-null subset.
 
     Returns (key_col, item_col, n), n the exact count, rows where
     n·denom > N_key.
@@ -562,7 +579,16 @@ def heavy_hitters_exact_by_key(
         )
     key_type = items.schema[key_col].dataType.simpleString()
     item_type = items.schema[item_col].dataType.simpleString()
-    src = items.select(key_col, item_col)
+    src = items.select(key_col, item_col).where(
+        F.col(key_col).isNotNull() & F.col(item_col).isNotNull()
+    )
+    if repartition_by_key is None:
+        # bounded driver fan-in: one row, one long
+        n_keys = src.agg(
+            F.approx_count_distinct(key_col).alias("c")
+        ).collect()[0][0]
+        repartition_by_key = n_keys * (k + 1) > 4_000_000
+    pass1_src = src.repartition(key_col) if repartition_by_key else src
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import pandas as pd
@@ -588,7 +614,7 @@ def heavy_hitters_exact_by_key(
         if rows:
             yield pd.DataFrame(rows, columns=[key_col, "item", "mg_count"])
 
-    summaries = src.mapInPandas(
+    summaries = pass1_src.mapInPandas(
         run, schema=f"{key_col} {key_type}, item {item_type}, mg_count long"
     )
     merged = summaries.groupBy(key_col, "item").agg(
