@@ -6507,8 +6507,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT stratum, n_docs, n_tokens, weight_bp,
                    cast(budget * weight_bp // 10000 AS bigint)
                        AS target_tokens,
-                   cast((budget * weight_bp // 10000) * 1000 // n_tokens
-                        AS bigint) AS epochs_milli
+                   cast(CASE WHEN n_tokens > 0
+                        THEN (budget * weight_bp // 10000) * 1000
+                             // n_tokens END AS bigint) AS epochs_milli
             FROM w
         """,
         # brute-force integer-Jaccard pairs fanned over the same

@@ -177,6 +177,35 @@ def test_embedding_near_dup_pairs_verified(embeddings):
 # ---------------------------------------------------------------------------
 
 
+def test_exact_pair_sizes_integer_prefix_at_threshold_boundary(spark):
+    """ADVICE r6: float ceil(t*sz) overshoots when t's double repr
+    rounds up and t*sz is an exact integer (t=0.95, sz=20 gives
+    alpha=20 instead of 19 — prefix one element too short), so a pair
+    at EXACTLY the threshold whose md5-min shingle is the one missing
+    from its partner gets lost.  The integer form must keep it."""
+    import hashlib
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import (
+        _exact_pair_sizes,
+    )
+
+    tokens = [f"tok{i:02d}" for i in range(20)]
+    # doc B drops A's md5-min token: with the buggy 1-element prefix,
+    # A's prefix = {md5min} and B's prefix = {second-min} -> missed
+    md5min = min(tokens, key=lambda t: hashlib.md5(t.encode()).hexdigest())
+    a_text = " ".join(tokens)
+    b_text = " ".join(t for t in tokens if t != md5min)
+    df = spark.createDataFrame(
+        [(1, a_text), (2, b_text)], "doc_id long, text string"
+    )
+    # shingle_n=1: shingle sets ARE the token sets; inter=19, uni=20,
+    # jaccard = 0.95 == base_bp/10000 exactly
+    rows = _exact_pair_sizes(
+        df, "text", "doc_id", shingle_n=1, base_bp=9500
+    ).collect()
+    assert [(r.id_a, r.id_b, r.inter, r.uni) for r in rows] == [(1, 2, 19, 20)]
+
+
 def test_ngram_jaccard_exact_vs_bruteforce(spark):
     """Prefix filtering must be lossless: same pairs as the O(n²) brute
     force at the same threshold."""

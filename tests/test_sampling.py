@@ -327,3 +327,29 @@ def test_mixture_plan_explicit_budget(spark):
     ).collect()[0]
     assert row.target_tokens == 500
     assert row.epochs_milli == 10000
+
+
+def test_mixture_plan_zero_token_stratum_is_null_under_ansi(spark):
+    """ADVICE r6: an all-zero-token stratum must flag NULL epochs_milli,
+    not blow up the whole report with DIVIDE_BY_ZERO under ANSI mode
+    (the driver's verification sessions run ANSI on)."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import mixture_plan
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = spark.createDataFrame(
+            [Row(source="a", tok=50), Row(source="empty", tok=0)]
+        )
+        rows = {
+            r.stratum: r
+            for r in mixture_plan(
+                df, "source", {"a": 5000, "empty": 5000},
+                F.col("tok"), token_budget=100,
+            ).collect()
+        }
+        assert rows["a"].epochs_milli == 1000
+        assert rows["empty"].target_tokens == 50
+        assert rows["empty"].epochs_milli is None
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)

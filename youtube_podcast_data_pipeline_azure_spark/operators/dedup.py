@@ -493,7 +493,14 @@ def ngram_jaccard_pairs(
     # and would spill cluster-wide at 100 TB.
 
     sz = F.size("sh")
-    prefix_len = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
+    # Integer prefix bound (no float ceil — see _exact_pair_sizes).
+    # The verify predicate is round(j, 4) >= threshold, which admits
+    # pairs with j as low as threshold - 0.00005; bp = floor(t*1e4) - 1
+    # is strictly below that, so the prefix filter stays lossless even
+    # for round-up boundary pairs (one element longer at worst).
+    bp = max(int(threshold * 10000) - 1, 0)
+    alpha = F.floor((F.lit(bp) * sz + F.lit(9999)) / F.lit(10000.0))
+    prefix_len = (sz - alpha + 1).cast("int")
     pref = docs.select(
         id_col,
         F.explode(
@@ -1318,8 +1325,13 @@ def _exact_pair_sizes(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
     )
     sz = F.size("sh")
-    t = base_bp / 10000.0
-    prefix_len = (sz - F.ceil(F.lit(t) * sz) + 1).cast("int")
+    # required overlap alpha = ceil(base_bp*sz/10000) in PURE INTEGERS:
+    # float ceil(t*sz) overshoots when t's double repr rounds up and
+    # t*sz lands on an exact integer (t=0.95, sz=20 -> 20 not 19),
+    # shortening the prefix and losing threshold-boundary pairs.
+    # (base_bp*sz + 9999) is < 2^53, so floor-div via double is exact.
+    alpha = F.floor((F.lit(base_bp) * sz + F.lit(9999)) / F.lit(10000.0))
+    prefix_len = (sz - alpha + 1).cast("int")
     pref = docs.select(
         id_col,
         F.explode(

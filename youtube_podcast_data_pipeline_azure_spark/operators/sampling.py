@@ -389,8 +389,11 @@ def mixture_plan(
             "n_tokens",
             "weight_bp",
             "target_tokens",
-            F.expr("target_tokens * 1000 div n_tokens").alias(
-                "epochs_milli"
-            ),
+            # NULL (not DIVIDE_BY_ZERO under ANSI) for an empty
+            # stratum: there is no finite epoch factor over 0 tokens
+            F.expr(
+                "case when n_tokens > 0 "
+                "then target_tokens * 1000 div n_tokens end"
+            ).alias("epochs_milli"),
         )
     )
