@@ -3965,93 +3965,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification rotation, not taxonomy: the
     driver's per-round correctness check covers the FIRST 50 entries,
     so each round front-loads queries needing driver evidence.
-    Cumulative state entering r6: 192 registered, 185 hash-green in at
-    least one driver round, 3 rows-only by contract (with driver rows
-    since r5), 4 never driver-windowed (CORRECTNESS_r01-r05).
+    Cumulative state entering r7: 213 registered, 210 hash-green in at
+    least one driver round, 3 rows-only by contract (driver rows since
+    r5); staleness is now tool-tracked (``tools/staleness.py`` joins
+    this registry against every CORRECTNESS_r*.json — VERDICT r6 #5).
 
-    The r6 window executes VERDICT r5's Next-round list: (0) the 4
-    never-windowed queries get their first driver rows
-    (functional_dependencies, join_cardinality, source_overlap_matrix,
-    bucketed_join_roundtrip — all added after the r5 window was fixed;
-    VERDICT #2); (1) the three queries new this round —
-    cooccurrence_edges (the bipartite projection surfaced directly,
-    VERDICT #7), leakage_safe_split (near-dup-cluster-keyed train/val/
-    test assignment — the split-leakage guard), and mixture_plan (the
-    token-budget data-mix table); (2) re-checks of every query whose
-    code changed this round — the vocabulary-broadcast sweep (VERDICT
-    #1: distinctive_terms, collocations, token_rarity_bins unhinted;
-    cooccurrence_edges'/triangle_count's degree cap now a broadcast
-    LEFT ANTI of the over-cap set) and the bounded Data Source planning
-    scan (VERDICT #5: python_datasource_videos + its streaming twin now
-    plan via a smallest-k row-group-stat-pruned read, never the full id
-    column); (3) 37 of the 46 remaining r02-stale queries,
-    oldest-evidence-first (VERDICT #3) — the 9 that did not fit are
-    parked immediately below the line as the r7 window head.  Every
-    window query was verified on a PLAIN local[32] session (driver
-    conditions: ANSI on, no engine confs) against the DuckDB oracle at
-    sf0.01 before this registration, and the engine-session mirror ran
-    the full registry at sf0.001 and sf0.01."""
+    The r7 window executes VERDICT r6's Next-round list: (A) ALL 27
+    r2-stale queries (VERDICT #2 — their only hash evidence predated
+    four rounds of churn; this empties the r2 bucket, leaving nothing
+    in the registry older than r3); (B) re-checks of every query
+    downstream of code changed this round — the integer PPJoin prefix
+    bound (_exact_pair_sizes + ngram_jaccard_pairs: threshold-boundary
+    pairs are no longer lost to float-ceil overshoot), mixture_plan's
+    ANSI-safe NULL epochs_milli for zero-token strata, the per-key MG
+    state guard (repartition_by_key probe) + null contract, and the
+    gold_export batch writer's commit-unique part names + real append
+    (VERDICT #3/#4, ADVICE r6); (C) the 11 oldest r3-green entries
+    (tools/staleness.py --plan fills).  Every window query was
+    verified on a PLAIN local[32] session (driver conditions: ANSI on,
+    no engine confs) against the DuckDB oracle at sf0.01 before this
+    registration, and the engine-session mirror ran the full registry
+    at sf0.001 and sf0.01."""
     return {
-        # ===== r06 window, part 0: the 4 never-windowed queries (added
-        # after the r5 window was fixed; locally oracle-mirrored +
-        # plan-pinned, zero driver rows until now — VERDICT r5 #2)
-        "functional_dependencies": q_functional_dependencies,
-        "join_cardinality": q_join_cardinality,
-        "source_overlap_matrix": q_source_overlap_matrix,
-        "bucketed_join_roundtrip": q_bucketed_join_roundtrip,
-        # ===== r06 window, part 1: new this round
-        "cooccurrence_edges": q_cooccurrence_edges,
-        "leakage_safe_split": q_leakage_safe_split,
-        "mixture_plan": q_mixture_plan,
-        "dedup_threshold_curve": q_dedup_threshold_curve,
-        "component_size_report": q_component_size_report,
-        "dedup_provenance": q_dedup_provenance,
-        "minhash_accuracy": q_minhash_accuracy,
-        "ngram_diversity": q_ngram_diversity,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "k_anonymity": q_k_anonymity,
-        "source_overlap_near": q_source_overlap_near,
-        "python_datasource_sink": q_python_datasource_sink,
-        "python_datasource_stream_sink": q_python_datasource_stream_sink,
-        "python_datasource_pushdown": q_python_datasource_pushdown,
-        "span_corruption": q_span_corruption,
-        "ann_recall": q_ann_recall,
-        "canonical_dedup": q_canonical_dedup,
-        "embedding_drift": q_embedding_drift,
-        "source_mixture_card": q_source_mixture_card,
-        "language_mismatch": q_language_mismatch,
-        "mg_heavy_hitters_by_key": q_mg_heavy_hitters_by_key,
-        # ===== r06 window, part 2: re-checks of code changed this
-        # round (vocabulary-broadcast sweep VERDICT r5 #1/#4;
-        # bounded Data Source planning scan VERDICT r5 #5)
-        "distinctive_terms": q_distinctive_terms,
-        "collocations": q_collocations,
-        "token_rarity_bins": q_token_rarity_bins,
-        "triangle_count": q_triangle_count,
-        "python_datasource_videos": q_python_datasource_videos,
-        "python_datasource_videos_stream": q_python_datasource_videos_stream,
-        # ===== r06 window, part 3: staleness rotation — 37 of the 46
-        # remaining r02-stale queries, oldest-evidence-first
-        # (VERDICT r5 #3)
-        "medallion_kpis": q_medallion_kpis,
-        "array_agg_functions": q_array_agg_functions,
-        "map_functions": q_map_functions,
-        "forecast_revenue": q_forecast_revenue,
-        "market_share": q_market_share,
-        "product_type_profit": q_product_type_profit,
-        "important_parts": q_important_parts,
-        "shipping_delay": q_shipping_delay,
-        "promo_revenue": q_promo_revenue,
-        "top_supplier": q_top_supplier,
-        "supplier_part_counts": q_supplier_part_counts,
-        "waiting_suppliers": q_waiting_suppliers,
-        "dormant_customers": q_dormant_customers,
-        "tumbling_windows": q_tumbling_windows,
-        "session_windows": q_session_windows,
-        "stream_dedup_counts": q_stream_dedup_counts,
-        "stream_static_enrich": q_stream_static_enrich,
-        "purchase_view_attribution": q_purchase_view_attribution,
-        "text_stats": q_text_stats,
+        # ===== r07 window, part A: the 27 r2-stale queries (VERDICT
+        # r6 #2/next-round #1) — every query whose only hash evidence
+        # predated four rounds of code churn, oldest-evidence-first
         "language_id": q_language_id,
         "quality_scores": q_quality_scores,
         "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -4070,9 +4008,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": q_schema_evolution,
         "value_outliers": q_value_outliers,
         "cohort_retention": q_cohort_retention,
-        # ================= end of driver's 50-slot window =================
-        # the 9 r02-stale queries the r6 window could not fit —
-        # they are the r7 window head
         "funnel_conversion": q_funnel_conversion,
         "fuzzy_vocab": q_fuzzy_vocab,
         "session_conversion": q_session_conversion,
@@ -4082,7 +4017,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile_table,
         "enrich_documents": q_enrich_documents,
         "enrich_video_titles": q_enrich_video_titles,
-        # r03/r04-green tail (relative order preserved)
+        # ===== r07 window, part B: re-checks of code changed this
+        # round (integer PPJoin prefix bound in _exact_pair_sizes /
+        # ngram_jaccard_pairs; mixture_plan ANSI-safe epochs_milli;
+        # per-key MG state guard + null contract; gold_export
+        # commit-unique part names + real append)
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "contrastive_pairs": q_contrastive_pairs,
+        "duplicate_clusters_star": q_duplicate_clusters_star,
+        "leakage_safe_split": q_leakage_safe_split,
+        "component_size_report": q_component_size_report,
+        "dedup_provenance": q_dedup_provenance,
+        "source_overlap_near": q_source_overlap_near,
+        "dedup_threshold_curve": q_dedup_threshold_curve,
+        "minhash_accuracy": q_minhash_accuracy,
+        "mixture_plan": q_mixture_plan,
+        "mg_heavy_hitters_by_key": q_mg_heavy_hitters_by_key,
+        "python_datasource_sink": q_python_datasource_sink,
+        # ===== r07 window, part C: staleness rotation fills — the
+        # oldest r3-green entries (tools/staleness.py --plan)
         "rest_ingest_videos": q_rest_ingest_videos,
         "rest_ingest_comments": q_rest_ingest_comments,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -4094,6 +4047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "volume_shipping": q_volume_shipping,
         "small_quantity_revenue": q_small_quantity_revenue,
+        # ================= end of driver's 50-slot window =================
+        # below the line: oldest evidence first (tools/staleness.py
+        # ledger drives each round's rotation; r3 next, freshest r6 last)
         "disjunctive_revenue": q_disjunctive_revenue,
         "promo_part_suppliers": q_promo_part_suppliers,
         "sql_api_top_orders": q_sql_api_top_orders,
@@ -4118,7 +4074,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_activity": q_rolling_activity,
         "shipping_priority": q_shipping_priority,
         "window_running": q_window_running,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "range_join_bands": q_range_join_bands,
         "salted_join": q_salted_join,
         "percentiles": q_percentiles,
@@ -4170,7 +4125,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_nearest": q_asof_join_nearest,
         "exact_dedup": q_exact_dedup,
         "kpi_event_type_counts": q_kpi_event_type_counts,
-        # r05-green tail (freshest evidence)
         "knn_ivf": q_knn_ivf,
         "tdigest_quantiles": q_tdigest_quantiles,
         "tdigest_by_key": q_tdigest_by_key,
@@ -4213,13 +4167,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_distribution": q_customer_order_distribution,
         "large_orders": q_large_orders,
         "returned_items": q_returned_items,
-        "contrastive_pairs": q_contrastive_pairs,
         "dedup_corpus": q_dedup_corpus,
         "near_dup_pipeline": q_near_dup_pipeline,
         "duplicate_clusters": q_duplicate_clusters,
-        "duplicate_clusters_star": q_duplicate_clusters_star,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "semantic_dedup": q_semantic_dedup,
+        "functional_dependencies": q_functional_dependencies,
+        "join_cardinality": q_join_cardinality,
+        "source_overlap_matrix": q_source_overlap_matrix,
+        "bucketed_join_roundtrip": q_bucketed_join_roundtrip,
+        "cooccurrence_edges": q_cooccurrence_edges,
+        "ngram_diversity": q_ngram_diversity,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "k_anonymity": q_k_anonymity,
+        "python_datasource_stream_sink": q_python_datasource_stream_sink,
+        "python_datasource_pushdown": q_python_datasource_pushdown,
+        "span_corruption": q_span_corruption,
+        "ann_recall": q_ann_recall,
+        "canonical_dedup": q_canonical_dedup,
+        "embedding_drift": q_embedding_drift,
+        "source_mixture_card": q_source_mixture_card,
+        "language_mismatch": q_language_mismatch,
+        "distinctive_terms": q_distinctive_terms,
+        "collocations": q_collocations,
+        "token_rarity_bins": q_token_rarity_bins,
+        "triangle_count": q_triangle_count,
+        "python_datasource_videos": q_python_datasource_videos,
+        "python_datasource_videos_stream": q_python_datasource_videos_stream,
+        "medallion_kpis": q_medallion_kpis,
+        "array_agg_functions": q_array_agg_functions,
+        "map_functions": q_map_functions,
+        "forecast_revenue": q_forecast_revenue,
+        "market_share": q_market_share,
+        "product_type_profit": q_product_type_profit,
+        "important_parts": q_important_parts,
+        "shipping_delay": q_shipping_delay,
+        "promo_revenue": q_promo_revenue,
+        "top_supplier": q_top_supplier,
+        "supplier_part_counts": q_supplier_part_counts,
+        "waiting_suppliers": q_waiting_suppliers,
+        "dormant_customers": q_dormant_customers,
+        "tumbling_windows": q_tumbling_windows,
+        "session_windows": q_session_windows,
+        "stream_dedup_counts": q_stream_dedup_counts,
+        "stream_static_enrich": q_stream_static_enrich,
+        "purchase_view_attribution": q_purchase_view_attribution,
+        "text_stats": q_text_stats,
     }
 
 
