@@ -273,6 +273,50 @@ def test_scd2_and_upsert_and_sessions_are_single_shuffle(spark, sf_dir):
         assert "Join" not in plan, name
 
 
+def test_pre_r03_workhorses_stay_within_shuffle_budget(spark, sf_dir):
+    """VERDICT r6 #6: exact hash-exchange pins extended backwards to
+    the r1/r2-era workhorses (audited at sf0.1 during the r7 rotation).
+    The 0-budget rows are the load-bearing ones — every per-row
+    map/filter/UDF pipeline (language-ID, quality scoring, shingling,
+    chunking, media decode, enrichment) must remain a pure scan→map
+    with NO shuffle: at 100 TB an accidental exchange on one of these
+    moves the whole corpus."""
+    budgets = {
+        # pure scan→map pipelines: zero shuffles by design
+        "language_id": 0,
+        "quality_scores": 0,
+        "winnowing_fingerprints": 0,   # per-doc fingerprints, no joins
+        "embedding_norms": 0,
+        "hash_sample": 0,              # deterministic hash filter
+        "weighted_sample": 0,          # per-row keep-prob filter
+        "chunk_documents": 0,          # per-doc splitter (explode)
+        "media_features": 0,           # Arrow-batch decode map
+        "media_frame_sample": 0,       # per-asset frame explode
+        "enrich_documents": 0,         # batched pandas_udf widening
+        "enrich_video_titles": 0,
+        # bounded-shuffle aggregation pipelines
+        "knn_bruteforce": 2,       # partial top-k + per-query merge
+        "knn_label_accuracy": 3,   # + label-vote/accuracy rollup
+        "pack_sequences": 1,       # one packing window
+        "higher_order_funcs": 1,   # final per-key agg
+        "value_outliers": 1,       # stats agg; bounds join broadcasts
+        "cohort_retention": 2,     # first-seen window + cohort agg
+        "funnel_conversion": 1,    # per-user step agg
+        "fuzzy_vocab": 2,          # token agg + soundex-key self-join
+        "session_conversion": 2,   # sessionize + conversion rollup
+        "profile_table": 1,        # per-column profile agg
+    }
+    for name, budget in budgets.items():
+        plan = _plan(spark, sf_dir, name)
+        got = plan.count("Exchange hashpartitioning")
+        assert got == budget, (name, got, budget)
+        if budget == 0:
+            # a per-row pipeline must not smuggle scale-breaking plan
+            # nodes in under a zero hash-exchange count either
+            assert "SortMergeJoin" not in plan, name
+            assert "Exchange rangepartitioning" not in plan, name
+
+
 def test_r03_window_queries_stay_within_shuffle_budget(spark, sf_dir):
     """Table-driven shuffle-budget pins from the r3 plan audit: each
     newly-fronted driver-window query's hash-exchange count is its
