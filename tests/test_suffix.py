@@ -1,0 +1,185 @@
+"""Suffix-array exact-substring dedup (operators/suffix.py): prefix
+doubling ranks vs a python reference, span extraction vs the provably
+equivalent n-gram formulation, LCP repeats vs brute force."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _py_rank(corpus: dict[int, list[str]], max_len: int) -> dict:
+    """Reference truncated suffix ranks: dense index of each suffix's
+    first max_len tokens in global lexicographic (list) order."""
+    windows = {
+        (d, p): tuple(t[p : p + max_len])
+        for d, t in corpus.items()
+        for p in range(len(t))
+    }
+    ordered = sorted(set(windows.values()))
+    idx = {w: i for i, w in enumerate(ordered)}
+    return {k: idx[w] for k, w in windows.items()}
+
+
+def _py_spans(corpus: dict[int, list[str]], L: int) -> set:
+    """Reference spans: positions of L-grams occurring >= 2 times
+    anywhere (any doc, any position), merged per doc."""
+    from collections import Counter
+
+    grams = Counter()
+    starts = {}
+    for d, t in corpus.items():
+        for p in range(len(t) - L + 1):
+            g = tuple(t[p : p + L])
+            grams[g] += 1
+            starts.setdefault(d, []).append((p, g))
+    spans = set()
+    for d, lst in starts.items():
+        marked = [(p, p + L) for p, g in lst if grams[g] >= 2]
+        marked.sort()
+        cur = None
+        for s, e in marked:
+            if cur is None:
+                cur = [s, e]
+            elif s <= cur[1]:
+                cur[1] = max(cur[1], e)
+            else:
+                spans.add((d, cur[0], cur[1], cur[1] - cur[0]))
+                cur = [s, e]
+        if cur is not None:
+            spans.add((d, cur[0], cur[1], cur[1] - cur[0]))
+    return spans
+
+
+CORPUS = {
+    1: "the quick brown fox jumps over the lazy dog again and again".split(),
+    2: "start pad the quick brown fox jumps over a cliff edge now".split(),
+    3: "loop loop loop loop loop loop tail piece".split(),
+    4: "the lazy dog again and again comes back for more food".split(),
+    5: "totally unrelated words without any shared passages here".split(),
+}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in CORPUS.items()],
+        "doc_id long, text string",
+    )
+
+
+def test_doc_suffix_ranks_match_python_reference(docs):
+    from youtube_podcast_data_pipeline_azure_spark.operators import suffix
+
+    got = {
+        (r.doc_id, r.pos): r["rank"]
+        for r in suffix.doc_suffix_ranks(docs, max_len=8).collect()
+    }
+    assert got == _py_rank(CORPUS, 8)
+
+
+def test_doc_suffix_ranks_rejects_non_power_of_two(docs):
+    from youtube_podcast_data_pipeline_azure_spark.operators import suffix
+
+    with pytest.raises(ValueError):
+        suffix.doc_suffix_ranks(docs, max_len=6)
+
+
+@pytest.mark.parametrize("L", [3, 4, 6])
+def test_exact_substring_spans_match_ngram_formulation(docs, L):
+    """The oracle theorem on a live corpus: suffix-array span
+    extraction == repeated-L-gram interval merging, for power-of-two
+    AND composite (non-power) L."""
+    from youtube_podcast_data_pipeline_azure_spark.operators import suffix
+
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in suffix.exact_substring_spans(docs, min_len=L).collect()
+    }
+    assert got == _py_spans(CORPUS, L)
+
+
+def test_spans_cover_within_doc_repeats(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators import suffix
+
+    df = spark.createDataFrame(
+        [(7, "a b c a b c a b c")], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in suffix.exact_substring_spans(df, min_len=3).collect()
+    }
+    # 'a b c a b c' repeats at 0 and 3 (length 6 >= 3): whole doc merges
+    assert got == {(7, 0, 9)}
+
+
+def test_longest_repeated_substrings_match_bruteforce(docs):
+    from youtube_podcast_data_pipeline_azure_spark.operators import suffix
+
+    cap, min_len = 8, 2
+    got = [
+        (r.doc_id, r.pos, r.lcp)
+        for r in suffix.longest_repeated_substrings(
+            docs, cap=cap, min_len=min_len, top=1000
+        ).collect()
+    ]
+    # brute force: per position, max common prefix (capped) vs every
+    # other position
+    windows = {
+        (d, p): tuple(t[p : p + cap])
+        for d, t in CORPUS.items()
+        for p in range(len(t))
+    }
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    exp = []
+    for k, w in windows.items():
+        best = max(
+            (lcp(w, w2) for k2, w2 in windows.items() if k2 != k), default=0
+        )
+        if best >= min_len:
+            exp.append((k[0], k[1], best))
+    exp.sort(key=lambda r: (-r[2], r[0], r[1]))
+    assert got == exp
+
+
+def test_global_dense_rank_dense_and_ordered(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.suffix import (
+        _global_dense_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(v,) for v in [5, 3, 9, 3, 5, 5, 1]], "v long"
+    ).repartition(4)
+    got = {
+        r["v"]: r["rank"]
+        for r in _global_dense_rank(df, ["v"], "rank").collect()
+    }
+    assert got == {1: 0, 3: 1, 5: 2, 9: 3}
+
+
+def test_suffix_plans_have_no_single_partition_exchange(docs):
+    """The scalability claim: no stage funnels the corpus through one
+    partition — dense rank is two-phase, adjacency is an equi-join."""
+    from youtube_podcast_data_pipeline_azure_spark.operators import suffix
+
+    for frame in (
+        suffix.doc_suffix_ranks(docs, max_len=4),
+        suffix.longest_repeated_substrings(docs, cap=4, min_len=2, top=10),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan
+    # spans: the per-doc interval windows partition by document
+    plan = (
+        suffix.exact_substring_spans(docs, min_len=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan

@@ -1,0 +1,377 @@
+"""Suffix-array exact-substring dedup — the length-free upgrade of
+fixed-gram span detection (Lee et al. 2022, "Deduplicating Training
+Data Makes Language Models Better": remove any passage that repeats for
+>= N tokens anywhere in the corpus).
+
+Why a suffix array instead of exploding n-grams: the n-gram formulation
+ships every L-token gram through the shuffle (L x corpus bytes); prefix
+doubling ships ONLY integer ranks — after the first round the corpus
+text never moves again, each of the log2(L) rounds shuffles three longs
+per position.  At 100 TB that is the difference between re-shuffling
+the corpus eight times and re-shuffling an int-pair table eight times.
+
+The construction is Manber–Myers prefix doubling re-expressed as
+DataFrame rounds (the BSP formulation):
+
+* round 0 — rank each token (dense rank of the token string);
+* round k — the rank of the 2k-token window at position p is the dense
+  rank of the pair (rank_k[p], rank_k[p+k]), with -1 when p+k runs off
+  the document (shorter suffix sorts first, matching lexicographic
+  list order);
+* suffixes never cross document boundaries (positions are (doc, pos),
+  the join key is (doc, pos+k)), so repeats cannot straddle documents
+  — the same guarantee Lee et al. get from separator sentinels.
+
+Dense rank itself must be scalable: a bare ``Window.orderBy`` funnels
+the corpus through ONE partition.  ``_global_dense_rank`` instead
+range-partitions the distinct keys, sorts within partitions, assigns
+per-partition local indices with ``mapInPandas``, and fans in only the
+per-partition COUNTS (<= shuffle-partitions rows) to the driver to
+compute base offsets — rank = base[partition] + local index.  The only
+driver-side data is that bounded count vector.
+
+Span semantics (provably n-gram-equivalent, which is what makes the
+operator oracle-checkable): a position p starts a repeated-L-substring
+iff its exact-L prefix rank is shared by >= 2 positions; marking
+[p, p+L) for every such p and merging overlapping intervals per
+document yields EXACTLY the union of maximal repeated substrings of
+length >= L — the same set the L-gram formulation produces (any
+repeated substring of length m >= L contributes all m-L+1 repeated
+L-gram starts, whose merged cover is the full span).  The DuckDB
+oracle uses the n-gram formulation; the engine uses the suffix array;
+hash-equality of the two IS the correctness proof of the construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+from ..functions.text import tokenize
+
+__all__ = [
+    "doc_suffix_ranks",
+    "exact_substring_spans",
+    "longest_repeated_substrings",
+]
+
+
+def _global_dense_rank(
+    df: DataFrame,
+    key_cols: list[str],
+    out_col: str = "rank",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Scalable dense rank: (key_cols..., out_col) with out_col the
+    0-based index of the key in global sorted order over DISTINCT keys.
+
+    Two-phase: range-partition + sort the distinct keys (parallel),
+    tag each row with (partition id, local index) in an Arrow batch
+    pass, then collect ONLY the per-partition row counts (bounded by
+    ``num_partitions``) to turn local indices into global ones.  No
+    single-partition window anywhere.
+    """
+    keys = (
+        df.select(*key_cols)
+        .distinct()
+        .repartitionByRange(num_partitions, *key_cols)
+        .sortWithinPartitions(*key_cols)
+    )
+    out_schema = StructType(
+        list(keys.schema.fields)
+        + [StructField("_pid", IntegerType()), StructField("_lidx", LongType())]
+    )
+
+    def tag(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        off = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_pid"] = pid
+            pdf["_lidx"] = list(range(off, off + len(pdf)))
+            off += len(pdf)
+            yield pdf
+
+    # localCheckpoint: (a) two consumers below (counts + final select)
+    # must see the SAME range-sampled partitioning; (b) cuts the
+    # doubling loop's lineage growth (iterative-plan trap)
+    tagged = keys.mapInPandas(tag, out_schema).localCheckpoint()
+    sizes = sorted(
+        tagged.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]
+    )
+    # range partitioner assigns ascending key ranges to ascending pids,
+    # so cumulative counts in pid order are exactly the global offsets
+    base_expr = None
+    acc = 0
+    for r in sizes:
+        clause = (F.col("_pid") == r["_pid"], F.lit(acc).cast("long"))
+        base_expr = (
+            F.when(*clause) if base_expr is None else base_expr.when(*clause)
+        )
+        acc += r["count"]
+    base_expr = (
+        F.lit(0).cast("long")
+        if base_expr is None
+        else base_expr.otherwise(F.lit(0))
+    )
+    return tagged.select(
+        *key_cols, (F.col("_lidx") + base_expr).alias(out_col)
+    )
+
+
+def _suffix_positions(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, pos, token) — one row per token position, pos 0-based."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "token"),
+    )
+
+
+def doc_suffix_ranks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int = 16,
+) -> DataFrame:
+    """Truncated suffix ranks via prefix doubling: (id_col, pos, rank)
+    where ``rank`` is the dense 0-based index of the suffix's first
+    ``max_len`` tokens in corpus lexicographic order (shorter suffix
+    first on equal prefix — standard list order).  ``max_len`` must be
+    a power of two (each doubling round exactly doubles the compared
+    window).
+
+    log2(max_len) + 1 dense-rank rounds; every round shuffles integer
+    triples only — the corpus text moves exactly once (the initial
+    token ranking).  Each round is localCheckpoint'ed so the final
+    plan is O(1) deep regardless of rounds.
+    """
+    if max_len < 1 or (max_len & (max_len - 1)) != 0:
+        raise ValueError(f"max_len={max_len} must be a power of two")
+    toks = _suffix_positions(docs, text_col, id_col)
+    r0 = _global_dense_rank(toks, ["token"], "rank")
+    positions = (
+        toks.join(r0, "token").select(id_col, "pos", "rank").localCheckpoint()
+    )
+    k = 1
+    while k < max_len:
+        nxt = positions.select(
+            F.col(id_col),
+            (F.col("pos") - k).alias("pos"),
+            F.col("rank").alias("_r2"),
+        )
+        joined = (
+            positions.join(nxt, [id_col, "pos"], "left")
+            .select(
+                id_col,
+                "pos",
+                F.col("rank").alias("_r1"),
+                F.coalesce("_r2", F.lit(-1).cast("long")).alias("_r2"),
+            )
+        )
+        ranks = _global_dense_rank(joined, ["_r1", "_r2"], "rank")
+        positions = (
+            joined.join(ranks, ["_r1", "_r2"])
+            .select(id_col, "pos", "rank")
+            .localCheckpoint()
+        )
+        k *= 2
+    return positions
+
+
+def _rank_at_length(
+    docs: DataFrame, text_col: str, id_col: str, length: int
+) -> DataFrame:
+    """(id, pos, rank_L) for positions with a FULL length-L window
+    (pos <= len - L): dense rank of the exact L-token prefix.  For
+    non-power L uses the classic composite (rank_a[p], rank_a[p+L-a])
+    with a = the largest power of two <= L — the two a-windows overlap
+    and cover [p, p+L), so composite equality <=> L-gram equality."""
+    a = 1 << (length.bit_length() - 1)
+    ranks_a = doc_suffix_ranks(docs, text_col, id_col, max_len=a)
+    lens = docs.select(
+        F.col(id_col), F.size(tokenize(F.col(text_col))).alias("_len")
+    )
+    full = ranks_a.join(lens, id_col).where(
+        F.col("pos") <= F.col("_len") - length
+    )
+    if a == length:
+        return full.select(id_col, "pos", F.col("rank").alias("rank_l"))
+    shifted = ranks_a.select(
+        F.col(id_col),
+        (F.col("pos") - (length - a)).alias("pos"),
+        F.col("rank").alias("_rb"),
+    )
+    composite = full.join(shifted, [id_col, "pos"]).select(
+        id_col, "pos", F.col("rank").alias("_ra"), "_rb"
+    )
+    ranked = _global_dense_rank(composite, ["_ra", "_rb"], "rank_l")
+    return composite.join(ranked, ["_ra", "_rb"]).select(
+        id_col, "pos", "rank_l"
+    )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 8,
+) -> DataFrame:
+    """Maximal repeated spans of length >= ``min_len`` tokens anywhere
+    in the corpus (including within one document) — the Lee et al. 2022
+    exact-substring dedup surface.  Returns one row per maximal span:
+    (id_col, span_start, span_end, span_len), token positions 0-based,
+    end exclusive; spans longer than ``min_len`` emerge whole from the
+    interval merge (length-free — no gram-length cap on the span).
+
+    Pipeline: exact-L prefix ranks (prefix doubling, integers only) →
+    per-rank occurrence counts (hash-partitioned window, >= 2 keeps) →
+    mark [p, p+L) → per-document interval union (two stacked windows
+    on the document key + one aggregate — a single shuffle).
+    """
+    starts = _rank_at_length(docs, text_col, id_col, min_len)
+    cnt = F.count("*").over(Window.partitionBy("rank_l"))
+    marked = (
+        starts.withColumn("_c", cnt)
+        .where(F.col("_c") >= 2)
+        .select(
+            F.col(id_col),
+            F.col("pos").alias("_s"),
+            (F.col("pos") + min_len).alias("_e"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("_s", "_e")
+    prev_max_end = F.max("_e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    island_flag = F.when(
+        prev_max_end.isNull() | (F.col("_s") > prev_max_end), 1
+    ).otherwise(0)
+    with_islands = marked.withColumn(
+        "_island",
+        F.sum(island_flag).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        with_islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("_s").cast("long").alias("span_start"),
+            F.max("_e").cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+        )
+    )
+
+
+def _lcp(wa: Column, wb: Column) -> Column:
+    """Length of the common prefix of two string arrays.  zip_with
+    pads the shorter array with nulls; eqNullSafe makes (null, token)
+    compare false, so the first ``false`` IS the first mismatch, and
+    no false at all means the arrays are fully equal."""
+    eq = F.zip_with(wa, wb, lambda x, y: x.eqNullSafe(y))
+    first_false = F.array_position(eq, F.lit(False))
+    return F.when(
+        first_false == 0, F.least(F.size(wa), F.size(wb))
+    ).otherwise(first_false - 1).cast("long")
+
+
+def longest_repeated_substrings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cap: int = 16,
+    min_len: int = 4,
+    top: int = 100,
+) -> DataFrame:
+    """Per-position maximal repeat length via the suffix array's LCP
+    structure — what fixed n-grams cannot report cheaply: for each
+    position, the length of the LONGEST substring starting there that
+    occurs somewhere else in the corpus (capped at ``cap`` tokens).
+    Returns the ``top`` positions by repeat length:
+    (id_col, pos, lcp), ordered (lcp desc, id asc, pos asc).
+
+    The classic LCP-array property makes this a JOIN, not a scan: a
+    suffix's longest match against the whole corpus is attained at an
+    ADJACENT suffix in suffix-array order, and ranks are dense, so
+    "adjacent" is an equi-join of rank r against rank r+1 — no
+    global-order window, fully partitioned.  Only one representative
+    window per DISTINCT rank carries text into the LCP compare;
+    positions sharing a rank have identical (truncated) suffixes and
+    inherit lcp = window length when the group has >= 2 members.
+    """
+    ranks = doc_suffix_ranks(docs, text_col, id_col, max_len=cap)
+    toks = docs.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
+    )
+    # one representative per rank; group size rides along
+    reps = ranks.groupBy("rank").agg(
+        F.min(F.struct(id_col, "pos")).alias("_rep"),
+        F.count("*").cast("long").alias("_n"),
+    )
+    rep_windows = (
+        reps.select(
+            "rank",
+            "_n",
+            F.col(f"_rep.{id_col}").alias(id_col),
+            F.col("_rep.pos").alias("pos"),
+        )
+        .join(toks, id_col)
+        .select(
+            "rank",
+            "_n",
+            F.slice("_toks", F.col("pos") + 1, cap).alias("_w"),
+        )
+        # two consumers below (the r row and the shifted r+1 probe):
+        # checkpoint so the groupBy+join subplan is not pasted twice
+        .localCheckpoint()
+    )
+    nxt = rep_windows.select(
+        (F.col("rank") - 1).alias("rank"), F.col("_w").alias("_w_next")
+    )
+    with_next = rep_windows.join(nxt, "rank", "left")
+    # pairwise lcp(r, r+1), computed once on the r row; localCheckpoint
+    # because it feeds two consumers (its own rank and, shifted, r+1)
+    pair_lcp = with_next.select(
+        "rank",
+        "_n",
+        F.size("_w").cast("long").alias("_wlen"),
+        F.when(
+            F.col("_w_next").isNotNull(), _lcp(F.col("_w"), F.col("_w_next"))
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("_lcp_next"),
+    ).localCheckpoint()
+    from_prev = pair_lcp.select(
+        (F.col("rank") + 1).alias("rank"),
+        F.col("_lcp_next").alias("_lcp_prev"),
+    )
+    # max lcp with any OTHER suffix = max(lcp with the prev neighbour,
+    # lcp with the next neighbour) — the suffix-array adjacency
+    # property; a rank shared by >= 2 positions is an exact duplicate
+    # of the whole (truncated) window, contributing its full length
+    maxlcp = (
+        pair_lcp.join(from_prev, "rank", "left")
+        .select(
+            "rank",
+            F.greatest(
+                F.col("_lcp_next"),
+                F.coalesce("_lcp_prev", F.lit(0)),
+                F.when(F.col("_n") >= 2, F.col("_wlen")).otherwise(F.lit(0)),
+            ).alias("lcp"),
+        )
+    )
+    out = (
+        ranks.join(maxlcp, "rank")
+        .where(F.col("lcp") >= min_len)
+        .select(F.col(id_col), F.col("pos").cast("long"), F.col("lcp"))
+    )
+    return out.orderBy(
+        F.col("lcp").desc(), F.col(id_col).asc(), F.col("pos").asc()
+    ).limit(top)
