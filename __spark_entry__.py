@@ -74,6 +74,7 @@ from youtube_podcast_data_pipeline_azure_spark.operators import (
     similarity,
     sketches,
     skew,
+    suffix,
     text_mining,
 )
 from youtube_podcast_data_pipeline_azure_spark.streaming.events_stream import (
@@ -2631,6 +2632,33 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-free exact-substring dedup (Lee et al. 2022): maximal
+    repeated spans of >= 8 tokens anywhere in the corpus, via
+    distributed prefix-doubling suffix ranks — after the initial token
+    ranking only integer rank triples shuffle, never the text
+    (operators/suffix.py:exact_substring_spans).  Oracle: the
+    provably-equivalent repeated-8-gram interval merge (the two
+    formulations mark identical position sets; hash-equality of
+    different algorithms is the construction's correctness proof)."""
+    return suffix.exact_substring_spans(
+        _t(spark, sf_dir, "documents"), min_len=8
+    )
+
+
+def q_longest_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-position maximal repeat lengths (top-100, cap 16 tokens) via
+    the suffix array's LCP adjacency property — a dense-rank equi-join
+    (rank r vs r+1), no global-order window; reports the true length
+    of each repeated passage, which fixed n-grams cannot do cheaply
+    (operators/suffix.py:longest_repeated_substrings).  Oracle: DuckDB
+    dense_rank over the truncated suffix windows + the same adjacent
+    LCP computation."""
+    return suffix.longest_repeated_substrings(
+        _t(spark, sf_dir, "documents"), cap=16, min_len=4, top=100
+    )
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard similarity join (prefix filtering, lossless
     recall — the deterministic complement of minhash_near_dup)."""
@@ -4045,11 +4073,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_unique_violations": q_dq_unique_violations,
         "table_fingerprint": q_table_fingerprint,
         "snapshot_diff": q_snapshot_diff,
-        "volume_shipping": q_volume_shipping,
-        "small_quantity_revenue": q_small_quantity_revenue,
+        # ===== r07 window, part D: new this round — the suffix-array
+        # exact-substring dedup pair (VERDICT r6 #7); displaces the two
+        # youngest part-C fills (volume_shipping/small_quantity_revenue,
+        # r3-green, now first below the line)
+        "exact_substring_spans": q_exact_substring_spans,
+        "longest_repeated_substrings": q_longest_repeated_substrings,
         # ================= end of driver's 50-slot window =================
         # below the line: oldest evidence first (tools/staleness.py
         # ledger drives each round's rotation; r3 next, freshest r6 last)
+        "volume_shipping": q_volume_shipping,
+        "small_quantity_revenue": q_small_quantity_revenue,
         "disjunctive_revenue": q_disjunctive_revenue,
         "promo_part_suppliers": q_promo_part_suppliers,
         "sql_api_top_orders": q_sql_api_top_orders,
@@ -6024,6 +6058,87 @@ def oracle_sql() -> dict[str, str]:
                UNION ALL SELECT dst, src, w FROM base""",
             iterations=3,
         ),
+        # exact-substring spans: the n-gram formulation — provably
+        # identical position cover to the engine's suffix-array path
+        # (any repeat of length m >= 8 contributes all m-7 repeated
+        # 8-gram starts, whose merged intervals are the full span)
+        "exact_substring_spans": f"""
+            WITH toks AS (SELECT doc_id, {tokens} AS t FROM documents),
+            g AS (
+                SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS gram
+                FROM toks,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, len(t) - 8 + 1)) AS i) u),
+            rep AS (
+                SELECT doc_id, i FROM (
+                    SELECT doc_id, i,
+                           count(*) OVER (PARTITION BY gram) AS c
+                    FROM g) WHERE c >= 2),
+            iv AS (SELECT doc_id, i - 1 AS s, i + 7 AS e FROM rep),
+            m AS (
+                SELECT doc_id, s, e,
+                       max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS pme
+                FROM iv),
+            isl AS (
+                SELECT doc_id, s, e,
+                       sum(CASE WHEN pme IS NULL OR s > pme
+                           THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY s, e)
+                           AS island
+                FROM m)
+            SELECT doc_id,
+                   cast(min(s) AS bigint) AS span_start,
+                   cast(max(e) AS bigint) AS span_end,
+                   cast(max(e) - min(s) AS bigint) AS span_len
+            FROM isl GROUP BY doc_id, island
+        """,
+        # suffix-array LCP repeats: dense_rank over truncated suffix
+        # windows (lists order lexicographically, shorter-prefix first
+        # — matching the engine's -1 sentinel doubling order), adjacent
+        # ranks joined for pairwise LCP, duplicate rank groups
+        # contribute their full window length
+        "longest_repeated_substrings": f"""
+            WITH toks AS (SELECT doc_id, {tokens} AS t FROM documents),
+            pos AS (
+                SELECT doc_id, i - 1 AS p,
+                       t[i:least(i + 15, len(t))] AS w
+                FROM toks,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, len(t))) AS i) u),
+            ranked AS (
+                SELECT doc_id, p, w,
+                       dense_rank() OVER (ORDER BY w) - 1 AS r
+                FROM pos),
+            reps AS (
+                SELECT r, any_value(w) AS w, count(*) AS c
+                FROM ranked GROUP BY r),
+            pairs AS (
+                SELECT a.r, a.w AS wa, a.c, b.w AS wb
+                FROM reps a LEFT JOIN reps b ON b.r = a.r + 1),
+            lcps AS (
+                SELECT r, c, len(wa) AS la,
+                       CASE WHEN wb IS NULL THEN 0 ELSE coalesce(
+                           list_position(list_transform(
+                               generate_series(1, least(len(wa), len(wb))),
+                               i -> wa[i] = wb[i]), false) - 1,
+                           least(len(wa), len(wb))) END AS lcp_next
+                FROM pairs),
+            fromprev AS (SELECT r + 1 AS r, lcp_next AS lcp_prev FROM lcps),
+            mx AS (
+                SELECT l.r,
+                       greatest(l.lcp_next, coalesce(f.lcp_prev, 0),
+                                CASE WHEN l.c >= 2 THEN l.la ELSE 0 END)
+                           AS lcp
+                FROM lcps l LEFT JOIN fromprev f ON f.r = l.r)
+            SELECT doc_id, cast(p AS bigint) AS pos,
+                   cast(lcp AS bigint) AS lcp
+            FROM ranked JOIN mx USING (r)
+            WHERE lcp >= 4
+            ORDER BY lcp DESC, doc_id, p
+            LIMIT 100
+        """,
         "duplicate_ngram_spans": f"""
             WITH toks AS (
                 SELECT doc_id, {tokens} AS tokens FROM documents),

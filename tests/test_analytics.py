@@ -44,17 +44,23 @@ def test_cohort_offset_zero_equals_cohort_size(spark, sf_dir):
     from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
 
     ev = load_table(spark, sf_dir, "events")
+    # unpersist before leaving: a cached plan over the shared fixture
+    # leaks into every later test's matching subplan via the session
+    # CacheManager (caught by the pre-r03 shuffle-budget pins)
     ret = cohort_retention(ev).cache()
-    zero = {
-        str(r.cohort_week): r.active_users
-        for r in ret.where(F.col("week_offset") == 0).collect()
-    }
-    cohorts = (
-        ev.groupBy("user_id")
-        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("c"))
-        .groupBy("c").count().collect()
-    )
-    assert {str(r.c): r["count"] for r in cohorts} == zero
+    try:
+        zero = {
+            str(r.cohort_week): r.active_users
+            for r in ret.where(F.col("week_offset") == 0).collect()
+        }
+        cohorts = (
+            ev.groupBy("user_id")
+            .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("c"))
+            .groupBy("c").count().collect()
+        )
+        assert {str(r.c): r["count"] for r in cohorts} == zero
+    finally:
+        ret.unpersist()
 
 
 def test_funnel_requires_strict_order(spark):

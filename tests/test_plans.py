@@ -317,6 +317,23 @@ def test_pre_r03_workhorses_stay_within_shuffle_budget(spark, sf_dir):
             assert "Exchange rangepartitioning" not in plan, name
 
 
+def test_r07_suffix_queries_stay_within_shuffle_budget(spark, sf_dir):
+    """The suffix-array pair (r7): the doubling rounds run eagerly
+    through the dense-rank checkpoints at construct time, so the FINAL
+    plan is shallow — spans shows the per-rank count window + the
+    per-document interval windows (2 hash exchanges); LCP shows the
+    rank-group aggregate + the rank adjacency join off the checkpointed
+    rep table (2).  No single-partition exchange may ever appear (the
+    scalability invariant of the two-phase dense rank)."""
+    for name, budget in {
+        "exact_substring_spans": 2,
+        "longest_repeated_substrings": 2,
+    }.items():
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("Exchange hashpartitioning") == budget, name
+        assert "Exchange SinglePartition" not in plan, name
+
+
 def test_r03_window_queries_stay_within_shuffle_budget(spark, sf_dir):
     """Table-driven shuffle-budget pins from the r3 plan audit: each
     newly-fronted driver-window query's hash-exchange count is its

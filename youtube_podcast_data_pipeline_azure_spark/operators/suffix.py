@@ -63,36 +63,54 @@ def _global_dense_rank(
     out_col: str = "rank",
     num_partitions: int = 32,
 ) -> DataFrame:
-    """Scalable dense rank: (key_cols..., out_col) with out_col the
-    0-based index of the key in global sorted order over DISTINCT keys.
+    """Scalable dense rank ATTACHED to every input row: returns the
+    input columns plus ``out_col`` = the 0-based index of the row's key
+    in global sorted order over distinct keys.
 
-    Two-phase: range-partition + sort the distinct keys (parallel),
-    tag each row with (partition id, local index) in an Arrow batch
-    pass, then collect ONLY the per-partition row counts (bounded by
-    ``num_partitions``) to turn local indices into global ones.  No
-    single-partition window anywhere.
+    One range shuffle, no distinct, no join-back: the range partitioner
+    sends every copy of a key to the same partition (equal sort keys
+    share a range bucket), so a per-partition Arrow pass can assign
+    LOCAL dense indices (cumulative key-change count, carried across
+    batches), and the only driver fan-in is the per-partition distinct
+    count — max local index + 1, <= ``num_partitions`` rows — which
+    turns local indices into global offsets.  No single-partition
+    window anywhere.
     """
-    keys = (
-        df.select(*key_cols)
-        .distinct()
-        .repartitionByRange(num_partitions, *key_cols)
-        .sortWithinPartitions(*key_cols)
-    )
+    keys = df.repartitionByRange(
+        num_partitions, *key_cols
+    ).sortWithinPartitions(*key_cols)
     out_schema = StructType(
         list(keys.schema.fields)
         + [StructField("_pid", IntegerType()), StructField("_lidx", LongType())]
     )
+    ncols = len(key_cols)
 
     def tag(batches):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        off = 0
+        nxt = 0  # next local dense index to assign
+        prev_key = None  # last key of the previous batch (sorted feed)
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cols = [pdf[c] for c in key_cols[:ncols]]
+            # row-change flags within the batch (sorted upstream)
+            changed = None
+            for c in cols:
+                ne = c.ne(c.shift())
+                # shift() makes row 0 NaN-compare True — correct: row 0
+                # "changes" unless it equals the previous batch's tail
+                changed = ne if changed is None else (changed | ne)
+            first_key = tuple(pdf.iloc[0][k] for k in key_cols)
+            lidx = changed.cumsum() + (nxt - 1)
+            if prev_key is not None and first_key == prev_key:
+                lidx = lidx - 1
             pdf = pdf.copy()
             pdf["_pid"] = pid
-            pdf["_lidx"] = list(range(off, off + len(pdf)))
-            off += len(pdf)
+            pdf["_lidx"] = lidx.astype("int64")
+            prev_key = tuple(pdf.iloc[-1][k] for k in key_cols)
+            nxt = int(pdf["_lidx"].iloc[-1]) + 1
             yield pdf
 
     # localCheckpoint: (a) two consumers below (counts + final select)
@@ -100,10 +118,13 @@ def _global_dense_rank(
     # doubling loop's lineage growth (iterative-plan trap)
     tagged = keys.mapInPandas(tag, out_schema).localCheckpoint()
     sizes = sorted(
-        tagged.groupBy("_pid").count().collect(), key=lambda r: r["_pid"]
+        tagged.groupBy("_pid")
+        .agg((F.max("_lidx") + 1).alias("_n"))
+        .collect(),
+        key=lambda r: r["_pid"],
     )
     # range partitioner assigns ascending key ranges to ascending pids,
-    # so cumulative counts in pid order are exactly the global offsets
+    # so cumulative distinct counts in pid order are the global offsets
     base_expr = None
     acc = 0
     for r in sizes:
@@ -111,14 +132,17 @@ def _global_dense_rank(
         base_expr = (
             F.when(*clause) if base_expr is None else base_expr.when(*clause)
         )
-        acc += r["count"]
+        acc += r["_n"]
     base_expr = (
         F.lit(0).cast("long")
         if base_expr is None
         else base_expr.otherwise(F.lit(0))
     )
+    passthrough = [c for c in df.columns if c not in key_cols]
     return tagged.select(
-        *key_cols, (F.col("_lidx") + base_expr).alias(out_col)
+        *key_cols,
+        *passthrough,
+        (F.col("_lidx") + base_expr).alias(out_col),
     )
 
 
@@ -153,33 +177,34 @@ def doc_suffix_ranks(
     if max_len < 1 or (max_len & (max_len - 1)) != 0:
         raise ValueError(f"max_len={max_len} must be a power of two")
     toks = _suffix_positions(docs, text_col, id_col)
-    r0 = _global_dense_rank(toks, ["token"], "rank")
-    positions = (
-        toks.join(r0, "token").select(id_col, "pos", "rank").localCheckpoint()
+    # ranks attach in the same pass that sorts the keys — each round is
+    # one hash exchange (the lead window) + one range exchange (the
+    # rank sort), and the checkpoint inside _global_dense_rank keeps
+    # the loop's lineage flat.  The classic "rank of position p+k" self
+    # -join is a WINDOW here: positions within a document are the
+    # contiguous integers 0..len-1, so lead(rank, k) over
+    # (partition by doc order by pos) IS the shifted rank — no join,
+    # no second shuffle side.  Radix 4 (three leads per round) covers
+    # window x4 per round: 16-token ranks take 3 dense-rank rounds
+    # instead of 5.
+    positions = _global_dense_rank(toks, ["token"], "rank").select(
+        id_col, "pos", "rank"
     )
-    k = 1
-    while k < max_len:
-        nxt = positions.select(
-            F.col(id_col),
-            (F.col("pos") - k).alias("pos"),
-            F.col("rank").alias("_r2"),
-        )
-        joined = (
-            positions.join(nxt, [id_col, "pos"], "left")
-            .select(
-                id_col,
-                "pos",
-                F.col("rank").alias("_r1"),
-                F.coalesce("_r2", F.lit(-1).cast("long")).alias("_r2"),
-            )
-        )
-        ranks = _global_dense_rank(joined, ["_r1", "_r2"], "rank")
-        positions = (
-            joined.join(ranks, ["_r1", "_r2"])
-            .select(id_col, "pos", "rank")
-            .localCheckpoint()
-        )
-        k *= 2
+    width = 1
+    w = Window.partitionBy(id_col).orderBy("pos")
+    while width < max_len:
+        radix = min(4, max_len // width)
+        keys = [F.col("rank").alias("_r0")] + [
+            F.coalesce(
+                F.lead("rank", i * width).over(w), F.lit(-1).cast("long")
+            ).alias(f"_r{i}")
+            for i in range(1, radix)
+        ]
+        key_names = [f"_r{i}" for i in range(radix)]
+        positions = _global_dense_rank(
+            positions.select(id_col, "pos", *keys), key_names, "rank"
+        ).select(id_col, "pos", "rank")
+        width *= radix
     return positions
 
 
@@ -209,8 +234,7 @@ def _rank_at_length(
     composite = full.join(shifted, [id_col, "pos"]).select(
         id_col, "pos", F.col("rank").alias("_ra"), "_rb"
     )
-    ranked = _global_dense_rank(composite, ["_ra", "_rb"], "rank_l")
-    return composite.join(ranked, ["_ra", "_rb"]).select(
+    return _global_dense_rank(composite, ["_ra", "_rb"], "rank_l").select(
         id_col, "pos", "rank_l"
     )
 
