@@ -2632,6 +2632,34 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023): score every
+    document against the src0 stratum as the target distribution —
+    hashed unigram+bigram buckets (md5 oracle seam; xxhash64 is the
+    production dial), add-1 smoothed log-ratio quantized to integer
+    micro-units per bucket BEFORE the per-doc sum, so the result is
+    bit-exact on any engine (operators/sampling.py:
+    dsir_importance_weights)."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    return sampling.dsir_importance_weights(
+        docs, target, n_buckets=2048, hasher="md5"
+    )
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: Gumbel-top-k importance resampling (sampling
+    WITHOUT replacement from the importance distribution), noise
+    derived from md5(id) so the draw is a pure function of the corpus —
+    deterministic under retries and any partitioning
+    (operators/sampling.py:dsir_resample)."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    return sampling.dsir_resample(
+        docs, target, k=100, n_buckets=2048, hasher="md5", seed=0
+    )
+
+
 def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-free exact-substring dedup (Lee et al. 2022): maximal
     repeated spans of >= 8 tokens anywhere in the corpus, via
@@ -4071,17 +4099,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_report": q_dq_report,
         "dq_referential_orphans": q_dq_referential_orphans,
         "dq_unique_violations": q_dq_unique_violations,
-        "table_fingerprint": q_table_fingerprint,
-        "snapshot_diff": q_snapshot_diff,
-        # ===== r07 window, part D: new this round — the suffix-array
-        # exact-substring dedup pair (VERDICT r6 #7); displaces the two
-        # youngest part-C fills (volume_shipping/small_quantity_revenue,
-        # r3-green, now first below the line)
+        # ===== r07 window, part D: new this round (VERDICT r6 #7) —
+        # the suffix-array exact-substring dedup pair and the DSIR
+        # importance-resampling pair; displaces the four youngest
+        # part-C fills (table_fingerprint/snapshot_diff/volume_shipping/
+        # small_quantity_revenue, r3-green, now first below the line)
         "exact_substring_spans": q_exact_substring_spans,
         "longest_repeated_substrings": q_longest_repeated_substrings,
+        "dsir_importance_weights": q_dsir_importance_weights,
+        "dsir_resample": q_dsir_resample,
         # ================= end of driver's 50-slot window =================
         # below the line: oldest evidence first (tools/staleness.py
         # ledger drives each round's rotation; r3 next, freshest r6 last)
+        "table_fingerprint": q_table_fingerprint,
+        "snapshot_diff": q_snapshot_diff,
         "volume_shipping": q_volume_shipping,
         "small_quantity_revenue": q_small_quantity_revenue,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -4288,6 +4319,11 @@ def oracle_sql() -> dict[str, str]:
         "['joy','anger','sadness','fear','surprise','disgust','neutral']"
     )
     tokens = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+    # DSIR seams: identical md5-derived gram bucket / Gumbel uniform
+    md5_bucket = sketches.md5_int56_sql("'dsir:' || g")
+    md5_gumbel = sketches.md5_int56_sql(
+        "'dsir-gumbel:0:' || cast(doc_id AS varchar)"
+    )
     bpe = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))"
     fingerprint = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
     cos = (
@@ -6058,6 +6094,89 @@ def oracle_sql() -> dict[str, str]:
                UNION ALL SELECT dst, src, w FROM base""",
             iterations=3,
         ),
+        # DSIR: identical bucket hash (md5_int56 seam), identical add-1
+        # smoothed log-ratio composition (ln(p+1)-ln(T+B)-ln(q+1)
+        # +ln(N+B)), floor-quantized to micro-units per BUCKET before
+        # the per-doc integer sum — the only floats are ~2048 ln calls
+        "dsir_importance_weights": f"""
+            WITH toks AS (
+                SELECT doc_id, source, {tokens} AS t FROM documents),
+            uni AS (SELECT doc_id, source, unnest(t) AS g FROM toks),
+            bi AS (
+                SELECT doc_id, source,
+                       unnest([t[i] || ' ' || t[i+1]
+                               for i in generate_series(1, len(t)-1)]) AS g
+                FROM toks WHERE len(t) >= 2),
+            grams AS (
+                SELECT doc_id, source,
+                       ({md5_bucket}) % 2048 AS b
+                FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+            q AS (SELECT b, count(*) AS qc FROM grams GROUP BY b),
+            p AS (SELECT b, count(*) AS pcnt FROM grams
+                  WHERE source = 'src0' GROUP BY b),
+            tot AS (SELECT
+                (SELECT count(*) FROM grams) AS n_raw,
+                (SELECT count(*) FROM grams WHERE source = 'src0') AS n_tgt),
+            ratio AS (
+                SELECT b, cast(floor(1000000.0 * (
+                           ln(coalesce(pcnt, 0) + 1.0)
+                           - ln(cast(n_tgt + 2048 AS double))
+                           - ln(qc + 1.0)
+                           + ln(cast(n_raw + 2048 AS double))))
+                       AS bigint) AS r
+                FROM q LEFT JOIN p USING (b), tot),
+            scored AS (
+                SELECT doc_id, cast(count(*) AS bigint) AS n_grams,
+                       cast(sum(r) AS bigint) AS logw_micro
+                FROM grams JOIN ratio USING (b) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(s.n_grams, 0) AS n_grams,
+                   coalesce(s.logw_micro, 0) AS logw_micro
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "dsir_resample": f"""
+            WITH toks AS (
+                SELECT doc_id, source, {tokens} AS t FROM documents),
+            uni AS (SELECT doc_id, source, unnest(t) AS g FROM toks),
+            bi AS (
+                SELECT doc_id, source,
+                       unnest([t[i] || ' ' || t[i+1]
+                               for i in generate_series(1, len(t)-1)]) AS g
+                FROM toks WHERE len(t) >= 2),
+            grams AS (
+                SELECT doc_id, source,
+                       ({md5_bucket}) % 2048 AS b
+                FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+            q AS (SELECT b, count(*) AS qc FROM grams GROUP BY b),
+            p AS (SELECT b, count(*) AS pcnt FROM grams
+                  WHERE source = 'src0' GROUP BY b),
+            tot AS (SELECT
+                (SELECT count(*) FROM grams) AS n_raw,
+                (SELECT count(*) FROM grams WHERE source = 'src0') AS n_tgt),
+            ratio AS (
+                SELECT b, cast(floor(1000000.0 * (
+                           ln(coalesce(pcnt, 0) + 1.0)
+                           - ln(cast(n_tgt + 2048 AS double))
+                           - ln(qc + 1.0)
+                           + ln(cast(n_raw + 2048 AS double))))
+                       AS bigint) AS r
+                FROM q LEFT JOIN p USING (b), tot),
+            scored AS (
+                SELECT doc_id, cast(sum(r) AS bigint) AS logw_micro
+                FROM grams JOIN ratio USING (b) GROUP BY doc_id),
+            w AS (
+                SELECT d.doc_id,
+                       coalesce(s.logw_micro, 0) AS logw_micro
+                FROM documents d LEFT JOIN scored s USING (doc_id)),
+            keyed AS (
+                SELECT doc_id, logw_micro,
+                       logw_micro + cast(floor(1000000.0 * -ln(-ln(
+                           (({md5_gumbel}) % 1000000 + 0.5)
+                           / 1000000.0))) AS bigint) AS key_micro
+                FROM w)
+            SELECT doc_id, logw_micro, key_micro FROM keyed
+            ORDER BY key_micro DESC, doc_id LIMIT 100
+        """,
         # exact-substring spans: the n-gram formulation — provably
         # identical position cover to the engine's suffix-array path
         # (any repeat of length m >= 8 contributes all m-7 repeated

@@ -334,6 +334,20 @@ def test_r07_suffix_queries_stay_within_shuffle_budget(spark, sf_dir):
         assert "Exchange SinglePartition" not in plan, name
 
 
+def test_r07_dsir_queries_stay_within_shuffle_budget(spark, sf_dir):
+    """DSIR (r7): two gram-bag aggregations (raw + target) and the
+    per-doc scoring aggregate — 3 hash exchanges at the fixture SF
+    (size-based promotion broadcasts the docs-side joins here; the
+    sf0.1 audit shows 6 with the same shape); the n_buckets-row ratio
+    table must BROADCAST into the scoring join (gram rows never shuffle
+    with their ratio attached), and the only single-partition windows
+    run over the bounded bucket tables."""
+    for name in ("dsir_importance_weights", "dsir_resample"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("Exchange hashpartitioning") == 3, name
+        assert "BroadcastHashJoin" in plan, name
+
+
 def test_r03_window_queries_stay_within_shuffle_budget(spark, sf_dir):
     """Table-driven shuffle-budget pins from the r3 plan audit: each
     newly-fronted driver-window query's hash-exchange count is its

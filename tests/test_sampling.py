@@ -353,3 +353,172 @@ def test_mixture_plan_zero_token_stratum_is_null_under_ansi(spark):
         assert rows["empty"].epochs_milli is None
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+# ---------------------------------------------------------------------------
+# DSIR hashed-n-gram importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+def _py_dsir(raw: dict, tgt: dict, B: int):
+    """Reference DSIR in plain python: md5 buckets, add-1 smoothing,
+    per-bucket micro-quantized log-ratio, integer doc sums."""
+    import hashlib
+    import math
+
+    def grams(text):
+        t = text.lower().split()
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def bucket(g):
+        h = int.from_bytes(
+            hashlib.md5(f"dsir:{g}".encode()).digest()[:7], "little"
+        )
+        return h % B
+
+    qc, pc = {}, {}
+    for d in raw.values():
+        for g in grams(d):
+            qc[bucket(g)] = qc.get(bucket(g), 0) + 1
+    for d in tgt.values():
+        for g in grams(d):
+            pc[bucket(g)] = pc.get(bucket(g), 0) + 1
+    n_raw, n_tgt = sum(qc.values()), sum(pc.values())
+    r = {
+        b: math.floor(
+            1_000_000.0
+            * (
+                math.log(pc.get(b, 0) + 1.0)
+                - math.log(float(n_tgt + B))
+                - math.log(q + 1.0)
+                + math.log(float(n_raw + B))
+            )
+        )
+        for b, q in qc.items()
+    }
+    out = {}
+    for did, d in raw.items():
+        gs = grams(d)
+        out[did] = (len(gs), sum(r[bucket(g)] for g in gs))
+    return out
+
+
+RAW_DOCS = {
+    1: "the cat sat on the mat",
+    2: "stock market prices fell sharply today",
+    3: "the dog sat on the rug",
+    4: "quarterly earnings beat market expectations",
+    5: "",
+}
+TGT_DOCS = {
+    10: "the cat chased the dog",
+    11: "a cat and a dog sat together",
+}
+
+
+def _dsir_frames(spark):
+    raw = spark.createDataFrame(
+        list(RAW_DOCS.items()), "doc_id long, text string"
+    )
+    tgt = spark.createDataFrame(
+        list(TGT_DOCS.items()), "doc_id long, text string"
+    )
+    return raw, tgt
+
+
+def test_dsir_weights_match_python_reference(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    raw, tgt = _dsir_frames(spark)
+    got = {
+        r.doc_id: (r.n_grams, r.logw_micro)
+        for r in dsir_importance_weights(
+            raw, tgt, n_buckets=512, hasher="md5"
+        ).collect()
+    }
+    exp = _py_dsir(RAW_DOCS, TGT_DOCS, 512)
+    exp[5] = (0, 0)  # empty doc: no grams, scored 0 via the left join
+    assert got == exp
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    """The semantic check: animal-sentence raw docs must outscore the
+    finance docs when the target corpus is about cats and dogs."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    raw, tgt = _dsir_frames(spark)
+    got = {
+        r.doc_id: r.logw_micro
+        for r in dsir_importance_weights(
+            raw, tgt, n_buckets=512, hasher="md5"
+        ).collect()
+    }
+    assert min(got[1], got[3]) > max(got[2], got[4])
+
+
+def test_dsir_xxhash_production_path(spark):
+    """The xxhash64 dial: same gram counts, runs end-to-end (bucket
+    values differ — that is the point of the dial)."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    raw, tgt = _dsir_frames(spark)
+    got = {
+        r.doc_id: r.n_grams
+        for r in dsir_importance_weights(
+            raw, tgt, n_buckets=512, hasher="xxhash64"
+        ).collect()
+    }
+    assert got == {d: (0 if not t else 2 * len(t.split()) - 1)
+                   for d, t in RAW_DOCS.items()}
+
+
+def test_dsir_resample_gumbel_top_k_deterministic(spark):
+    import hashlib
+    import math
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import (
+        dsir_resample,
+    )
+
+    raw, tgt = _dsir_frames(spark)
+    got = [
+        (r.doc_id, r.logw_micro, r.key_micro)
+        for r in dsir_resample(
+            raw, tgt, k=3, n_buckets=512, hasher="md5", seed=7
+        ).collect()
+    ]
+    exp_w = _py_dsir(RAW_DOCS, TGT_DOCS, 512)
+    exp_w[5] = (0, 0)
+
+    def key(did):
+        h = int.from_bytes(
+            hashlib.md5(f"dsir-gumbel:7:{did}".encode()).digest()[:7],
+            "little",
+        )
+        u = (h % 1_000_000 + 0.5) / 1_000_000.0
+        return exp_w[did][1] + math.floor(
+            1_000_000.0 * -math.log(-math.log(u))
+        )
+
+    exp = sorted(
+        ((d, exp_w[d][1], key(d)) for d in RAW_DOCS),
+        key=lambda r: (-r[2], r[0]),
+    )[:3]
+    assert got == exp
+
+
+def test_dsir_rejects_unknown_hasher(spark):
+    import pytest as _pt
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    raw, tgt = _dsir_frames(spark)
+    with _pt.raises(ValueError):
+        dsir_importance_weights(raw, tgt, hasher="sha1").collect()

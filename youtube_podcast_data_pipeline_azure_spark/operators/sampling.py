@@ -397,3 +397,178 @@ def mixture_plan(
             ).alias("epochs_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: hashed n-gram importance resampling (Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling")
+# ---------------------------------------------------------------------------
+
+def _hashed_grams(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    hasher: str,
+) -> DataFrame:
+    """(id, bucket) — one row per gram OCCURRENCE (unigrams + bigrams,
+    the DSIR feature bag; duplicates kept, counts are the feature
+    values), bucket = hash(gram) % n_buckets.
+
+    ``hasher='xxhash64'`` is the production path (JVM hash, cheap);
+    ``'md5'`` is the oracle seam — identical buckets in DuckDB via
+    md5_number_upper (same convention as the CMS sketch / span
+    corruption mask).
+    """
+    from ..functions.text import positional_ngrams, tokenize
+    from .sketches import md5_int56
+
+    toks = tokenize(F.col(text_col))
+    # explicit feature map: unigrams for >= 1 token, bigrams for >= 2
+    # (no short-tail/empty-string degenerate grams); empty docs emit
+    # nothing and surface as (0, 0) through the scoring left join
+    bigrams = F.when(
+        F.size(toks) >= 2, positional_ngrams(toks, 2)
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(toks, bigrams)
+    exploded = docs.select(
+        F.col(id_col), F.explode(grams).alias("_gram")
+    )
+    if hasher == "md5":
+        h = md5_int56(F.concat(F.lit("dsir:"), F.col("_gram")))
+    elif hasher == "xxhash64":
+        h = F.xxhash64(F.concat(F.lit("dsir:"), F.col("_gram")))
+    else:
+        raise ValueError(f"unknown hasher {hasher!r}")
+    return exploded.select(
+        F.col(id_col), F.pmod(h, F.lit(n_buckets)).cast("long").alias("_b")
+    )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """DSIR importance log-weights: score every raw document by how
+    much its hashed-n-gram feature bag looks drawn from the TARGET
+    distribution rather than the raw corpus — the mixture-TARGETING
+    step the engine's mixture planner lacked (mixture_plan allocates
+    token budgets across declared strata; DSIR weights individual
+    documents toward a target domain).
+
+    Per bucket b: r(b) = log p_target(b) - log q_raw(b), add-1 smoothed
+    over ``n_buckets``; per document: logw = sum over its gram
+    occurrences of r(bucket).  The per-BUCKET log-ratio is quantized to
+    integer micro-units (floor(1e6 * r)) BEFORE the per-document sum,
+    so the sum is pure int64 arithmetic — order-independent, ANSI-safe,
+    and bit-identical on any engine (the only floats are n_buckets
+    single ln() calls on the bounded ratio table).
+
+    Scale shape: two gram scans (raw + target) collapse map-side to
+    <= n_buckets partial rows each; the ratio table (n_buckets rows)
+    broadcasts into the scoring join; per-doc sums partial-aggregate
+    before the one id-shuffle.  Nothing document-sized moves twice.
+
+    Returns (id_col, n_grams, logw_micro); docs with no grams get
+    (0, 0).
+    """
+    raw_grams = _hashed_grams(docs, text_col, id_col, n_buckets, hasher)
+    tgt_grams = _hashed_grams(target, text_col, id_col, n_buckets, hasher)
+    q = raw_grams.groupBy("_b").agg(F.count("*").alias("_q"))
+    p = tgt_grams.groupBy("_b").agg(F.count("*").alias("_p"))
+    # gram totals come from the ALREADY-AGGREGATED bucket tables via
+    # single-partition windows — those tables are <= n_buckets rows by
+    # construction, so the single partition is bounded, and no extra
+    # corpus scan (or eager driver collect) happens for the scalars
+    w_all = Window.partitionBy()
+    q = q.withColumn("_n_raw", F.sum("_q").over(w_all))
+    p = p.withColumn("_n_tgt", F.sum("_p").over(w_all))
+    # buckets absent from the raw corpus can never be probed by a raw
+    # document, so the q-keyed left join covers the scoring domain; the
+    # target total must still reach rows whose bucket the target lacks
+    # (their _n_tgt is null after the join) — one more bounded window
+    joined = q.join(p, "_b", "left").withColumn(
+        "_t_all", F.coalesce(F.max("_n_tgt").over(w_all), F.lit(0))
+    )
+    ratio = joined.select(
+        "_b",
+        F.floor(
+            F.lit(1_000_000.0)
+            * (
+                F.log(F.coalesce("_p", F.lit(0)) + F.lit(1.0))
+                - F.log((F.col("_t_all") + F.lit(n_buckets)).cast("double"))
+                - F.log(F.col("_q") + F.lit(1.0))
+                + F.log((F.col("_n_raw") + F.lit(n_buckets)).cast("double"))
+            )
+        )
+        .cast("long")
+        .alias("_r_micro"),
+    )
+    scored = (
+        raw_grams.join(F.broadcast(ratio), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("_r_micro").cast("long").alias("logw_micro"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("logw_micro", F.lit(0))
+            .cast("long")
+            .alias("logw_micro"),
+        )
+    )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    hasher: str = "xxhash64",
+    seed: int = 0,
+) -> DataFrame:
+    """DSIR selection: keep the ``k`` raw documents with the highest
+    Gumbel-perturbed importance weight — sampling WITHOUT replacement
+    from the importance distribution (the Gumbel-top-k identity), fully
+    deterministic: the Gumbel noise derives from md5(id), so re-runs,
+    retries, and any partitioning pick the same k documents.
+
+    key = logw_micro + floor(1e6 * gumbel(u)),  u = (md5(id) % 1e6
+    + 0.5) / 1e6 — the noise is quantized to the same micro-units as
+    the weights, keeping the ordering integer-exact.  Top-k is a
+    TakeOrdered (no global sort): (key desc, id asc) total order.
+
+    Returns (id_col, logw_micro, key_micro), the selected documents.
+    """
+    from .sketches import md5_int56
+
+    w = dsir_importance_weights(
+        docs, target, text_col, id_col, n_buckets, hasher
+    )
+    u_micro = md5_int56(
+        F.concat(F.lit(f"dsir-gumbel:{seed}:"), F.col(id_col).cast("string"))
+    ) % F.lit(1_000_000)
+    u = (u_micro.cast("double") + F.lit(0.5)) / F.lit(1_000_000.0)
+    gumbel_micro = F.floor(F.lit(1_000_000.0) * -F.log(-F.log(u))).cast(
+        "long"
+    )
+    keyed = w.select(
+        id_col,
+        "logw_micro",
+        (F.col("logw_micro") + gumbel_micro).alias("key_micro"),
+    )
+    return keyed.orderBy(
+        F.col("key_micro").desc(), F.col(id_col).asc()
+    ).limit(k)
