@@ -2632,6 +2632,23 @@ def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-free decontamination audit: maximal spans (>= 8 tokens)
+    in training documents (doc_id % 10 != 7) whose every 8-token window
+    also occurs verbatim in the eval slice (doc_id % 10 == 7) — WHERE
+    each benchmark leak sits and how long it runs, the span-granular
+    upgrade of contamination_report's doc-level flags
+    (operators/suffix.py:contamination_spans).  Oracle: the train-gram
+    ∩ eval-gram interval merge (identical position cover by
+    construction)."""
+    docs = _t(spark, sf_dir, "documents")
+    return suffix.contamination_spans(
+        docs.where(F.col("doc_id") % 10 != 7),
+        docs.where(F.col("doc_id") % 10 == 7),
+        min_len=8,
+    )
+
+
 def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance log-weights (Xie et al. 2023): score every
     document against the src0 stratum as the target distribution —
@@ -4098,12 +4115,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "dq_report": q_dq_report,
         "dq_referential_orphans": q_dq_referential_orphans,
-        "dq_unique_violations": q_dq_unique_violations,
         # ===== r07 window, part D: new this round (VERDICT r6 #7) —
         # the suffix-array exact-substring dedup pair and the DSIR
         # importance-resampling pair; displaces the four youngest
         # part-C fills (table_fingerprint/snapshot_diff/volume_shipping/
         # small_quantity_revenue, r3-green, now first below the line)
+        "contamination_spans": q_contamination_spans,
         "exact_substring_spans": q_exact_substring_spans,
         "longest_repeated_substrings": q_longest_repeated_substrings,
         "dsir_importance_weights": q_dsir_importance_weights,
@@ -4111,6 +4128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ================= end of driver's 50-slot window =================
         # below the line: oldest evidence first (tools/staleness.py
         # ledger drives each round's rotation; r3 next, freshest r6 last)
+        "dq_unique_violations": q_dq_unique_violations,
         "table_fingerprint": q_table_fingerprint,
         "snapshot_diff": q_snapshot_diff,
         "volume_shipping": q_volume_shipping,
@@ -6094,6 +6112,44 @@ def oracle_sql() -> dict[str, str]:
                UNION ALL SELECT dst, src, w FROM base""",
             iterations=3,
         ),
+        # contamination spans: train-gram ∩ eval-gram position cover +
+        # per-doc interval merge — by construction the same positions
+        # the engine's union-corpus suffix ranks mark
+        "contamination_spans": f"""
+            WITH toks AS (SELECT doc_id, {tokens} AS t FROM documents),
+            tr AS (SELECT * FROM toks WHERE doc_id % 10 != 7),
+            ev AS (SELECT * FROM toks WHERE doc_id % 10 = 7),
+            evg AS (
+                SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS gram
+                FROM ev,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, len(t) - 8 + 1)) AS i) u),
+            tg AS (
+                SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS gram
+                FROM tr,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, len(t) - 8 + 1)) AS i) u),
+            hits AS (SELECT doc_id, i FROM tg JOIN evg USING (gram)),
+            iv AS (SELECT doc_id, i - 1 AS s, i + 7 AS e FROM hits),
+            m AS (
+                SELECT doc_id, s, e,
+                       max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS pme
+                FROM iv),
+            isl AS (
+                SELECT doc_id, s, e,
+                       sum(CASE WHEN pme IS NULL OR s > pme
+                           THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY s, e)
+                           AS island
+                FROM m)
+            SELECT doc_id,
+                   cast(min(s) AS bigint) AS span_start,
+                   cast(max(e) AS bigint) AS span_end,
+                   cast(max(e) - min(s) AS bigint) AS span_len
+            FROM isl GROUP BY doc_id, island
+        """,
         # DSIR: identical bucket hash (md5_int56 seam), identical add-1
         # smoothed log-ratio composition (ln(p+1)-ln(T+B)-ln(q+1)
         # +ln(N+B)), floor-quantized to micro-units per BUCKET before

@@ -81,6 +81,15 @@ DOCS_10X = [
     # true pair set linear, so wall growth must stay ~linear here
     # (construct+collect timing includes the eager checkpoint pass)
     "dedup_threshold_curve",
+    # r7 additions: suffix-array ops are linear in corpus tokens (the
+    # doubling rounds shuffle integer triples; disjoint replica
+    # vocabularies keep repeats within-replica, so spans grow
+    # linearly); timing includes the eager dense-rank rounds at
+    # construct.  DSIR is two gram scans + a broadcast-ratio join.
+    "exact_substring_spans",
+    "longest_repeated_substrings",
+    "dsir_importance_weights",
+    "dsir_resample",
 ]
 EMB_10X = ["knn_bruteforce", "semantic_dedup", "ann_recall"]
 PATHOLOGY = [

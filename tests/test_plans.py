@@ -328,6 +328,9 @@ def test_r07_suffix_queries_stay_within_shuffle_budget(spark, sf_dir):
     for name, budget in {
         "exact_substring_spans": 2,
         "longest_repeated_substrings": 2,
+        # side-tag join broadcasts at the fixture SF (4 at sf0.1 where
+        # the sides shuffle); the spans machinery itself is identical
+        "contamination_spans": 2,
     }.items():
         plan = _plan(spark, sf_dir, name)
         assert plan.count("Exchange hashpartitioning") == budget, name

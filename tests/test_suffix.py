@@ -183,3 +183,80 @@ def test_suffix_plans_have_no_single_partition_exchange(docs):
         .toString()
     )
     assert "Exchange SinglePartition" not in plan
+
+
+def test_contamination_spans_match_gram_formulation(spark):
+    """A training position is contaminated iff its L-gram appears in
+    the eval corpus; merged spans must equal the gram-set reference,
+    including eval-internal repeats NOT leaking into training marks."""
+    train = {
+        1: "alpha beta gamma delta epsilon zeta eta theta".split(),
+        2: "one two three four five six seven".split(),
+        3: "clean words nothing shared here at all".split(),
+    }
+    evald = {
+        # shares a 5-token run with doc 1 (beta..zeta) and a 3-token
+        # run with doc 2 (three four five); doc 3 shares nothing
+        7: "beta gamma delta epsilon zeta other tail".split(),
+        8: "prefix three four five suffix words".split(),
+    }
+    L = 3
+    tr = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in train.items()],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in evald.items()],
+        "doc_id long, text string",
+    )
+    from youtube_podcast_data_pipeline_azure_spark.operators import suffix
+
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in suffix.contamination_spans(tr, ev, min_len=L).collect()
+    }
+
+    # reference: gram-set intersection + interval merge
+    evg = {
+        tuple(t[p : p + L])
+        for t in evald.values()
+        for p in range(len(t) - L + 1)
+    }
+    exp = set()
+    for d, t in train.items():
+        marked = [
+            (p, p + L)
+            for p in range(len(t) - L + 1)
+            if tuple(t[p : p + L]) in evg
+        ]
+        cur = None
+        for s, e in sorted(marked):
+            if cur is None:
+                cur = [s, e]
+            elif s <= cur[1]:
+                cur[1] = max(cur[1], e)
+            else:
+                exp.add((d, cur[0], cur[1], cur[1] - cur[0]))
+                cur = [s, e]
+        if cur:
+            exp.add((d, cur[0], cur[1], cur[1] - cur[0]))
+    assert got == exp
+    # sanity on the fixture itself: doc1 leaks beta..zeta (5 tokens),
+    # doc2 leaks three..five (3), doc3 is clean
+    assert got == {(1, 1, 6, 5), (2, 2, 5, 3)}
+
+
+def test_contamination_spans_survive_id_collisions(spark):
+    """The same id on both sides must not cross-contaminate: an eval
+    doc with id 1 repeating its own text does not mark train doc 1."""
+    from youtube_podcast_data_pipeline_azure_spark.operators import suffix
+
+    tr = spark.createDataFrame(
+        [(1, "totally unshared training words here")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, "totally different evaluation content instead")],
+        "doc_id long, text string",
+    )
+    assert suffix.contamination_spans(tr, ev, min_len=3).count() == 0

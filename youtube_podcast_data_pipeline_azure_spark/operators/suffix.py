@@ -51,6 +51,7 @@ from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 from ..functions.text import tokenize
 
 __all__ = [
+    "contamination_spans",
     "doc_suffix_ranks",
     "exact_substring_spans",
     "longest_repeated_substrings",
@@ -268,6 +269,15 @@ def exact_substring_spans(
             (F.col("pos") + min_len).alias("_e"),
         )
     )
+    return _merge_intervals(marked, id_col)
+
+
+def _merge_intervals(marked: DataFrame, id_col: str) -> DataFrame:
+    """Per-document interval union of (_s, _e) rows: classic island
+    detection — running max of prior ends, new island when a start
+    clears it — two stacked windows on the document key + one
+    aggregate, a single shuffle.  Returns
+    (id_col, span_start, span_end, span_len)."""
     w = Window.partitionBy(id_col).orderBy("_s", "_e")
     prev_max_end = F.max("_e").over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -292,6 +302,61 @@ def exact_substring_spans(
             (F.col("span_end") - F.col("span_start")).alias("span_len"),
         )
     )
+
+
+def contamination_spans(
+    docs: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 8,
+) -> DataFrame:
+    """Length-free decontamination audit: for every TRAINING document,
+    the maximal spans whose every ``min_len``-token window also occurs
+    verbatim in the EVAL corpus — WHERE the benchmark leak sits and how
+    long it runs, not just the doc-level flag the fixed-gram
+    contamination report gives.
+
+    Construction: suffix ranks over the tagged union of both corpora
+    (one doubling, shared ranks); a training position is contaminated
+    iff its exact-L prefix rank group contains an eval-side occurrence
+    — by construction identical to "its L-gram appears in the eval
+    set", which is the DuckDB oracle formulation.  Marked positions
+    merge per document into maximal spans.  A span longer than L means
+    every L-window inside it is eval-shared (the decontamination
+    criterion), not that the whole span is contiguous in one eval doc.
+
+    Returns (id_col, span_start, span_end, span_len) for training
+    documents, positions 0-based, end exclusive.
+    """
+    tagged = (
+        docs.select(
+            F.lit(0).alias("_side"), F.col(id_col), F.col(text_col)
+        ).unionByName(
+            evalset.select(
+                F.lit(1).alias("_side"), F.col(id_col), F.col(text_col)
+            )
+        )
+        # internal uid: ids may collide across the two corpora
+        .withColumn(
+            "_uid",
+            F.concat_ws(":", F.col("_side"), F.col(id_col).cast("string")),
+        )
+    )
+    starts = _rank_at_length(tagged, text_col, "_uid", min_len)
+    sides = tagged.select("_uid", "_side", F.col(id_col))
+    with_side = starts.join(sides, "_uid")
+    grp = Window.partitionBy("rank_l")
+    marked = (
+        with_side.withColumn("_has_eval", F.max("_side").over(grp))
+        .where((F.col("_side") == 0) & (F.col("_has_eval") == 1))
+        .select(
+            F.col(id_col),
+            F.col("pos").alias("_s"),
+            (F.col("pos") + min_len).alias("_e"),
+        )
+    )
+    return _merge_intervals(marked, id_col)
 
 
 def _lcp(wa: Column, wb: Column) -> Column:
