@@ -384,24 +384,18 @@ def test_heavy_hitters_by_key_auto_probe_small_keys_skips_repartition(spark):
         ("a", "x"): 6,
         ("b", "z"): 4,
     }
-    # the probe decided False: identical exchange budget to an explicit
-    # False, exactly one fewer hash exchange than a forced True
-    def _n_hash_exchanges(frame):
-        plan = frame._jdf.queryExecution().executedPlan().toString()
-        return plan.count("Exchange hashpartitioning")
+    # the probe decided False: assert the DECISION on the logical plan
+    # (deterministic, AQE/session-history independent) — no
+    # RepartitionByExpression node, unlike a forced True
+    def _n_repartitions(frame):
+        plan = frame._jdf.queryExecution().optimizedPlan().toString()
+        return plan.count("RepartitionByExpression")
 
-    explicit = heavy_hitters_exact_by_key(
-        df, "k", "item", denom=3, k=16, repartition_by_key=False
-    )
     forced = heavy_hitters_exact_by_key(
         df, "k", "item", denom=3, k=16, repartition_by_key=True
     )
-    explicit.collect()  # finalize AQE so all three plans are comparable
-    forced.collect()
-    assert _n_hash_exchanges(got) == _n_hash_exchanges(explicit)
-    # forced repartition adds exchange(s); AQE's reuse/printing makes
-    # the exact delta session-history-dependent, so pin the direction
-    assert _n_hash_exchanges(forced) > _n_hash_exchanges(got)
+    assert _n_repartitions(got) == 0
+    assert _n_repartitions(forced) == 1
 
 
 def test_heavy_hitters_by_key_null_keys_and_items_excluded(spark):
