@@ -2649,6 +2649,21 @@ def q_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_remove_contaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination REWRITE at span granularity: training documents
+    (doc_id % 10 != 7) with every eval-leaked span (>= 8 tokens, eval =
+    doc_id % 10 == 7) cut out — the doc survives minus the leaked
+    passages, where doc-level decontamination would drop it whole
+    (operators/suffix.py:remove_contaminated_spans).  Oracle: the
+    gram-formulation spans + a covered-position anti-join rebuild."""
+    docs = _t(spark, sf_dir, "documents")
+    return suffix.remove_contaminated_spans(
+        docs.where(F.col("doc_id") % 10 != 7),
+        docs.where(F.col("doc_id") % 10 == 7),
+        min_len=8,
+    )
+
+
 def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance log-weights (Xie et al. 2023): score every
     document against the src0 stratum as the target distribution —
@@ -4126,6 +4141,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_weights": q_dsir_importance_weights,
         "dsir_resample": q_dsir_resample,
         # ================= end of driver's 50-slot window =================
+        # parked r8 window head: added after the r7 window was fixed at
+        # 50; locally oracle-mirrored (sf0.001 + sf0.01, engine + plain
+        # sessions) — needs its first driver row next round
+        "remove_contaminated_spans": q_remove_contaminated_spans,
         # below the line: oldest evidence first (tools/staleness.py
         # ledger drives each round's rotation; r3 next, freshest r6 last)
         "dq_unique_violations": q_dq_unique_violations,
@@ -6149,6 +6168,52 @@ def oracle_sql() -> dict[str, str]:
                    cast(max(e) AS bigint) AS span_end,
                    cast(max(e) - min(s) AS bigint) AS span_len
             FROM isl GROUP BY doc_id, island
+        """,
+        # decontamination rewrite: spans (gram formulation) + rebuild
+        # from non-covered positions; string_agg over zero kept tokens
+        # is NULL -> coalesce to '' (Spark concat_ws gives '')
+        "remove_contaminated_spans": f"""
+            WITH toks AS (SELECT doc_id, {tokens} AS t FROM documents),
+            tr AS (SELECT * FROM toks WHERE doc_id % 10 != 7),
+            ev AS (SELECT * FROM toks WHERE doc_id % 10 = 7),
+            evg AS (
+                SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS gram
+                FROM ev,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, len(t) - 8 + 1)) AS i) u),
+            tg AS (
+                SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS gram
+                FROM tr,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, len(t) - 8 + 1)) AS i) u),
+            hits AS (SELECT doc_id, i FROM tg JOIN evg USING (gram)),
+            cover AS (
+                SELECT DISTINCT h.doc_id, p.p
+                FROM hits h,
+                     LATERAL (SELECT unnest(generate_series(
+                         h.i, h.i + 7)) AS p) p),
+            pos AS (
+                SELECT doc_id, i, t[i] AS tok
+                FROM tr,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, len(t))) AS i) u),
+            keep AS (
+                SELECT p.doc_id, p.i, p.tok
+                FROM pos p LEFT JOIN cover c
+                    ON c.doc_id = p.doc_id AND c.p = p.i
+                WHERE c.p IS NULL),
+            rebuilt AS (
+                SELECT doc_id,
+                       coalesce(string_agg(tok, ' ' ORDER BY i), '')
+                           AS text,
+                       cast(count(*) AS bigint) AS n_tokens
+                FROM keep GROUP BY doc_id)
+            SELECT tr.doc_id,
+                   coalesce(r.text, '') AS text,
+                   cast(len(tr.t) - coalesce(r.n_tokens, 0) AS bigint)
+                       AS n_tokens_removed,
+                   coalesce(r.n_tokens, 0) AS n_tokens
+            FROM tr LEFT JOIN rebuilt r USING (doc_id)
         """,
         # DSIR: identical bucket hash (md5_int56 seam), identical add-1
         # smoothed log-ratio composition (ln(p+1)-ln(T+B)-ln(q+1)

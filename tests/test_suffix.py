@@ -260,3 +260,36 @@ def test_contamination_spans_survive_id_collisions(spark):
         "doc_id long, text string",
     )
     assert suffix.contamination_spans(tr, ev, min_len=3).count() == 0
+
+
+def test_remove_contaminated_spans_rewrite(spark):
+    """Leaked passages are cut, the rest of the doc survives verbatim,
+    uncontaminated docs pass through unchanged, and token accounting
+    adds up."""
+    from youtube_podcast_data_pipeline_azure_spark.operators import suffix
+
+    tr = spark.createDataFrame(
+        [
+            (1, "keep one two three four drop_a drop_b drop_c tail words"),
+            (2, "totally clean document stays exactly as written"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(9, "prefix drop_a drop_b drop_c tail suffix")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_tokens_removed, r.n_tokens)
+        for r in suffix.remove_contaminated_spans(
+            tr, ev, min_len=3
+        ).collect()
+    }
+    # doc1 tokens: keep(0) one(1) two(2) three(3) four(4) drop_a(5)
+    # drop_b(6) drop_c(7) tail(8) words(9); eval-shared 3-grams start
+    # at 5 ('drop_a drop_b drop_c') and 6 ('drop_b drop_c tail') ->
+    # cover [5,8) U [6,9) = [5,9): drop_a..tail removed, 'words' stays
+    assert got[1] == ("keep one two three four words", 4, 6)
+    assert got[2] == (
+        "totally clean document stays exactly as written", 0, 7,
+    )

@@ -55,6 +55,7 @@ __all__ = [
     "doc_suffix_ranks",
     "exact_substring_spans",
     "longest_repeated_substrings",
+    "remove_contaminated_spans",
 ]
 
 
@@ -464,3 +465,66 @@ def longest_repeated_substrings(
     return out.orderBy(
         F.col("lcp").desc(), F.col(id_col).asc(), F.col("pos").asc()
     ).limit(top)
+
+
+def remove_contaminated_spans(
+    docs: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 8,
+) -> DataFrame:
+    """Decontamination REWRITE: cut every :func:`contamination_spans`
+    span out of the training documents — the drop-side consumer of the
+    audit, at span granularity (the doc survives minus the leaked
+    passages, where doc-level decontamination would discard it whole).
+
+    The span list per document is tiny (merged intervals), so the
+    rewrite is a narrow array pipeline: tokens zip with their position,
+    a nested higher-order filter drops positions covered by any span
+    (O(tokens · spans-per-doc), JVM-side), and the text rebuilds with
+    ``concat_ws`` — no explode, no reassembly shuffle.  The span table
+    itself ships only (id, start, end) triples.  Ordering inside the
+    collected span array is forced with ``array_sort`` (bare
+    collect_list is retry-nondeterministic).
+
+    Returns (id_col, text, n_tokens_removed, n_tokens) for every
+    training document (uncontaminated docs pass through unchanged).
+    """
+    spans = contamination_spans(docs, evalset, text_col, id_col, min_len)
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans")
+    )
+    toks = docs.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_toks")
+    )
+    joined = toks.join(per_doc, id_col, "left").withColumn(
+        "_spans",
+        F.coalesce(
+            "_spans",
+            F.array().cast("array<struct<span_start:long,span_end:long>>"),
+        ),
+    )
+    indexed = F.transform(
+        "_toks", lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            "_spans",
+            lambda sp: (s["i"] >= sp["span_start"])
+            & (s["i"] < sp["span_end"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.concat_ws(
+            " ", F.transform(kept, lambda s: s["t"])
+        ).alias(text_col),
+        (F.size("_toks") - F.size(kept)).cast("long").alias(
+            "n_tokens_removed"
+        ),
+        F.size(kept).cast("long").alias("n_tokens"),
+    )
