@@ -2692,6 +2692,20 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM perplexity filter (Wenzek et al. 2020):
+    an add-1 bigram model trained on the English slice scores every
+    document's per-token NLL (micro-quantized per transition, so the
+    sums are pure int64), and a distributed-exact ntile(3) assigns
+    head/middle/tail buckets without a single-partition global sort
+    (operators/curation.py:lm_perplexity_report).  Oracle: the naive
+    global ntile(3) window over the same integer scores."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.lm_perplexity_report(
+        docs, docs.where(F.col("lang") == "en")
+    )
+
+
 def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-free exact-substring dedup (Lee et al. 2022): maximal
     repeated spans of >= 8 tokens anywhere in the corpus, via
@@ -4145,6 +4159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50; locally oracle-mirrored (sf0.001 + sf0.01, engine + plain
         # sessions) — needs its first driver row next round
         "remove_contaminated_spans": q_remove_contaminated_spans,
+        "lm_perplexity_filter": q_lm_perplexity,
         # below the line: oldest evidence first (tools/staleness.py
         # ledger drives each round's rotation; r3 next, freshest r6 last)
         "dq_unique_violations": q_dq_unique_violations,
@@ -6214,6 +6229,61 @@ def oracle_sql() -> dict[str, str]:
                        AS n_tokens_removed,
                    coalesce(r.n_tokens, 0) AS n_tokens
             FROM tr LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        # CCNet bigram-LM filter: identical add-1 model, identical
+        # floor(1e6*ln P) per-transition quantization, integer // for
+        # the per-token NLL; the naive global ntile(3) reproduces the
+        # engine's distributed rank construction exactly (same larger-
+        # buckets-first remainder rule, same (score, id) total order)
+        "lm_perplexity_filter": f"""
+            WITH toks AS (SELECT doc_id, lang, {tokens} AS t FROM documents),
+            ref AS (SELECT * FROM toks WHERE lang = 'en'),
+            refp AS (
+                SELECT t[i] AS v, t[i + 1] AS w
+                FROM ref,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, len(t) - 1)) AS i) u
+                WHERE len(t) >= 2),
+            cvw AS (SELECT v, w, count(*) AS c FROM refp GROUP BY v, w),
+            cv AS (SELECT v, sum(c) AS cv FROM cvw GROUP BY v),
+            vn AS (
+                SELECT count(DISTINCT x) + 1 AS vsz
+                FROM (SELECT unnest(t) AS x FROM ref)),
+            dp AS (
+                SELECT doc_id, t[i] AS v, t[i + 1] AS w
+                FROM toks,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, len(t) - 1)) AS i) u
+                WHERE len(t) >= 2),
+            sp AS (
+                SELECT doc_id,
+                       cast(floor(1000000.0 * (
+                           ln(coalesce(c, 0) + 1.0)
+                           - ln(cast(coalesce(cv, 0) + vsz AS double))
+                       )) AS bigint) AS lp
+                FROM dp
+                LEFT JOIN cvw USING (v, w)
+                LEFT JOIN cv USING (v)
+                CROSS JOIN vn),
+            pd AS (
+                SELECT doc_id,
+                       cast(count(*) AS bigint) AS n_scored,
+                       cast(-sum(lp) AS bigint) AS nll_micro
+                FROM sp GROUP BY doc_id),
+            bk AS (
+                SELECT doc_id, n_scored, nll_micro,
+                       nll_micro // n_scored AS nll_per_tok_micro,
+                       cast(ntile(3) OVER (
+                           ORDER BY nll_micro // n_scored, doc_id
+                       ) AS bigint) AS ppl_bucket
+                FROM pd)
+            SELECT d.doc_id,
+                   coalesce(bk.n_scored, 0) AS n_scored,
+                   coalesce(bk.nll_micro, 0) AS nll_micro,
+                   bk.nll_per_tok_micro,
+                   bk.ppl_bucket
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN bk USING (doc_id)
         """,
         # DSIR: identical bucket hash (md5_int56 seam), identical add-1
         # smoothed log-ratio composition (ln(p+1)-ln(T+B)-ln(q+1)

@@ -533,3 +533,60 @@ def test_source_mixture_card_hand_counted(spark):
     assert b["token_share_permille"] == 3 * 1000 // 17
     # mean quality of two identical docs == the single-doc value
     assert 0 <= a["mean_quality_bp"] <= 10000
+
+
+def test_lm_perplexity_report_hand_computed(spark):
+    """Bigram LM scores and ntile buckets on a hand-built corpus."""
+    import math
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import lm_perplexity_report
+
+    ref = spark.createDataFrame(
+        [(100, "a b a c")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b x"), (2, "z"), (3, "a b"), (4, "c c c")],
+        "doc_id long, text string",
+    )
+    # model: cvw {(a,b):1,(b,a):1,(a,c):1}; cv {a:2,b:1}; V = 3+1
+    def lp(cvw, cv):
+        return math.floor(1e6 * (math.log(cvw + 1) - math.log(cv + 4)))
+
+    exp_nll = {
+        1: -(lp(1, 2) + lp(0, 1)),  # (a,b), (b,x)
+        3: -lp(1, 2),               # (a,b)
+        4: -2 * lp(0, 0),           # (c,c) x2
+    }
+    got = {
+        r.doc_id: r.asDict()
+        for r in lm_perplexity_report(docs, ref).collect()
+    }
+    assert got[2] == {
+        "doc_id": 2, "n_scored": 0, "nll_micro": 0,
+        "nll_per_tok_micro": None, "ppl_bucket": None,
+    }
+    for d, n in ((1, 2), (3, 1), (4, 2)):
+        assert got[d]["n_scored"] == n
+        assert got[d]["nll_micro"] == exp_nll[d]
+        assert got[d]["nll_per_tok_micro"] == exp_nll[d] // n
+    # per-token NLL order: doc3 < doc1 < doc4 -> buckets 1, 2, 3
+    assert [got[d]["ppl_bucket"] for d in (3, 1, 4)] == [1, 2, 3]
+
+
+def test_lm_perplexity_bucket_sizes_follow_ntile(spark):
+    """7 scored docs into 3 buckets -> sizes 3/2/2 (larger first),
+    ties broken by doc_id."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import lm_perplexity_report
+
+    ref = spark.createDataFrame(
+        [(100, "a a a a")], "doc_id long, text string"
+    )
+    # all docs identical -> identical scores, ordering purely by doc_id
+    docs = spark.createDataFrame(
+        [(i, "a a a") for i in range(7)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.ppl_bucket
+        for r in lm_perplexity_report(docs, ref).collect()
+    }
+    assert [got[i] for i in range(7)] == [1, 1, 1, 2, 2, 3, 3]

@@ -795,3 +795,162 @@ def source_mixture_card(
             "n_dup_docs"
         ),
     )
+
+
+def _bigram_pairs(df: DataFrame, text_col: str, *extra_cols) -> DataFrame:
+    """(extra_cols..., v, w) — one row per adjacent token TRANSITION.
+    Documents with < 2 tokens emit nothing (no transitions exist).
+
+    Built as a ``zip_with`` over two shifted slices (constant number of
+    token-array evaluations per row — the per-index ``transform`` form
+    re-runs the tokenizer per gram, Catalyst trap #2)."""
+    toks = tokenize(F.col(text_col))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("v"), b.alias("w")),
+        ),
+    ).otherwise(F.array().cast("array<struct<v:string,w:string>>"))
+    return df.select(*extra_cols, F.explode(pairs).alias("_p")).select(
+        *extra_cols, F.col("_p.v").alias("v"), F.col("_p.w").alias("w")
+    )
+
+
+def lm_perplexity_report(
+    docs: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style n-gram LM quality filter (Wenzek et al. 2020): train
+    an add-1-smoothed bigram language model on a REFERENCE corpus (the
+    "clean" distribution — e.g. one trusted source or language slice),
+    score every document by its average negative log-likelihood under
+    that model, and split the scored corpus into ``n_buckets``
+    equal-size perplexity buckets (CCNet's head/middle/tail).  Low
+    bucket = closest to the reference distribution.  Distinct from DSIR
+    (:func:`..sampling.dsir_importance_weights`): DSIR contrasts target
+    vs raw hashed-feature frequencies to RESAMPLE; this scores fluency
+    under a generative model to FILTER — the two standard knobs of a
+    curation pipeline.
+
+    Model: P(w|v) = (c(v,w) + 1) / (c(v) + V), V = reference unigram
+    types + 1 (one reserved UNK type keeps unseen words scorable).  The
+    per-transition log-prob is quantized to integer micro-units
+    (``floor(1e6 · ln P)``) BEFORE the per-document sum — the same seam
+    as DSIR — so per-doc totals are pure int64, order-independent, and
+    bit-identical across engines; per-token NLL is an integer ``div``.
+
+    Bucketing is ntile(``n_buckets``) over (nll_per_tok, id) — but NOT
+    via a single-partition global window.  The distributed-exact
+    construction: per-distinct-VALUE counts (bounded by the quantized
+    value space, ≲ 2e7 rows, not by corpus size) → cumulative rank
+    offsets on that bounded table → per-doc global rank = offset +
+    row_number within the doc's value group → closed-form ntile
+    ``bucket = (rank-1)·k div N + 1`` (larger buckets first, the
+    standard ntile remainder rule) — integer arithmetic end to end, so
+    a plain global-ntile oracle reproduces it bit-for-bit.
+
+    Scale shape: bigram counts shuffle (v, w) pairs with map-side
+    combine — bounded by OBSERVED reference bigrams, not vocab²;
+    context counts derive from the already-aggregated bigram table; the
+    scoring joins shuffle (id, v, w) triples, never document text; the
+    rank join touches the bounded value table.  No broadcast hints —
+    AQE picks broadcast when the count tables are small.
+
+    Returns one row per input document: (id_col, n_scored, nll_micro,
+    nll_per_tok_micro, ppl_bucket); documents with < 2 tokens have
+    n_scored = 0 and NULL score/bucket and do not occupy bucket slots.
+    """
+    ref_pairs = _bigram_pairs(reference, text_col)
+    cvw = ref_pairs.groupBy("v", "w").agg(
+        F.count(F.lit(1)).alias("_cvw")
+    )
+    cv = cvw.groupBy("v").agg(F.sum("_cvw").alias("_cv"))
+    vocab = (
+        reference.select(
+            F.explode(tokenize(F.col(text_col))).alias("_t")
+        )
+        .agg((F.count_distinct("_t") + F.lit(1)).alias("_V"))
+    )
+    doc_pairs = _bigram_pairs(docs, text_col, id_col)
+    scored_pairs = (
+        doc_pairs.join(cvw, ["v", "w"], "left")
+        .join(cv, ["v"], "left")
+        .join(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.floor(
+                F.lit(1_000_000.0)
+                * (
+                    F.log(F.coalesce("_cvw", F.lit(0)) + F.lit(1.0))
+                    - F.log(
+                        (F.coalesce("_cv", F.lit(0)) + F.col("_V")).cast(
+                            "double"
+                        )
+                    )
+                )
+            )
+            .cast("long")
+            .alias("_lp"),
+        )
+    )
+    per_doc = scored_pairs.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        (-F.sum("_lp")).cast("long").alias("nll_micro"),
+    )
+    scored = per_doc.select(
+        id_col,
+        "n_scored",
+        "nll_micro",
+        F.expr("nll_micro div n_scored").alias("nll_per_tok_micro"),
+    )
+    # distributed-exact ntile: bounded distinct-value rank offsets
+    vcounts = scored.groupBy("nll_per_tok_micro").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_val = (
+        Window.partitionBy()
+        .orderBy("nll_per_tok_micro")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = vcounts.select(
+        "nll_per_tok_micro",
+        F.coalesce(F.sum("_c").over(w_val), F.lit(0)).alias("_before"),
+        F.sum("_c").over(Window.partitionBy()).alias("_N"),
+    )
+    w_in = Window.partitionBy("nll_per_tok_micro").orderBy(id_col)
+    bucketed = (
+        scored.join(offsets, "nll_per_tok_micro")
+        .withColumn(
+            "_rank", F.col("_before") + F.row_number().over(w_in)
+        )
+        .select(
+            id_col,
+            "n_scored",
+            "nll_micro",
+            "nll_per_tok_micro",
+            (
+                F.expr(f"(_rank - 1) * {int(n_buckets)} div _N")
+                + F.lit(1)
+            )
+            .cast("long")
+            .alias("ppl_bucket"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(bucketed, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_scored", F.lit(0)).cast("long").alias("n_scored"),
+            F.coalesce("nll_micro", F.lit(0)).cast("long").alias(
+                "nll_micro"
+            ),
+            "nll_per_tok_micro",
+            "ppl_bucket",
+        )
+    )
