@@ -2706,6 +2706,20 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: every ~101st document is a query; top-10
+    corpus docs per query by Lucene-variant BM25.  All model inputs
+    (tf, df, dl, N, Σdl) are exact int64 from one postings aggregate;
+    the per-term contribution is micro-quantized before the per-doc sum
+    so scores and ranks are integer-total
+    (operators/text_mining.py:bm25_topk)."""
+    docs = _t(spark, sf_dir, "documents")
+    qs = docs.where(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return text_mining.bm25_topk(docs, qs, k=10)
+
+
 def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-free exact-substring dedup (Lee et al. 2022): maximal
     repeated spans of >= 8 tokens anywhere in the corpus, via
@@ -4160,6 +4174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sessions) — needs its first driver row next round
         "remove_contaminated_spans": q_remove_contaminated_spans,
         "lm_perplexity_filter": q_lm_perplexity,
+        "bm25_search": q_bm25_search,
         # below the line: oldest evidence first (tools/staleness.py
         # ledger drives each round's rotation; r3 next, freshest r6 last)
         "dq_unique_violations": q_dq_unique_violations,
@@ -6284,6 +6299,61 @@ def oracle_sql() -> dict[str, str]:
                    bk.ppl_bucket
             FROM (SELECT doc_id FROM documents) d
             LEFT JOIN bk USING (doc_id)
+        """,
+        # BM25: identical integer model inputs (tf/df/dl/N/Σdl from the
+        # same postings aggregate), the per-term double expression
+        # written with the IDENTICAL literal composition ((1.2 + 1.0),
+        # (1.0 - 0.75)) and op order on both engines, micro-floored
+        # before the per-(query, doc) sum
+        "bm25_search": f"""
+            WITH toks AS (SELECT doc_id, {tokens} AS t FROM documents),
+            postings AS (
+                SELECT doc_id, x AS term, cast(count(*) AS bigint) AS tf
+                FROM (SELECT doc_id, unnest(t) AS x FROM toks)
+                GROUP BY doc_id, x),
+            dl AS (
+                SELECT doc_id, sum(tf) AS dl
+                FROM postings GROUP BY doc_id),
+            stats AS (
+                SELECT cast(count(*) AS bigint) AS n_docs,
+                       cast(sum(dl) AS bigint) AS sum_dl
+                FROM dl),
+            dft AS (
+                SELECT term, cast(count(*) AS bigint) AS df
+                FROM postings GROUP BY term),
+            qterms AS (
+                SELECT DISTINCT doc_id AS query_id, x AS term
+                FROM (SELECT doc_id, unnest(t) AS x
+                      FROM toks WHERE doc_id % 101 = 0)),
+            contrib AS (
+                SELECT q.query_id, p.doc_id,
+                       cast(floor(1000000.0 * (
+                           ln(1.0 + (s.n_docs - f.df + 0.5)
+                                    / (f.df + 0.5))
+                           * ((p.tf * (1.2 + 1.0))
+                              / (p.tf + 1.2 * ((1.0 - 0.75)
+                                 + 0.75 * (l.dl
+                                     / (cast(s.sum_dl AS double)
+                                        / cast(s.n_docs AS double))))))
+                       )) AS bigint) AS c_micro
+                FROM qterms q
+                JOIN postings p USING (term)
+                JOIN dft f USING (term)
+                JOIN dl l ON l.doc_id = p.doc_id
+                CROSS JOIN stats s),
+            scores AS (
+                SELECT query_id, doc_id,
+                       cast(sum(c_micro) AS bigint) AS score_micro
+                FROM contrib GROUP BY query_id, doc_id),
+            ranked AS (
+                SELECT query_id, doc_id, score_micro,
+                       cast(row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score_micro DESC, doc_id ASC
+                       ) AS bigint) AS rank
+                FROM scores)
+            SELECT query_id, rank, doc_id, score_micro
+            FROM ranked WHERE rank <= 10
         """,
         # DSIR: identical bucket hash (md5_int56 seam), identical add-1
         # smoothed log-ratio composition (ln(p+1)-ln(T+B)-ln(q+1)

@@ -352,3 +352,55 @@ def test_language_mismatch_matrix_confusion(spark):
     assert out[("en", "en")]["share_of_declared_permille"] == 500
     assert out[("de", "und")]["n_docs"] == 1
     assert out[("de", "und")]["share_of_declared_permille"] == 1000
+
+
+def test_bm25_topk_hand_computed(spark):
+    """BM25 scores against a by-hand model on a 3-doc corpus."""
+    import math
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(100, "apple cherry")], "query_id long, text string"
+    )
+
+    # N=3, dl={1:3, 2:2, 3:4}, avgdl=3; df(apple)=1, df(cherry)=2
+    def c(tf, df, dl):
+        idf = math.log(1.0 + (3 - df + 0.5) / (df + 0.5))
+        tfn = (tf * (1.2 + 1.0)) / (
+            tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / 3.0))
+        )
+        return math.floor(1_000_000.0 * (idf * tfn))
+
+    exp = {1: c(2, 1, 3), 2: c(1, 2, 2), 3: c(4, 2, 4)}
+    rows = bm25_topk(docs, queries, k=10).collect()
+    got = {r.doc_id: (r.rank, r.score_micro) for r in rows}
+    assert len(rows) == 3 and all(r.query_id == 100 for r in rows)
+    order = sorted(exp, key=lambda d: (-exp[d], d))
+    for rank, d in enumerate(order, 1):
+        assert got[d] == (rank, exp[d])
+
+
+def test_bm25_topk_limits_and_excludes_nonmatching(spark):
+    """k caps per-query results; docs sharing no query term never
+    appear; ties break by doc_id."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "same words here") for i in range(5)] + [(9, "other stuff")],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "same"), (2, "missing")], "query_id long, text string"
+    )
+    rows = bm25_topk(docs, queries, k=3).collect()
+    assert {r.query_id for r in rows} == {1}
+    assert [r.doc_id for r in sorted(rows, key=lambda r: r.rank)] == [0, 1, 2]

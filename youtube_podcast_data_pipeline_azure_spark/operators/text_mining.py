@@ -694,3 +694,95 @@ def language_mismatch_matrix(
         .cast("long")
         .alias("share_of_declared_permille"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Spärck Jones): for every query,
+    the top-``k`` corpus documents by Lucene-variant BM25 —
+
+        score(q, d) = Σ_{t ∈ q ∩ d}  ln(1 + (N - df + ½)/(df + ½))
+                      · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    The keyword-search complement of the embedding ANN pack
+    (similarity.py): same top-k retrieval contract, lexical instead of
+    dense.  Query terms are DISTINCT (standard bag-of-words query).
+
+    Exactness: every model input (tf, df, dl, N, Σdl) is an exact
+    int64; the per-(query, doc, term) contribution is one fixed-shape
+    double expression over those ints, quantized to ``floor(1e6·x)``
+    BEFORE the per-(query, doc) sum — so cross-engine equality needs
+    only IEEE-deterministic arithmetic on identical inputs (the proven
+    DSIR/LM-filter seam), and the final ordering (score_micro desc, doc
+    asc) is integer-total.
+
+    Plan shape (100 TB corpus, bounded query set): the postings table
+    (doc, term, tf) is ONE explode + aggregate over the corpus — doc
+    LENGTHS fall out of the same table (Σtf per doc), no second corpus
+    scan; df/idf aggregate the postings at term grain.  Query terms
+    join postings term-keyed — the term shuffle carries (id, term, tf)
+    triples, never text; the surviving candidate set is Ω(matches),
+    everything after is per-candidate arithmetic plus one (query)
+    top-k window over candidates.  Corpus scalars (N, Σdl) are a 1-row
+    broadcast.  No hints — AQE broadcasts the small sides.
+    """
+    postings = (
+        docs.select(
+            F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("_t")
+        )
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dl = postings.groupBy(id_col).agg(F.sum("_tf").alias("_dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum("_dl").alias("_sum_dl"),
+    )
+    df_t = postings.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(tokenize(F.col(text_col))).alias("_t"),
+    ).distinct()
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+    avgdl = F.col("_sum_dl").cast("double") / F.col("_n_docs").cast("double")
+    tfn = (F.col("_tf") * F.lit(k1 + 1.0)) / (
+        F.col("_tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * (F.col("_dl") / avgdl))
+    )
+    contrib = (
+        qterms.join(postings, "_t")
+        .join(df_t, "_t")
+        .join(dl, id_col)
+        .join(F.broadcast(stats))
+        .select(
+            query_id_col,
+            id_col,
+            F.floor(F.lit(1_000_000.0) * (idf * tfn))
+            .cast("long")
+            .alias("_c_micro"),
+        )
+    )
+    scores = contrib.groupBy(query_id_col, id_col).agg(
+        F.sum("_c_micro").cast("long").alias("score_micro")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "score_micro")
+    )
