@@ -2720,6 +2720,39 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_mining.bm25_topk(docs, qs, k=10)
 
 
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 and exact dense cosine
+    top-20 (the id-aligned embeddings table) fused per query by
+    reciprocal-rank fusion, integer-quantized reciprocals so the fused
+    ordering is engine-exact (operators/similarity.py:rrf_fuse).
+    Queries are every ~101st document, same ids on both sides."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = text_mining.bm25_topk(
+        docs,
+        docs.where(F.col("doc_id") % 101 == 0).select(
+            F.col("doc_id").alias("query_id"), "text"
+        ),
+        k=20,
+    )
+    dense = similarity.knn_bruteforce(
+        emb,
+        emb.where(F.col("vec_id") % 101 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=20,
+    )
+    return similarity.rrf_fuse(
+        [
+            lex.select("query_id", "doc_id", "rank"),
+            dense.select(
+                "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+            ),
+        ],
+        k=10,
+    )
+
+
 def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-free exact-substring dedup (Lee et al. 2022): maximal
     repeated spans of >= 8 tokens anywhere in the corpus, via
@@ -4175,6 +4208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_contaminated_spans": q_remove_contaminated_spans,
         "lm_perplexity_filter": q_lm_perplexity,
         "bm25_search": q_bm25_search,
+        "hybrid_retrieval_rrf": q_hybrid_retrieval,
         # below the line: oldest evidence first (tools/staleness.py
         # ledger drives each round's rotation; r3 next, freshest r6 last)
         "dq_unique_violations": q_dq_unique_violations,
@@ -6353,6 +6387,84 @@ def oracle_sql() -> dict[str, str]:
                        ) AS bigint) AS rank
                 FROM scores)
             SELECT query_id, rank, doc_id, score_micro
+            FROM ranked WHERE rank <= 10
+        """,
+        # hybrid RRF: the bm25_search CTE pipeline at depth 20, the
+        # knn_bruteforce cosine ranking (same round-4dp + id tie-break
+        # as the established knn oracle) at depth 20, fused with
+        # integer reciprocals 1000000 // (60 + rank)
+        "hybrid_retrieval_rrf": f"""
+            WITH toks AS (SELECT doc_id, {tokens} AS t FROM documents),
+            postings AS (
+                SELECT doc_id, x AS term, cast(count(*) AS bigint) AS tf
+                FROM (SELECT doc_id, unnest(t) AS x FROM toks)
+                GROUP BY doc_id, x),
+            dl AS (
+                SELECT doc_id, sum(tf) AS dl
+                FROM postings GROUP BY doc_id),
+            stats AS (
+                SELECT cast(count(*) AS bigint) AS n_docs,
+                       cast(sum(dl) AS bigint) AS sum_dl
+                FROM dl),
+            dft AS (
+                SELECT term, cast(count(*) AS bigint) AS df
+                FROM postings GROUP BY term),
+            qterms AS (
+                SELECT DISTINCT doc_id AS query_id, x AS term
+                FROM (SELECT doc_id, unnest(t) AS x
+                      FROM toks WHERE doc_id % 101 = 0)),
+            contrib AS (
+                SELECT q.query_id, p.doc_id,
+                       cast(floor(1000000.0 * (
+                           ln(1.0 + (s.n_docs - f.df + 0.5)
+                                    / (f.df + 0.5))
+                           * ((p.tf * (1.2 + 1.0))
+                              / (p.tf + 1.2 * ((1.0 - 0.75)
+                                 + 0.75 * (l.dl
+                                     / (cast(s.sum_dl AS double)
+                                        / cast(s.n_docs AS double))))))
+                       )) AS bigint) AS c_micro
+                FROM qterms q
+                JOIN postings p USING (term)
+                JOIN dft f USING (term)
+                JOIN dl l ON l.doc_id = p.doc_id
+                CROSS JOIN stats s),
+            lex AS (
+                SELECT query_id, doc_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY sum(c_micro) DESC, doc_id ASC
+                       ) AS rank
+                FROM contrib GROUP BY query_id, doc_id),
+            dense AS (
+                SELECT query_id, doc_id, rank FROM (
+                    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY round({cos}, 4) DESC,
+                                        c.vec_id ASC) AS rank
+                    FROM embeddings q, embeddings c
+                    WHERE q.vec_id % 101 = 0)
+                WHERE rank <= 20),
+            unioned AS (
+                SELECT query_id, doc_id, 1000000 // (60 + rank) AS rr
+                FROM lex WHERE rank <= 20
+                UNION ALL
+                SELECT query_id, doc_id, 1000000 // (60 + rank) AS rr
+                FROM dense),
+            fused AS (
+                SELECT query_id, doc_id,
+                       cast(sum(rr) AS bigint) AS rrf_micro,
+                       cast(count(*) AS bigint) AS n_systems
+                FROM unioned GROUP BY query_id, doc_id),
+            ranked AS (
+                SELECT query_id, doc_id, rrf_micro, n_systems,
+                       cast(row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY rrf_micro DESC, doc_id ASC
+                       ) AS bigint) AS rank
+                FROM fused)
+            SELECT query_id, doc_id, rank, rrf_micro, n_systems
             FROM ranked WHERE rank <= 10
         """,
         # DSIR: identical bucket hash (md5_int56 seam), identical add-1

@@ -1000,3 +1000,41 @@ def test_embedding_drift_disjoint_cell_detected(spark):
     pm = {c: (r["ref_permille"], r["cur_permille"]) for c, r in out.items()}
     # one cell lost its whole 500-permille share, the other doubled
     assert sorted(pm.values()) == [(500, 0), (500, 1000)]
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Two systems, overlapping candidates: fused scores are the exact
+    integer reciprocal sums, ranks ordered (score desc, doc asc)."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id long, doc_id long, rank long",
+    )
+    got = {
+        r.doc_id: (r.rank, r.rrf_micro, r.n_systems)
+        for r in rrf_fuse([a, b], c=60, k=10).collect()
+    }
+    rr = lambda r: 1_000_000 // (60 + r)
+    # doc11: rank2 in a + rank1 in b -> top; doc10 rank1; doc13 rank2; doc12 rank3
+    assert got[11] == (1, rr(2) + rr(1), 2)
+    assert got[10] == (2, rr(1), 1)
+    assert got[13] == (3, rr(2), 1)
+    assert got[12] == (4, rr(3), 1)
+
+
+def test_rrf_fuse_k_cap_and_tie_break(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, d, 1) for d in (5, 3, 9)],  # identical rank -> tie on score
+        "query_id long, doc_id long, rank long",
+    )
+    rows = rrf_fuse([a], k=2).collect()
+    assert [(r.rank, r.doc_id) for r in sorted(rows, key=lambda r: r.rank)] == [
+        (1, 3), (2, 5),
+    ]

@@ -938,3 +938,57 @@ def embedding_drift_report(
         cur_pm.cast("long").alias("cur_permille"),
         (cur_pm - ref_pm).cast("long").alias("drift_permille"),
     )
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    c: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of any number of
+    per-query rankings — the standard hybrid-retrieval combiner (e.g.
+    BM25 ∪ dense ANN): candidates from every system union, each
+    contributes ``1/(c + rank)`` per system that retrieved it, top-``k``
+    fused results per query survive.
+
+    Each input needs (query_col, doc_col, rank) — rank 1-based within
+    query.  The reciprocal is integer-quantized, ``1_000_000 div
+    (c + rank)`` (distinct per rank through rank ≈ 940 at c=60, far
+    beyond any practical retrieval depth), so fused scores are pure
+    int64 sums — order-independent, ANSI-safe, engine-exact.  Final
+    order (rrf_micro desc, doc asc) is integer-total.
+
+    Scale shape: inputs are ALREADY per-query top-k tables (Ω(q·k)
+    rows, not corpus-sized); the union + (query, doc) aggregate is one
+    small shuffle and the per-query window ranks ≤ systems·k rows per
+    query.  Returns (query_col, doc_col, rank, rrf_micro, n_systems).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(query_col),
+            F.col(doc_col),
+            F.expr(f"1000000 div ({int(c)} + rank)")
+            .cast("long")
+            .alias("_rr"),
+        )
+        for r in rankings
+    ]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    fused = unioned.groupBy(query_col, doc_col).agg(
+        F.sum("_rr").cast("long").alias("rrf_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_systems"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_micro").desc(), F.col(doc_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(query_col, doc_col, "rank", "rrf_micro", "n_systems")
+    )
