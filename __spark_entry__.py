@@ -4129,8 +4129,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ANSI-safe NULL epochs_milli for zero-token strata, the per-key MG
     state guard (repartition_by_key probe) + null contract, and the
     gold_export batch writer's commit-unique part names + real append
-    (VERDICT #3/#4, ADVICE r6); (C) the 11 oldest r3-green entries
-    (tools/staleness.py --plan fills).  Every window query was
+    (VERDICT #3/#4, ADVICE r6); (C) the oldest r3-green entries
+    (tools/staleness.py --plan fills); (D) all NINE never-checked
+    queries added this round (suffix-array/DSIR/decontamination-
+    rewrite/perplexity/BM25/RRF) — a never-checked entry outranks a
+    re-check of something hash-green one round ago, so four r06-green
+    fills were displaced to first-below-the-line.  Every window query was
     verified on a PLAIN local[32] session (driver conditions: ANSI on,
     no engine confs) against the DuckDB oracle at sf0.01 before this
     registration, and the engine-session mirror ran the full registry
@@ -4174,12 +4178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "contrastive_pairs": q_contrastive_pairs,
         "duplicate_clusters_star": q_duplicate_clusters_star,
-        "leakage_safe_split": q_leakage_safe_split,
-        "component_size_report": q_component_size_report,
-        "dedup_provenance": q_dedup_provenance,
         "source_overlap_near": q_source_overlap_near,
         "dedup_threshold_curve": q_dedup_threshold_curve,
-        "minhash_accuracy": q_minhash_accuracy,
         "mixture_plan": q_mixture_plan,
         "mg_heavy_hitters_by_key": q_mg_heavy_hitters_by_key,
         "python_datasource_sink": q_python_datasource_sink,
@@ -4191,24 +4191,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "dq_report": q_dq_report,
         "dq_referential_orphans": q_dq_referential_orphans,
-        # ===== r07 window, part D: new this round (VERDICT r6 #7) —
-        # the suffix-array exact-substring dedup pair and the DSIR
-        # importance-resampling pair; displaces the four youngest
-        # part-C fills (table_fingerprint/snapshot_diff/volume_shipping/
-        # small_quantity_revenue, r3-green, now first below the line)
+        # ===== r07 window, part D: new this round (VERDICT r6 #7 and
+        # beyond) — suffix-array exact-substring dedup, DSIR importance
+        # resampling, span-granular decontamination, CCNet perplexity
+        # filter, BM25 retrieval, and RRF hybrid fusion.  Never-checked
+        # entries outrank freshly-green re-checks, so these nine take
+        # the window tail; the displaced part-B/-C fills (all r06-green
+        # one round ago: leakage_safe_split/component_size_report/
+        # dedup_provenance/minhash_accuracy, plus table_fingerprint/
+        # snapshot_diff/volume_shipping/small_quantity_revenue from r3)
+        # sit first below the line
         "contamination_spans": q_contamination_spans,
         "exact_substring_spans": q_exact_substring_spans,
         "longest_repeated_substrings": q_longest_repeated_substrings,
         "dsir_importance_weights": q_dsir_importance_weights,
         "dsir_resample": q_dsir_resample,
-        # ================= end of driver's 50-slot window =================
-        # parked r8 window head: added after the r7 window was fixed at
-        # 50; locally oracle-mirrored (sf0.001 + sf0.01, engine + plain
-        # sessions) — needs its first driver row next round
         "remove_contaminated_spans": q_remove_contaminated_spans,
         "lm_perplexity_filter": q_lm_perplexity,
         "bm25_search": q_bm25_search,
         "hybrid_retrieval_rrf": q_hybrid_retrieval,
+        # ================= end of driver's 50-slot window =================
+        # first below the line: displaced r06-green re-checks (fresh
+        # evidence one round old — weakest claim to a slot this round)
+        "leakage_safe_split": q_leakage_safe_split,
+        "component_size_report": q_component_size_report,
+        "dedup_provenance": q_dedup_provenance,
+        "minhash_accuracy": q_minhash_accuracy,
         # below the line: oldest evidence first (tools/staleness.py
         # ledger drives each round's rotation; r3 next, freshest r6 last)
         "dq_unique_violations": q_dq_unique_violations,
