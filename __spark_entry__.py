@@ -2753,6 +2753,54 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality audit: recall@10 and MRR of BM25-alone and of
+    the RRF hybrid, each scored against exact dense cosine top-10 as
+    the relevance truth (operators/similarity.py:ranking_quality) —
+    the measured answer to "what does rank fusion buy over keyword
+    search".  BM25@20 and dense@20 are computed ONCE each and
+    localCheckpoint'ed (both are tiny q·20 tables feeding two
+    consumers — the candidate slice and the fusion; without the
+    checkpoint Catalyst pastes the corpus-scan pipelines per
+    consumer); truth/candidates are rank<=10 slices of the same
+    materialized tables, so the audit adds only (query, doc)-grain
+    joins.  All metrics integer-exact (recall basis points, MRR in
+    integer-quantized reciprocals — the rrf_fuse seam)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex20 = text_mining.bm25_topk(
+        docs,
+        docs.where(F.col("doc_id") % 101 == 0).select(
+            F.col("doc_id").alias("query_id"), "text"
+        ),
+        k=20,
+    ).localCheckpoint(eager=True)
+    dense20 = (
+        similarity.knn_bruteforce(
+            emb,
+            emb.where(F.col("vec_id") % 101 == 0).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            k=20,
+        )
+        .select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+        .localCheckpoint(eager=True)
+    )
+    truth = dense20.where(F.col("rank") <= 10).select("query_id", "doc_id")
+    fused = similarity.rrf_fuse(
+        [lex20.select("query_id", "doc_id", "rank"), dense20], k=10
+    )
+    m_lex = similarity.ranking_quality(
+        truth, lex20.where(F.col("rank") <= 10)
+    ).withColumn("system", F.lit("bm25"))
+    m_hyb = similarity.ranking_quality(truth, fused).withColumn(
+        "system", F.lit("rrf_hybrid")
+    )
+    return m_lex.unionByName(m_hyb).select(
+        "system", "query_id", "n_truth", "n_hits", "recall_bp", "mrr_micro"
+    )
+
+
 def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-free exact-substring dedup (Lee et al. 2022): maximal
     repeated spans of >= 8 tokens anywhere in the corpus, via
@@ -4177,7 +4225,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # commit-unique part names + real append)
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "contrastive_pairs": q_contrastive_pairs,
-        "duplicate_clusters_star": q_duplicate_clusters_star,
         "source_overlap_near": q_source_overlap_near,
         "dedup_threshold_curve": q_dedup_threshold_curve,
         "mixture_plan": q_mixture_plan,
@@ -4210,9 +4257,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_filter": q_lm_perplexity,
         "bm25_search": q_bm25_search,
         "hybrid_retrieval_rrf": q_hybrid_retrieval,
+        "retrieval_quality": q_retrieval_quality,
         # ================= end of driver's 50-slot window =================
-        # first below the line: displaced r06-green re-checks (fresh
-        # evidence one round old — weakest claim to a slot this round)
+        # first below the line: displaced r05/r06-green re-checks
+        # (fresh evidence — weakest claim to a slot this round)
+        "duplicate_clusters_star": q_duplicate_clusters_star,
         "leakage_safe_split": q_leakage_safe_split,
         "component_size_report": q_component_size_report,
         "dedup_provenance": q_dedup_provenance,
@@ -6474,6 +6523,117 @@ def oracle_sql() -> dict[str, str]:
                 FROM fused)
             SELECT query_id, doc_id, rank, rrf_micro, n_systems
             FROM ranked WHERE rank <= 10
+        """,
+        # retrieval quality: the hybrid CTE pipeline (BM25@20 + dense
+        # cosine@20 + integer-reciprocal RRF) extended with the
+        # truth/hit metric layer — recall in basis points via integer
+        # div, MRR via the same 1000000 // rank quantization
+        "retrieval_quality": f"""
+            WITH toks AS (SELECT doc_id, {tokens} AS t FROM documents),
+            postings AS (
+                SELECT doc_id, x AS term, cast(count(*) AS bigint) AS tf
+                FROM (SELECT doc_id, unnest(t) AS x FROM toks)
+                GROUP BY doc_id, x),
+            dl AS (
+                SELECT doc_id, sum(tf) AS dl
+                FROM postings GROUP BY doc_id),
+            stats AS (
+                SELECT cast(count(*) AS bigint) AS n_docs,
+                       cast(sum(dl) AS bigint) AS sum_dl
+                FROM dl),
+            dft AS (
+                SELECT term, cast(count(*) AS bigint) AS df
+                FROM postings GROUP BY term),
+            qterms AS (
+                SELECT DISTINCT doc_id AS query_id, x AS term
+                FROM (SELECT doc_id, unnest(t) AS x
+                      FROM toks WHERE doc_id % 101 = 0)),
+            contrib AS (
+                SELECT q.query_id, p.doc_id,
+                       cast(floor(1000000.0 * (
+                           ln(1.0 + (s.n_docs - f.df + 0.5)
+                                    / (f.df + 0.5))
+                           * ((p.tf * (1.2 + 1.0))
+                              / (p.tf + 1.2 * ((1.0 - 0.75)
+                                 + 0.75 * (l.dl
+                                     / (cast(s.sum_dl AS double)
+                                        / cast(s.n_docs AS double))))))
+                       )) AS bigint) AS c_micro
+                FROM qterms q
+                JOIN postings p USING (term)
+                JOIN dft f USING (term)
+                JOIN dl l ON l.doc_id = p.doc_id
+                CROSS JOIN stats s),
+            lex AS (
+                SELECT query_id, doc_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY sum(c_micro) DESC, doc_id ASC
+                       ) AS rank
+                FROM contrib GROUP BY query_id, doc_id),
+            dense AS (
+                SELECT query_id, doc_id, rank FROM (
+                    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY round({cos}, 4) DESC,
+                                        c.vec_id ASC) AS rank
+                    FROM embeddings q, embeddings c
+                    WHERE q.vec_id % 101 = 0)
+                WHERE rank <= 20),
+            unioned AS (
+                SELECT query_id, doc_id, 1000000 // (60 + rank) AS rr
+                FROM lex WHERE rank <= 20
+                UNION ALL
+                SELECT query_id, doc_id, 1000000 // (60 + rank) AS rr
+                FROM dense),
+            fused AS (
+                SELECT query_id, doc_id,
+                       cast(sum(rr) AS bigint) AS rrf_micro
+                FROM unioned GROUP BY query_id, doc_id),
+            hyb10 AS (
+                SELECT query_id, doc_id, rank FROM (
+                    SELECT query_id, doc_id,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY rrf_micro DESC, doc_id ASC
+                           ) AS rank
+                    FROM fused)
+                WHERE rank <= 10),
+            truth AS (
+                SELECT query_id, doc_id FROM dense WHERE rank <= 10),
+            ntruth AS (
+                SELECT query_id, cast(count(*) AS bigint) AS n_truth
+                FROM truth GROUP BY query_id),
+            lex10 AS (
+                SELECT query_id, doc_id, rank FROM lex WHERE rank <= 10),
+            hits_lex AS (
+                SELECT c.query_id, cast(count(*) AS bigint) AS n_hits,
+                       cast(min(c.rank) AS bigint) AS first_rank
+                FROM lex10 c JOIN truth t
+                  ON t.query_id = c.query_id AND t.doc_id = c.doc_id
+                GROUP BY c.query_id),
+            hits_hyb AS (
+                SELECT c.query_id, cast(count(*) AS bigint) AS n_hits,
+                       cast(min(c.rank) AS bigint) AS first_rank
+                FROM hyb10 c JOIN truth t
+                  ON t.query_id = c.query_id AND t.doc_id = c.doc_id
+                GROUP BY c.query_id)
+            SELECT 'bm25' AS system, n.query_id, n.n_truth,
+                   coalesce(h.n_hits, 0) AS n_hits,
+                   cast(10000 * coalesce(h.n_hits, 0) // n.n_truth
+                        AS bigint) AS recall_bp,
+                   cast(coalesce(1000000 // h.first_rank, 0)
+                        AS bigint) AS mrr_micro
+            FROM ntruth n LEFT JOIN hits_lex h USING (query_id)
+            UNION ALL
+            SELECT 'rrf_hybrid' AS system, n.query_id, n.n_truth,
+                   coalesce(h.n_hits, 0) AS n_hits,
+                   cast(10000 * coalesce(h.n_hits, 0) // n.n_truth
+                        AS bigint) AS recall_bp,
+                   cast(coalesce(1000000 // h.first_rank, 0)
+                        AS bigint) AS mrr_micro
+            FROM ntruth n LEFT JOIN hits_hyb h USING (query_id)
         """,
         # DSIR: identical bucket hash (md5_int56 seam), identical add-1
         # smoothed log-ratio composition (ln(p+1)-ln(T+B)-ln(q+1)

@@ -90,6 +90,20 @@ DOCS_10X = [
     "longest_repeated_substrings",
     "dsir_importance_weights",
     "dsir_resample",
+    # r7 retrieval/curation additions.  remove_contaminated_spans is
+    # linear like its sibling span ops (eval grams broadcast; disjoint
+    # replica vocabularies keep matches within-replica).  The
+    # perplexity filter is two gram scans + a broadcast-model join +
+    # one global ntile (O(n log n) sort).  BM25 work is postings ×
+    # matching queries — queries grow with the corpus here (every
+    # ~101st doc) but disjoint vocabularies keep each query's term
+    # probe inside its own replica, so candidate volume stays linear.
+    # Hybrid RRF = BM25 + a fixed-query dense brute force + a per-query
+    # fuse, so it tracks its BM25 constituent.
+    "remove_contaminated_spans",
+    "lm_perplexity_filter",
+    "bm25_search",
+    "hybrid_retrieval_rrf",
 ]
 EMB_10X = ["knn_bruteforce", "semantic_dedup", "ann_recall"]
 PATHOLOGY = [

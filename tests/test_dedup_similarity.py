@@ -1038,3 +1038,40 @@ def test_rrf_fuse_k_cap_and_tie_break(spark):
     assert [(r.rank, r.doc_id) for r in sorted(rows, key=lambda r: r.rank)] == [
         (1, 3), (2, 5),
     ]
+
+
+def test_ranking_quality_hand_computed(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.similarity import (
+        ranking_quality,
+    )
+
+    truth = spark.createDataFrame(
+        # q1 truth = {10, 11, 12}; q2 truth = {20, 21}
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2)],
+        "query_id long, doc_id long, rank long",
+    )
+    cand = spark.createDataFrame(
+        # q1: first hit at rank 2 (doc 11), 2 of 3 truth docs retrieved
+        # q2: no hits at all
+        [(1, 99, 1), (1, 11, 2), (1, 12, 3), (2, 98, 1), (2, 97, 2)],
+        "query_id long, doc_id long, rank long",
+    )
+    got = {
+        r.query_id: (r.n_truth, r.n_hits, r.recall_bp, r.mrr_micro)
+        for r in ranking_quality(truth, cand).collect()
+    }
+    assert got[1] == (3, 2, 10000 * 2 // 3, 1_000_000 // 2)
+    assert got[2] == (2, 0, 0, 0)
+
+
+def test_ranking_quality_perfect_candidate(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.similarity import (
+        ranking_quality,
+    )
+
+    truth = spark.createDataFrame(
+        [(7, 1, 1), (7, 2, 2)], "query_id long, doc_id long, rank long"
+    )
+    rows = ranking_quality(truth, truth).collect()
+    assert len(rows) == 1 and rows[0].recall_bp == 10000
+    assert rows[0].mrr_micro == 1_000_000 and rows[0].n_hits == 2

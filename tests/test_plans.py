@@ -647,3 +647,16 @@ def test_r06_new_queries_stay_within_shuffle_budget(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         got = plan.count("Exchange hashpartitioning")
         assert got == budget, (name, got, budget)
+
+
+def test_retrieval_quality_final_plan_reads_only_checkpoints(spark, sf_dir):
+    """retrieval_quality (r7): BM25@20 and dense@20 are eager
+    localCheckpoints feeding two consumers each (candidate slice +
+    fusion) — the FINAL plan must therefore contain no parquet scan at
+    all (the corpus pipelines ran exactly once, at construct) and no
+    single-partition exchange; every post-checkpoint shuffle carries
+    Ω(queries·k)-row metric tables, not the corpus."""
+    plan = _plan(spark, sf_dir, "retrieval_quality")
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+    assert "Exchange SinglePartition" not in plan

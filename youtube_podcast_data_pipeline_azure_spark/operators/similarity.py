@@ -992,3 +992,70 @@ def rrf_fuse(
         .where(F.col("rank") <= k)
         .select(query_col, doc_col, "rank", "rrf_micro", "n_systems")
     )
+
+
+def ranking_quality(
+    truth: DataFrame,
+    candidate: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Per-query ranking-quality audit: recall@k and MRR of a
+    ``candidate`` ranking against a ``truth`` ranking (both per-query
+    top-k tables with (query_col, doc_col, rank), rank 1-based).
+
+    The retrieval-eval closer of the lexical/dense/hybrid pack: BM25
+    (``bm25_topk``), hyperplane-LSH / IVF ANN, and RRF fusion
+    (``rrf_fuse``) all emit this contract, so any system can be audited
+    against any reference — the registered query scores BM25-alone and
+    the RRF hybrid against exact dense cosine truth, answering "what
+    does fusion buy over keyword search" with measured numbers, the
+    same philosophy as ``ann_recall_report`` (measure, don't assert).
+
+    Metrics are integer-exact, no float leaves the engine:
+
+    * ``recall_bp``  = 10000 · |candidate ∩ truth| div |truth|
+    * ``mrr_micro``  = 1000000 div (rank of the FIRST candidate row
+      that appears anywhere in the query's truth set), 0 when no
+      candidate hits — the reciprocal-rank quantization proven by
+      ``rrf_fuse``.
+
+    Scale shape: both inputs are already per-query top-k tables
+    (Ω(q·k) rows, corpus never touched here); one (query, doc) inner
+    join marks hits, two query-grain aggregates finish.  Queries with
+    an empty truth set are dropped (recall undefined; the registered
+    query cannot produce one — truth is always populated at k≥1).
+
+    Returns (query_col, n_truth, n_hits, recall_bp, mrr_micro).
+    """
+    t = truth.select(F.col(query_col), F.col(doc_col))
+    c = candidate.select(F.col(query_col), F.col(doc_col), F.col("rank"))
+    n_truth = t.groupBy(query_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth")
+    )
+    hits = (
+        c.join(t, on=[query_col, doc_col], how="inner")
+        .groupBy(query_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.min("rank").cast("long").alias("_first_rank"),
+        )
+    )
+    return (
+        n_truth.join(hits, on=query_col, how="left")
+        .select(
+            F.col(query_col),
+            F.col("n_truth"),
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias(
+                "n_hits"
+            ),
+            F.expr("10000 * coalesce(n_hits, 0) div n_truth")
+            .cast("long")
+            .alias("recall_bp"),
+            F.coalesce(
+                F.expr("1000000 div _first_rank"), F.lit(0)
+            )
+            .cast("long")
+            .alias("mrr_micro"),
+        )
+    )
