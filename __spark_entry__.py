@@ -1684,6 +1684,28 @@ def q_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch tables (DataSketches `hll_sketch_agg` /
+    `hll_union_agg`) audited against exact COUNT(DISTINCT).
+
+    The piece `approx_count_distinct` can't do: the sketch is a BINARY
+    column that persists as ordinary parquet, so per-shard/per-day
+    distinct-count state is incremental — rollups union KB-sized
+    sketches instead of rescanning the raw corpus (the 100 TB pattern;
+    persistence roundtrip pinned in tests/test_functions.py).  Shards
+    here deliberately split by ROW hash, not item hash, so the same
+    user lands in many shards and the union's register-max idempotence
+    is what keeps the count right.  Booleans-vs-exact output because
+    DataSketches' direct-build HIP estimator is insertion-order
+    sensitive; at lgk=14 the 5% tolerance is ~6 sigma (and the fixture
+    scale stays in the sketch's exact sparse mode)."""
+    ev = _t(spark, sf_dir, "events")
+    return sketches.hll_cardinality_report(
+        ev, item_col="user_id", key_col="event_type",
+        n_shards=8, lgk=14, tol_bp=500,
+    )
+
+
 def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json with explicit schema (null on malformed — the engine's
     LLM-output fallback semantics) + to_json re-serialization."""
@@ -4237,17 +4259,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "dq_report": q_dq_report,
-        "dq_referential_orphans": q_dq_referential_orphans,
         # ===== r07 window, part D: new this round (VERDICT r6 #7 and
         # beyond) — suffix-array exact-substring dedup, DSIR importance
         # resampling, span-granular decontamination, CCNet perplexity
-        # filter, BM25 retrieval, and RRF hybrid fusion.  Never-checked
-        # entries outrank freshly-green re-checks, so these nine take
+        # filter, BM25 retrieval, RRF hybrid fusion, the retrieval
+        # quality audit, and mergeable HLL sketch tables.  Never-checked
+        # entries outrank freshly-green re-checks, so these eleven take
         # the window tail; the displaced part-B/-C fills (all r06-green
         # one round ago: leakage_safe_split/component_size_report/
-        # dedup_provenance/minhash_accuracy, plus table_fingerprint/
-        # snapshot_diff/volume_shipping/small_quantity_revenue from r3)
-        # sit first below the line
+        # dedup_provenance/minhash_accuracy, plus dq_referential_orphans/
+        # table_fingerprint/snapshot_diff/volume_shipping/
+        # small_quantity_revenue from r3) sit first below the line
         "contamination_spans": q_contamination_spans,
         "exact_substring_spans": q_exact_substring_spans,
         "longest_repeated_substrings": q_longest_repeated_substrings,
@@ -4258,9 +4280,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "hybrid_retrieval_rrf": q_hybrid_retrieval,
         "retrieval_quality": q_retrieval_quality,
+        "hll_shard_union": q_hll_shard_union,
         # ================= end of driver's 50-slot window =================
-        # first below the line: displaced r05/r06-green re-checks
-        # (fresh evidence — weakest claim to a slot this round)
+        # first below the line: the displaced part-C fill (r3-green,
+        # r8 rotation front of queue) then displaced r05/r06-green
+        # re-checks (fresh evidence — weakest claim to a slot)
+        "dq_referential_orphans": q_dq_referential_orphans,
         "duplicate_clusters_star": q_duplicate_clusters_star,
         "leakage_safe_split": q_leakage_safe_split,
         "component_size_report": q_component_size_report,
@@ -8161,6 +8186,15 @@ def oracle_sql() -> dict[str, str]:
         # equals exact COUNT(DISTINCT) here.
         "approx_distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users_approx
+            FROM events GROUP BY 1
+        """,
+        # hll_shard_union: the audit-twin shape — the exact side is the
+        # oracle's COUNT(DISTINCT); the sketch side only has to land
+        # inside a ~6-sigma tolerance (and is in exact sparse mode at
+        # fixture scale), so both within-tol booleans are TRUE.
+        "hll_shard_union": """
+            SELECT event_type, count(DISTINCT user_id) AS n_exact,
+                   true AS merged_within_tol, true AS direct_within_tol
             FROM events GROUP BY 1
         """,
         "tdigest_accuracy": """

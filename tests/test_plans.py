@@ -351,6 +351,25 @@ def test_r07_dsir_queries_stay_within_shuffle_budget(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, name
 
 
+def test_r07_hll_report_stays_within_shuffle_budget(spark, sf_dir):
+    """hll_shard_union (r7) is an AUDIT query — it deliberately
+    computes three answers (sharded-union sketch, direct sketch, exact
+    COUNT(DISTINCT)) over the same events scan, so its budget is 5
+    hash exchanges — (key,shard) sketch agg, per-key union agg, per-key
+    direct agg, and the exact distinct's two-phase (key,item)→(key) —
+    and every one of them ships either KB-sized sketch state or the
+    bounded distinct pairs after map-side partial aggregation; the
+    5-row result joins must broadcast and nothing may collapse to a
+    single partition.  The production path (hll_shard_sketches →
+    parquet → hll_union_estimate) is 2 exchanges, pinned via the
+    roundtrip test in test_sketches."""
+    plan = _plan(spark, sf_dir, "hll_shard_union")
+    assert plan.count("Exchange hashpartitioning") == 5
+    assert "Exchange SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_r03_window_queries_stay_within_shuffle_budget(spark, sf_dir):
     """Table-driven shuffle-budget pins from the r3 plan audit: each
     newly-fronted driver-window query's hash-exchange count is its

@@ -433,3 +433,95 @@ def test_heavy_hitters_by_key_rejects_bad_dials(spark):
     df = spark.createDataFrame([("a", "x")], ["k", "item"])
     with _pt.raises(ValueError):
         heavy_hitters_exact_by_key(df, "k", "item", denom=300, k=16)
+
+
+# --------------------------- HLL sketch tables ---------------------------
+
+
+def _hll_corpus(spark, n_rows=300_000, n_distinct=200_000):
+    """Two keys; dense-mode distinct counts (well past lgk=14 sparse)."""
+    return (
+        spark.range(n_rows)
+        .select(
+            F.when(F.col("id") % 3 == 0, F.lit("a")).otherwise(F.lit("b"))
+            .alias("k"),
+            (F.col("id") % n_distinct).cast("string").alias("item"),
+        )
+    )
+
+
+def test_hll_report_dense_scale_within_tolerance(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.sketches import (
+        hll_cardinality_report,
+    )
+
+    rep = hll_cardinality_report(
+        _hll_corpus(spark), item_col="item", key_col="k",
+        n_shards=8, lgk=14, tol_bp=500,
+    ).collect()
+    assert len(rep) == 2
+    for r in rep:
+        # 100k / 200k-ish distinct per key: dense estimator territory.
+        assert r["n_exact"] > 16384
+        assert r["merged_within_tol"], r
+        assert r["direct_within_tol"], r
+
+
+def test_hll_sketch_table_parquet_roundtrip_and_union(spark, tmp_path):
+    from youtube_podcast_data_pipeline_azure_spark.operators.sketches import (
+        hll_shard_sketches,
+        hll_union_estimate,
+    )
+
+    src = _hll_corpus(spark, n_rows=60_000, n_distinct=40_000).select(
+        "k", "item", (F.xxhash64("item") % 4).alias("shard")
+    )
+    path = str(tmp_path / "sketch_table")
+    # Persist the partial state, then roll up WITHOUT touching src again.
+    hll_shard_sketches(src, "item", "k", "shard", lgk=14).write.parquet(path)
+    est = {
+        r["k"]: r["distinct_estimate"]
+        for r in hll_union_estimate(spark.read.parquet(path), "k").collect()
+    }
+    exact = {
+        r["k"]: r["n"]
+        for r in src.groupBy("k")
+        .agg(F.count_distinct("item").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= 0.05 * n, (k, est[k], n)
+
+
+def test_hll_union_estimate_any_sharding_within_tolerance(spark):
+    """Re-sharding the same rows must not break the count.  NOTE the
+    union estimate is NOT bit-identical across shardings (measured:
+    19823 vs 19947 on the same 20k-distinct key at 4 vs 16 shards —
+    DataSketches' sparse→dense promotion inside the union gadget is
+    path-dependent), which is exactly why the registered query
+    `hll_shard_union` reports within-tolerance booleans against exact
+    COUNT(DISTINCT) instead of raw estimates."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.sketches import (
+        hll_shard_sketches,
+        hll_union_estimate,
+    )
+
+    base = _hll_corpus(spark, n_rows=90_000, n_distinct=60_000)
+    exact = {
+        r["k"]: r["n"]
+        for r in base.groupBy("k")
+        .agg(F.count_distinct("item").alias("n"))
+        .collect()
+    }
+    for shards in (4, 16):
+        src = base.select(
+            "k", "item", (F.xxhash64("item", F.lit(shards)) % shards)
+            .alias("shard"),
+        )
+        sk = hll_shard_sketches(src, "item", "k", "shard", lgk=14)
+        est = {
+            r["k"]: r["distinct_estimate"]
+            for r in hll_union_estimate(sk, "k").collect()
+        }
+        for k, n in exact.items():
+            assert abs(est[k] - n) <= 0.05 * n, (shards, k, est[k], n)

@@ -639,3 +639,124 @@ def heavy_hitters_exact_by_key(
         .where(F.col("n") * denom > F.col("_N"))
         .select(key_col, item_col, "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog sketch tables (Apache DataSketches via Spark's hll_* functions)
+# ---------------------------------------------------------------------------
+#
+# `approx_count_distinct` runs HLL++ *inside* one aggregation — the
+# partial state is invisible and dies with the job.  The `hll_sketch_agg`
+# family instead materializes the sketch as a BINARY column, which is the
+# piece that matters at 100 TB: per-shard (per-day / per-source) sketch
+# tables persist as ordinary parquet, and any later rollup — union across
+# days, across sources, across tenants — is a ~KB-per-group aggregate over
+# the sketch table, never a rescan of the raw corpus.  Register maxima are
+# associative/commutative/idempotent, so re-sharding, retries, and
+# overlapping shard contents (the same user seen in many shards) never
+# double-count; the *estimate* is only accuracy-stable (within the lgk
+# error bound), not bit-stable, across layouts — see
+# hll_cardinality_report for why its outputs are tolerance booleans.
+
+
+def hll_shard_sketches(
+    df: DataFrame,
+    item_col: str,
+    key_col: str,
+    shard_col: str,
+    lgk: int = 14,
+) -> DataFrame:
+    """Per-(key, shard) HLL sketch table — persistable partial state.
+
+    Output: ``(key_col, shard_col, hll_sketch binary)``.  One row per
+    (key, shard); map-side partial aggregation collapses everything
+    else, so the shuffle ships at most one ~1.1·2^(lgk-1)-byte sketch
+    per (key, shard) per partition regardless of item cardinality.
+    Write this table to parquet to make distinct-count state
+    incremental: tomorrow's shards append, rollups union.
+    """
+    return df.groupBy(key_col, shard_col).agg(
+        F.hll_sketch_agg(item_col, F.lit(lgk)).alias("hll_sketch")
+    )
+
+
+def hll_union_estimate(sketches: DataFrame, key_col: str) -> DataFrame:
+    """Roll a sketch table up to per-key distinct estimates.
+
+    Input is any union of :func:`hll_shard_sketches` outputs (same
+    ``lgk``); shards may overlap arbitrarily — HLL union is register-wise
+    max, so duplicates across shards never double-count.  Output:
+    ``(key_col, distinct_estimate long)``.
+    """
+    return sketches.groupBy(key_col).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll_sketch"))
+        .alias("distinct_estimate")
+    )
+
+
+def hll_cardinality_report(
+    df: DataFrame,
+    item_col: str,
+    key_col: str,
+    n_shards: int = 8,
+    lgk: int = 14,
+    tol_bp: int = 500,
+) -> DataFrame:
+    """Audit the sharded-sketch path against exact COUNT(DISTINCT).
+
+    Builds per-(key, shard) sketches with a row-hash shard assignment
+    (``pmod(xxhash64(item), n_shards)`` would co-locate duplicates; we
+    deliberately shard by a *row* hash so the same item lands in many
+    shards and the union's idempotence is what keeps the count right),
+    unions them per key, and reports per key:
+
+    - ``n_exact`` — exact COUNT(DISTINCT item)
+    - ``merged_within_tol`` — sharded-union estimate within ``tol_bp``
+      basis points of exact
+    - ``direct_within_tol`` — single directly-built sketch within tol
+
+    Booleans rather than raw estimates because the estimates are not
+    stable hash-check material: DataSketches' direct-build HIP
+    estimator is insertion-order-sensitive, and even the union path is
+    shard-layout-sensitive (measured: 19823 vs 19947 for the same 20k
+    distinct items at 4 vs 16 shards — the sparse→dense promotion
+    inside the union gadget is path-dependent).  At lgk=14 the 3-sigma
+    relative error is ~2.4%, so a 5% tolerance is ~6 sigma and
+    deterministic in practice.  The exact side is one COUNT(DISTINCT)
+    over the same grain — the audit twin pattern used for the t-digest
+    dials.
+    """
+    src = df.select(
+        F.col(key_col),
+        F.col(item_col).alias("_item"),
+        F.pmod(
+            F.xxhash64(F.monotonically_increasing_id()), F.lit(n_shards)
+        ).alias("_shard"),
+    )
+    sketches = hll_shard_sketches(src, "_item", key_col, "_shard", lgk=lgk)
+    merged = hll_union_estimate(sketches, key_col).withColumnRenamed(
+        "distinct_estimate", "_est_m"
+    )
+    direct = df.groupBy(key_col).agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(item_col, F.lit(lgk))
+        ).alias("_est_d")
+    )
+    exact = df.groupBy(key_col).agg(
+        F.count_distinct(item_col).alias("n_exact")
+    )
+    tol = F.col("n_exact") * tol_bp
+    return (
+        exact.join(merged, key_col)
+        .join(direct, key_col)
+        .select(
+            key_col,
+            "n_exact",
+            (
+                F.abs(F.col("_est_m") - F.col("n_exact")) * 10000 <= tol
+            ).alias("merged_within_tol"),
+            (
+                F.abs(F.col("_est_d") - F.col("n_exact")) * 10000 <= tol
+            ).alias("direct_within_tol"),
+        )
+    )
