@@ -4038,6 +4038,16 @@ def q_token_rarity_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_mining.token_rarity_bins(_t(spark, sf_dir, "documents"))
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: negated least-squares slope
+    (milli-units) and R² (basis points) of log-freq vs log-rank over
+    the top-1000 tokens — the standard first-look corpus diagnostic
+    for machine-generated text / boilerplate floods / tokenizer
+    damage.  Regression inputs are six integer partial sums per
+    language; one final IEEE-deterministic double quotient."""
+    return text_mining.zipf_fit_report(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-best dedup decision: near-dup clusters (connected components
     over the exact n-gram-Jaccard pair graph) keep their highest-
@@ -4461,6 +4471,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_enrich": q_stream_static_enrich,
         "purchase_view_attribution": q_purchase_view_attribution,
         "text_stats": q_text_stats,
+        # added at r7 close, after the window was spent — never-checked,
+        # so it outranks re-checks for an r8 window slot (pre-verified
+        # plain-ANSI at sf0.001/sf0.01 at registration)
+        "zipf_fit": q_zipf_fit,
     }
 
 
@@ -8017,6 +8031,51 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s.mean_token_ppm <= c.c2 THEN 'middle'
                         ELSE 'head' END AS rarity_bin
             FROM scored s CROSS JOIN cuts c
+        """,
+        # zipf_fit: identical composition — floor(ln·1000) points,
+        # exact integer partial sums (DuckDB promotes to HUGEINT; the
+        # values stay < 2e14 so the doubles they cast to are the same),
+        # one final double quotient, slope negated to stay positive.
+        "zipf_fit": f"""
+            WITH toks AS (
+                SELECT lang, {tokens} AS tokens FROM documents),
+            tok AS (
+                SELECT lang, unnest(tokens) AS term FROM toks),
+            counts AS (
+                SELECT lang, term, cast(count(*) AS bigint) AS c
+                FROM tok GROUP BY 1, 2),
+            ranked AS (
+                SELECT lang, c,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY c DESC, term ASC) AS r
+                FROM counts),
+            pts AS (
+                SELECT lang,
+                       cast(floor(ln(r) * 1000) AS bigint) AS x,
+                       cast(floor(ln(c) * 1000) AS bigint) AS y
+                FROM ranked WHERE r <= 1000),
+            agg AS (
+                SELECT lang, cast(count(*) AS bigint) AS n,
+                       cast(sum(x) AS bigint) AS sx,
+                       cast(sum(y) AS bigint) AS sy,
+                       cast(sum(x * y) AS bigint) AS sxy,
+                       cast(sum(x * x) AS bigint) AS sxx,
+                       cast(sum(y * y) AS bigint) AS syy
+                FROM pts GROUP BY 1),
+            stats AS (
+                SELECT lang, n AS n_ranks,
+                       cast(n * sxy - sx * sy AS double) AS sxy_c,
+                       cast(n * sxx - sx * sx AS double) AS sxx_c,
+                       cast(n * syy - sy * sy AS double) AS syy_c
+                FROM agg)
+            SELECT lang, n_ranks,
+                   cast(floor(-sxy_c * 1000.0 / sxx_c) AS bigint)
+                       AS neg_slope_milli,
+                   CASE WHEN syy_c > 0 THEN
+                       cast(floor(sxy_c * sxy_c * 10000.0
+                                  / (sxx_c * syy_c)) AS bigint)
+                   END AS r2_bp
+            FROM stats WHERE sxx_c > 0
         """,
         # duplicate_clusters' recursive CTE + the shared quality formula
         # + the keep-best window (score desc, id asc).

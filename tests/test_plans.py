@@ -370,6 +370,18 @@ def test_r07_hll_report_stays_within_shuffle_budget(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_zipf_fit_stays_within_shuffle_budget(spark, sf_dir):
+    """zipf_fit (r7): the (lang, term) count aggregate is the only
+    corpus-grain shuffle; the per-lang rank window and the six-sum
+    regression aggregate both reuse the lang hash partitioning — 2
+    exchanges total, no single-partition or range exchange (the
+    regression must never sort globally)."""
+    plan = _plan(spark, sf_dir, "zipf_fit")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_r03_window_queries_stay_within_shuffle_budget(spark, sf_dir):
     """Table-driven shuffle-budget pins from the r3 plan audit: each
     newly-fronted driver-window query's hash-exchange count is its

@@ -404,3 +404,30 @@ def test_bm25_topk_limits_and_excludes_nonmatching(spark):
     rows = bm25_topk(docs, queries, k=3).collect()
     assert {r.query_id for r in rows} == {1}
     assert [r.doc_id for r in sorted(rows, key=lambda r: r.rank)] == [0, 1, 2]
+
+
+def test_zipf_fit_recovers_slope_on_synthetic_zipf_corpus(spark):
+    """Tokens with counts floor(3000/i^1) follow Zipf with s=1: the
+    fitted negated slope must land near 1000 milli with near-perfect
+    R²; a uniform-count corpus (no rank structure) must fit flat."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import (
+        zipf_fit_report,
+    )
+
+    rows = []
+    for i in range(1, 51):
+        rows.extend(("zipf", f"tok{i:03d}") for _ in range(3000 // i))
+    rows.extend(("flat", f"tok{i:03d}") for i in range(1, 51) for _ in range(40))
+    docs = spark.createDataFrame(rows, "lang string, text string")
+    rep = {
+        r["lang"]: r
+        for r in zipf_fit_report(docs, text_col="text").collect()
+    }
+    z = rep["zipf"]
+    assert z["n_ranks"] == 50
+    assert 950 <= z["neg_slope_milli"] <= 1050, z
+    assert z["r2_bp"] >= 9900, z
+    f = rep["flat"]
+    # identical counts: y is constant -> syy_c == 0 -> r2 NULL, slope 0
+    assert f["neg_slope_milli"] == 0
+    assert f["r2_bp"] is None

@@ -786,3 +786,92 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "score_micro")
     )
+
+
+def zipf_fit_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    max_rank: int = 1000,
+    quantizer: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit per language: least-squares slope and R² of
+    log-frequency vs log-rank over the top ``max_rank`` tokens.
+
+    Natural corpora follow freq ∝ rank^(-s) with s ≈ 1; a slope far
+    from 1 or a low R² flags machine-generated text, boilerplate
+    floods, or tokenizer damage — the standard first-look diagnostic
+    on a new ingest source (Zipf 1949; Piantadosi 2014 review).
+
+    Scale shape: token counts aggregate map-side to a vocabulary-sized
+    table; ranking is a per-language window over that table (bounded
+    by vocabulary, not corpus); the regression consumes ≤ ``max_rank``
+    rows per language as six integer partial sums — one shuffle
+    carries a handful of longs per language.  Nothing downstream of
+    the (lang, term) count touches corpus-sized data.
+
+    Cross-engine exactness: per-row ``floor(ln(v)·quantizer)`` on
+    bit-identical doubles (the lm_perplexity seam), exact integer
+    partial sums (order-independent), and a final single-expression
+    double quotient (IEEE-deterministic given identical inputs) —
+    slope is emitted NEGATED (Zipf slopes are negative) so the floor
+    division stays in positive territory on both engines.  Ties in
+    rank break on (count DESC, term ASC): exact-deterministic.
+
+    Returns (lang, n_ranks, neg_slope_milli, r2_bp).
+    """
+    toks = docs.select(
+        F.col(lang_col).alias("lang"), F.explode(tokenize(text_col)).alias("term")
+    )
+    counts = toks.groupBy("lang", "term").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("c").desc(), F.col("term").asc()
+    )
+    ranked = counts.select(
+        "lang", "c", F.row_number().over(w).alias("r")
+    ).where(F.col("r") <= max_rank)
+    pts = ranked.select(
+        "lang",
+        F.floor(F.log(F.col("r").cast("double")) * quantizer).alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * quantizer).alias("y"),
+    )
+    agg = pts.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    # centered second moments; stage through named columns so the
+    # shared subtrees aren't re-pasted per output (Catalyst trap 3)
+    stats = agg.select(
+        "lang",
+        F.col("n").alias("n_ranks"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("sxy_c"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("sxx_c"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("syy_c"),
+    )
+    return (
+        stats.where(F.col("sxx_c") > 0)
+        .select(
+            "lang",
+            "n_ranks",
+            F.floor(-F.col("sxy_c") * 1000.0 / F.col("sxx_c"))
+            .cast("long")
+            .alias("neg_slope_milli"),
+            F.when(
+                F.col("syy_c") > 0,
+                F.floor(
+                    F.col("sxy_c") * F.col("sxy_c") * 10000.0
+                    / (F.col("sxx_c") * F.col("syy_c"))
+                ).cast("long"),
+            ).alias("r2_bp"),
+        )
+    )
