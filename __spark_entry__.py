@@ -4038,6 +4038,19 @@ def q_token_rarity_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_mining.token_rarity_bins(_t(spark, sf_dir, "documents"))
 
 
+def q_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS drift of the doc-length distribution
+    between the lexicographically-first source and every other source
+    — the numeric companion to `embedding_drift` (PSI): catches
+    truncation bugs, boilerplate floods, error-page feeds.  Integer
+    cross-multiplied ECDF difference, one `div` at the end; all
+    post-count work runs on the (source, length) value-grain table."""
+    return quality.ks_drift_report(
+        _t(spark, sf_dir, "documents"), value_col="n_chars",
+        group_col="source",
+    )
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit per language: negated least-squares slope
     (milli-units) and R² (basis points) of log-freq vs log-rank over
@@ -4472,9 +4485,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_view_attribution": q_purchase_view_attribution,
         "text_stats": q_text_stats,
         # added at r7 close, after the window was spent — never-checked,
-        # so it outranks re-checks for an r8 window slot (pre-verified
+        # so these outrank re-checks for r8 window slots (pre-verified
         # plain-ANSI at sf0.001/sf0.01 at registration)
         "zipf_fit": q_zipf_fit,
+        "length_drift": q_length_drift,
     }
 
 
@@ -8031,6 +8045,46 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s.mean_token_ppm <= c.c2 THEN 'middle'
                         ELSE 'head' END AS rarity_bin
             FROM scored s CROSS JOIN cuts c
+        """,
+        # length_drift: exact KS — integer cross-multiplied ECDF gap,
+        # one floor division; the cumulative window has no ties (the
+        # grid is (group, value)-grain) so RANGE/ROWS framing agrees.
+        "length_drift": """
+            WITH counts AS (
+                SELECT source AS g, n_chars AS v,
+                       cast(count(*) AS bigint) AS c
+                FROM documents GROUP BY 1, 2),
+            ref AS (SELECT min(g) AS r FROM counts),
+            refc AS (SELECT v, c AS cr FROM counts, ref WHERE g = r),
+            others AS (SELECT g, v, c FROM counts, ref WHERE g <> r),
+            grid AS (
+                SELECT g, v, cast(sum(cr) AS bigint) AS cr,
+                       cast(sum(cg) AS bigint) AS cg
+                FROM (
+                    SELECT o.g, rc.v, rc.cr, cast(0 AS bigint) AS cg
+                    FROM refc rc
+                    CROSS JOIN (SELECT DISTINCT g FROM others) o
+                    UNION ALL
+                    SELECT g, v, cast(0 AS bigint) AS cr, c AS cg
+                    FROM others
+                ) GROUP BY 1, 2),
+            totals AS (
+                SELECT g, cast(sum(cr) AS bigint) AS n_ref,
+                       cast(sum(cg) AS bigint) AS n_group
+                FROM grid GROUP BY 1),
+            cums AS (
+                SELECT g,
+                       sum(cr) OVER (PARTITION BY g ORDER BY v)
+                           AS cum_r,
+                       sum(cg) OVER (PARTITION BY g ORDER BY v)
+                           AS cum_g
+                FROM grid)
+            SELECT c.g AS "group", t.n_ref, t.n_group,
+                   cast(max(abs(cum_r * t.n_group - cum_g * t.n_ref))
+                        * 10000 // (t.n_ref * t.n_group) AS bigint)
+                       AS ks_bp
+            FROM cums c JOIN totals t USING (g)
+            GROUP BY 1, 2, 3
         """,
         # zipf_fit: identical composition — floor(ln·1000) points,
         # exact integer partial sums (DuckDB promotes to HUGEINT; the

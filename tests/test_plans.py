@@ -382,6 +382,19 @@ def test_zipf_fit_stays_within_shuffle_budget(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan
 
 
+def test_length_drift_scans_corpus_once(spark, sf_dir):
+    """length_drift (r7): the (source, n_chars) count is the ONLY
+    corpus-grain pass — it is eagerly checkpointed before the 3-way
+    fan-out (ref tag / grid / totals), so the FINAL plan must contain
+    no parquet scan at all; its 6 hash exchanges and the 1-row
+    reference aggregate's single-partition exchanges all run on the
+    |groups|·|distinct lengths| value-grain table."""
+    plan = _plan(spark, sf_dir, "length_drift")
+    assert "Scan parquet" not in plan and "FileScan" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 6
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_r03_window_queries_stay_within_shuffle_budget(spark, sf_dir):
     """Table-driven shuffle-budget pins from the r3 plan audit: each
     newly-fronted driver-window query's hash-exchange count is its

@@ -187,3 +187,39 @@ def test_k_anonymity_hand_counted(spark):
     assert out[2]["min_class_size"] == 1
     assert out[5]["n_classes_below_k"] == 2  # sizes 1 and 3
     assert out[5]["n_rows_at_risk"] == 4
+
+
+def test_ks_drift_hand_computed(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.quality import (
+        ks_drift_report,
+    )
+
+    rows = [("a", v) for v in (1, 2, 3, 4)]
+    rows += [("b", v) for v in (3, 4, 5, 6)]   # ECDF gap peaks at 1/2
+    rows += [("c", v) for v in (1, 2, 3, 4)]   # identical to ref -> 0
+    df = spark.createDataFrame(rows, "src string, x int")
+    rep = {
+        r["group"]: r
+        for r in ks_drift_report(df, value_col="x", group_col="src").collect()
+    }
+    assert set(rep) == {"b", "c"}          # 'a' is the lexicographic ref
+    assert rep["b"]["ks_bp"] == 5000
+    assert rep["b"]["n_ref"] == 4 and rep["b"]["n_group"] == 4
+    assert rep["c"]["ks_bp"] == 0
+
+
+def test_ks_drift_explicit_reference_and_unbalanced_sizes(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.quality import (
+        ks_drift_report,
+    )
+
+    # ref 'z' has 2 rows {1, 3}; 'a' has 4 rows {2, 2, 2, 4}:
+    # ECDF gaps at v=1: 1/2-0; v=2: 1/2-3/4=1/4; v=3: 1-3/4=1/4 -> KS=1/2
+    rows = [("z", 1), ("z", 3), ("a", 2), ("a", 2), ("a", 2), ("a", 4)]
+    df = spark.createDataFrame(rows, "src string, x int")
+    rep = ks_drift_report(
+        df, value_col="x", group_col="src", reference="z"
+    ).collect()
+    assert len(rep) == 1 and rep[0]["group"] == "a"
+    assert rep[0]["n_ref"] == 2 and rep[0]["n_group"] == 4
+    assert rep[0]["ks_bp"] == 5000
