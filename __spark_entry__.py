@@ -4207,115 +4207,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification rotation, not taxonomy: the
     driver's per-round correctness check covers the FIRST 50 entries,
     so each round front-loads queries needing driver evidence.
-    Cumulative state entering r7: 213 registered, 210 hash-green in at
-    least one driver round, 3 rows-only by contract (driver rows since
-    r5); staleness is now tool-tracked (``tools/staleness.py`` joins
-    this registry against every CORRECTNESS_r*.json — VERDICT r6 #5).
+    Cumulative state entering r8: 226 registered, 223 hash-green in at
+    least one driver round, 3 rows-only by documented contract;
+    staleness is tool-tracked (``tools/staleness.py`` joins this
+    registry against every CORRECTNESS_r*.json).
 
-    The r7 window executes VERDICT r6's Next-round list: (A) ALL 27
-    r2-stale queries (VERDICT #2 — their only hash evidence predated
-    four rounds of churn; this empties the r2 bucket, leaving nothing
-    in the registry older than r3); (B) re-checks of every query
-    downstream of code changed this round — the integer PPJoin prefix
-    bound (_exact_pair_sizes + ngram_jaccard_pairs: threshold-boundary
-    pairs are no longer lost to float-ceil overshoot), mixture_plan's
-    ANSI-safe NULL epochs_milli for zero-token strata, the per-key MG
-    state guard (repartition_by_key probe) + null contract, and the
-    gold_export batch writer's commit-unique part names + real append
-    (VERDICT #3/#4, ADVICE r6); (C) the oldest r3-green entries
-    (tools/staleness.py --plan fills); (D) all NINE never-checked
-    queries added this round (suffix-array/DSIR/decontamination-
-    rewrite/perplexity/BM25/RRF) — a never-checked entry outranks a
-    re-check of something hash-green one round ago, so four r06-green
-    fills were displaced to first-below-the-line.  Every window query was
-    verified on a PLAIN local[32] session (driver conditions: ANSI on,
-    no engine confs) against the DuckDB oracle at sf0.01 before this
-    registration, and the engine-session mirror ran the full registry
-    at sf0.001 and sf0.01."""
+    The r8 window executes VERDICT r7's Next-round list #1: (A) the two
+    queries added after the r7 window was spent (``zipf_fit``,
+    ``length_drift`` - never driver-checked, pre-verified plain-ANSI at
+    registration); (B) the ENTIRE 39-query r3-stale band (positions
+    51-94 last round, front of queue ``dq_referential_orphans``) - the
+    whole band was pre-verified 44/44 on a plain ANSI local[32] session
+    at sf0.01 at r7 close, so this rotation is low-risk, but the driver
+    hash is the only hard signal; (C) the oldest r4-green fills.  After
+    this window greens, nothing in the registry is older than r4.
+    Every window query was re-verified on a PLAIN local[32] session
+    (driver conditions: ANSI on, no engine confs) against the DuckDB
+    oracle at sf0.01 before this registration, and the engine-session
+    mirror ran the full registry at sf0.001 and sf0.01."""
     return {
-        # ===== r07 window, part A: the 27 r2-stale queries (VERDICT
-        # r6 #2/next-round #1) — every query whose only hash evidence
-        # predated four rounds of code churn, oldest-evidence-first
-        "language_id": q_language_id,
-        "quality_scores": q_quality_scores,
-        "winnowing_fingerprints": q_winnowing_fingerprints,
-        "embedding_norms": q_embedding_norms,
-        "knn_bruteforce": q_knn_bruteforce,
-        "knn_label_accuracy": q_knn_label_accuracy,
-        "hash_sample": q_hash_sample,
-        "weighted_sample": q_weighted_sample,
-        "chunk_documents": q_chunk_documents,
-        "pack_sequences": q_pack_sequences,
-        "media_features": q_media_features,
-        "media_frame_sample": q_media_frame_sample,
-        "higher_order_funcs": q_higher_order_funcs,
-        "csv_roundtrip": q_csv_roundtrip,
-        "clustered_roundtrip": q_clustered_roundtrip,
-        "schema_evolution": q_schema_evolution,
-        "value_outliers": q_value_outliers,
-        "cohort_retention": q_cohort_retention,
-        "funnel_conversion": q_funnel_conversion,
-        "fuzzy_vocab": q_fuzzy_vocab,
-        "session_conversion": q_session_conversion,
-        "zorder_key": q_zorder_key,
-        "scd2_intervals": q_scd2_intervals,
-        "upsert_latest_wins": q_upsert_latest_wins,
-        "profile_table": q_profile_table,
-        "enrich_documents": q_enrich_documents,
-        "enrich_video_titles": q_enrich_video_titles,
-        # ===== r07 window, part B: re-checks of code changed this
-        # round (integer PPJoin prefix bound in _exact_pair_sizes /
-        # ngram_jaccard_pairs; mixture_plan ANSI-safe epochs_milli;
-        # per-key MG state guard + null contract; gold_export
-        # commit-unique part names + real append)
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "contrastive_pairs": q_contrastive_pairs,
-        "source_overlap_near": q_source_overlap_near,
-        "dedup_threshold_curve": q_dedup_threshold_curve,
-        "mixture_plan": q_mixture_plan,
-        "mg_heavy_hitters_by_key": q_mg_heavy_hitters_by_key,
-        "python_datasource_sink": q_python_datasource_sink,
-        # ===== r07 window, part C: staleness rotation fills — the
-        # oldest r3-green entries (tools/staleness.py --plan)
-        "rest_ingest_videos": q_rest_ingest_videos,
-        "rest_ingest_comments": q_rest_ingest_comments,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "mg_heavy_hitters": q_mg_heavy_hitters,
-        "dq_report": q_dq_report,
-        # ===== r07 window, part D: new this round (VERDICT r6 #7 and
-        # beyond) — suffix-array exact-substring dedup, DSIR importance
-        # resampling, span-granular decontamination, CCNet perplexity
-        # filter, BM25 retrieval, RRF hybrid fusion, the retrieval
-        # quality audit, and mergeable HLL sketch tables.  Never-checked
-        # entries outrank freshly-green re-checks, so these eleven take
-        # the window tail; the displaced part-B/-C fills (all r06-green
-        # one round ago: leakage_safe_split/component_size_report/
-        # dedup_provenance/minhash_accuracy, plus dq_referential_orphans/
-        # table_fingerprint/snapshot_diff/volume_shipping/
-        # small_quantity_revenue from r3) sit first below the line
-        "contamination_spans": q_contamination_spans,
-        "exact_substring_spans": q_exact_substring_spans,
-        "longest_repeated_substrings": q_longest_repeated_substrings,
-        "dsir_importance_weights": q_dsir_importance_weights,
-        "dsir_resample": q_dsir_resample,
-        "remove_contaminated_spans": q_remove_contaminated_spans,
-        "lm_perplexity_filter": q_lm_perplexity,
-        "bm25_search": q_bm25_search,
-        "hybrid_retrieval_rrf": q_hybrid_retrieval,
-        "retrieval_quality": q_retrieval_quality,
-        "hll_shard_union": q_hll_shard_union,
-        # ================= end of driver's 50-slot window =================
-        # first below the line: the displaced part-C fill (r3-green,
-        # r8 rotation front of queue) then displaced r05/r06-green
-        # re-checks (fresh evidence — weakest claim to a slot)
+        # ===== r08 window (driver checks the FIRST 50 entries) =====
+        # part A: the two never-driver-checked queries added at r7
+        # close (VERDICT r7 #1: "make sure zipf_fit and length_drift
+        # take two of the slots")
+        "zipf_fit": q_zipf_fit,
+        "length_drift": q_length_drift,
+        # part B: the full 39-query r3-stale band (registry positions
+        # 51-94 last round), pre-verified 44/44 plain-ANSI at r7 close
         "dq_referential_orphans": q_dq_referential_orphans,
-        "duplicate_clusters_star": q_duplicate_clusters_star,
-        "leakage_safe_split": q_leakage_safe_split,
-        "component_size_report": q_component_size_report,
-        "dedup_provenance": q_dedup_provenance,
-        "minhash_accuracy": q_minhash_accuracy,
-        # below the line: oldest evidence first (tools/staleness.py
-        # ledger drives each round's rotation; r3 next, freshest r6 last)
         "dq_unique_violations": q_dq_unique_violations,
         "table_fingerprint": q_table_fingerprint,
         "snapshot_diff": q_snapshot_diff,
@@ -4354,6 +4273,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_inequality": q_exists_inequality,
         "min_price_supplier": q_min_price_supplier,
         "unpivot_metrics": q_unpivot_metrics,
+        # part C: staleness fills - the oldest r4-green entries
+        # (tools/staleness.py --plan; displaced first if new
+        # never-checked queries land this round)
         "contamination_report": q_contamination_report,
         "repetition_signals": q_repetition_signals,
         "pii_scan": q_pii_scan,
@@ -4363,6 +4285,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_ngram_spans": q_duplicate_ngram_spans,
         "embedding_quantization": q_embedding_quantization,
         "variant_extract": q_variant_extract,
+        # ============ end of driver's 50-slot window ============
+        # below the line: oldest driver evidence first (r4, then r5,
+        # r6, r7) - the ledger in tools/staleness.py drives each
+        # round's rotation
         "streaming_corpus_dedup": q_streaming_corpus_dedup,
         "delete_by_key_roundtrip": q_delete_by_key_roundtrip,
         "curation_funnel": q_curation_funnel,
@@ -4396,6 +4322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_nearest": q_asof_join_nearest,
         "exact_dedup": q_exact_dedup,
         "kpi_event_type_counts": q_kpi_event_type_counts,
+        "duplicate_clusters_star": q_duplicate_clusters_star,
         "knn_ivf": q_knn_ivf,
         "tdigest_quantiles": q_tdigest_quantiles,
         "tdigest_by_key": q_tdigest_by_key,
@@ -4443,6 +4370,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_clusters": q_duplicate_clusters,
         "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
         "semantic_dedup": q_semantic_dedup,
+        "leakage_safe_split": q_leakage_safe_split,
+        "component_size_report": q_component_size_report,
+        "dedup_provenance": q_dedup_provenance,
+        "minhash_accuracy": q_minhash_accuracy,
         "functional_dependencies": q_functional_dependencies,
         "join_cardinality": q_join_cardinality,
         "source_overlap_matrix": q_source_overlap_matrix,
@@ -4484,11 +4415,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_enrich": q_stream_static_enrich,
         "purchase_view_attribution": q_purchase_view_attribution,
         "text_stats": q_text_stats,
-        # added at r7 close, after the window was spent — never-checked,
-        # so these outrank re-checks for r8 window slots (pre-verified
-        # plain-ANSI at sf0.001/sf0.01 at registration)
-        "zipf_fit": q_zipf_fit,
-        "length_drift": q_length_drift,
+        "language_id": q_language_id,
+        "quality_scores": q_quality_scores,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
+        "embedding_norms": q_embedding_norms,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_label_accuracy": q_knn_label_accuracy,
+        "hash_sample": q_hash_sample,
+        "weighted_sample": q_weighted_sample,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "media_features": q_media_features,
+        "media_frame_sample": q_media_frame_sample,
+        "higher_order_funcs": q_higher_order_funcs,
+        "csv_roundtrip": q_csv_roundtrip,
+        "clustered_roundtrip": q_clustered_roundtrip,
+        "schema_evolution": q_schema_evolution,
+        "value_outliers": q_value_outliers,
+        "cohort_retention": q_cohort_retention,
+        "funnel_conversion": q_funnel_conversion,
+        "fuzzy_vocab": q_fuzzy_vocab,
+        "session_conversion": q_session_conversion,
+        "zorder_key": q_zorder_key,
+        "scd2_intervals": q_scd2_intervals,
+        "upsert_latest_wins": q_upsert_latest_wins,
+        "profile_table": q_profile_table,
+        "enrich_documents": q_enrich_documents,
+        "enrich_video_titles": q_enrich_video_titles,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "contrastive_pairs": q_contrastive_pairs,
+        "source_overlap_near": q_source_overlap_near,
+        "dedup_threshold_curve": q_dedup_threshold_curve,
+        "mixture_plan": q_mixture_plan,
+        "mg_heavy_hitters_by_key": q_mg_heavy_hitters_by_key,
+        "python_datasource_sink": q_python_datasource_sink,
+        "rest_ingest_videos": q_rest_ingest_videos,
+        "rest_ingest_comments": q_rest_ingest_comments,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "mg_heavy_hitters": q_mg_heavy_hitters,
+        "dq_report": q_dq_report,
+        "contamination_spans": q_contamination_spans,
+        "exact_substring_spans": q_exact_substring_spans,
+        "longest_repeated_substrings": q_longest_repeated_substrings,
+        "dsir_importance_weights": q_dsir_importance_weights,
+        "dsir_resample": q_dsir_resample,
+        "remove_contaminated_spans": q_remove_contaminated_spans,
+        "lm_perplexity_filter": q_lm_perplexity,
+        "bm25_search": q_bm25_search,
+        "hybrid_retrieval_rrf": q_hybrid_retrieval,
+        "retrieval_quality": q_retrieval_quality,
+        "hll_shard_union": q_hll_shard_union,
     }
 
 
