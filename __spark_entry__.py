@@ -8031,7 +8031,9 @@ def oracle_sql() -> dict[str, str]:
             WITH counts AS (
                 SELECT source AS g, n_chars AS v,
                        cast(count(*) AS bigint) AS c
-                FROM documents GROUP BY 1, 2),
+                FROM documents
+                WHERE source IS NOT NULL AND n_chars IS NOT NULL
+                GROUP BY 1, 2),
             ref AS (SELECT min(g) AS r FROM counts),
             refc AS (SELECT v, c AS cr FROM counts, ref WHERE g = r),
             others AS (SELECT g, v, c FROM counts, ref WHERE g <> r),

@@ -1075,3 +1075,37 @@ def test_ranking_quality_perfect_candidate(spark):
     rows = ranking_quality(truth, truth).collect()
     assert len(rows) == 1 and rows[0].recall_bp == 10000
     assert rows[0].mrr_micro == 1_000_000 and rows[0].n_hits == 2
+
+
+def test_rrf_and_ranking_quality_custom_rank_col(spark):
+    """ADVICE r7: the rank column is a parameter, not a baked-in 'rank'
+    string — a ranking that calls its column 'pos' fuses and audits
+    without renaming, and the numbers equal the default-named run."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.similarity import (
+        ranking_quality,
+        rrf_fuse,
+    )
+
+    rows_a = [(1, "x", 1), (1, "y", 2)]
+    rows_b = [(1, "y", 1), (1, "z", 2)]
+    a = spark.createDataFrame(rows_a, "query_id int, doc_id string, pos int")
+    b = spark.createDataFrame(rows_b, "query_id int, doc_id string, pos int")
+    fused = rrf_fuse([a, b], k=3, rank_col="pos")
+    assert fused.columns == ["query_id", "doc_id", "pos", "rrf_micro", "n_systems"]
+    got = {r["doc_id"]: (r["pos"], r["rrf_micro"]) for r in fused.collect()}
+
+    a_std = a.withColumnRenamed("pos", "rank")
+    b_std = b.withColumnRenamed("pos", "rank")
+    ref = {
+        r["doc_id"]: (r["rank"], r["rrf_micro"])
+        for r in rrf_fuse([a_std, b_std], k=3).collect()
+    }
+    assert got == ref
+    assert got["y"][0] == 1  # retrieved by both systems -> fuses first
+
+    truth = spark.createDataFrame(
+        [(1, "y"), (1, "z")], "query_id int, doc_id string"
+    )
+    rq = ranking_quality(truth, fused, rank_col="pos").collect()
+    assert len(rq) == 1
+    assert rq[0]["recall_bp"] == 10000 and rq[0]["mrr_micro"] == 1_000_000

@@ -223,3 +223,29 @@ def test_ks_drift_explicit_reference_and_unbalanced_sizes(spark):
     assert len(rep) == 1 and rep[0]["group"] == "a"
     assert rep[0]["n_ref"] == 2 and rep[0]["n_group"] == 4
     assert rep[0]["ks_bp"] == 5000
+
+
+def test_ks_drift_null_rows_are_excluded(spark):
+    """ADVICE r7: NULL value/group rows are dropped up front — a NULL
+    group fails both sides of the ref/other split and NULL values order
+    differently in Spark vs DuckDB windows.  The report over a corpus
+    with planted NULLs must equal the report over the non-null subset."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.quality import (
+        ks_drift_report,
+    )
+
+    clean = [("a", v) for v in (1, 2, 3, 4)] + [("b", v) for v in (3, 4, 5, 6)]
+    dirty = clean + [(None, 1), ("a", None), (None, None), ("b", None)]
+    df_clean = spark.createDataFrame(clean, "src string, x int")
+    df_dirty = spark.createDataFrame(dirty, "src string, x int")
+
+    def rows(df):
+        return sorted(
+            tuple(r)
+            for r in ks_drift_report(df, value_col="x", group_col="src").collect()
+        )
+
+    got = rows(df_dirty)
+    assert got == rows(df_clean)
+    # and the counts prove the null rows never entered the ECDFs
+    assert got[0][1] == 4 and got[0][2] == 4

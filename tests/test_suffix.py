@@ -293,3 +293,47 @@ def test_remove_contaminated_spans_rewrite(spark):
     assert got[2] == (
         "totally clean document stays exactly as written", 0, 7,
     )
+
+
+def test_global_dense_rank_across_tiny_arrow_batches(spark):
+    """ADVICE r7: the cross-Arrow-batch continuation state in
+    _global_dense_rank's tag() (prev_key/nxt, incl. the lidx-1
+    adjustment when a key straddles a batch boundary) was never
+    exercised — every fixture fit in one batch.  Force 2-row batches so
+    duplicate keys straddle boundaries, and compare against a Python
+    dense rank.  Multi-column keys and long duplicate runs (spanning
+    SEVERAL batches) included."""
+    import random
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.suffix import (
+        _global_dense_rank,
+    )
+
+    rng = random.Random(8)
+    # long runs of equal keys guarantee straddles at batch size 2
+    vals = []
+    for _ in range(120):
+        a = rng.randint(0, 9)
+        b = rng.randint(0, 2)
+        vals.extend([(a, b)] * rng.randint(1, 7))
+    expected_keys = sorted(set(vals))
+    expected = {k: i for i, k in enumerate(expected_keys)}
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+        df = spark.createDataFrame(vals, "a long, b long").repartition(5)
+        rows = _global_dense_rank(df, ["a", "b"], "rank", num_partitions=4).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    assert len(rows) == len(vals)  # rank attached to EVERY row
+    got = {(r["a"], r["b"]): r["rank"] for r in rows}
+    assert got == expected
+    # every copy of a key agrees on its rank
+    from collections import defaultdict
+
+    per_key = defaultdict(set)
+    for r in rows:
+        per_key[(r["a"], r["b"])].add(r["rank"])
+    assert all(len(s) == 1 for s in per_key.values())

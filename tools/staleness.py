@@ -72,14 +72,35 @@ def ledger(repo_root: str) -> list[dict]:
     return rows
 
 
+def _fmt_round(rnd: "int | None") -> str:
+    # `is not None`, not truthiness: a hypothetical round 0 must print
+    # as r00, not as never-checked (ADVICE r7)
+    return "r%02d" % rnd if rnd is not None else "-"
+
+
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument(
+        "--summary", action="store_true", help="per-round counts only"
+    )
+    ap.add_argument(
+        "--plan",
+        type=int,
+        metavar="N",
+        help="suggest the next N-slot window (stalest first)",
+    )
+    args = ap.parse_args()
+
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rows = ledger(repo_root)
     latest = max(
-        (r["last_checked"] or 0 for r in rows), default=0
+        (r["last_checked"] for r in rows if r["last_checked"] is not None),
+        default=0,
     )
 
-    if "--summary" in sys.argv:
+    if args.summary:
         by_round: dict = {}
         for r in rows:
             by_round.setdefault(r["last_green"], []).append(r["query"])
@@ -88,12 +109,11 @@ def main() -> None:
             print(f"{label}: {len(by_round[rnd])} queries")
         return
 
-    if "--plan" in sys.argv:
-        n = int(sys.argv[sys.argv.index("--plan") + 1])
+    if args.plan is not None:
         # stalest-first; never-checked queries lead, then oldest green
         plan = sorted(
             rows, key=lambda r: (r["last_green"] is not None, r["last_green"] or 0)
-        )[:n]
+        )[: args.plan]
         for r in plan:
             print(
                 f"{r['query']:40s} last_green="
@@ -113,8 +133,8 @@ def main() -> None:
         )
         print(
             f"{r['query']:40s} {r['position']:4d} {r['mode']:>9s} "
-            f"{'r%02d' % r['last_checked'] if r['last_checked'] else '-':>8s} "
-            f"{'r%02d' % r['last_green'] if r['last_green'] else '-':>6s} "
+            f"{_fmt_round(r['last_checked']):>8s} "
+            f"{_fmt_round(r['last_green']):>6s} "
             f"{r['n_checks']:3d}{stale}"
         )
 

@@ -320,9 +320,21 @@ def ks_drift_report(
     the corpus.  The per-group cumulative window partitions by group:
     ≤ |distinct values| rows per partition, never corpus rows.
 
+    Null contract (ADVICE r7): rows with a NULL value or NULL group are
+    EXCLUDED up front.  A NULL group could never match either side of
+    the ref/other split (``_g == _ref`` and ``_g != _ref`` are both
+    NULL-false, silently vanishing its rows), and NULL values order
+    differently across engines (Spark windows sort NULL first, DuckDB
+    defaults NULLS LAST) — the hash-exactness claim holds on the
+    non-null subset, which the explicit filter makes the operator's
+    actual input on every engine.
+
     Returns (group, n_ref, n_group, ks_bp), one row per non-reference
     group.
     """
+    df = df.where(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
     counts = df.groupBy(
         F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
     ).agg(F.count(F.lit(1)).alias("_c"))

@@ -946,6 +946,7 @@ def rrf_fuse(
     doc_col: str = "doc_id",
     c: int = 60,
     k: int = 10,
+    rank_col: str = "rank",
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack et al. 2009) of any number of
     per-query rankings — the standard hybrid-retrieval combiner (e.g.
@@ -953,12 +954,15 @@ def rrf_fuse(
     contributes ``1/(c + rank)`` per system that retrieved it, top-``k``
     fused results per query survive.
 
-    Each input needs (query_col, doc_col, rank) — rank 1-based within
-    query.  The reciprocal is integer-quantized, ``1_000_000 div
-    (c + rank)`` (distinct per rank through rank ≈ 940 at c=60, far
-    beyond any practical retrieval depth), so fused scores are pure
-    int64 sums — order-independent, ANSI-safe, engine-exact.  Final
-    order (rrf_micro desc, doc asc) is integer-total.
+    Each input needs (query_col, doc_col, rank_col) — rank 1-based
+    within query (``rank_col`` defaults to ``"rank"``, the contract
+    every ranker in this package emits; ADVICE r7 made it a parameter
+    and the output rank column follows it so fusions chain).  The
+    reciprocal is integer-quantized, ``1_000_000 div (c + rank)``
+    (distinct per rank through rank ≈ 940 at c=60, far beyond any
+    practical retrieval depth), so fused scores are pure int64 sums —
+    order-independent, ANSI-safe, engine-exact.  Final order
+    (rrf_micro desc, doc asc) is integer-total.
 
     Scale shape: inputs are ALREADY per-query top-k tables (Ω(q·k)
     rows, not corpus-sized); the union + (query, doc) aggregate is one
@@ -971,7 +975,13 @@ def rrf_fuse(
         r.select(
             F.col(query_col),
             F.col(doc_col),
-            F.expr(f"1000000 div ({int(c)} + rank)")
+            # floor == integer div for positive operands; Column ops so
+            # the rank column reference is the parameter, not a string
+            # baked into an expr (ADVICE r7)
+            F.floor(
+                F.lit(1_000_000)
+                / (F.lit(int(c)) + F.col(rank_col).cast("long"))
+            )
             .cast("long")
             .alias("_rr"),
         )
@@ -988,9 +998,9 @@ def rrf_fuse(
         F.col("rrf_micro").desc(), F.col(doc_col).asc()
     )
     return (
-        fused.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select(query_col, doc_col, "rank", "rrf_micro", "n_systems")
+        fused.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .where(F.col(rank_col) <= k)
+        .select(query_col, doc_col, rank_col, "rrf_micro", "n_systems")
     )
 
 
@@ -999,10 +1009,13 @@ def ranking_quality(
     candidate: DataFrame,
     query_col: str = "query_id",
     doc_col: str = "doc_id",
+    rank_col: str = "rank",
 ) -> DataFrame:
     """Per-query ranking-quality audit: recall@k and MRR of a
     ``candidate`` ranking against a ``truth`` ranking (both per-query
-    top-k tables with (query_col, doc_col, rank), rank 1-based).
+    top-k tables with (query_col, doc_col, rank_col), rank 1-based;
+    ``rank_col`` names the CANDIDATE's rank column — truth only needs
+    (query, doc) membership).
 
     The retrieval-eval closer of the lexical/dense/hybrid pack: BM25
     (``bm25_topk``), hyperplane-LSH / IVF ANN, and RRF fusion
@@ -1029,7 +1042,9 @@ def ranking_quality(
     Returns (query_col, n_truth, n_hits, recall_bp, mrr_micro).
     """
     t = truth.select(F.col(query_col), F.col(doc_col))
-    c = candidate.select(F.col(query_col), F.col(doc_col), F.col("rank"))
+    c = candidate.select(
+        F.col(query_col), F.col(doc_col), F.col(rank_col).alias("_rank")
+    )
     n_truth = t.groupBy(query_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_truth")
     )
@@ -1038,22 +1053,24 @@ def ranking_quality(
         .groupBy(query_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_hits"),
-            F.min("rank").cast("long").alias("_first_rank"),
+            F.min("_rank").cast("long").alias("_first_rank"),
         )
     )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0).cast("long"))
     return (
         n_truth.join(hits, on=query_col, how="left")
         .select(
             F.col(query_col),
             F.col("n_truth"),
-            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias(
-                "n_hits"
-            ),
-            F.expr("10000 * coalesce(n_hits, 0) div n_truth")
+            n_hits.alias("n_hits"),
+            # floor == integer div on non-negative operands; Column ops
+            # instead of expr-string column references (ADVICE r7)
+            F.floor(F.lit(10000) * n_hits / F.col("n_truth"))
             .cast("long")
             .alias("recall_bp"),
             F.coalesce(
-                F.expr("1000000 div _first_rank"), F.lit(0)
+                F.floor(F.lit(1_000_000) / F.col("_first_rank")),
+                F.lit(0),
             )
             .cast("long")
             .alias("mrr_micro"),
