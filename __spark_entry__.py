@@ -2744,6 +2744,23 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_mining.bm25_topk(docs, qs, k=10)
 
 
+def q_bm25_search_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with the max_df dial (VERDICT r7 #4): query terms in more
+    than 775‰ of documents are pruned from scoring BEFORE the postings
+    join, so stopword-grade terms never pay their Ω(df) candidate
+    fan-out — the 100 TB Zipfian-corpus path, the same contract shape
+    as knn_ivf's nprobe dial.  The prune is a deterministic integer
+    predicate (df·1000 ≤ 775·N) the oracle replays exactly; on this
+    fixture it keeps roughly half the vocabulary, so the dialed ranking
+    is a genuinely different (and hash-checked) contract from
+    bm25_search (operators/text_mining.py:bm25_topk)."""
+    docs = _t(spark, sf_dir, "documents")
+    qs = docs.where(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return text_mining.bm25_topk(docs, qs, k=10, max_df_permille=775)
+
+
 def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 lexical top-20 and exact dense cosine
     top-20 (the id-aligned embeddings table) fused per query by
@@ -4275,22 +4292,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_inequality": q_exists_inequality,
         "min_price_supplier": q_min_price_supplier,
         "unpivot_metrics": q_unpivot_metrics,
-        # part C: staleness fills - the oldest r4-green entries
-        # (tools/staleness.py --plan; displaced first if new
-        # never-checked queries land this round)
+        # part C: new this round (never-checked outranks re-checks) and
+        # re-checks of queries whose code changed this round — the BM25
+        # max_df dial (new + the shared bm25_topk join reorder), the
+        # content-derived HLL shard hash, and the rrf_fuse /
+        # ranking_quality rank_col refactor
+        "bm25_search_pruned": q_bm25_search_pruned,
+        "bm25_search": q_bm25_search,
+        "hll_shard_union": q_hll_shard_union,
+        "hybrid_retrieval_rrf": q_hybrid_retrieval,
+        "retrieval_quality": q_retrieval_quality,
+        # part D: staleness fills - the oldest r4-green entries
+        # (tools/staleness.py --plan; five more r4 fills were displaced
+        # by part C and sit first below the line)
         "contamination_report": q_contamination_report,
         "repetition_signals": q_repetition_signals,
         "pii_scan": q_pii_scan,
         "incremental_dedup": q_incremental_dedup,
+        # ============ end of driver's 50-slot window ============
+        # below the line: oldest driver evidence first (r4, then r5,
+        # r6, r7) - the ledger in tools/staleness.py drives each
+        # round's rotation
         "dataset_split": q_dataset_split,
         "pagerank_influence": q_pagerank_influence,
         "duplicate_ngram_spans": q_duplicate_ngram_spans,
         "embedding_quantization": q_embedding_quantization,
         "variant_extract": q_variant_extract,
-        # ============ end of driver's 50-slot window ============
-        # below the line: oldest driver evidence first (r4, then r5,
-        # r6, r7) - the ledger in tools/staleness.py drives each
-        # round's rotation
         "streaming_corpus_dedup": q_streaming_corpus_dedup,
         "delete_by_key_roundtrip": q_delete_by_key_roundtrip,
         "curation_funnel": q_curation_funnel,
@@ -4463,10 +4490,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "remove_contaminated_spans": q_remove_contaminated_spans,
         "lm_perplexity_filter": q_lm_perplexity,
-        "bm25_search": q_bm25_search,
-        "hybrid_retrieval_rrf": q_hybrid_retrieval,
-        "retrieval_quality": q_retrieval_quality,
-        "hll_shard_union": q_hll_shard_union,
     }
 
 
@@ -6461,6 +6484,63 @@ def oracle_sql() -> dict[str, str]:
                 FROM qterms q
                 JOIN postings p USING (term)
                 JOIN dft f USING (term)
+                JOIN dl l ON l.doc_id = p.doc_id
+                CROSS JOIN stats s),
+            scores AS (
+                SELECT query_id, doc_id,
+                       cast(sum(c_micro) AS bigint) AS score_micro
+                FROM contrib GROUP BY query_id, doc_id),
+            ranked AS (
+                SELECT query_id, doc_id, score_micro,
+                       cast(row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score_micro DESC, doc_id ASC
+                       ) AS bigint) AS rank
+                FROM scores)
+            SELECT query_id, rank, doc_id, score_micro
+            FROM ranked WHERE rank <= 10
+        """,
+        # bm25_search_pruned: the identical pipeline with the max_df
+        # dial's integer predicate (df*1000 <= 775*N) applied to the
+        # term dictionary before the candidate join — the dialed
+        # contract itself is deterministic, so it hash-checks
+        "bm25_search_pruned": f"""
+            WITH toks AS (SELECT doc_id, {tokens} AS t FROM documents),
+            postings AS (
+                SELECT doc_id, x AS term, cast(count(*) AS bigint) AS tf
+                FROM (SELECT doc_id, unnest(t) AS x FROM toks)
+                GROUP BY doc_id, x),
+            dl AS (
+                SELECT doc_id, sum(tf) AS dl
+                FROM postings GROUP BY doc_id),
+            stats AS (
+                SELECT cast(count(*) AS bigint) AS n_docs,
+                       cast(sum(dl) AS bigint) AS sum_dl
+                FROM dl),
+            dft AS (
+                SELECT term, cast(count(*) AS bigint) AS df
+                FROM postings GROUP BY term),
+            dft_kept AS (
+                SELECT f.term, f.df FROM dft f CROSS JOIN stats s
+                WHERE f.df * 1000 <= 775 * s.n_docs),
+            qterms AS (
+                SELECT DISTINCT doc_id AS query_id, x AS term
+                FROM (SELECT doc_id, unnest(t) AS x
+                      FROM toks WHERE doc_id % 101 = 0)),
+            contrib AS (
+                SELECT q.query_id, p.doc_id,
+                       cast(floor(1000000.0 * (
+                           ln(1.0 + (s.n_docs - f.df + 0.5)
+                                    / (f.df + 0.5))
+                           * ((p.tf * (1.2 + 1.0))
+                              / (p.tf + 1.2 * ((1.0 - 0.75)
+                                 + 0.75 * (l.dl
+                                     / (cast(s.sum_dl AS double)
+                                        / cast(s.n_docs AS double))))))
+                       )) AS bigint) AS c_micro
+                FROM qterms q
+                JOIN dft_kept f USING (term)
+                JOIN postings p USING (term)
                 JOIN dl l ON l.doc_id = p.doc_id
                 CROSS JOIN stats s),
             scores AS (

@@ -103,6 +103,9 @@ DOCS_10X = [
     "remove_contaminated_spans",
     "lm_perplexity_filter",
     "bm25_search",
+    # (bm25_search_pruned is NOT in this list: the disjoint-vocabulary
+    # upscale divides df/N by the factor, so the dial can't fire at
+    # both scales here — it has its own zipf-corpus experiment below)
     "hybrid_retrieval_rrf",
 ]
 EMB_10X = ["knn_bruteforce", "semantic_dedup", "ann_recall"]
@@ -384,6 +387,97 @@ def main() -> None:
             <= _ratio("minhash_near_dup") * 1.15,  # 15% noise band
             "minhash_ratio_ll_ppjoin_ratio": _ratio("minhash_near_dup") * 2
             < _ratio("ngram_jaccard_pairs"),
+        }
+        shutil.rmtree(dst, ignore_errors=True)
+
+        # max_df prune (r8, VERDICT r7 #4): measured on a SYNTHETIC
+        # ZIPF corpus (log-uniform term ids == Zipf s=1 frequencies,
+        # deterministic content hash; 10k vocabulary, 60-token docs)
+        # because the prune dials on df/N, which neither fixture shape
+        # exercises — the 31-token fixture vocabulary is uniformly
+        # stopword-grade, and the disjoint-vocabulary upscale divides
+        # every df/N by the growth factor so no deterministic df
+        # predicate can fire at both scales.  On a Zipf corpus the head
+        # terms (df ≈ N) carry most of the candidate volume at
+        # near-zero idf; the claim under test is that pruning them
+        # makes BM25 faster at BOTH scales while staying deterministic.
+        import math as _math
+
+        from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import (
+            bm25_topk,
+        )
+
+        dst = os.path.join(work, "bm25_prune")
+        os.makedirs(dst, exist_ok=True)
+        _V, _LEN, _LNV = 10_000, 60, float(_math.log(10_000))
+
+        def _zipf_docs(n):
+            return spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(_LEN)),
+                        lambda i: F.concat(
+                            F.lit("t"),
+                            F.floor(
+                                F.exp(
+                                    (
+                                        (
+                                            F.pmod(
+                                                F.xxhash64(F.col("doc_id"), i),
+                                                F.lit(1_000_000),
+                                            )
+                                            + 0.5
+                                        )
+                                        / 1_000_000.0
+                                    )
+                                    * F.lit(_LNV)
+                                )
+                            ).cast("string"),
+                        ),
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+
+        zipf_base, zipf_scaled = 20_000, 80_000
+        for tag, n in (("base", zipf_base), ("scaled", zipf_scaled)):
+            _zipf_docs(n).write.mode("overwrite").parquet(
+                os.path.join(dst, f"{tag}.parquet")
+            )
+
+        def _bm25_seconds(tag: str, permille):
+            docs = spark.read.parquet(os.path.join(dst, f"{tag}.parquet"))
+            qset = docs.where(
+                (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < zipf_base)
+            ).select(F.col("doc_id").alias("query_id"), "text")
+            ts = []
+            for i in range(runs + 1):  # first pass warms
+                t0 = time.perf_counter()
+                bm25_topk(docs, qset, k=10, max_df_permille=permille).count()
+                if i:
+                    ts.append(time.perf_counter() - t0)
+            return round(_median(ts), 3)
+
+        for label, permille in (("unpruned", None), ("pruned_775", 775)):
+            b = _bm25_seconds("base", permille)
+            s = _bm25_seconds("scaled", permille)
+            experiments[f"bm25_prune:{label}"] = {
+                "growth": "4x zipf docs, fixed queries",
+                "growth_factor": 4,
+                "base_sec": b,
+                "scaled_sec": s,
+                "ratio": round(s / max(b, 1e-9), 2),
+            }
+        experiments["bm25_prune:speedup"] = {
+            "pruned_beats_unpruned_at_base": (
+                experiments["bm25_prune:pruned_775"]["base_sec"]
+                < experiments["bm25_prune:unpruned"]["base_sec"]
+            ),
+            "pruned_beats_unpruned_at_4x": (
+                experiments["bm25_prune:pruned_775"]["scaled_sec"]
+                < experiments["bm25_prune:unpruned"]["scaled_sec"]
+            ),
         }
         shutil.rmtree(dst, ignore_errors=True)
 

@@ -406,6 +406,53 @@ def test_bm25_topk_limits_and_excludes_nonmatching(spark):
     assert [r.doc_id for r in sorted(rows, key=lambda r: r.rank)] == [0, 1, 2]
 
 
+def test_bm25_topk_max_df_prune_is_exact_integer_contract(spark):
+    """max_df_permille drops exactly the terms with df*1000 > permille*N
+    from scoring (VERDICT r7 #4): on a corpus where 'common' is in 3 of
+    4 docs (750 permille) and 'rare' in 1, a 700-permille dial scores on
+    'rare' alone and the surviving scores equal a by-hand BM25 with the
+    pruned term absent; at the exact boundary (750) the term is KEPT
+    (<=, not <); default None is byte-identical to the old behavior."""
+    import math
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare"),
+            (2, "common other"),
+            (3, "common other"),
+            (4, "other other"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(100, "common rare")], "query_id long, text string"
+    )
+
+    # N=4, dl all 2, avgdl=2 -> tfn simplifies; df(common)=3, df(rare)=1
+    def c(tf, df, dl):
+        idf = math.log(1.0 + (4 - df + 0.5) / (df + 0.5))
+        tfn = (tf * (1.2 + 1.0)) / (
+            tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / 2.0))
+        )
+        return math.floor(1_000_000.0 * (idf * tfn))
+
+    # permille=700: common (750 permille) pruned -> only doc 1 matches
+    got = bm25_topk(docs, queries, k=10, max_df_permille=700).collect()
+    assert [(r.doc_id, r.score_micro) for r in got] == [(1, c(1, 1, 2))]
+
+    # permille=750: boundary term KEPT (df*1000 == permille*N)
+    got = bm25_topk(docs, queries, k=10, max_df_permille=750).collect()
+    assert {r.doc_id for r in got} == {1, 2, 3}
+    by_doc = {r.doc_id: r.score_micro for r in got}
+    assert by_doc[1] == c(1, 3, 2) + c(1, 1, 2)
+    assert by_doc[2] == by_doc[3] == c(1, 3, 2)
+
+    # default: unchanged (all terms, all matching docs)
+    assert len(bm25_topk(docs, queries, k=10).collect()) == 3
+
+
 def test_zipf_fit_recovers_slope_on_synthetic_zipf_corpus(spark):
     """Tokens with counts floor(3000/i^1) follow Zipf with s=1: the
     fitted negated slope must land near 1000 milli with near-perfect

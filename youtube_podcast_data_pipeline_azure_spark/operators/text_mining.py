@@ -705,6 +705,7 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    max_df_permille: int | None = None,
 ) -> DataFrame:
     """BM25 ranked retrieval (Robertson-Spärck Jones): for every query,
     the top-``k`` corpus documents by Lucene-variant BM25 —
@@ -733,6 +734,24 @@ def bm25_topk(
     everything after is per-candidate arithmetic plus one (query)
     top-k window over candidates.  Corpus scalars (N, Σdl) are a 1-row
     broadcast.  No hints — AQE broadcasts the small sides.
+
+    ``max_df_permille`` (VERDICT r7 #4, the ``tfidf_cosine_pairs``
+    ``max_df`` pattern): when set, query terms whose document frequency
+    exceeds ``max_df_permille/1000`` of the corpus are EXCLUDED from
+    scoring — the candidate volume per query term is Ω(df), so on a
+    Zipfian corpus stopword-grade terms (df ≈ N) dominate the
+    per-(query, doc) aggregate while contributing near-zero idf.  The
+    prune filters the term dictionary against an eagerly-collected
+    corpus-size literal (one bounded 1-row job at construct time), so
+    pruned candidates die at the pipelined dictionary probe before the
+    scores shuffle — the only exchange that carries candidates — and
+    the plan stays the unpruned plan minus the stats join.  It is a
+    DIAL, not an approximation of the
+    unpruned ranking (dropping a term changes scores) — like
+    ``knn_ivf``'s nprobe it is registered as a separate query whose
+    deterministic integer contract (``df·1000 ≤ permille·N``) the
+    oracle replays exactly.  Default ``None`` = the exact unpruned
+    ranking.
     """
     postings = (
         docs.select(
@@ -740,6 +759,14 @@ def bm25_topk(
         )
         .groupBy(id_col, "_t")
         .agg(F.count(F.lit(1)).alias("_tf"))
+        # multi-consumer rule: postings feeds dl, stats, df_t AND the
+        # candidate join — without the checkpoint Catalyst pastes the
+        # corpus explode+aggregate per consumer (measured: 10 parquet
+        # scans of the corpus in one bm25 plan, r8).  One eager
+        # materialization = one corpus pass; every consumer reads the
+        # (doc, term, tf) table — which is also exactly the piece
+        # bm25_index_write persists for the build-once path.
+        .localCheckpoint(eager=True)
     )
     dl = postings.groupBy(id_col).agg(F.sum("_tf").alias("_dl"))
     stats = dl.agg(
@@ -751,29 +778,59 @@ def bm25_topk(
         F.col(query_id_col),
         F.explode(tokenize(F.col(text_col))).alias("_t"),
     ).distinct()
+    if max_df_permille is None:
+        n_docs_col = F.col("_n_docs")
+        sum_dl_col = F.col("_sum_dl")
+        joined = (
+            qterms.join(postings, "_t")
+            .join(df_t, "_t")
+            .join(dl, id_col)
+            .join(F.broadcast(stats))
+        )
+    else:
+        # integer contract: keep terms with df·1000 <= permille·N —
+        # exact at any corpus size, replayable on any engine.  The two
+        # corpus scalars are collected eagerly (bounded driver fan-in:
+        # ONE row, two longs — the sketch-probe pattern) and folded in
+        # as plan literals: threading `stats` into the dictionary
+        # filter as a subplan instead PASTES the dl→postings aggregate
+        # chain per consumer, measured 2x SLOWER than unpruned at 4x
+        # scale despite 8x fewer candidates (the multi-consumer trap,
+        # r8).  With literals the pruned plan is the unpruned plan
+        # minus the stats join, and pruned terms die at the pipelined
+        # dictionary probe BEFORE the scores shuffle — the only
+        # exchange that carries candidates.
+        # scalar probe over the already-materialized postings
+        # checkpoint — no extra corpus scan
+        row = dl.agg(
+            F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_s")
+        ).collect()[0]
+        n_docs_col = F.lit(int(row["_n"])).cast("long")
+        sum_dl_col = F.lit(int(row["_s"])).cast("long")
+        df_t = df_t.where(
+            F.col("_df") * 1000
+            <= F.lit(int(max_df_permille)) * n_docs_col
+        )
+        joined = (
+            qterms.join(postings, "_t").join(df_t, "_t").join(dl, id_col)
+        )
     idf = F.log(
         F.lit(1.0)
-        + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
+        + (n_docs_col - F.col("_df") + F.lit(0.5))
         / (F.col("_df") + F.lit(0.5))
     )
-    avgdl = F.col("_sum_dl").cast("double") / F.col("_n_docs").cast("double")
+    avgdl = sum_dl_col.cast("double") / n_docs_col.cast("double")
     tfn = (F.col("_tf") * F.lit(k1 + 1.0)) / (
         F.col("_tf")
         + F.lit(k1)
         * (F.lit(1.0 - b) + F.lit(b) * (F.col("_dl") / avgdl))
     )
-    contrib = (
-        qterms.join(postings, "_t")
-        .join(df_t, "_t")
-        .join(dl, id_col)
-        .join(F.broadcast(stats))
-        .select(
-            query_id_col,
-            id_col,
-            F.floor(F.lit(1_000_000.0) * (idf * tfn))
-            .cast("long")
-            .alias("_c_micro"),
-        )
+    contrib = joined.select(
+        query_id_col,
+        id_col,
+        F.floor(F.lit(1_000_000.0) * (idf * tfn))
+        .cast("long")
+        .alias("_c_micro"),
     )
     scores = contrib.groupBy(query_id_col, id_col).agg(
         F.sum("_c_micro").cast("long").alias("score_micro")
