@@ -2856,6 +2856,29 @@ def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_substring_spans_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Suffix-array index persistence roundtrip (VERDICT r7 #5, the
+    knn_ivf_persisted argument applied to Lee et al.'s build-once SA):
+    run the prefix-doubling rounds ONCE, persist the (id, pos, rank)
+    table range-clustered by rank (+ a 1-row meta table), load it back,
+    and derive the maximal repeated spans from the LOADED ranks — the
+    overlap composite, occurrence marking, and interval merge are pure
+    integer arithmetic over the index, no re-doubling
+    (operators/suffix.py:suffix_index_write/exact_substring_spans_from_index).
+    Oracle: the same repeated-8-gram interval merge as
+    exact_substring_spans — loaded-index output must be hash-identical
+    to the in-plan construction."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="spark_graft_sa_")
+    suffix.suffix_index_write(
+        _t(spark, sf_dir, "documents"), path, max_len=8
+    )
+    return suffix.exact_substring_spans_from_index(spark, path, min_len=8)
+
+
 def q_longest_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-position maximal repeat lengths (top-100, cap 16 tokens) via
     the suffix array's LCP adjacency property — a dense-rank equi-join
@@ -4298,6 +4321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # content-derived HLL shard hash, and the rrf_fuse /
         # ranking_quality rank_col refactor
         "bm25_search_pruned": q_bm25_search_pruned,
+        "exact_substring_spans_persisted": q_exact_substring_spans_persisted,
         "bm25_search": q_bm25_search,
         "hll_shard_union": q_hll_shard_union,
         "hybrid_retrieval_rrf": q_hybrid_retrieval,
@@ -4308,8 +4332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report": q_contamination_report,
         "repetition_signals": q_repetition_signals,
         "pii_scan": q_pii_scan,
-        "incremental_dedup": q_incremental_dedup,
         # ============ end of driver's 50-slot window ============
+        "incremental_dedup": q_incremental_dedup,
         # below the line: oldest driver evidence first (r4, then r5,
         # r6, r7) - the ledger in tools/staleness.py drives each
         # round's rotation
@@ -4770,7 +4794,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderkey IN (
                 SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 500)
         """
-    return {
+    out = {
         "kpi_event_type_counts": """
             SELECT lower(coalesce(event_type, 'unknown')) AS event_type,
                    count(*) AS n
@@ -8818,3 +8842,8 @@ def oracle_sql() -> dict[str, str]:
         # knn_lsh / knn_ivf: intentionally omitted — approximate or
         # sample-trained; the driver records the weaker rows-only check.
     }
+    # loaded-index spans must be hash-identical to the in-plan
+    # construction — one contract, two execution paths (the
+    # knn_ivf_persisted pattern)
+    out["exact_substring_spans_persisted"] = out["exact_substring_spans"]
+    return out

@@ -337,3 +337,54 @@ def test_global_dense_rank_across_tiny_arrow_batches(spark):
     for r in rows:
         per_key[(r["a"], r["b"])].add(r["rank"])
     assert all(len(s) == 1 for s in per_key.values())
+
+
+def test_suffix_index_roundtrip_equals_in_plan(docs, tmp_path):
+    """VERDICT r7 #5: write the suffix ranks once, load, derive spans —
+    identical rows to the in-plan construction at the same min_len, for
+    both the exact-power case (L == index width) and the overlap
+    composite (width < L < 2*width)."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.suffix import (
+        exact_substring_spans,
+        exact_substring_spans_from_index,
+        suffix_index_load,
+        suffix_index_write,
+    )
+
+    spark = docs.sparkSession
+    path = str(tmp_path / "sa_index")
+    suffix_index_write(docs, path, max_len=4)
+
+    ranks, a, id_col = suffix_index_load(spark, path)
+    assert (a, id_col) == (4, "doc_id")
+    # the persisted ranks ARE the truncated suffix ranks
+    got_ranks = {(r["doc_id"], r["pos"]): r["rank"] for r in ranks.collect()}
+    assert got_ranks == _py_rank(CORPUS, 4)
+
+    for L in (4, 6, 7):  # exact power + two composite widths
+        in_plan = sorted(
+            tuple(r) for r in exact_substring_spans(docs, min_len=L).collect()
+        )
+        from_index = sorted(
+            tuple(r)
+            for r in exact_substring_spans_from_index(
+                spark, path, min_len=L
+            ).collect()
+        )
+        assert from_index == in_plan, L
+        assert set(in_plan) == _py_spans(CORPUS, L), L
+
+
+def test_suffix_index_rejects_incomposable_length(docs, tmp_path):
+    from youtube_podcast_data_pipeline_azure_spark.operators.suffix import (
+        exact_substring_spans_from_index,
+        suffix_index_write,
+    )
+
+    path = str(tmp_path / "sa_index8")
+    suffix_index_write(docs, path, max_len=8)
+    for bad in (4, 16):  # needs 8 <= L < 16
+        with pytest.raises(ValueError):
+            exact_substring_spans_from_index(
+                docs.sparkSession, path, min_len=bad
+            )
