@@ -4326,13 +4326,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_shard_union": q_hll_shard_union,
         "hybrid_retrieval_rrf": q_hybrid_retrieval,
         "retrieval_quality": q_retrieval_quality,
+        "lm_perplexity_filter": q_lm_perplexity,
         # part D: staleness fills - the oldest r4-green entries
         # (tools/staleness.py --plan; five more r4 fills were displaced
         # by part C and sit first below the line)
         "contamination_report": q_contamination_report,
         "repetition_signals": q_repetition_signals,
-        "pii_scan": q_pii_scan,
         # ============ end of driver's 50-slot window ============
+        "pii_scan": q_pii_scan,
         "incremental_dedup": q_incremental_dedup,
         # below the line: oldest driver evidence first (r4, then r5,
         # r6, r7) - the ledger in tools/staleness.py drives each
@@ -4513,7 +4514,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_weights": q_dsir_importance_weights,
         "dsir_resample": q_dsir_resample,
         "remove_contaminated_spans": q_remove_contaminated_spans,
-        "lm_perplexity_filter": q_lm_perplexity,
     }
 
 

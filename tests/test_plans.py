@@ -354,17 +354,18 @@ def test_r07_dsir_queries_stay_within_shuffle_budget(spark, sf_dir):
 def test_r07_hll_report_stays_within_shuffle_budget(spark, sf_dir):
     """hll_shard_union (r7) is an AUDIT query — it deliberately
     computes three answers (sharded-union sketch, direct sketch, exact
-    COUNT(DISTINCT)) over the same events scan, so its budget is 5
-    hash exchanges — (key,shard) sketch agg, per-key union agg, per-key
-    direct agg, and the exact distinct's two-phase (key,item)→(key) —
-    and every one of them ships either KB-sized sketch state or the
-    bounded distinct pairs after map-side partial aggregation; the
-    5-row result joins must broadcast and nothing may collapse to a
-    single partition.  The production path (hll_shard_sketches →
-    parquet → hll_union_estimate) is 2 exchanges, pinned via the
-    roundtrip test in test_sketches."""
+    COUNT(DISTINCT)) over the same events scan, so its budget is 6
+    hash exchanges — the content-derived shard's (key,item) dup-count
+    agg (r8, VERDICT r7 #3), (key,shard) sketch agg, per-key union agg,
+    per-key direct agg, and the exact distinct's two-phase
+    (key,item)→(key) — and every one of them ships either KB-sized
+    sketch state or the bounded distinct pairs after map-side partial
+    aggregation; the 5-row result joins must broadcast and nothing may
+    collapse to a single partition.  The production path
+    (hll_shard_sketches → parquet → hll_union_estimate) is 2 exchanges,
+    pinned via the roundtrip test in test_sketches."""
     plan = _plan(spark, sf_dir, "hll_shard_union")
-    assert plan.count("Exchange hashpartitioning") == 5
+    assert plan.count("Exchange hashpartitioning") == 6
     assert "Exchange SinglePartition" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
@@ -703,4 +704,61 @@ def test_retrieval_quality_final_plan_reads_only_checkpoints(spark, sf_dir):
     plan = _plan(spark, sf_dir, "retrieval_quality")
     assert "Scan ExistingRDD" in plan
     assert "Scan parquet" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_bm25_queries_stay_within_shuffle_budget(spark, sf_dir):
+    """BM25 (r7, budgets pinned r8 — VERDICT r7 #6): the postings table
+    is eagerly checkpointed at construct (its four consumers previously
+    pasted the corpus explode+aggregate: 10 parquet scans in one plan),
+    so the FINAL plan runs on the materialized (doc, term, tf) table —
+    6 hash exchanges unpruned (dl, df_t, candidate term join, scores
+    agg, top-k window + qterms distinct), 5 pruned (the corpus scalars
+    fold in as literals, dropping the stats join), and the only
+    single-partition exchange is the unpruned 1-row stats aggregate.
+    Text never shuffles: the candidate join carries (id, term, tf)."""
+    plan = _plan(spark, sf_dir, "bm25_search")
+    assert plan.count("Exchange hashpartitioning") == 6
+    assert plan.count("Exchange SinglePartition") == 1  # 1-row stats agg
+    assert "SortMergeJoin" not in plan
+    plan = _plan(spark, sf_dir, "bm25_search_pruned")
+    assert plan.count("Exchange hashpartitioning") == 5
+    assert "Exchange SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hybrid_rrf_stays_within_shuffle_budget(spark, sf_dir):
+    """RRF fusion (r7, pinned r8): BM25@20's six exchanges plus the
+    dense ranking and the fusion's (query, doc) aggregate + per-query
+    window — 8 hash exchanges total; fusion inputs are per-query top-k
+    tables, so nothing corpus-sized reaches the fuse."""
+    plan = _plan(spark, sf_dir, "hybrid_retrieval_rrf")
+    assert plan.count("Exchange hashpartitioning") == 8
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_lm_perplexity_budget_and_single_scoring_pass(spark, sf_dir):
+    """lm_perplexity_filter (r7, re-audited r8): the trained bigram LM
+    (cvw) and the per-doc scores are eagerly checkpointed — before the
+    fix their consumers pasted the scoring pipeline into the plan 18
+    parquet scans deep.  Final plan: <= 2 scans (the ids-only left join
+    + one checkpoint feed), 5 hash exchanges, and the single-partition
+    exchanges only ever carry the bounded distinct-value rank table."""
+    plan = _plan(spark, sf_dir, "lm_perplexity_filter")
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2
+    assert plan.count("Exchange hashpartitioning") == 5
+    # (no SortMergeJoin assertion: scored⋈offsets may legitimately
+    # sort-merge — the offsets side is bounded by the quantized value
+    # space, ≲2e7 rows, which is broadcastable sometimes, not always)
+
+
+def test_suffix_index_query_reads_index_not_corpus(spark, sf_dir):
+    """exact_substring_spans_persisted (r8): the span derivation over a
+    LOADED index must never re-run the doubling rounds — the final plan
+    reads the index parquet (+ the construct-time checkpoint feeds) and
+    spends 3 hash exchanges (lens agg reuse, rank-group count window,
+    interval-merge window+agg); no single-partition exchange, ever."""
+    plan = _plan(spark, sf_dir, "exact_substring_spans_persisted")
+    assert plan.count("Exchange hashpartitioning") == 3
     assert "Exchange SinglePartition" not in plan

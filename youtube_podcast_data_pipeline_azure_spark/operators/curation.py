@@ -866,8 +866,15 @@ def lm_perplexity_report(
     n_scored = 0 and NULL score/bucket and do not occupy bucket slots.
     """
     ref_pairs = _bigram_pairs(reference, text_col)
-    cvw = ref_pairs.groupBy("v", "w").agg(
-        F.count(F.lit(1)).alias("_cvw")
+    cvw = (
+        ref_pairs.groupBy("v", "w")
+        .agg(F.count(F.lit(1)).alias("_cvw"))
+        # multi-consumer rule (r8): cvw feeds cv AND the scoring join —
+        # without the checkpoint the reference bigram aggregation (and
+        # its corpus scan) is pasted per consumer.  This materialized
+        # table IS the trained LM — bounded by observed reference
+        # bigrams, the piece a production run would persist.
+        .localCheckpoint(eager=True)
     )
     cv = cvw.groupBy("v").agg(F.sum("_cvw").alias("_cv"))
     vocab = (
@@ -907,7 +914,11 @@ def lm_perplexity_report(
         "n_scored",
         "nll_micro",
         F.expr("nll_micro div n_scored").alias("nll_per_tok_micro"),
-    )
+    # multi-consumer rule (r8): the per-doc scores feed the value-count
+    # table AND the bucketing join — unchecked, the whole scoring
+    # pipeline (doc scan + model joins) re-ran per consumer: 18 parquet
+    # scans in one plan.  One eager corpus-grain pass, like ks_drift.
+    ).localCheckpoint(eager=True)
     # distributed-exact ntile: bounded distinct-value rank offsets
     vcounts = scored.groupBy("nll_per_tok_micro").agg(
         F.count(F.lit(1)).alias("_c")
