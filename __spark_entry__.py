@@ -4240,6 +4240,66 @@ def q_enrich_video_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain-grain crawl-mixture table (VERDICT r7 #7): URLs are
+    planted deterministically over the documents table (the pii_scan
+    pattern — the fixture has no url column, so the query synthesizes
+    messy crawl URLs it must then canonicalize: mixed-case schemes and
+    hosts, default ports, tracking params, shuffled query order,
+    trailing slashes, fragments), normalized by functions/url.py, and
+    rolled up per domain: docs, distinct logical pages, URL-recrawl
+    rate, token share (operators/curation.py:domain_mix_report).  The
+    oracle replays the identical synth + normalization from the same
+    regex constants."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.element_at(
+        F.array(
+            F.lit("www.Example.COM"),
+            F.lit("docs.example.com"),
+            F.lit("News.Site.org"),
+            F.lit("cdn.assets.net"),
+        ),
+        (d % 4 + 1).cast("int"),
+    )
+    scheme = F.when(d % 3 == 0, F.lit("HTTPS://")).otherwise(F.lit("http://"))
+    port = F.when(
+        d % 5 == 0,
+        F.when(d % 3 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+    ).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/p/"),
+        (d % 40).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    qs = F.element_at(
+        F.array(
+            F.lit("?utm_source=feed&b=2&a=1"),
+            F.lit("?a=1&b=2&utm_campaign=x"),
+            F.lit("?b=2&a=1"),
+            F.lit(""),
+        ),
+        (d % 4 + 1).cast("int"),
+    )
+    frag = F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    url = F.concat(scheme, host, port, path, qs, frag)
+    return curation.domain_mix_report(docs.withColumn("url", url))
+
+
+def q_turn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-turn-level dedup (VERDICT r7 #7): fixed-width token
+    turns (the fixture has no turn delimiters; width 4 so the 31-token
+    vocabulary actually produces cross-document verbatim turns),
+    md5-fingerprinted, corpus-wide keep-first by (id, turn index), each
+    document rebuilt from its surviving turns via the retry-safe
+    sort_array(collect_list(struct)) reassembly
+    (operators/curation.py:turn_dedup).  Deterministic end to end, so
+    the oracle replays the rewrite bit-for-bit."""
+    return curation.turn_dedup(
+        _t(spark, sf_dir, "documents"), turn_tokens=4
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 pricing summary at sf0.001 (driver smoke)."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4327,12 +4387,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_retrieval_rrf": q_hybrid_retrieval,
         "retrieval_quality": q_retrieval_quality,
         "lm_perplexity_filter": q_lm_perplexity,
-        # part D: staleness fills - the oldest r4-green entries
-        # (tools/staleness.py --plan; five more r4 fills were displaced
-        # by part C and sit first below the line)
+        "domain_mix": q_domain_mix,
+        "turn_dedup": q_turn_dedup,
+        # ============ end of driver's 50-slot window ============
+        # (the r4 staleness fills were all displaced by part C's new
+        # queries and re-checks — never-checked outranks re-checks,
+        # re-checks of changed code outrank fills; they lead the
+        # below-the-line queue, oldest evidence first)
         "contamination_report": q_contamination_report,
         "repetition_signals": q_repetition_signals,
-        # ============ end of driver's 50-slot window ============
         "pii_scan": q_pii_scan,
         "incremental_dedup": q_incremental_dedup,
         # below the line: oldest driver evidence first (r4, then r5,
@@ -4518,6 +4581,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from youtube_podcast_data_pipeline_azure_spark.functions.url import (
+        url_domain_sql,
+        url_normalize_sql,
+    )
+
     qual = quality_score_sql("text")
     lang = language_id_sql("text")
 
@@ -8837,6 +8905,92 @@ def oracle_sql() -> dict[str, str]:
                    cast(least(len(list_distinct(
                        {_lexicon('title')[0]})), 8) AS bigint) AS n_topics
             FROM h
+        """,
+        # domain_mix: identical URL synth (integer doc_id arithmetic) +
+        # the url.py normalization regexes shared verbatim via the
+        # *_sql twins; integer div shares
+        "domain_mix": f"""
+            WITH urls AS (
+                SELECT doc_id, text,
+                       (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://'
+                             ELSE 'http://' END)
+                       || (['www.Example.COM','docs.example.com',
+                            'News.Site.org','cdn.assets.net'])
+                          [cast(doc_id % 4 AS int) + 1]
+                       || (CASE WHEN doc_id % 5 = 0 THEN
+                             CASE WHEN doc_id % 3 = 0 THEN ':443'
+                                  ELSE ':80' END
+                           ELSE '' END)
+                       || '/p/' || cast(doc_id % 40 AS varchar)
+                       || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+                       || (['?utm_source=feed&b=2&a=1',
+                            '?a=1&b=2&utm_campaign=x', '?b=2&a=1', ''])
+                          [cast(doc_id % 4 AS int) + 1]
+                       || (CASE WHEN doc_id % 7 = 0 THEN '#frag'
+                           ELSE '' END) AS url
+                FROM documents),
+            norm AS (
+                SELECT {url_domain_sql('url')} AS domain,
+                       {url_normalize_sql('url')} AS nurl,
+                       cast(len({tokens}) AS bigint) AS toks
+                FROM urls),
+            per_url AS (
+                SELECT domain, nurl,
+                       cast(count(*) AS bigint) AS docs,
+                       cast(sum(toks) AS bigint) AS tokens
+                FROM norm GROUP BY 1, 2),
+            per_domain AS (
+                SELECT domain,
+                       cast(sum(docs) AS bigint) AS n_docs,
+                       cast(count(*) AS bigint) AS n_pages,
+                       cast(sum(tokens) AS bigint) AS n_tokens
+                FROM per_url GROUP BY 1)
+            SELECT domain, n_docs, n_pages,
+                   cast(10000 * (n_docs - n_pages) // n_docs AS bigint)
+                       AS url_dup_bp,
+                   n_tokens,
+                   cast(1000 * n_tokens //
+                        (sum(n_tokens) OVER ()) AS bigint)
+                       AS token_share_permille
+            FROM per_domain
+        """,
+        # turn_dedup: the chunk_documents splitter at width 4 / stride
+        # 4, md5 turn fingerprints, keep-first by (id, idx), ordered
+        # string_agg reassembly
+        "turn_dedup": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS tokens FROM documents),
+            st AS (
+                SELECT doc_id, tokens,
+                       generate_series(1, greatest(len(tokens), 1), 4)
+                           AS starts
+                FROM toks),
+            turns AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, len(starts) - 1))
+                           AS chunk_idx,
+                       unnest(list_transform(
+                           starts, s -> list_slice(tokens, s, s + 3)))
+                           AS chunk_toks
+                FROM st),
+            fp AS (
+                SELECT doc_id, chunk_idx,
+                       array_to_string(chunk_toks, ' ') AS chunk_text,
+                       md5(array_to_string(chunk_toks, ' ')) AS f
+                FROM turns WHERE len(chunk_toks) > 0),
+            marked AS (
+                SELECT doc_id, chunk_idx, chunk_text,
+                       CASE WHEN row_number() OVER (
+                           PARTITION BY f ORDER BY doc_id, chunk_idx
+                       ) = 1 THEN 1 ELSE 0 END AS keep
+                FROM fp)
+            SELECT doc_id,
+                   cast(count(*) AS bigint) AS n_turns,
+                   cast(sum(1 - keep) AS bigint) AS n_dup_turns,
+                   coalesce(string_agg(
+                       CASE WHEN keep = 1 THEN chunk_text END, ' '
+                       ORDER BY chunk_idx), '') AS text_deduped
+            FROM marked GROUP BY doc_id
         """,
         # minhash_near_dup / simhash_near_dup / embedding_near_dup /
         # knn_lsh / knn_ivf: intentionally omitted — approximate or

@@ -590,3 +590,99 @@ def test_lm_perplexity_bucket_sizes_follow_ntile(spark):
         for r in lm_perplexity_report(docs, ref).collect()
     }
     assert [got[i] for i in range(7)] == [1, 1, 1, 2, 2, 3, 3]
+
+
+def test_url_normalize_hand_cases_and_duckdb_twin(spark):
+    """functions/url.py (r8): canonicalization hand cases — case
+    folding, scheme-aware default-port stripping (https on :80 KEEPS
+    the port), userinfo, tracking params, bytewise param sort, trailing
+    slash, fragment, empty path — and the DuckDB twin generated from
+    the same constants must emit identical strings."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from youtube_podcast_data_pipeline_azure_spark.functions.url import (
+        url_domain,
+        url_domain_sql,
+        url_normalize,
+        url_normalize_sql,
+    )
+
+    cases = {
+        "HTTP://WWW.Example.COM:80/A/b/?utm_source=x&b=2&a=1#frag":
+            ("http://www.example.com/A/b?a=1&b=2", "example.com"),
+        "https://user:pw@Host.org:443/path//":
+            ("https://host.org/path", "host.org"),
+        # :80 is NOT default for https — must survive
+        "https://host.org:80/x": ("https://host.org:80/x", "host.org:80"),
+        "http://site.net": ("http://site.net/", "site.net"),
+        "http://site.net/?gclid=abc&ref=rss":
+            ("http://site.net/", "site.net"),
+        "http://a.b.site.net/p?z=1&y=2&utm_campaign=c":
+            ("http://a.b.site.net/p?y=2&z=1", "a.b.site.net"),
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: (r["n"], r["d"])
+        for r in df.select(
+            "url",
+            url_normalize("url").alias("n"),
+            url_domain("url").alias("d"),
+        ).collect()
+    }
+    assert got == cases
+
+    duck = duckdb.connect()
+    for u, exp in cases.items():
+        row = duck.sql(
+            f"SELECT {url_normalize_sql('u')}, {url_domain_sql('u')} "
+            f"FROM (SELECT '{u}' AS u)"
+        ).fetchone()
+        assert tuple(row) == exp, u
+
+
+def test_turn_dedup_hand_computed(spark):
+    """turn_dedup (r8): two conversations share a verbatim 2-token
+    turn; the SECOND occurrence (higher doc id) is dropped from the
+    rebuild, everything else survives in order."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        turn_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello there how are"),          # turns: [hello there][how are]
+            (2, "hello there nice day"),         # [hello there] dup -> dropped
+            (3, "totally different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_turns"], r["n_dup_turns"], r["text_deduped"])
+        for r in turn_dedup(docs, turn_tokens=2).collect()
+    }
+    assert got[1] == (2, 0, "hello there how are")
+    assert got[2] == (2, 1, "nice day")
+    assert got[3] == (2, 0, "totally different words here")
+
+
+def test_domain_mix_report_hand_computed(spark):
+    """domain_mix_report (r8): three crawl spellings of one page and
+    one distinct page on a second domain — dup rate counts re-crawls of
+    the NORMALIZED url, token shares are integer permille."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        domain_mix_report,
+    )
+
+    rows = [
+        ("http://www.A.com/x?utm_source=1", "one two three"),       # page A/x
+        ("HTTP://www.a.com:80/x", "four five"),                     # same page
+        ("http://a.com/x/", "six"),                                 # a.com host != www.a.com? both domain 'a.com'
+        ("https://b.org/y", "seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    got = {r["domain"]: tuple(r) for r in domain_mix_report(df).collect()}
+    # a.com: 3 docs; normalized urls: http://www.a.com/x (x2 recrawl)
+    # and http://a.com/x (www is stripped for DOMAIN, kept in the url)
+    assert got["a.com"][1:] == (3, 2, 3333, 6, 600)
+    assert got["b.org"][1:] == (1, 1, 0, 4, 400)

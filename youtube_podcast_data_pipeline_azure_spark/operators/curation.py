@@ -965,3 +965,131 @@ def lm_perplexity_report(
             "ppl_bucket",
         )
     )
+
+
+def domain_mix_report(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-grain crawl-mixture table (the C4/RefinedWeb view a data
+    mixer is designed against; VERDICT r7 #7): URLs canonicalize first
+    (:mod:`..functions.url` — case, default ports, tracking params,
+    query order, trailing slashes), then per domain:
+
+    - ``n_docs`` — crawled documents
+    - ``n_pages`` — DISTINCT normalized URLs (one logical page counted
+      once however its crawl URLs were spelled)
+    - ``url_dup_bp`` — share of docs that are URL-level re-crawls,
+      ``10000·(n_docs − n_pages) div n_docs``
+    - ``n_tokens`` / ``token_share_permille`` — the mixture weights
+
+    Scale shape: normalization is a per-row map fused into the scan;
+    ONE corpus aggregate at (domain, normalized-url) grain (map-side
+    combined), then a domain-grain rollup — both exchanges carry
+    hashes/counts, never text.  The corpus token total enters as a
+    single-partition window over the BOUNDED domain table (the
+    mixture_plan pattern), not a second scan.  All integer.
+
+    Returns (domain, n_docs, n_pages, url_dup_bp, n_tokens,
+    token_share_permille) — domain = normalized host minus one leading
+    ``www.`` (documented PSL heuristic in ``functions/url.py``).
+    """
+    from ..functions.url import url_domain, url_normalize
+
+    per_url = (
+        docs.select(
+            url_domain(F.col(url_col)).alias("domain"),
+            url_normalize(F.col(url_col)).alias("_nurl"),
+            F.size(tokenize(F.col(text_col))).cast("long").alias("_toks"),
+        )
+        .groupBy("domain", "_nurl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_docs"),
+            F.sum("_toks").cast("long").alias("_tokens"),
+        )
+    )
+    per_domain = per_url.groupBy("domain").agg(
+        F.sum("_docs").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.sum("_tokens").cast("long").alias("n_tokens"),
+    )
+    total = Window.partitionBy()
+    return per_domain.withColumn(
+        "_total", F.sum("n_tokens").over(total)
+    ).select(
+        "domain",
+        "n_docs",
+        "n_pages",
+        F.expr("10000 * (n_docs - n_pages) div n_docs")
+        .cast("long")
+        .alias("url_dup_bp"),
+        "n_tokens",
+        # integer div, not a double cast: Spark cast truncates where
+        # DuckDB rounds (oracle-parity rule)
+        F.expr("1000 * n_tokens div _total")
+        .cast("long")
+        .alias("token_share_permille"),
+    )
+
+
+def turn_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    turn_tokens: int = 12,
+) -> DataFrame:
+    """Conversation-turn-level dedup for instruction/chat data
+    (VERDICT r7 #7): multi-turn corpora repeat ENTIRE TURNS across
+    conversations (canned greetings, boilerplate refusals, templated
+    system text) that document-level dedup can't see — the document
+    pair similarity stays low while the turn is verbatim everywhere.
+    Split each document into fixed-width token turns (the fixture has
+    no turn delimiters; on real chat data pass pre-split turns through
+    the same fingerprint machinery), fingerprint each turn, keep the
+    corpus-wide FIRST occurrence (order: id, turn index — the
+    incremental_dedup keep rule), and rebuild each document from its
+    surviving turns.
+
+    Scale shape: turn splitting is a narrow per-doc explode (zero
+    shuffles); the keep-first decision is ONE window over the turn
+    FINGERPRINT (md5 digests shuffle, never turn text beyond its own
+    row); the rebuild is one per-document aggregate.  Reassembly uses
+    ``sort_array(collect_list(struct(idx, text)))`` — bare collect_list
+    order is retry-nondeterministic.  All deterministic, so the DuckDB
+    oracle replays the rewrite bit-for-bit.
+
+    Returns (id_col, n_turns, n_dup_turns, text_deduped); documents
+    whose every turn is novel come back verbatim (modulo whitespace
+    canonicalization to single spaces).
+    """
+    from .sampling import chunk_documents
+
+    base = docs.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
+    turns = chunk_documents(
+        base, "_toks", id_col, chunk_size=turn_tokens, stride=turn_tokens
+    )
+    w = Window.partitionBy("_fp").orderBy(id_col, "chunk_idx")
+    marked = turns.withColumn("_fp", F.md5("chunk_text")).withColumn(
+        "_keep", (F.row_number().over(w) == 1).cast("int")
+    )
+    kept_struct = F.when(
+        F.col("_keep") == 1, F.struct("chunk_idx", "chunk_text")
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum(1 - F.col("_keep")).cast("long").alias("n_dup_turns"),
+            F.array_join(
+                # collect_list drops the nulls of non-kept turns;
+                # sort_array orders by chunk_idx (first struct field)
+                F.transform(
+                    F.sort_array(F.collect_list(kept_struct)),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("text_deduped"),
+        )
+        .select(id_col, "n_turns", "n_dup_turns", "text_deduped")
+    )
