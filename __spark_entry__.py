@@ -4309,24 +4309,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification rotation, not taxonomy: the
     driver's per-round correctness check covers the FIRST 50 entries,
     so each round front-loads queries needing driver evidence.
-    Cumulative state entering r8: 226 registered, 223 hash-green in at
-    least one driver round, 3 rows-only by documented contract;
-    staleness is tool-tracked (``tools/staleness.py`` joins this
-    registry against every CORRECTNESS_r*.json).
+    Cumulative state at r8 close: 230 registered (226 entering + the
+    four r8 additions), 223 hash-green in at least one driver round, 3
+    rows-only by documented contract, 6 never-driver-checked (all in
+    this window); staleness is tool-tracked (``tools/staleness.py``
+    joins this registry against every CORRECTNESS_r*.json).
 
-    The r8 window executes VERDICT r7's Next-round list #1: (A) the two
+    The r8 window executes VERDICT r7's Next-round list: (A) the two
     queries added after the r7 window was spent (``zipf_fit``,
-    ``length_drift`` - never driver-checked, pre-verified plain-ANSI at
-    registration); (B) the ENTIRE 39-query r3-stale band (positions
-    51-94 last round, front of queue ``dq_referential_orphans``) - the
-    whole band was pre-verified 44/44 on a plain ANSI local[32] session
-    at sf0.01 at r7 close, so this rotation is low-risk, but the driver
-    hash is the only hard signal; (C) the oldest r4-green fills.  After
-    this window greens, nothing in the registry is older than r4.
-    Every window query was re-verified on a PLAIN local[32] session
-    (driver conditions: ANSI on, no engine confs) against the DuckDB
-    oracle at sf0.01 before this registration, and the engine-session
-    mirror ran the full registry at sf0.001 and sf0.01."""
+    ``length_drift`` - never driver-checked); (B) the ENTIRE 39-query
+    r3-stale band (positions 51-94 last round, front of queue
+    ``dq_referential_orphans``) - pre-verified 44/44 plain-ANSI at r7
+    close, but the driver hash is the only hard signal; (C) the four
+    queries NEW this round (``bm25_search_pruned``,
+    ``exact_substring_spans_persisted``, ``domain_mix``,
+    ``turn_dedup``) plus re-checks of the five r7-green queries whose
+    code changed this round (the bm25 postings checkpoint + max_df
+    literals, the content-derived HLL shard hash, the rrf/ranking
+    rank_col refactor, the lm_perplexity multi-consumer checkpoints) -
+    new-and-changed outranks fills, so the nine oldest-r4 fills were
+    displaced first-below-the-line.  After this window greens, nothing
+    in the registry is older than r4.  Every window query was verified
+    on a PLAIN local[32] session (driver conditions: ANSI on, no
+    engine confs) against the DuckDB oracle at sf0.01 before this
+    registration, and the engine-session mirror ran the full registry
+    at sf0.001 and sf0.01."""
     return {
         # ===== r08 window (driver checks the FIRST 50 entries) =====
         # part A: the two never-driver-checked queries added at r7
