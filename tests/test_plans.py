@@ -762,3 +762,21 @@ def test_suffix_index_query_reads_index_not_corpus(spark, sf_dir):
     plan = _plan(spark, sf_dir, "exact_substring_spans_persisted")
     assert plan.count("Exchange hashpartitioning") == 3
     assert "Exchange SinglePartition" not in plan
+
+
+def test_domain_mix_and_turn_dedup_stay_within_shuffle_budget(spark, sf_dir):
+    """r8 cohort pins: domain_mix is one (domain, url) corpus aggregate
+    + a domain rollup (2 hash exchanges; the single-partition exchange
+    is the corpus-total window over the BOUNDED domain table);
+    turn_dedup is the turn-fingerprint keep-first window + the per-doc
+    rebuild aggregate (2 hash exchanges, nothing single-partition —
+    digests shuffle, never rebuilt text beyond its own row)."""
+    plan = _plan(spark, sf_dir, "domain_mix")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Exchange SinglePartition") == 1  # bounded domain table
+    assert "SortMergeJoin" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    plan = _plan(spark, sf_dir, "turn_dedup")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan
