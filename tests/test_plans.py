@@ -338,16 +338,17 @@ def test_r07_suffix_queries_stay_within_shuffle_budget(spark, sf_dir):
 
 
 def test_r07_dsir_queries_stay_within_shuffle_budget(spark, sf_dir):
-    """DSIR (r7): two gram-bag aggregations (raw + target) and the
-    per-doc scoring aggregate — 3 hash exchanges at the fixture SF
-    (size-based promotion broadcasts the docs-side joins here; the
-    sf0.1 audit shows 6 with the same shape); the n_buckets-row ratio
-    table must BROADCAST into the scoring join (gram rows never shuffle
-    with their ratio attached), and the only single-partition windows
-    run over the bounded bucket tables."""
+    """DSIR (r7, re-audited r8): the raw gram stream and the ratio
+    table checkpoint eagerly at construct (the gram hashing previously
+    re-ran per consumer — on the md5 oracle seam that doubled the
+    dominant cost, 5.5 s -> 2.7 s fresh at sf0.1), so the FINAL plan is
+    the scoring join + per-doc aggregate over the materialized gram
+    table: 2 hash exchanges; the n_buckets-row ratio table must
+    BROADCAST into the scoring join (gram rows never shuffle with
+    their ratio attached)."""
     for name in ("dsir_importance_weights", "dsir_resample"):
         plan = _plan(spark, sf_dir, name)
-        assert plan.count("Exchange hashpartitioning") == 3, name
+        assert plan.count("Exchange hashpartitioning") == 2, name
         assert "BroadcastHashJoin" in plan, name
 
 

@@ -476,7 +476,15 @@ def dsir_importance_weights(
     Returns (id_col, n_grams, logw_micro); docs with no grams get
     (0, 0).
     """
-    raw_grams = _hashed_grams(docs, text_col, id_col, n_buckets, hasher)
+    # multi-consumer rule (r8): raw_grams feeds the q aggregate AND the
+    # scoring join — unchecked, the gram hashing runs twice over the
+    # corpus, which on the md5 oracle seam is the dominant cost (trap:
+    # md5+conv ≈ 25× a parquet scan).  The materialized state is (id,
+    # bucket) int pairs — 16 bytes per gram, far cheaper to store once
+    # than to hash twice.  tgt_grams has one consumer; leave it lazy.
+    raw_grams = _hashed_grams(
+        docs, text_col, id_col, n_buckets, hasher
+    ).localCheckpoint(eager=True)
     tgt_grams = _hashed_grams(target, text_col, id_col, n_buckets, hasher)
     q = raw_grams.groupBy("_b").agg(F.count("*").alias("_q"))
     p = tgt_grams.groupBy("_b").agg(F.count("*").alias("_p"))
@@ -508,6 +516,13 @@ def dsir_importance_weights(
         .cast("long")
         .alias("_r_micro"),
     )
+    # multi-consumer rule (r8): without this checkpoint the ratio
+    # table's subplan — BOTH gram scans and their bucket aggregates —
+    # is pasted into every downstream consumer (8 parquet scans in one
+    # plan, ~5.9 s fresh at sf0.1 vs ~2.5 s after).  The materialized
+    # state is <= n_buckets rows (KBs), the same bounded footprint the
+    # broadcast already implied.
+    ratio = ratio.localCheckpoint(eager=True)
     scored = (
         raw_grams.join(F.broadcast(ratio), "_b")
         .groupBy(id_col)

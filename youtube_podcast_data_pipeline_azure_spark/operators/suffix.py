@@ -174,10 +174,10 @@ def doc_suffix_ranks(
     a power of two (each doubling round exactly doubles the compared
     window).
 
-    log2(max_len) + 1 dense-rank rounds; every round shuffles integer
-    triples only — the corpus text moves exactly once (the initial
-    token ranking).  Each round is localCheckpoint'ed so the final
-    plan is O(1) deep regardless of rounds.
+    1 + ceil(log8(max_len)) dense-rank rounds (radix-8 doubling); every
+    round shuffles integer tuples only — the corpus text moves exactly
+    once (the initial token ranking).  Each round is localCheckpoint'ed
+    so the final plan is O(1) deep regardless of rounds.
     """
     if max_len < 1 or (max_len & (max_len - 1)) != 0:
         raise ValueError(f"max_len={max_len} must be a power of two")
@@ -189,16 +189,21 @@ def doc_suffix_ranks(
     # -join is a WINDOW here: positions within a document are the
     # contiguous integers 0..len-1, so lead(rank, k) over
     # (partition by doc order by pos) IS the shifted rank — no join,
-    # no second shuffle side.  Radix 4 (three leads per round) covers
-    # window x4 per round: 16-token ranks take 3 dense-rank rounds
-    # instead of 5.
+    # no second shuffle side.  Radix 8 (seven leads per round) covers
+    # window x8 per round: 8-token ranks take 2 dense-rank rounds
+    # (initial token rank + one composite) instead of 3, 16-token
+    # ranks 3 instead of 5 — the per-round FIXED cost (range shuffle +
+    # Arrow pass + checkpoint) dominates at every measured SF, so
+    # fewer, wider rounds win (r8).  The composite-ordering argument
+    # is radix-independent: -1 pads sort shorter suffixes first at any
+    # width, so tuple order == concatenated-window order.
     positions = _global_dense_rank(toks, ["token"], "rank").select(
         id_col, "pos", "rank"
     )
     width = 1
     w = Window.partitionBy(id_col).orderBy("pos")
     while width < max_len:
-        radix = min(4, max_len // width)
+        radix = min(8, max_len // width)
         keys = [F.col("rank").alias("_r0")] + [
             F.coalesce(
                 F.lead("rank", i * width).over(w), F.lit(-1).cast("long")
