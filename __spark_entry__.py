@@ -2730,6 +2730,23 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM persistence roundtrip (r8 close — the fourth
+    build-once leg after IVF/suffix/BM25): train the CCNet model on the
+    English slice, persist (v, w, count) range-clustered by context +
+    the smoothing vocabulary size in a 1-row meta table, load it back,
+    and score + bucket the corpus from the LOADED model
+    (operators/curation.py:lm_model_write/lm_perplexity_from_model).
+    Oracle: the lm_perplexity_filter SQL — loaded-model scores and
+    buckets must be hash-identical to the in-plan training path."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="spark_graft_lm_")
+    curation.lm_model_write(docs.where(F.col("lang") == "en"), path)
+    return curation.lm_perplexity_from_model(spark, path, docs)
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval: every ~101st document is a query; top-10
     corpus docs per query by Lucene-variant BM25.  All model inputs
@@ -2759,6 +2776,28 @@ def q_bm25_search_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"), "text"
     )
     return text_mining.bm25_topk(docs, qs, k=10, max_df_permille=775)
+
+
+def q_bm25_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 index persistence roundtrip (r8 close — completes the
+    build-once triple with knn_ivf_persisted and
+    exact_substring_spans_persisted): tokenize + aggregate the corpus
+    ONCE, persist the postings range-clustered by term with the corpus
+    scalars in a 1-row meta table, load it back, and rank the same
+    query workload from the LOADED index — scoring uses the recorded
+    (N, Σdl) as plan literals, no stats join, no re-tokenization
+    (operators/text_mining.py:bm25_index_write/bm25_topk_from_index).
+    Oracle: the bm25_search SQL — loaded-index ranking must be
+    hash-identical to the in-plan construction."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = docs.where(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_bm25_")
+    text_mining.bm25_index_write(docs, path)
+    return text_mining.bm25_topk_from_index(spark, path, qs, k=10)
 
 
 def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4309,11 +4348,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification rotation, not taxonomy: the
     driver's per-round correctness check covers the FIRST 50 entries,
     so each round front-loads queries needing driver evidence.
-    Cumulative state at r8 close: 230 registered (226 entering + the
-    four r8 additions), 223 hash-green in at least one driver round, 3
-    rows-only by documented contract, 6 never-driver-checked (all in
-    this window); staleness is tool-tracked (``tools/staleness.py``
-    joins this registry against every CORRECTNESS_r*.json).
+    Cumulative state at r8 close: 232 registered (226 entering + four
+    in-window r8 additions + the two persistence roundtrips added at
+    the tail after the window was spent), 223 hash-green in at least
+    one driver round, 3 rows-only by documented contract, 8
+    never-driver-checked (6 in this window; ``bm25_search_persisted`` /
+    ``lm_perplexity_persisted`` queue for r9, pre-verified plain-ANSI);
+    staleness is tool-tracked (``tools/staleness.py`` joins this
+    registry against every CORRECTNESS_r*.json).
 
     The r8 window executes VERDICT r7's Next-round list: (A) the two
     queries added after the r7 window was spent (``zipf_fit``,
@@ -4584,6 +4626,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_weights": q_dsir_importance_weights,
         "dsir_resample": q_dsir_resample,
         "remove_contaminated_spans": q_remove_contaminated_spans,
+        # added at r8 close, after the window was spent — never-checked,
+        # so it outranks re-checks for r9 slots (pre-verified plain-ANSI
+        # at sf0.001/sf0.01 at registration)
+        "bm25_search_persisted": q_bm25_search_persisted,
+        "lm_perplexity_persisted": q_lm_perplexity_persisted,
     }
 
 
@@ -9007,4 +9054,6 @@ def oracle_sql() -> dict[str, str]:
     # construction — one contract, two execution paths (the
     # knn_ivf_persisted pattern)
     out["exact_substring_spans_persisted"] = out["exact_substring_spans"]
+    out["bm25_search_persisted"] = out["bm25_search"]
+    out["lm_perplexity_persisted"] = out["lm_perplexity_filter"]
     return out

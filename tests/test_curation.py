@@ -686,3 +686,47 @@ def test_domain_mix_report_hand_computed(spark):
     # and http://a.com/x (www is stripped for DOMAIN, kept in the url)
     assert got["a.com"][1:] == (3, 2, 3333, 6, 600)
     assert got["b.org"][1:] == (1, 1, 0, 4, 400)
+
+
+def test_lm_model_roundtrip_equals_in_plan(spark, tmp_path):
+    """lm_model_write/load/lm_perplexity_from_model (r8 close): the
+    loaded-model report equals the in-plan training path row-for-row,
+    and the meta vocabulary matches a by-hand count (distinct reference
+    tokens + 1 reserved UNK type)."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        lm_model_load,
+        lm_model_write,
+        lm_perplexity_from_model,
+        lm_perplexity_report,
+    )
+
+    reference = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "the cat sat"),        # fluent under the model
+            (11, "mat dog cat on"),     # scrambled
+            (12, "zz yy xx"),           # all-unseen
+            (13, "solo"),               # < 2 tokens -> unscored
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lm_model")
+    lm_model_write(reference, path)
+    cvw, vocab_v = lm_model_load(spark, path)
+    assert vocab_v == 7  # {the, cat, sat, on, mat, dog} + UNK
+    assert cvw.count() == 7  # distinct bigrams across both ref docs
+
+    in_plan = sorted(
+        tuple(r) for r in lm_perplexity_report(docs, reference).collect()
+    )
+    from_model = sorted(
+        tuple(r)
+        for r in lm_perplexity_from_model(spark, path, docs).collect()
+    )
+    assert from_model == in_plan
+    by_id = {r[0]: r for r in from_model}
+    assert by_id[13][1] == 0  # n_scored
+    assert by_id[10][3] < by_id[12][3]  # fluent < all-unseen NLL/token

@@ -478,3 +478,52 @@ def test_zipf_fit_recovers_slope_on_synthetic_zipf_corpus(spark):
     # identical counts: y is constant -> syy_c == 0 -> r2 NULL, slope 0
     assert f["neg_slope_milli"] == 0
     assert f["r2_bp"] is None
+
+
+def test_bm25_index_roundtrip_equals_in_plan(spark, tmp_path):
+    """bm25_index_write/load/bm25_topk_from_index (r8 close): the
+    loaded-index ranking equals the in-plan ranking row-for-row, for
+    both the exact ranking and the max_df dial (the recorded N drives
+    the integer predicate), and the meta scalars match a by-hand
+    count."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import (
+        bm25_index_load,
+        bm25_index_write,
+        bm25_topk,
+        bm25_topk_from_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry cherry"),
+            (4, "durian fig"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(100, "apple cherry"), (200, "banana")],
+        "query_id long, text string",
+    )
+    path = str(tmp_path / "bm25_index")
+    bm25_index_write(docs, path)
+
+    postings, n_docs, sum_dl, id_col = bm25_index_load(spark, path)
+    assert (n_docs, sum_dl, id_col) == (4, 11, "doc_id")
+    assert postings.count() == 7  # distinct (doc, term) pairs
+
+    for permille in (None, 600):
+        in_plan = sorted(
+            tuple(r)
+            for r in bm25_topk(
+                docs, queries, k=10, max_df_permille=permille
+            ).collect()
+        )
+        from_index = sorted(
+            tuple(r)
+            for r in bm25_topk_from_index(
+                spark, path, queries, k=10, max_df_permille=permille
+            ).collect()
+        )
+        assert from_index == in_plan, permille

@@ -873,16 +873,34 @@ def lm_perplexity_report(
         # without the checkpoint the reference bigram aggregation (and
         # its corpus scan) is pasted per consumer.  This materialized
         # table IS the trained LM — bounded by observed reference
-        # bigrams, the piece a production run would persist.
+        # bigrams, the piece lm_model_write persists.
         .localCheckpoint(eager=True)
     )
-    cv = cvw.groupBy("v").agg(F.sum("_cvw").alias("_cv"))
     vocab = (
         reference.select(
             F.explode(tokenize(F.col(text_col))).alias("_t")
         )
         .agg((F.count_distinct("_t") + F.lit(1)).alias("_V"))
     )
+    return _lm_score_and_bucket(
+        docs, cvw, vocab, text_col, id_col, n_buckets
+    )
+
+
+def _lm_score_and_bucket(
+    docs: DataFrame,
+    cvw: DataFrame,
+    vocab: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Score + bucket documents under an ALREADY-BUILT bigram LM —
+    shared by :func:`lm_perplexity_report` (in-plan training) and
+    :func:`lm_perplexity_from_model` (loaded model).  ``cvw`` is the
+    (v, w, _cvw) bigram-count table (materialized: checkpoint or
+    parquet); ``vocab`` a 1-row (_V) frame."""
+    cv = cvw.groupBy("v").agg(F.sum("_cvw").alias("_cv"))
     doc_pairs = _bigram_pairs(docs, text_col, id_col)
     scored_pairs = (
         doc_pairs.join(cvw, ["v", "w"], "left")
@@ -1093,3 +1111,66 @@ def turn_dedup(
         )
         .select(id_col, "n_turns", "n_dup_turns", "text_deduped")
     )
+
+
+def lm_model_write(
+    reference: DataFrame,
+    path: str,
+    text_col: str = "text",
+) -> None:
+    """Train the CCNet bigram LM ONCE and persist it — the fourth leg
+    of the engine's build-once family (IVF lists, suffix ranks, BM25
+    postings): a reference-corpus model is trained at curation-pipeline
+    setup and scores every incoming batch, never retraining per run.
+
+    Layout: ``{path}/bigrams`` — the (v, w, _cvw) count table
+    range-clustered by v (context-keyed probes skip row groups on
+    footer stats); ``{path}/meta`` — 1-row (vocab_v = distinct
+    reference unigram types + 1, the add-1 smoothing denominator term
+    recorded at train time).  Index layout = data.
+    """
+    spark = reference.sparkSession
+    cvw = _bigram_pairs(reference, text_col).groupBy("v", "w").agg(
+        F.count(F.lit(1)).alias("_cvw")
+    )
+    (
+        cvw.repartitionByRange(32, "v")
+        .sortWithinPartitions("v", "w")
+        .write.mode("overwrite")
+        .parquet(f"{path}/bigrams")
+    )
+    v_row = (
+        reference.select(F.explode(tokenize(F.col(text_col))).alias("_t"))
+        .agg((F.count_distinct("_t") + F.lit(1)).alias("_V"))
+        .collect()[0]
+    )
+    spark.createDataFrame(
+        [(int(v_row["_V"]),)], "vocab_v long"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def lm_model_load(spark, path: str) -> "tuple[DataFrame, int]":
+    """Load a persisted bigram LM: the (v, w, _cvw) table plus the
+    recorded smoothing vocabulary size (one bounded 1-row collect)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return spark.read.parquet(f"{path}/bigrams"), int(meta["vocab_v"])
+
+
+def lm_perplexity_from_model(
+    spark,
+    path: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """:func:`lm_perplexity_report` over a PERSISTED model (see
+    :func:`lm_model_write`) — identical scores and buckets for the same
+    documents, none of the reference-corpus training cost: the loaded
+    bigram table feeds the same scoring core and the recorded
+    vocabulary size enters through the identical 1-row frame shape, so
+    the expression tree (and therefore the quantized arithmetic) cannot
+    diverge from the in-plan path."""
+    cvw, vocab_v = lm_model_load(spark, path)
+    vocab = spark.createDataFrame([(vocab_v,)], "_V long")
+    return _lm_score_and_bucket(docs, cvw, vocab, text_col, id_col, n_buckets)

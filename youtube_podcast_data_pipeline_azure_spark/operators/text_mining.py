@@ -696,6 +696,24 @@ def language_mismatch_matrix(
     )
 
 
+def _bm25_postings(docs, text_col: str, id_col: str) -> DataFrame:
+    """The (doc, term, tf) postings table — ONE corpus explode +
+    aggregate, eagerly checkpointed.  Multi-consumer rule: postings
+    feeds dl, stats, df_t AND the candidate join — without the
+    checkpoint Catalyst pastes the corpus explode+aggregate per
+    consumer (measured: 10 parquet scans of the corpus in one bm25
+    plan, r8).  This is also exactly the table
+    :func:`bm25_index_write` persists for the build-once path."""
+    return (
+        docs.select(
+            F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("_t")
+        )
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -753,32 +771,69 @@ def bm25_topk(
     oracle replays exactly.  Default ``None`` = the exact unpruned
     ranking.
     """
-    postings = (
-        docs.select(
-            F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("_t")
-        )
-        .groupBy(id_col, "_t")
-        .agg(F.count(F.lit(1)).alias("_tf"))
-        # multi-consumer rule: postings feeds dl, stats, df_t AND the
-        # candidate join — without the checkpoint Catalyst pastes the
-        # corpus explode+aggregate per consumer (measured: 10 parquet
-        # scans of the corpus in one bm25 plan, r8).  One eager
-        # materialization = one corpus pass; every consumer reads the
-        # (doc, term, tf) table — which is also exactly the piece
-        # bm25_index_write persists for the build-once path.
-        .localCheckpoint(eager=True)
+    postings = _bm25_postings(docs, text_col, id_col)
+    return _bm25_from_postings(
+        postings, queries, text_col, id_col, query_id_col,
+        k, k1, b, max_df_permille,
     )
+
+
+def _bm25_from_postings(
+    postings: DataFrame,
+    queries: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int,
+    k1: float,
+    b: float,
+    max_df_permille: int | None = None,
+    scalars: "tuple[int, int] | None" = None,
+) -> DataFrame:
+    """The BM25 scoring core over an existing (doc, term, tf) postings
+    table — shared by :func:`bm25_topk` (in-plan postings) and
+    :func:`bm25_topk_from_index` (loaded postings).  ``scalars``
+    optionally supplies (n_docs, sum_dl) as known exact ints (a
+    persisted index records them at build time), which folds them in
+    as plan literals and drops the stats join entirely."""
     dl = postings.groupBy(id_col).agg(F.sum("_tf").alias("_dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("_n_docs"),
-        F.sum("_dl").alias("_sum_dl"),
-    )
     df_t = postings.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
     qterms = queries.select(
         F.col(query_id_col),
         F.explode(tokenize(F.col(text_col))).alias("_t"),
     ).distinct()
-    if max_df_permille is None:
+    if scalars is None and max_df_permille is not None:
+        # scalar probe over the already-materialized postings
+        # checkpoint — no extra corpus scan (see the prune note below)
+        row = dl.agg(
+            F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_s")
+        ).collect()[0]
+        scalars = (int(row["_n"]), int(row["_s"]))
+    if scalars is not None:
+        # integer contract: keep terms with df·1000 <= permille·N —
+        # exact at any corpus size, replayable on any engine.  The two
+        # corpus scalars fold in as plan LITERALS: threading `stats`
+        # into the dictionary filter as a subplan instead PASTES the
+        # dl→postings aggregate chain per consumer, measured 2x SLOWER
+        # than unpruned at 4x scale despite 8x fewer candidates (the
+        # multi-consumer trap, r8).  Pruned terms die at the pipelined
+        # dictionary probe BEFORE the scores shuffle — the only
+        # exchange that carries candidates.
+        n_docs_col = F.lit(int(scalars[0])).cast("long")
+        sum_dl_col = F.lit(int(scalars[1])).cast("long")
+        if max_df_permille is not None:
+            df_t = df_t.where(
+                F.col("_df") * 1000
+                <= F.lit(int(max_df_permille)) * n_docs_col
+            )
+        joined = (
+            qterms.join(postings, "_t").join(df_t, "_t").join(dl, id_col)
+        )
+    else:
+        stats = dl.agg(
+            F.count(F.lit(1)).alias("_n_docs"),
+            F.sum("_dl").alias("_sum_dl"),
+        )
         n_docs_col = F.col("_n_docs")
         sum_dl_col = F.col("_sum_dl")
         joined = (
@@ -786,33 +841,6 @@ def bm25_topk(
             .join(df_t, "_t")
             .join(dl, id_col)
             .join(F.broadcast(stats))
-        )
-    else:
-        # integer contract: keep terms with df·1000 <= permille·N —
-        # exact at any corpus size, replayable on any engine.  The two
-        # corpus scalars are collected eagerly (bounded driver fan-in:
-        # ONE row, two longs — the sketch-probe pattern) and folded in
-        # as plan literals: threading `stats` into the dictionary
-        # filter as a subplan instead PASTES the dl→postings aggregate
-        # chain per consumer, measured 2x SLOWER than unpruned at 4x
-        # scale despite 8x fewer candidates (the multi-consumer trap,
-        # r8).  With literals the pruned plan is the unpruned plan
-        # minus the stats join, and pruned terms die at the pipelined
-        # dictionary probe BEFORE the scores shuffle — the only
-        # exchange that carries candidates.
-        # scalar probe over the already-materialized postings
-        # checkpoint — no extra corpus scan
-        row = dl.agg(
-            F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_s")
-        ).collect()[0]
-        n_docs_col = F.lit(int(row["_n"])).cast("long")
-        sum_dl_col = F.lit(int(row["_s"])).cast("long")
-        df_t = df_t.where(
-            F.col("_df") * 1000
-            <= F.lit(int(max_df_permille)) * n_docs_col
-        )
-        joined = (
-            qterms.join(postings, "_t").join(df_t, "_t").join(dl, id_col)
         )
     idf = F.log(
         F.lit(1.0)
@@ -842,6 +870,83 @@ def bm25_topk(
         scores.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "score_micro")
+    )
+
+
+def bm25_index_write(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Build the BM25 postings table ONCE and persist it — the Lucene
+    amortization (an index is built at ingest; queries never re-tokenize
+    the corpus), completing the engine's build-once triple alongside
+    ``ivf_index_write`` (ANN lists) and ``suffix_index_write`` (suffix
+    ranks).
+
+    Layout: ``{path}/postings`` — the (id, term, tf) table
+    range-clustered by term, so a bounded query workload's term-keyed
+    probe skips non-matching row groups on footer stats;
+    ``{path}/meta`` — a 1-row table recording (n_docs, sum_dl, id_col)
+    at build time, so query-time scoring folds the corpus scalars in as
+    plan literals and never re-aggregates document lengths globally.
+    Index layout = data: it inherits the engine's sink properties
+    (compaction, snapshot diff, partition maintenance).
+    """
+    spark = docs.sparkSession
+    postings = _bm25_postings(docs, text_col, id_col)
+    dl = postings.groupBy(id_col).agg(F.sum("_tf").alias("_dl"))
+    row = dl.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_s")
+    ).collect()[0]
+    (
+        postings.repartitionByRange(32, "_t")
+        .sortWithinPartitions("_t")
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    spark.createDataFrame(
+        [(int(row["_n"]), int(row["_s"]), id_col)],
+        "n_docs long, sum_dl long, id_col string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def bm25_index_load(spark, path: str) -> "tuple[DataFrame, int, int, str]":
+    """Load a persisted BM25 index: the postings DataFrame plus the
+    build-time corpus scalars and id column (one bounded 1-row
+    collect)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return (
+        spark.read.parquet(f"{path}/postings"),
+        int(meta["n_docs"]),
+        int(meta["sum_dl"]),
+        meta["id_col"],
+    )
+
+
+def bm25_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_permille: int | None = None,
+) -> DataFrame:
+    """:func:`bm25_topk` over a PERSISTED index (see
+    :func:`bm25_index_write`) — identical ranking at the same
+    parameters, none of the corpus tokenize/aggregate build cost: the
+    loaded postings feed the same scoring core, and the recorded
+    (n_docs, sum_dl) scalars enter as plan literals (no stats join, no
+    scalar probe job).  The ``max_df_permille`` dial composes — the
+    integer predicate evaluates against the recorded N."""
+    postings, n_docs, sum_dl, id_col = bm25_index_load(spark, path)
+    return _bm25_from_postings(
+        postings, queries, text_col, id_col, query_id_col,
+        k, k1, b, max_df_permille, scalars=(n_docs, sum_dl),
     )
 
 
