@@ -620,6 +620,14 @@ def test_url_normalize_hand_cases_and_duckdb_twin(spark):
             ("http://site.net/", "site.net"),
         "http://a.b.site.net/p?z=1&y=2&utm_campaign=c":
             ("http://a.b.site.net/p?y=2&z=1", "a.b.site.net"),
+        # '?' inside the fragment is NOT a query string (ADVICE r8:
+        # SPA hash routing) — the fragment drops whole
+        "http://a.com/p#x?y=1": ("http://a.com/p", "a.com"),
+        "http://a.com/p#/view?q=1&utm_source=z":
+            ("http://a.com/p", "a.com"),
+        # out-of-contract inputs (no scheme) -> NULL on BOTH engines
+        "example.com/path": (None, None),
+        "/relative/path?q=1": (None, None),
     }
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     got = {

@@ -527,3 +527,33 @@ def test_bm25_index_roundtrip_equals_in_plan(spark, tmp_path):
             ).collect()
         )
         assert from_index == in_plan, permille
+
+
+def test_bm25_empty_corpus_yields_empty_not_typeerror(spark, tmp_path):
+    """ADVICE r8: sum(_dl) over an empty corpus is NULL — the pruned
+    scalar collect and the index write must treat it as 0 and produce
+    an empty ranking / a valid empty index, not a TypeError."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import (
+        bm25_index_load,
+        bm25_index_write,
+        bm25_topk,
+        bm25_topk_from_index,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(1, "apple")], "query_id long, text string"
+    )
+    assert bm25_topk(docs, queries, k=5, max_df_permille=900).count() == 0
+
+    path = str(tmp_path / "empty_bm25")
+    bm25_index_write(docs, path)
+    postings, n_docs, sum_dl, id_col = bm25_index_load(spark, path)
+    assert (n_docs, sum_dl, id_col) == (0, 0, "doc_id")
+    assert postings.count() == 0
+    assert (
+        bm25_topk_from_index(
+            spark, path, queries, k=5, max_df_permille=900
+        ).count()
+        == 0
+    )

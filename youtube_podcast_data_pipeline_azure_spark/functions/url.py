@@ -29,6 +29,11 @@ Contract: http(s) web-crawl URLs.  The normalization is:
 heuristic for the registrable domain (a true public-suffix-list lookup
 is data, not an expression; at the mixture-table grain the heuristic is
 the standard first cut).
+
+Inputs that don't match ``scheme://`` yield NULL from both functions —
+on BOTH engines — so out-of-contract crawl rows fail identically
+instead of silently drifting between Spark ('' on no regex match) and
+DuckDB (NULL on no regex match).
 """
 
 from __future__ import annotations
@@ -43,7 +48,9 @@ TRACKING_PARAM_RE = r"^(utm_[a-z]+|gclid|fbclid|msclkid|ref|ref_src)="
 _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 _AUTH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+#: anchored to before any fragment — a '?' INSIDE the fragment (SPA
+#: hash routing, e.g. /p#/view?q=1) is NOT a query string (ADVICE r8)
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
 _USERINFO_RE = r"^[^@]*@"
 _TRAILING_SLASH_RE = r"/+$"
 _WWW_RE = r"^www\."
@@ -66,7 +73,15 @@ def _host(c: Column) -> Column:
 
 
 def url_normalize(col: Column | str) -> Column:
-    """Canonical form of an http(s) URL (see module contract)."""
+    """Canonical form of an http(s) URL (see module contract).
+
+    Inputs outside the ``scheme://`` contract (bare domains, relative
+    URLs) yield NULL — identically in the DuckDB twin — so dirty crawl
+    URLs fail the same way on both engines instead of drifting (ADVICE
+    r8: Spark's regexp_extract returns '' on no match where DuckDB
+    returns NULL, so ungated out-of-contract rows produced a garbage
+    string on one engine and NULL on the other).
+    """
     c = F.col(col) if isinstance(col, str) else col
     scheme = F.lower(F.regexp_extract(c, _SCHEME_RE, 1))
     path = F.regexp_replace(
@@ -83,20 +98,28 @@ def url_normalize(col: Column | str) -> Column:
         ),
         "&",
     )
-    return F.concat(
-        scheme,
-        F.lit("://"),
-        _host(c),
-        path,
-        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+    return F.when(
+        c.rlike(_SCHEME_RE),
+        F.concat(
+            scheme,
+            F.lit("://"),
+            _host(c),
+            path,
+            F.when(kept == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), kept)
+            ),
+        ),
     )
 
 
 def url_domain(col: Column | str) -> Column:
     """Registrable-domain heuristic: normalized host minus one leading
-    ``www.``."""
+    ``www.``.  NULL outside the ``scheme://`` contract (same gate as
+    :func:`url_normalize`)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(_host(c), _WWW_RE, "")
+    return F.when(
+        c.rlike(_SCHEME_RE), F.regexp_replace(_host(c), _WWW_RE, "")
+    )
 
 
 def _host_sql(col_sql: str) -> str:
@@ -133,11 +156,16 @@ def url_normalize_sql(col_sql: str) -> str:
         f"regexp_matches(p, '{TRACKING_PARAM_RE}'))), '&'), '')"
     )
     return (
+        f"CASE WHEN regexp_matches({col_sql}, '{_SCHEME_RE}') THEN "
         f"{scheme} || '://' || {_host_sql(col_sql)} || {path} || "
-        f"CASE WHEN {kept} = '' THEN '' ELSE '?' || {kept} END"
+        f"CASE WHEN {kept} = '' THEN '' ELSE '?' || {kept} END "
+        f"END"
     )
 
 
 def url_domain_sql(col_sql: str) -> str:
-    """DuckDB twin of :func:`url_domain`."""
-    return f"regexp_replace({_host_sql(col_sql)}, '{_WWW_RE}', '')"
+    """DuckDB twin of :func:`url_domain` (same NULL gate)."""
+    return (
+        f"CASE WHEN regexp_matches({col_sql}, '{_SCHEME_RE}') THEN "
+        f"regexp_replace({_host_sql(col_sql)}, '{_WWW_RE}', '') END"
+    )

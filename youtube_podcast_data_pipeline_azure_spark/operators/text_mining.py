@@ -808,7 +808,9 @@ def _bm25_from_postings(
         row = dl.agg(
             F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_s")
         ).collect()[0]
-        scalars = (int(row["_n"]), int(row["_s"]))
+        # sum() over zero rows is NULL — an empty corpus must yield an
+        # empty ranking, not a TypeError at plan-build time (ADVICE r8)
+        scalars = (int(row["_n"]), int(row["_s"] or 0))
     if scalars is not None:
         # integer contract: keep terms with df·1000 <= permille·N —
         # exact at any corpus size, replayable on any engine.  The two
@@ -897,9 +899,13 @@ def bm25_index_write(
     spark = docs.sparkSession
     postings = _bm25_postings(docs, text_col, id_col)
     dl = postings.groupBy(id_col).agg(F.sum("_tf").alias("_dl"))
+    # sum() over zero rows is NULL — an empty corpus writes a valid
+    # empty index (n_docs=0, sum_dl=0) that loads and queries to empty
+    # rankings instead of raising TypeError mid-write (ADVICE r8)
     row = dl.agg(
         F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_s")
     ).collect()[0]
+    n_docs, sum_dl = int(row["_n"]), int(row["_s"] or 0)
     (
         postings.repartitionByRange(32, "_t")
         .sortWithinPartitions("_t")
@@ -907,7 +913,7 @@ def bm25_index_write(
         .parquet(f"{path}/postings")
     )
     spark.createDataFrame(
-        [(int(row["_n"]), int(row["_s"]), id_col)],
+        [(n_docs, sum_dl, id_col)],
         "n_docs long, sum_dl long, id_col string",
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
