@@ -738,3 +738,87 @@ def test_lm_model_roundtrip_equals_in_plan(spark, tmp_path):
     by_id = {r[0]: r for r in from_model}
     assert by_id[13][1] == 0  # n_scored
     assert by_id[10][3] < by_id[12][3]  # fluent < all-unseen NLL/token
+
+
+def test_gopher_quality_report_hand_cases(spark):
+    """gopher_quality_report (r9): each rule fires on a crafted doc and
+    the clean doc keeps=true; integer units match by-hand values."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        gopher_quality_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat and the dog have fun with that ball. " * 8),
+            (2, "- item one\n- item two\n- item three"),
+            (3, "word " * 10 + "..."),
+            (4, ""),
+            (5, "#### ## # tags # here # the of and that"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in gopher_quality_report(docs).collect()}
+    assert got[1]["keep"] and got[1]["n_words"] == 80
+    assert got[1]["n_stop_hits"] == 5 and got[1]["alpha_word_permille"] == 1000
+    assert not got[2]["keep"] and got[2]["bullet_lines_permille"] == 1000
+    assert not got[3]["keep"] and got[3]["ellipsis_lines_permille"] == 1000
+    assert not got[4]["keep"] and got[4]["n_words"] == 0  # no ANSI div0
+    assert not got[5]["keep"] and got[5]["symbol_ratio_permille"] == 818
+
+
+def test_c4_line_filter_hand_cases(spark):
+    """c4_line_filter (r9): terminal-punct gate, min-word gate, banned
+    substrings; survivors rejoin in order; no-newline and empty docs
+    flow through."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import c4_line_filter
+
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                "Good sentence here.\nshort\nThis uses javascript code."
+                "\nAnother fine line!\n{ bad json }\nNo terminal punct",
+            ),
+            (2, "single line no newline."),
+            (3, ""),
+            (4, 'He said "stop".\nTrailing spaces fine.   \nWe use cookie tracking.'),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_lines, r.n_kept, r.text_clean) for r in c4_line_filter(docs).collect()}
+    assert got[1] == (6, 2, "Good sentence here.\nAnother fine line!")
+    assert got[2] == (1, 1, "single line no newline.")
+    assert got[3] == (1, 0, "")
+    assert got[4] == (3, 2, 'He said "stop".\nTrailing spaces fine.   ')
+
+
+def test_normalize_text_twin_and_idempotence(spark):
+    """normalize_text (r9): unicode canonicalization matches its DuckDB
+    twin byte-for-byte and is idempotent."""
+    import duckdb
+
+    from youtube_podcast_data_pipeline_azure_spark.functions.text import (
+        normalize_text,
+        normalize_text_sql,
+    )
+
+    cases = [
+        "“Smart” quotes — and NBSP… plus​zero\twidth",
+        "keep\nnewlines\nintact ‘ok’",
+        "",
+        "plain ascii stays.",
+        "soft­hyphen and 　ideographic space",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = [r[0] for r in df.select(normalize_text("t").alias("n")).collect()]
+    # idempotent: normalizing the normalized form is a no-op
+    df2 = spark.createDataFrame([(g,) for g in got], "t string")
+    again = [r[0] for r in df2.select(normalize_text("t").alias("n")).collect()]
+    assert again == got
+    duck = duckdb.connect()
+    for c, g in zip(cases, got):
+        esc = c.replace("'", "''")
+        d = duck.sql(
+            f"SELECT {normalize_text_sql('t')} FROM (SELECT '{esc}' AS t)"
+        ).fetchone()[0]
+        assert d == g, (repr(d), repr(g))

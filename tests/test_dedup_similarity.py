@@ -1109,3 +1109,144 @@ def test_rrf_and_ranking_quality_custom_rank_col(spark):
     rq = ranking_quality(truth, fused, rank_col="pos").collect()
     assert len(rq) == 1
     assert rq[0]["recall_bp"] == 10000 and rq[0]["mrr_micro"] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (r9)
+# ---------------------------------------------------------------------------
+
+def _pq_fixture(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 8)).astype("float32")
+    return spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_pq_train_exact_integer_replay(spark):
+    """pq_train (r9): codebooks must equal a from-scratch pure-Python
+    replay of the integer contract (floor-micro quantize, L2 argmin
+    with lowest-cid ties, truncate-toward-zero integer-mean recenter)
+    — proving the numpy vectorization changes no bit."""
+    import math
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.similarity import pq_train
+
+    df = _pq_fixture(spark)
+    got = pq_train(df, m_subspaces=2, k_centroids=4, iters=2)
+
+    rows = sorted(df.collect(), key=lambda r: r.vec_id)
+    xm = [[math.floor(float(x) * 1_000_000.0) for x in r.embedding] for r in rows]
+
+    def tdiv(s, n):
+        q = abs(s) // n
+        return q if s >= 0 else -q
+
+    exp = []
+    for m in range(2):
+        sub = [r[m * 4 : (m + 1) * 4] for r in xm]
+        cents = [list(s) for s in sub[:4]]
+        for _ in range(2):
+            assign = []
+            for s in sub:
+                dists = [
+                    sum((a - b) * (a - b) for a, b in zip(s, c))
+                    for c in cents
+                ]
+                assign.append(dists.index(min(dists)))
+            for cid in range(4):
+                members = [s for s, a in zip(sub, assign) if a == cid]
+                if members:
+                    n = len(members)
+                    cents[cid] = [tdiv(sum(col), n) for col in zip(*members)]
+        exp.append(cents)
+    assert got == exp
+
+
+def test_pq_codes_are_nearest_codebook_entries(spark):
+    """pq_codes assigns each subvector its L2-argmin centroid (checked
+    against a brute-force recompute of the integer distances)."""
+    import math
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.similarity import (
+        pq_codes,
+        pq_train,
+    )
+
+    df = _pq_fixture(spark)
+    cb = pq_train(df, m_subspaces=2, k_centroids=4, iters=2)
+    got = {r.vec_id: list(r.codes) for r in pq_codes(df, cb).collect()}
+    for r in df.collect():
+        xm = [math.floor(float(x) * 1_000_000.0) for x in r.embedding]
+        for m in range(2):
+            s = xm[m * 4 : (m + 1) * 4]
+            dists = [
+                sum((a - b) * (a - b) for a, b in zip(s, c)) for c in cb[m]
+            ]
+            assert got[r.vec_id][m] == dists.index(min(dists))
+
+
+def test_pq_ann_equals_bruteforce_adc(spark):
+    """pq_ann's broadcast-LUT plan returns exactly the brute-force
+    asymmetric-distance ranking (integer ADC, ties by vec_id)."""
+    import math
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.similarity import (
+        pq_ann,
+        pq_codes,
+        pq_train,
+    )
+
+    df = _pq_fixture(spark)
+    corpus = df.where("vec_id >= 5")
+    queries = df.where("vec_id < 5").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    cb = pq_train(corpus, m_subspaces=2, k_centroids=4, iters=2)
+    codes = {r.vec_id: list(r.codes) for r in pq_codes(corpus, cb).collect()}
+
+    got = [
+        (r.query_id, r.rank, r.vec_id, r.adc_d2)
+        for r in pq_ann(corpus, queries, cb, k=3).collect()
+    ]
+    exp = []
+    for q in sorted(queries.collect(), key=lambda r: r.query_id):
+        qm = [math.floor(float(x) * 1_000_000.0) for x in q.embedding]
+        scored = []
+        for vid, cw in codes.items():
+            adc = 0
+            for m in range(2):
+                qs = qm[m * 4 : (m + 1) * 4]
+                c = cb[m][cw[m]]
+                adc += sum((a - b) * (a - b) for a, b in zip(qs, c))
+            scored.append((adc, vid))
+        scored.sort()
+        exp.extend(
+            (q.query_id, i + 1, vid, adc)
+            for i, (adc, vid) in enumerate(scored[:3])
+        )
+    assert sorted(got) == sorted(exp)
+
+
+def test_minhash_band_tuning_scurve_properties(spark):
+    """Candidate probability is monotone in s, hits ~0 at s→0 and 1e6
+    at s=1000 permille, and more bands at fixed rows means a laxer
+    (higher-recall) curve."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import minhash_band_tuning
+
+    rows = minhash_band_tuning(spark).collect()
+    by_cfg = {}
+    for r in rows:
+        by_cfg.setdefault((r.bands, r.rws), {})[r.s_permille] = r.candidate_ppm
+    for cfg, curve in by_cfg.items():
+        svals = sorted(curve)
+        assert all(
+            curve[a] <= curve[b] for a, b in zip(svals, svals[1:])
+        ), cfg
+        assert curve[1000] == 1_000_000, cfg
+    assert all(
+        by_cfg[(16, 4)][s] >= by_cfg[(8, 4)][s] for s in sorted(by_cfg[(8, 4)])
+    )

@@ -302,3 +302,49 @@ def sentence_split_udtf():
                     i += 1
 
     return SplitSentences
+
+
+# Unicode canonicalization table for web-crawl text (the pre-tokenizer
+# normalization every corpus pipeline runs before fingerprinting so
+# typographic variants don't defeat exact dedup).  Pattern/replacement
+# pairs applied IN ORDER.  Codepoints are written as \\x{...} escapes —
+# the one hex-escape syntax BOTH Java regex (Spark) and RE2 (DuckDB)
+# accept — so the identical pattern strings run on both engines and no
+# invisible character hides in source or SQL literals.
+NORMALIZE_STEPS: tuple[tuple[str, str], ...] = (
+    (r"[\x{2018}\x{2019}\x{201A}\x{201B}]", "'"),  # curly single quotes
+    (r"[\x{201C}\x{201D}\x{201E}\x{201F}]", '"'),  # curly double quotes
+    (r"[\x{2013}\x{2014}\x{2212}]", "-"),           # en/em dash, minus
+    (r"\x{2026}", "..."),                            # horizontal ellipsis
+    (r"[\x{A0}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]", " "),  # spaces
+    (r"[\x{200B}-\x{200D}\x{FEFF}\x{AD}]", ""),    # zero-width, soft hyphen
+    (r"[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]", ""),  # control
+    (r"[ \t]+", " "),                               # collapse runs
+)
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonicalize typographic unicode to ASCII-ish form and strip
+    control/zero-width characters (:data:`NORMALIZE_STEPS`, applied in
+    order, then trimmed).  Newlines survive (line structure feeds the
+    C4 line rules); only space/tab runs collapse.
+
+    A pure regexp_replace chain — JVM-side, codegen, fused into the
+    scan; the standard first pass before fingerprinting/dedup at any
+    corpus size."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in NORMALIZE_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return F.trim(c)
+
+
+def normalize_text_sql(col_sql: str) -> str:
+    """DuckDB twin of :func:`normalize_text`, generated from the same
+    step table (global flag: DuckDB replaces first-match-only by
+    default where Spark replaces all)."""
+    expr = col_sql
+    for pat, rep in NORMALIZE_STEPS:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return f"trim({expr})"

@@ -1174,3 +1174,198 @@ def lm_perplexity_from_model(
     cvw, vocab_v = lm_model_load(spark, path)
     vocab = spark.createDataFrame([(vocab_v,)], "_V long")
     return _lm_score_and_bucket(docs, cvw, vocab, text_col, id_col, n_buckets)
+
+
+#: the Gopher rule lexicon — the paper's "must contain 2 of" stop set
+#: (Rae et al. 2021, "Scaling Language Models", Table A1 text filters)
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+#: bullet glyphs a line may start with / the ellipsis a line may end
+#: with (Gopher line-shape rules) — shared with the SQL twin
+GOPHER_BULLET_RE = r"^\s*[-*•]"
+GOPHER_ELLIPSIS_RE = r"(\.\.\.|…)\s*$"
+
+
+def gopher_quality_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style rule-based document quality report (Rae et al.
+    2021 §A1.1 — the standard web-corpus pre-filter, adopted verbatim
+    by MassiveText/RefinedWeb/Dolma; no reference analog, §2.C
+    surface).  Per document, the seven classic signals and their rule
+    verdicts, all in integer deci/permille units so both engines
+    compute bit-identical values:
+
+    - ``n_words`` ∈ [min_words, max_words]
+    - ``mean_word_len_deci`` (10·chars ÷ words) ∈ [30, 100]
+    - ``symbol_ratio_permille`` (1000·(# + …) ÷ words) ≤ 100
+    - ``bullet_lines_permille`` (lines starting with a bullet) ≤ 900
+    - ``ellipsis_lines_permille`` (lines ending in …) ≤ 300
+    - ``alpha_word_permille`` (words containing a letter) ≥ 800
+    - ``n_stop_hits`` (DISTINCT :data:`GOPHER_STOPWORDS` present) ≥ 2
+
+    ``keep`` is the conjunction.  Scale shape: one narrow per-row map
+    fused into the scan — token/line arrays are doc-local expressions,
+    no explode, no shuffle, nothing but the scan's own exchange at any
+    corpus size.  Degenerate docs (0 words / 0 lines) divide by a
+    floored denominator of 1 and fail the word-count rule rather than
+    raising under ANSI.
+    """
+    c = F.col(text_col)
+    words = tokenize(c)
+    n_words = F.size(words).cast("long")
+    d_words = F.greatest(n_words, F.lit(1))
+    word_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_symbols = (
+        F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"), 0))
+        .cast("long")
+    )
+    lines = F.split(c, r"\n")
+    n_lines = F.size(lines).cast("long")
+    d_lines = F.greatest(n_lines, F.lit(1))
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.rlike(GOPHER_BULLET_RE))
+    ).cast("long")
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: l.rlike(GOPHER_ELLIPSIS_RE))
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike(r"[a-z]"))
+    ).cast("long")
+    stop_hits = F.aggregate(
+        F.array(
+            *[
+                F.array_contains(words, F.lit(s)).cast("long")
+                for s in GOPHER_STOPWORDS
+            ]
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # staged select so multiply-referenced counts are NAMED columns
+    # (Catalyst trap 3): compute raw counts once, derive after
+    staged = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        d_words.alias("_dw"),
+        word_chars.alias("_wc"),
+        n_symbols.alias("_sym"),
+        n_lines.alias("n_lines"),
+        d_lines.alias("_dl"),
+        n_bullet.alias("_bul"),
+        n_ellipsis.alias("_ell"),
+        n_alpha.alias("_alpha"),
+        stop_hits.alias("n_stop_hits"),
+    )
+    derived = staged.select(
+        id_col,
+        "n_words",
+        F.expr("10 * _wc div _dw").cast("long").alias("mean_word_len_deci"),
+        F.expr("1000 * _sym div _dw").cast("long").alias(
+            "symbol_ratio_permille"
+        ),
+        "n_lines",
+        F.expr("1000 * _bul div _dl").cast("long").alias(
+            "bullet_lines_permille"
+        ),
+        F.expr("1000 * _ell div _dl").cast("long").alias(
+            "ellipsis_lines_permille"
+        ),
+        F.expr("1000 * _alpha div _dw").cast("long").alias(
+            "alpha_word_permille"
+        ),
+        "n_stop_hits",
+    )
+    return derived.select(
+        "*",
+        (
+            (F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+            & (F.col("mean_word_len_deci") >= 30)
+            & (F.col("mean_word_len_deci") <= 100)
+            & (F.col("symbol_ratio_permille") <= 100)
+            & (F.col("bullet_lines_permille") <= 900)
+            & (F.col("ellipsis_lines_permille") <= 300)
+            & (F.col("alpha_word_permille") >= 800)
+            & (F.col("n_stop_hits") >= 2)
+        ).alias("keep"),
+    )
+
+
+#: substrings that disqualify a line (C4 §2.2 boilerplate markers,
+#: lowercase-matched) — shared with the SQL twin
+C4_BANNED_SUBSTRINGS: tuple[str, ...] = (
+    "javascript", "cookie", "lorem ipsum", "{",
+)
+
+#: a kept line must end in terminal punctuation (C4's sentence gate)
+C4_TERMINAL_RE = r'[.!?"]$'
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the
+    line rules behind the C4 corpus, reused by mC4/FineWeb; no
+    reference analog, §2.C surface).  A line survives iff:
+
+    - its right-trimmed tail ends in terminal punctuation
+      (:data:`C4_TERMINAL_RE`),
+    - it has ≥ ``min_line_words`` whitespace words, and
+    - its lowercase form contains none of
+      :data:`C4_BANNED_SUBSTRINGS` (the curly brace catches leaked
+      code/JSON, the rest catch boilerplate).
+
+    Returns (id, n_lines, n_kept, text_clean) with survivors rejoined
+    by newline in original order — a REBUILD, not just a report, so
+    downstream tokenization sees the cleaned text.
+
+    Scale shape: one narrow per-row map fused into the scan — the line
+    array is a doc-local higher-order expression, no explode, no
+    shuffle; at 100 TB this is scan-bound like every other per-row
+    cleaner.  Degenerate docs (no newline) are a 1-line array and flow
+    through the same predicate.
+    """
+
+    def _line_ok(l: Column) -> Column:
+        words = F.filter(
+            F.split(l, r"\s+"), lambda t: t != ""
+        )
+        low = F.lower(l)
+        banned = F.lit(False)
+        for s in C4_BANNED_SUBSTRINGS:
+            banned = banned | low.contains(s)
+        return (
+            F.rtrim(l).rlike(C4_TERMINAL_RE)
+            & (F.size(words) >= min_line_words)
+            & ~banned
+        )
+
+    c = F.col(text_col)
+    staged = docs.select(
+        F.col(id_col),
+        F.split(c, r"\n").alias("_lines"),
+    ).select(
+        id_col,
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.filter("_lines", _line_ok).alias("_kept"),
+    )
+    return staged.select(
+        id_col,
+        "n_lines",
+        F.size("_kept").cast("long").alias("n_kept"),
+        F.array_join("_kept", "\n").alias("text_clean"),
+    )

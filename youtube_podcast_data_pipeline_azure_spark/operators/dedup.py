@@ -1762,3 +1762,65 @@ def canonical_dedup(
             F.countDistinct("_raw_fp").cast("long").alias("n_raw_distinct"),
         )
     )
+
+
+#: default (bands, rows) design points for :func:`minhash_band_tuning`
+#: — the configurations a 100-TB dedup run actually chooses between
+#:   (signature size = bands·rows ∈ {16 … 256})
+BAND_TUNING_CONFIGS: tuple[tuple[int, int], ...] = (
+    (4, 4), (8, 4), (16, 4), (32, 4), (8, 8), (16, 8), (32, 8),
+)
+
+
+def minhash_band_tuning(
+    spark,
+    configs: "tuple[tuple[int, int], ...]" = BAND_TUNING_CONFIGS,
+    permille_step: int = 50,
+) -> DataFrame:
+    """The LSH design table: for each (bands, rows) signature layout
+    and each Jaccard similarity on a permille grid, the probability a
+    pair at that similarity becomes an LSH candidate —
+    ``1 − (1 − s^rows)^bands`` (the S-curve every MinHash paper plots;
+    datasketch's ``optimal_param`` tunes against the same family).
+    This is how the engine's own ``minhash_lsh_pairs`` banding is
+    sized BEFORE a 100-TB run: read the row where recall crosses the
+    target threshold instead of re-running dedup per config.
+
+    Determinism across engines: ``s^rows`` and ``(1−p)^bands`` are
+    computed as explicit sequential multiply folds over
+    ``array_repeat`` — chained IEEE-754 multiplies are bit-identical
+    on every engine, unlike ``pow()`` which routes through libm — and
+    surface as ``floor(1e6·x)`` ppm integers.  Pure literal-table
+    arithmetic: no scan, no shuffle; the output is
+    O(|configs|·1000/step) rows.
+
+    Returns (bands, rws, s_permille, candidate_ppm).
+    """
+    grid = [
+        (int(b), int(r), int(s))
+        for (b, r) in configs
+        for s in range(permille_step, 1001, permille_step)
+    ]
+    base = spark.createDataFrame(
+        grid, "bands int, rws int, s_permille int"
+    )
+    s = F.col("s_permille").cast("double") / F.lit(1000.0)
+    p_band = F.aggregate(
+        F.array_repeat(s, F.col("rws")),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    staged = base.select("bands", "rws", "s_permille", p_band.alias("_p"))
+    miss = F.aggregate(
+        F.array_repeat(F.lit(1.0) - F.col("_p"), F.col("bands")),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    return staged.select(
+        "bands",
+        "rws",
+        "s_permille",
+        F.floor(F.lit(1_000_000.0) * (F.lit(1.0) - miss))
+        .cast("long")
+        .alias("candidate_ppm"),
+    )

@@ -1076,3 +1076,204 @@ def ranking_quality(
             .alias("mrr_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compression half of IVF-PQ
+# (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+# Search"), all-integer so every byte is oracle-replayable
+# ---------------------------------------------------------------------------
+
+#: micro-unit quantization scale shared by train / assign / score and
+#: the SQL oracle — floor(coord · 1e6) as bigint.  Integer arithmetic
+#: end-to-end makes PQ training and ADC scoring bit-exact on any
+#: engine and any partitioning (no float sum-order anywhere).
+PQ_MICRO = 1_000_000.0
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_subspaces: int = 4,
+    k_centroids: int = 8,
+    iters: int = 2,
+    train_sample: int | None = None,
+) -> "list[list[list[int]]]":
+    """Train PQ codebooks: split the vector into ``m_subspaces`` equal
+    blocks and run an independent deterministic k-means in each
+    (lowest-id init, L2 assignment with lowest-cid tie-break,
+    truncated-integer-mean recenter, empty clusters keep their
+    centroid).  All arithmetic is exact over micro-unit integers, so
+    the identical codebooks fall out of the SQL oracle's CTE replay —
+    same argument as ``cluster_profile``, minus that operator's float
+    sum-order exposure.
+
+    Driver-side over the bounded training sample (the proven
+    ``_lloyd`` pattern); returns ``codebooks[m][cid] -> subvector`` of
+    micro-unit ints for :func:`pq_codes` / :func:`pq_ann` to fold in
+    as plan literals — at 100 TB the codebooks are a few KB trained
+    once on a sample, never a distributed job.
+    """
+    rows = _train_sample_rows(corpus, id_col, vec_col, train_sample)
+    dim = len(rows[0].v)
+    assert dim % m_subspaces == 0, "dim must divide evenly"
+    d = dim // m_subspaces
+    # int64 numpy keeps training exact AND fast: integer sums are
+    # order-independent (unlike the float recenters in _lloyd), so
+    # vectorization cannot perturb a single bit.  Magnitudes are safe:
+    # d2 ≤ d·(2·1e6)² ≈ 6e13, recenter sums ≤ n·1e6 — far below 2^63.
+    xm = np.floor(
+        np.array([r.v for r in rows], dtype=np.float64) * PQ_MICRO
+    ).astype(np.int64)
+    codebooks: list[list[list[int]]] = []
+    for m in range(m_subspaces):
+        sub = xm[:, m * d : (m + 1) * d]
+        k = min(k_centroids, len(sub))
+        cents = sub[:k].copy()  # lowest-id init
+        for _ in range(iters):
+            diff = sub[:, None, :] - cents[None, :, :]
+            d2 = (diff * diff).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # first min = lowest cid
+            for cid in range(k):
+                members = sub[assign == cid]
+                if len(members):
+                    s = members.sum(axis=0)
+                    n = len(members)
+                    # truncate toward zero: Spark div / DuckDB // (and
+                    # NOT numpy //, which floors negative quotients)
+                    cents[cid] = np.sign(s) * (np.abs(s) // n)
+        codebooks.append([[int(v) for v in c] for c in cents])
+    return codebooks
+
+
+def _micro_vec(vec: Column) -> Column:
+    """Micro-unit integer quantization of a float vector (bit-exact on
+    both engines: float→double widening, one IEEE multiply, floor)."""
+    return F.transform(
+        vec.cast("array<double>"),
+        lambda x: F.floor(x * F.lit(PQ_MICRO)).cast("long"),
+    )
+
+
+def _sub_codes(codebooks: "list[list[list[int]]]") -> "list[Column]":
+    """One argmin-code Column per subspace over the staged ``_s{m}``
+    micro subvector columns (struct array_min: lowest distance, then
+    lowest cid — exact integer compares)."""
+    out = []
+    for m, cents in enumerate(codebooks):
+        sub = F.col(f"_s{m}")
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            F.array(*[F.lit(v) for v in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    F.lit(cid).cast("int").alias("cid"),
+                )
+                for cid, c in enumerate(cents)
+            ]
+        )
+        out.append(F.array_min(dists)["cid"].alias(f"code_{m}"))
+    return out
+
+
+def pq_codes(
+    corpus: DataFrame,
+    codebooks: "list[list[list[int]]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector its PQ code word — (id, codes array<int>,
+    one entry per subspace).  A 64-dim float vector (256 B) compresses
+    to ``m`` small ints; at 100 TB this is THE way a corpus-wide ANN
+    structure fits in cluster memory.
+
+    Scale shape: a narrow per-row map over the scan — codebooks are
+    plan literals, distances are integer folds, no shuffle, no Python.
+    The micro vector and each subspace slice are staged as NAMED
+    columns so Catalyst evaluates them once, not once per centroid
+    (trap 3).
+    """
+    dim = len(codebooks) * len(codebooks[0][0])
+    d = len(codebooks[0][0])
+    staged = corpus.select(
+        F.col(id_col), _micro_vec(F.col(vec_col)).alias("_vm")
+    ).select(
+        id_col,
+        *[
+            F.slice(F.col("_vm"), m * d + 1, d).alias(f"_s{m}")
+            for m in range(len(codebooks))
+        ],
+    )
+    return staged.select(
+        id_col,
+        F.array(*_sub_codes(codebooks)).alias("codes"),
+    )
+
+
+def pq_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: "list[list[list[int]]]",
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes: the query
+    stays exact, each corpus vector is represented by its code word,
+    and distance is the sum of per-subspace lookup-table entries —
+    ``adc_d2 = Σ_m LUT[q][m][code_m]`` with
+    ``LUT = ‖q_sub − centroid‖²`` in micro² integer units.
+
+    The LUT is computed driver-side from the BOUNDED query set (the
+    ``knn_bruteforce`` broadcast-queries contract: query workloads are
+    small; corpus is the 100-TB side) and broadcast: the corpus side
+    is one posexplode of the m-entry code array + a broadcast join +
+    one (query, vec) aggregate — candidates carry three integers,
+    never vectors.  Returns (query_id, rank, vec_id, adc_d2) — exact
+    integers, deterministic ties (distance, then id).
+    """
+    d = len(codebooks[0][0])
+    q_rows = sorted(
+        queries.select(
+            F.col(query_id), _micro_vec(F.col(vec_col)).alias("_vm")
+        ).collect(),
+        key=lambda r: r[0],
+    )  # bounded by contract, like knn_bruteforce's broadcast queries
+    lut = []
+    for r in q_rows:
+        qv = r["_vm"]
+        for m, cents in enumerate(codebooks):
+            qs = qv[m * d : (m + 1) * d]
+            for cid, c in enumerate(cents):
+                d2 = sum((a - b) * (a - b) for a, b in zip(qs, c))
+                lut.append((int(r[0]), m, cid, int(d2)))
+    spark = corpus.sparkSession
+    lut_df = spark.createDataFrame(
+        lut, f"{query_id} long, _m int, _cid int, _d2 long"
+    )
+    codes = pq_codes(corpus, codebooks, corpus_id, vec_col)
+    exploded = codes.select(
+        corpus_id, F.posexplode("codes").alias("_m", "_cid")
+    )
+    scored = (
+        exploded.join(F.broadcast(lut_df), ["_m", "_cid"])
+        .groupBy(query_id, corpus_id)
+        .agg(F.sum("_d2").cast("long").alias("adc_d2"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("adc_d2").asc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(query_id, "rank", corpus_id, "adc_d2")
+    )
