@@ -35,6 +35,8 @@ from youtube_podcast_data_pipeline_azure_spark.functions.durations import iso860
 from youtube_podcast_data_pipeline_azure_spark.functions.text import (
     language_id,
     language_id_sql,
+    normalize_text,
+    normalize_text_sql,
     quality_score,
     quality_score_sql,
     token_count_bpe,
@@ -4339,6 +4341,176 @@ def q_turn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality report (r9; Rae et al. 2021 §A1.1 via
+    operators/curation.py:gopher_quality_report).  The fixture is
+    single-line prose, so rule-triggering shapes are planted
+    deterministically (the domain_mix synth pattern): bullets on
+    doc_id%11, trailing ellipsis on %13, symbol spam on %17, and a
+    stopword-rich clause on %19 so the stop-hit and keep=true branches
+    are all exercised.  The oracle replays the identical synth and the
+    integer deci/permille formulas from the same constants."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t = F.col("text")
+    text2 = (
+        F.when(d % 11 == 0, F.concat(F.lit("- "), t))
+        .when(d % 13 == 0, F.concat(t, F.lit("...")))
+        .when(d % 17 == 0, F.concat(t, F.lit(" # ## ### ####")))
+        .when(
+            d % 19 == 0,
+            F.concat(
+                t, F.lit(" the cat and the dog have fun with that wool.")
+            ),
+        )
+        .otherwise(t)
+    )
+    return curation.gopher_quality_report(docs.withColumn("text", text2))
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-rule cleaning + rebuild (r9; Raffel et al. 2020 §2.2 via
+    operators/curation.py:c4_line_filter).  The fixture has no
+    newlines, so each doc is re-lined deterministically (6-token
+    lines); even docs get terminal periods per line (the keep path),
+    doc_id%5 plants a javascript line and %7 a cookie line (the ban
+    path, lines that would otherwise pass).  The oracle replays the
+    identical re-lining and rules."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(
+        F.lit(0), ((F.size(toks) - F.lit(1)) / F.lit(6)).cast("int")
+    )
+    lined = F.array_join(
+        F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i * 6 + 1, 6), " ")
+        ),
+        "\n",
+    )
+    lined = F.when(
+        d % 2 == 0,
+        F.concat(F.replace(lined, F.lit("\n"), F.lit(".\n")), F.lit(".")),
+    ).otherwise(lined)
+    lined = F.when(
+        d % 5 == 0,
+        F.concat(F.lit("please enable javascript to view this.\n"), lined),
+    ).otherwise(lined)
+    lined = F.when(
+        d % 7 == 0,
+        F.concat(F.lit("we use cookie tracking here.\n"), lined),
+    ).otherwise(lined)
+    return curation.c4_line_filter(docs.withColumn("text", lined))
+
+
+def q_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization pass (r9;
+    functions/text.py:normalize_text).  Typographic noise — curly
+    quotes, em dashes, ellipsis, NBSP, zero-width space, control char,
+    tab runs — is planted deterministically around the fixture text,
+    then normalized away; output records both lengths so the oracle
+    hash pins exactly what was removed.  The SQL twin is generated
+    from the same NORMALIZE_STEPS table."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    nbsp = F.expr("chr(160)")        # U+00A0 (invisibles built via
+    zwsp = F.expr("chr(8203)")       # U+200B  chr() so no unreadable
+    ctl = F.expr("chr(1)")           # U+0001  bytes hide in source)
+    prefix = F.element_at(
+        F.array(
+            F.lit("“Quote” — "),
+            F.lit("‘q’… "),
+            F.concat(nbsp, nbsp, F.lit("lead ")),
+            F.lit(""),
+        ),
+        (d % 4 + 1).cast("int"),
+    )
+    suffix = F.element_at(
+        F.array(
+            F.lit(" tail…"),
+            F.concat(F.lit(" zero"), zwsp, F.lit("width")),
+            F.concat(F.lit(" ctl"), ctl, F.lit("x")),
+            F.lit("  \t spaced"),
+            F.lit(""),
+        ),
+        (d % 5 + 1).cast("int"),
+    )
+    messy = F.concat(prefix, F.col("text"), suffix)
+    staged = docs.select(F.col("doc_id"), messy.alias("_messy"))
+    return staged.select(
+        "doc_id",
+        F.length("_messy").cast("long").alias("n_chars_before"),
+        normalize_text(F.col("_messy")).alias("text_norm"),
+    ).select(
+        "doc_id",
+        "n_chars_before",
+        F.length("text_norm").cast("long").alias("n_chars_after"),
+        "text_norm",
+    )
+
+
+def q_minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding design table (r9;
+    operators/dedup.py:minhash_band_tuning): candidate probability
+    1−(1−s^r)^b on a permille similarity grid for the engine's
+    (bands, rows) design points — computed as sequential IEEE multiply
+    folds so both engines agree bit-for-bit (no libm pow).  Pure
+    literal arithmetic, no table scan: this is the planning step that
+    sizes minhash_lsh_pairs BEFORE a 100-TB run."""
+    return dedup.minhash_band_tuning(spark)
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment (r9; Jégou et al. 2011 via
+    operators/similarity.py:pq_train/pq_codes): 4 subspaces × 8
+    centroids trained with 2 integer-exact Lloyd iterations on the
+    full embedding table (lowest-id init), every vector coded by
+    subspace-argmin.  All arithmetic is micro-unit int64, so the
+    oracle retrains the identical codebooks as CTEs and the code
+    words hash-match exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = similarity.pq_train(emb)
+    return similarity.pq_codes(emb, cb)
+
+
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10 (r9;
+    operators/similarity.py:pq_ann): codebooks trained on the corpus
+    split (vec_id ≥ 5, the knn_bruteforce convention), queries are the
+    first 5 vectors kept exact, distance is the broadcast integer-LUT
+    ADC sum.  Exact integers end-to-end — the oracle replays training,
+    coding, LUT, and ranking."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cb = similarity.pq_train(corpus)
+    return similarity.pq_ann(corpus, queries, cb, k=10)
+
+
+def q_pq_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index persistence roundtrip (r9 close — the fourth member of
+    the build-once family after knn_ivf_persisted,
+    exact_substring_spans_persisted, and bm25_search_persisted): train
+    + code the corpus ONCE, persist codes + long-form codebooks, load
+    both back, and rank the same query workload from the LOADED index
+    through the identical ADC core
+    (operators/similarity.py:pq_index_write/pq_ann_from_index).
+    Oracle: the pq_ann SQL — loaded-index ranking must be
+    hash-identical to the in-plan construction."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_pq_")
+    similarity.pq_index_write(corpus, path)
+    return similarity.pq_ann_from_index(spark, path, queries, k=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 pricing summary at sf0.001 (driver smoke)."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4348,43 +4520,104 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification rotation, not taxonomy: the
     driver's per-round correctness check covers the FIRST 50 entries,
     so each round front-loads queries needing driver evidence.
-    Cumulative state at r8 close: 232 registered (226 entering + four
-    in-window r8 additions + the two persistence roundtrips added at
-    the tail after the window was spent), 223 hash-green in at least
-    one driver round, 3 rows-only by documented contract, 8
-    never-driver-checked (6 in this window; ``bm25_search_persisted`` /
-    ``lm_perplexity_persisted`` queue for r9, pre-verified plain-ANSI);
-    staleness is tool-tracked (``tools/staleness.py`` joins this
-    registry against every CORRECTNESS_r*.json).
+    Cumulative state at r9 build: 239 registered (232 entering + six
+    in-window r9 additions + ``pq_ann_persisted`` at the tail after
+    the window was spent), 236 DuckDB-oracle-checked, 3 rows-only by
+    documented contract (raw ``knn_ivf`` nprobe dial and the two raw
+    t-digest sketches — each certified by a hash-checked accuracy
+    twin); staleness is tool-tracked (``tools/staleness.py`` joins
+    this registry against every CORRECTNESS_r*.json).
 
-    The r8 window executes VERDICT r7's Next-round list: (A) the two
-    queries added after the r7 window was spent (``zipf_fit``,
-    ``length_drift`` - never driver-checked); (B) the ENTIRE 39-query
-    r3-stale band (positions 51-94 last round, front of queue
-    ``dq_referential_orphans``) - pre-verified 44/44 plain-ANSI at r7
-    close, but the driver hash is the only hard signal; (C) the four
-    queries NEW this round (``bm25_search_pruned``,
-    ``exact_substring_spans_persisted``, ``domain_mix``,
-    ``turn_dedup``) plus re-checks of the five r7-green queries whose
-    code changed this round (the bm25 postings checkpoint + max_df
-    literals, the content-derived HLL shard hash, the rrf/ranking
-    rank_col refactor, the lm_perplexity multi-consumer checkpoints) -
-    new-and-changed outranks fills, so the nine oldest-r4 fills were
-    displaced first-below-the-line.  After this window greens, nothing
-    in the registry is older than r4.  Every window query was verified
-    on a PLAIN local[32] session (driver conditions: ANSI on, no
-    engine confs) against the DuckDB oracle at sf0.01 before this
-    registration, and the engine-session mirror ran the full registry
-    at sf0.001 and sf0.01."""
+    The r9 window: (A) the eight never-driver-checked queries — the
+    two persistence roundtrips registered after the r8 window was
+    spent (``bm25_search_persisted``, ``lm_perplexity_persisted``)
+    and the six NEW this round (``gopher_quality``,
+    ``c4_line_filter``, ``text_normalization``,
+    ``minhash_band_tuning``, ``pq_codes``, ``pq_ann``); (B) re-checks
+    of every query whose code changed after its last driver stamp —
+    the six late-r8 perf-pass rewrites (suffix-family radix-8 prefix
+    doubling, DSIR raw-gram/ratio checkpoints) plus this round's
+    URL-regex and bm25-empty-guard touches (``domain_mix``,
+    ``bm25_search_pruned``); (C) the 34 oldest r4-stale fills in
+    ledger order.  New-and-changed outranks fills, so 8 of the 42
+    r4-stale queries are displaced to lead the r10 queue.  After this
+    window greens, nothing in the registry is older than r4 except
+    those 8 (pre-verified plain-ANSI at r8 close).  Every window
+    query was verified on a PLAIN local[32] session (driver
+    conditions: ANSI on, no engine confs) against the DuckDB oracle
+    at sf0.01 before this registration, and the engine-session mirror
+    ran the full registry at sf0.001 and sf0.01."""
     return {
-        # ===== r08 window (driver checks the FIRST 50 entries) =====
-        # part A: the two never-driver-checked queries added at r7
-        # close (VERDICT r7 #1: "make sure zipf_fit and length_drift
-        # take two of the slots")
+        # ===== r09 window (driver checks the FIRST 50 entries) =====
+        # part A: never driver-checked — the two persistence
+        # roundtrips added after the r8 window was spent, plus the
+        # six queries NEW this round (Gopher/C4 quality rules,
+        # unicode normalization, LSH band tuning, product
+        # quantization codes + ADC search)
+        "bm25_search_persisted": q_bm25_search_persisted,
+        "lm_perplexity_persisted": q_lm_perplexity_persisted,
+        "gopher_quality": q_gopher_quality,
+        "c4_line_filter": q_c4_line_filter,
+        "text_normalization": q_text_normalization,
+        "minhash_band_tuning": q_minhash_band_tuning,
+        "pq_codes": q_pq_codes,
+        "pq_ann": q_pq_ann,
+        # part B: re-checks of queries whose code changed since
+        # their last driver stamp — the six late-r8 perf-pass
+        # rewrites (radix-8 prefix doubling; DSIR raw-gram/ratio
+        # checkpoints) and this round's url-regex / bm25-guard
+        # touches (domain_mix, bm25_search_pruned)
+        "contamination_spans": q_contamination_spans,
+        "exact_substring_spans": q_exact_substring_spans,
+        "longest_repeated_substrings": q_longest_repeated_substrings,
+        "remove_contaminated_spans": q_remove_contaminated_spans,
+        "dsir_importance_weights": q_dsir_importance_weights,
+        "dsir_resample": q_dsir_resample,
+        "domain_mix": q_domain_mix,
+        "bm25_search_pruned": q_bm25_search_pruned,
+        # part C: the 34 oldest staleness fills (r4 evidence,
+        # ledger order) — the remaining 8 r4-stale queries lead
+        # the below-the-line queue for r10
+        "contamination_report": q_contamination_report,
+        "repetition_signals": q_repetition_signals,
+        "pii_scan": q_pii_scan,
+        "incremental_dedup": q_incremental_dedup,
+        "dataset_split": q_dataset_split,
+        "pagerank_influence": q_pagerank_influence,
+        "duplicate_ngram_spans": q_duplicate_ngram_spans,
+        "embedding_quantization": q_embedding_quantization,
+        "variant_extract": q_variant_extract,
+        "streaming_corpus_dedup": q_streaming_corpus_dedup,
+        "delete_by_key_roundtrip": q_delete_by_key_roundtrip,
+        "curation_funnel": q_curation_funnel,
+        "fingerprint_overlap_pairs": q_fingerprint_overlap_pairs,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_near_dup": q_simhash_near_dup,
+        "embedding_near_dup": q_embedding_near_dup,
+        "knn_lsh": q_knn_lsh,
+        "knn_ivf_exhaustive": q_knn_ivf_exhaustive,
+        "embedding_clusters": q_embedding_clusters,
+        "approx_distinct_users": q_approx_distinct_users,
+        "tdigest_accuracy": q_tdigest_accuracy,
+        "tdigest_by_key_accuracy": q_tdigest_by_key_accuracy,
+        "ngram_jaccard_pairs_blocked": q_ngram_jaccard_pairs_blocked,
+        "bloom_semi_join": q_bloom_semi_join,
+        "bloom_prune_report": q_bloom_prune_report,
+        "boilerplate_lines": q_boilerplate_lines,
+        "remove_repeated_spans": q_remove_repeated_spans,
+        "dedup_keep_best": q_dedup_keep_best,
+        "upsample_mixture": q_upsample_mixture,
+        "pipeline_observability": q_pipeline_observability,
+        "streaming_near_dup": q_streaming_near_dup,
+        "training_shards": q_training_shards,
+        "bpe_merges": q_bpe_merges,
+        "bpe_segment": q_bpe_segment,
+        # ============ end of driver's 50-slot window ============
+        # below the line: oldest driver evidence first (the 8
+        # displaced r4 fills, then r5, r6, r7, r8) — the ledger in
+        # tools/staleness.py drives each round's rotation
         "zipf_fit": q_zipf_fit,
         "length_drift": q_length_drift,
-        # part B: the full 39-query r3-stale band (registry positions
-        # 51-94 last round), pre-verified 44/44 plain-ANSI at r7 close
         "dq_referential_orphans": q_dq_referential_orphans,
         "dq_unique_violations": q_dq_unique_violations,
         "table_fingerprint": q_table_fingerprint,
@@ -4424,62 +4657,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_inequality": q_exists_inequality,
         "min_price_supplier": q_min_price_supplier,
         "unpivot_metrics": q_unpivot_metrics,
-        # part C: new this round (never-checked outranks re-checks) and
-        # re-checks of queries whose code changed this round — the BM25
-        # max_df dial (new + the shared bm25_topk join reorder), the
-        # content-derived HLL shard hash, and the rrf_fuse /
-        # ranking_quality rank_col refactor
-        "bm25_search_pruned": q_bm25_search_pruned,
         "exact_substring_spans_persisted": q_exact_substring_spans_persisted,
         "bm25_search": q_bm25_search,
         "hll_shard_union": q_hll_shard_union,
         "hybrid_retrieval_rrf": q_hybrid_retrieval,
         "retrieval_quality": q_retrieval_quality,
         "lm_perplexity_filter": q_lm_perplexity,
-        "domain_mix": q_domain_mix,
         "turn_dedup": q_turn_dedup,
-        # ============ end of driver's 50-slot window ============
-        # (the r4 staleness fills were all displaced by part C's new
-        # queries and re-checks — never-checked outranks re-checks,
-        # re-checks of changed code outrank fills; they lead the
-        # below-the-line queue, oldest evidence first)
-        "contamination_report": q_contamination_report,
-        "repetition_signals": q_repetition_signals,
-        "pii_scan": q_pii_scan,
-        "incremental_dedup": q_incremental_dedup,
-        # below the line: oldest driver evidence first (r4, then r5,
-        # r6, r7) - the ledger in tools/staleness.py drives each
-        # round's rotation
-        "dataset_split": q_dataset_split,
-        "pagerank_influence": q_pagerank_influence,
-        "duplicate_ngram_spans": q_duplicate_ngram_spans,
-        "embedding_quantization": q_embedding_quantization,
-        "variant_extract": q_variant_extract,
-        "streaming_corpus_dedup": q_streaming_corpus_dedup,
-        "delete_by_key_roundtrip": q_delete_by_key_roundtrip,
-        "curation_funnel": q_curation_funnel,
-        "fingerprint_overlap_pairs": q_fingerprint_overlap_pairs,
-        "minhash_near_dup": q_minhash_near_dup,
-        "simhash_near_dup": q_simhash_near_dup,
-        "embedding_near_dup": q_embedding_near_dup,
-        "knn_lsh": q_knn_lsh,
-        "knn_ivf_exhaustive": q_knn_ivf_exhaustive,
-        "embedding_clusters": q_embedding_clusters,
-        "approx_distinct_users": q_approx_distinct_users,
-        "tdigest_accuracy": q_tdigest_accuracy,
-        "tdigest_by_key_accuracy": q_tdigest_by_key_accuracy,
-        "ngram_jaccard_pairs_blocked": q_ngram_jaccard_pairs_blocked,
-        "bloom_semi_join": q_bloom_semi_join,
-        "bloom_prune_report": q_bloom_prune_report,
-        "boilerplate_lines": q_boilerplate_lines,
-        "remove_repeated_spans": q_remove_repeated_spans,
-        "dedup_keep_best": q_dedup_keep_best,
-        "upsample_mixture": q_upsample_mixture,
-        "pipeline_observability": q_pipeline_observability,
-        "streaming_near_dup": q_streaming_near_dup,
-        "training_shards": q_training_shards,
-        "bpe_merges": q_bpe_merges,
-        "bpe_segment": q_bpe_segment,
         "knn_ivf_persisted": q_knn_ivf_persisted,
         "dataset_card": q_dataset_card,
         "exact_quantiles_sketched": q_exact_quantiles_sketched,
@@ -4620,17 +4804,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "dq_report": q_dq_report,
-        "contamination_spans": q_contamination_spans,
-        "exact_substring_spans": q_exact_substring_spans,
-        "longest_repeated_substrings": q_longest_repeated_substrings,
-        "dsir_importance_weights": q_dsir_importance_weights,
-        "dsir_resample": q_dsir_resample,
-        "remove_contaminated_spans": q_remove_contaminated_spans,
-        # added at r8 close, after the window was spent — never-checked,
-        # so it outranks re-checks for r9 slots (pre-verified plain-ANSI
-        # at sf0.001/sf0.01 at registration)
-        "bm25_search_persisted": q_bm25_search_persisted,
-        "lm_perplexity_persisted": q_lm_perplexity_persisted,
+        # r9-close addition (registered after the r9 window was spent;
+        # never driver-checked, queues for r10)
+        "pq_ann_persisted": q_pq_ann_persisted,
     }
 
 
@@ -9056,4 +9232,286 @@ def oracle_sql() -> dict[str, str]:
     out["exact_substring_spans_persisted"] = out["exact_substring_spans"]
     out["bm25_search_persisted"] = out["bm25_search"]
     out["lm_perplexity_persisted"] = out["lm_perplexity_filter"]
+    out.update(_r9_oracles())
+    # loaded-index ADC must be hash-identical to the in-plan
+    # construction — one contract, two execution paths
+    out["pq_ann_persisted"] = out["pq_ann"]
     return out
+
+
+def _pq_sql_ctes(corpus_where: str) -> str:
+    """Shared PQ oracle CTE chain (pq_codes / pq_ann): micro-unit
+    quantization, lowest-id codebook init, two integer Lloyd
+    iterations (L2 argmin with lowest-cid ties; truncate-toward-zero
+    integer-mean recenter — DuckDB ``//`` truncates exactly like
+    Spark ``div``; empty clusters keep their centroid), final
+    assignment.  Bit-exact replay of similarity.pq_train/pq_codes
+    because every op is integer."""
+
+    def assign(cin: str, aout: str) -> str:
+        return f"""
+            {aout} AS (
+                SELECT vec_id, m, cid FROM (
+                    SELECT vec_id, m, cid,
+                           row_number() OVER (PARTITION BY vec_id, m
+                               ORDER BY d2 ASC, cid ASC) AS rn
+                    FROM (SELECT x.vec_id, c.m, c.cid,
+                                 sum((x.val - c.val) * (x.val - c.val))
+                                     AS d2
+                          FROM x JOIN {cin} c
+                              ON x.m = c.m AND x.dd = c.dd
+                          GROUP BY 1, 2, 3))
+                WHERE rn = 1)"""
+
+    def recenter(cin: str, ain: str, cout: str) -> str:
+        return f"""
+            {cout} AS (
+                SELECT c.m, c.cid, c.dd, coalesce(nv.val, c.val) AS val
+                FROM {cin} c LEFT JOIN (
+                    SELECT a.m, a.cid, x.dd,
+                           sum(x.val) // count(*) AS val
+                    FROM {ain} a
+                    JOIN x ON x.vec_id = a.vec_id AND x.m = a.m
+                    GROUP BY 1, 2, 3) nv
+                ON nv.m = c.m AND nv.cid = c.cid AND nv.dd = c.dd)"""
+
+    return f"""
+            e AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           t -> CAST(floor(t::DOUBLE * 1000000.0)
+                                     AS BIGINT)) AS vm
+                FROM embeddings {corpus_where}),
+            x AS (
+                SELECT vec_id, CAST((d - 1) // 16 AS INT) AS m,
+                       (d - 1) % 16 AS dd, val
+                FROM (SELECT vec_id, generate_subscripts(vm, 1) AS d,
+                             unnest(vm) AS val
+                      FROM e)),
+            init AS (
+                SELECT vec_id,
+                       CAST(row_number() OVER (ORDER BY vec_id) - 1
+                            AS INT) AS cid
+                FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)),
+            cb0 AS (
+                SELECT x.m, i.cid, x.dd, x.val
+                FROM x JOIN init i USING (vec_id)),
+            {assign('cb0', 'a1')},
+            {recenter('cb0', 'a1', 'cb1')},
+            {assign('cb1', 'a2')},
+            {recenter('cb1', 'a2', 'cb2')},
+            {assign('cb2', 'a3')}"""
+
+
+def _r9_oracles() -> dict[str, str]:
+    """Oracle twins for the r9 additions, generated from the same
+    module constants as the Spark operators (curation rule tables,
+    NORMALIZE_STEPS, BAND_TUNING_CONFIGS) so the two sides cannot
+    drift."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        C4_BANNED_SUBSTRINGS,
+        C4_TERMINAL_RE,
+        GOPHER_BULLET_RE,
+        GOPHER_ELLIPSIS_RE,
+        GOPHER_STOPWORDS,
+    )
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import BAND_TUNING_CONFIGS
+
+    stop_sum = " + ".join(
+        f"(CASE WHEN list_contains(words, '{s}') THEN 1 ELSE 0 END)"
+        for s in GOPHER_STOPWORDS
+    )
+    banned = " OR ".join(
+        f"contains(lower(l), '{s}')" for s in C4_BANNED_SUBSTRINGS
+    )
+    cfgs = ", ".join(f"({b}, {r})" for b, r in BAND_TUNING_CONFIGS)
+    norm = normalize_text_sql("m")
+    return {
+        "gopher_quality": f"""
+            WITH synth AS (
+                SELECT doc_id,
+                    CASE WHEN doc_id % 11 = 0 THEN '- ' || text
+                         WHEN doc_id % 13 = 0 THEN text || '...'
+                         WHEN doc_id % 17 = 0
+                             THEN text || ' # ## ### ####'
+                         WHEN doc_id % 19 = 0 THEN text ||
+                             ' the cat and the dog have fun with that wool.'
+                         ELSE text END AS text
+                FROM documents),
+            base AS (
+                SELECT doc_id,
+                    list_filter(string_split_regex(lower(text), '\\s+'),
+                        t -> t <> '') AS words,
+                    string_split(text, chr(10)) AS lines,
+                    len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
+                        AS nsym
+                FROM synth),
+            c AS (
+                SELECT doc_id,
+                    len(words) AS n_words,
+                    greatest(len(words), 1) AS dw,
+                    coalesce(list_aggregate(
+                        list_transform(words, w -> length(w)), 'sum'),
+                        0) AS wc,
+                    nsym,
+                    len(lines) AS n_lines,
+                    greatest(len(lines), 1) AS dl,
+                    len(list_filter(lines,
+                        l -> regexp_matches(l, '{GOPHER_BULLET_RE}')))
+                        AS bul,
+                    len(list_filter(lines,
+                        l -> regexp_matches(l, '{GOPHER_ELLIPSIS_RE}')))
+                        AS ell,
+                    len(list_filter(words,
+                        w -> regexp_matches(w, '[a-z]'))) AS alpha,
+                    {stop_sum} AS n_stop
+                FROM base)
+            SELECT doc_id,
+                CAST(n_words AS BIGINT) AS n_words,
+                CAST(10 * wc // dw AS BIGINT) AS mean_word_len_deci,
+                CAST(1000 * nsym // dw AS BIGINT)
+                    AS symbol_ratio_permille,
+                CAST(n_lines AS BIGINT) AS n_lines,
+                CAST(1000 * bul // dl AS BIGINT)
+                    AS bullet_lines_permille,
+                CAST(1000 * ell // dl AS BIGINT)
+                    AS ellipsis_lines_permille,
+                CAST(1000 * alpha // dw AS BIGINT)
+                    AS alpha_word_permille,
+                CAST(n_stop AS BIGINT) AS n_stop_hits,
+                (n_words >= 50 AND n_words <= 100000
+                 AND 10 * wc // dw BETWEEN 30 AND 100
+                 AND 1000 * nsym // dw <= 100
+                 AND 1000 * bul // dl <= 900
+                 AND 1000 * ell // dl <= 300
+                 AND 1000 * alpha // dw >= 800
+                 AND n_stop >= 2) AS keep
+            FROM c
+        """,
+        "c4_line_filter": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS l
+                FROM documents),
+            lined0 AS (
+                SELECT doc_id, array_to_string(
+                    [array_to_string(l[(i*6+1):(i*6+6)], ' ')
+                     for i in generate_series(0, (len(l) - 1) // 6)],
+                    chr(10)) AS lined
+                FROM toks),
+            lined1 AS (
+                SELECT doc_id, CASE WHEN doc_id % 2 = 0
+                    THEN replace(lined, chr(10), '.' || chr(10)) || '.'
+                    ELSE lined END AS lined
+                FROM lined0),
+            lined2 AS (
+                SELECT doc_id, CASE WHEN doc_id % 5 = 0
+                    THEN 'please enable javascript to view this.'
+                         || chr(10) || lined
+                    ELSE lined END AS lined
+                FROM lined1),
+            lined3 AS (
+                SELECT doc_id, CASE WHEN doc_id % 7 = 0
+                    THEN 'we use cookie tracking here.'
+                         || chr(10) || lined
+                    ELSE lined END AS lined
+                FROM lined2),
+            lines AS (
+                SELECT doc_id, string_split(lined, chr(10)) AS lines
+                FROM lined3),
+            kept AS (
+                SELECT doc_id, len(lines) AS n_lines,
+                    list_filter(lines, l ->
+                        regexp_matches(rtrim(l), '{C4_TERMINAL_RE}')
+                        AND len(list_filter(
+                                string_split_regex(l, '\\s+'),
+                                t -> t <> '')) >= 3
+                        AND NOT ({banned})) AS k
+                FROM lines)
+            SELECT doc_id,
+                CAST(n_lines AS BIGINT) AS n_lines,
+                CAST(len(k) AS BIGINT) AS n_kept,
+                coalesce(array_to_string(k, chr(10)), '') AS text_clean
+            FROM kept
+        """,
+        "text_normalization": f"""
+            WITH synth AS (
+                SELECT doc_id,
+                    (CASE doc_id % 4
+                        WHEN 0 THEN '“Quote” — '
+                        WHEN 1 THEN '‘q’… '
+                        WHEN 2 THEN chr(160) || chr(160) || 'lead '
+                        ELSE '' END)
+                    || text ||
+                    (CASE doc_id % 5
+                        WHEN 0 THEN ' tail…'
+                        WHEN 1 THEN ' zero' || chr(8203) || 'width'
+                        WHEN 2 THEN ' ctl' || chr(1) || 'x'
+                        WHEN 3 THEN '  ' || chr(9) || ' spaced'
+                        ELSE '' END) AS m
+                FROM documents)
+            SELECT doc_id,
+                CAST(length(m) AS BIGINT) AS n_chars_before,
+                CAST(length({norm}) AS BIGINT) AS n_chars_after,
+                {norm} AS text_norm
+            FROM synth
+        """,
+        "minhash_band_tuning": f"""
+            WITH grid AS (
+                SELECT bands, rws, s.s_permille
+                FROM (VALUES {cfgs}) c(bands, rws)
+                CROSS JOIN (SELECT 50 * g AS s_permille
+                            FROM generate_series(1, 20) t(g)) s),
+            p AS (
+                SELECT bands, rws, s_permille,
+                    list_reduce(
+                        [s_permille::DOUBLE / 1000.0
+                         for i in generate_series(1, rws)],
+                        (a, b) -> a * b) AS _p
+                FROM grid)
+            SELECT CAST(bands AS INT) AS bands,
+                CAST(rws AS INT) AS rws,
+                CAST(s_permille AS INT) AS s_permille,
+                CAST(floor(1000000.0 * (1.0 - list_reduce(
+                    [1.0 - _p for i in generate_series(1, bands)],
+                    (a, b) -> a * b))) AS BIGINT) AS candidate_ppm
+            FROM p
+        """,
+        "pq_codes": f"""
+            WITH {_pq_sql_ctes("")}
+            SELECT vec_id, list(cid ORDER BY m) AS codes
+            FROM a3 GROUP BY vec_id
+        """,
+        "pq_ann": f"""
+            WITH {_pq_sql_ctes("WHERE vec_id >= 5")},
+            qe AS (
+                SELECT vec_id AS query_id,
+                       list_transform(embedding,
+                           t -> CAST(floor(t::DOUBLE * 1000000.0)
+                                     AS BIGINT)) AS vm
+                FROM embeddings WHERE vec_id < 5),
+            qx AS (
+                SELECT query_id, CAST((d - 1) // 16 AS INT) AS m,
+                       (d - 1) % 16 AS dd, val
+                FROM (SELECT query_id,
+                             generate_subscripts(vm, 1) AS d,
+                             unnest(vm) AS val
+                      FROM qe)),
+            lut AS (
+                SELECT q.query_id, c.m, c.cid,
+                       sum((q.val - c.val) * (q.val - c.val)) AS d2
+                FROM qx q JOIN cb2 c ON q.m = c.m AND q.dd = c.dd
+                GROUP BY 1, 2, 3),
+            scored AS (
+                SELECT l.query_id, a.vec_id,
+                       CAST(sum(l.d2) AS BIGINT) AS adc_d2
+                FROM a3 a JOIN lut l ON l.m = a.m AND l.cid = a.cid
+                GROUP BY 1, 2)
+            SELECT query_id, rank, vec_id, adc_d2 FROM (
+                SELECT query_id, vec_id, adc_d2,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY adc_d2 ASC, vec_id ASC)
+                           AS BIGINT) AS rank
+                FROM scored)
+            WHERE rank <= 10
+        """,
+    }

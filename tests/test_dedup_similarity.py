@@ -1250,3 +1250,37 @@ def test_minhash_band_tuning_scurve_properties(spark):
     assert all(
         by_cfg[(16, 4)][s] >= by_cfg[(8, 4)][s] for s in sorted(by_cfg[(8, 4)])
     )
+
+
+def test_pq_index_roundtrip_equals_in_plan(spark, tmp_path):
+    """pq_index_write/load/pq_ann_from_index (r9): the loaded-index
+    ranking equals the in-plan ranking row-for-row and the rebuilt
+    codebooks are exactly the trained ones."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.similarity import (
+        pq_ann,
+        pq_ann_from_index,
+        pq_index_load,
+        pq_index_write,
+        pq_train,
+    )
+
+    df = _pq_fixture(spark)
+    corpus = df.where("vec_id >= 5")
+    queries = df.where("vec_id < 5").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    path = str(tmp_path / "pq_index")
+    pq_index_write(corpus, path, m_subspaces=2, k_centroids=4, iters=2)
+
+    codes, cb = pq_index_load(spark, path)
+    assert cb == pq_train(corpus, m_subspaces=2, k_centroids=4, iters=2)
+    assert codes.count() == 35
+
+    in_plan = sorted(
+        tuple(r) for r in pq_ann(corpus, queries, cb, k=7).collect()
+    )
+    from_index = sorted(
+        tuple(r)
+        for r in pq_ann_from_index(spark, path, queries, k=7).collect()
+    )
+    assert from_index == in_plan

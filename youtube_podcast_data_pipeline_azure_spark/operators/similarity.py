@@ -1218,6 +1218,59 @@ def pq_codes(
     )
 
 
+def _pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: "list[list[list[int]]]",
+    k: int,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared ADC scoring core over a (id, codes) table — used by both
+    the in-plan and the loaded-index paths so the plan (and therefore
+    the integers) cannot diverge between them.  The LUT is computed
+    driver-side from the BOUNDED query set (the knn_bruteforce
+    broadcast-queries contract) in exact Python ints and broadcast;
+    the corpus side is one posexplode + broadcast join + one
+    (query, vec) aggregate — candidates carry three integers, never
+    vectors."""
+    d = len(codebooks[0][0])
+    q_rows = sorted(
+        queries.select(
+            F.col(query_id), _micro_vec(F.col(vec_col)).alias("_vm")
+        ).collect(),
+        key=lambda r: r[0],
+    )
+    lut = []
+    for r in q_rows:
+        qv = r["_vm"]
+        for m, cents in enumerate(codebooks):
+            qs = qv[m * d : (m + 1) * d]
+            for cid, c in enumerate(cents):
+                d2 = sum((a - b) * (a - b) for a, b in zip(qs, c))
+                lut.append((int(r[0]), m, cid, int(d2)))
+    lut_df = codes.sparkSession.createDataFrame(
+        lut, f"{query_id} long, _m int, _cid int, _d2 long"
+    )
+    exploded = codes.select(
+        corpus_id, F.posexplode("codes").alias("_m", "_cid")
+    )
+    scored = (
+        exploded.join(F.broadcast(lut_df), ["_m", "_cid"])
+        .groupBy(query_id, corpus_id)
+        .agg(F.sum("_d2").cast("long").alias("adc_d2"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("adc_d2").asc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(query_id, "rank", corpus_id, "adc_d2")
+    )
+
+
 def pq_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1241,39 +1294,84 @@ def pq_ann(
     never vectors.  Returns (query_id, rank, vec_id, adc_d2) — exact
     integers, deterministic ties (distance, then id).
     """
-    d = len(codebooks[0][0])
-    q_rows = sorted(
-        queries.select(
-            F.col(query_id), _micro_vec(F.col(vec_col)).alias("_vm")
-        ).collect(),
-        key=lambda r: r[0],
-    )  # bounded by contract, like knn_bruteforce's broadcast queries
-    lut = []
-    for r in q_rows:
-        qv = r["_vm"]
-        for m, cents in enumerate(codebooks):
-            qs = qv[m * d : (m + 1) * d]
-            for cid, c in enumerate(cents):
-                d2 = sum((a - b) * (a - b) for a, b in zip(qs, c))
-                lut.append((int(r[0]), m, cid, int(d2)))
-    spark = corpus.sparkSession
-    lut_df = spark.createDataFrame(
-        lut, f"{query_id} long, _m int, _cid int, _d2 long"
-    )
     codes = pq_codes(corpus, codebooks, corpus_id, vec_col)
-    exploded = codes.select(
-        corpus_id, F.posexplode("codes").alias("_m", "_cid")
+    return _pq_adc_topk(
+        codes, queries, codebooks, k, corpus_id, query_id, vec_col
     )
-    scored = (
-        exploded.join(F.broadcast(lut_df), ["_m", "_cid"])
-        .groupBy(query_id, corpus_id)
-        .agg(F.sum("_d2").cast("long").alias("adc_d2"))
+
+
+
+def pq_index_write(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_subspaces: int = 4,
+    k_centroids: int = 8,
+    iters: int = 2,
+    train_sample: int | None = None,
+) -> None:
+    """Train PQ ONCE and persist the index — the fourth member of the
+    engine's build-once family (``ivf_index_write`` lists,
+    ``suffix_index_write`` ranks, ``bm25_index_write`` postings):
+    queries over a persisted PQ index never re-train or re-code the
+    corpus.
+
+    Layout: ``{path}/codes`` — the (id, codes) table, the corpus's
+    m-byte-per-vector compressed representation; ``{path}/codebooks``
+    — the long-form (m, cid, dd, val) micro-unit centroid table (a few
+    KB) from which query-time rebuilds the exact literal codebooks.
+    Index layout = data: it inherits the engine's sink properties
+    (compaction, snapshot diff, partition maintenance)."""
+    spark = corpus.sparkSession
+    cb = pq_train(
+        corpus, id_col, vec_col, m_subspaces, k_centroids, iters,
+        train_sample,
     )
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("adc_d2").asc(), F.col(corpus_id).asc()
+    pq_codes(corpus, cb, id_col, vec_col).write.mode("overwrite").parquet(
+        f"{path}/codes"
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select(query_id, "rank", corpus_id, "adc_d2")
-    )
+    spark.createDataFrame(
+        [
+            (m, cid, dd, int(val))
+            for m, cents in enumerate(cb)
+            for cid, c in enumerate(cents)
+            for dd, val in enumerate(c)
+        ],
+        "m int, cid int, dd int, val long",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def pq_index_load(
+    spark, path: str
+) -> "tuple[DataFrame, list[list[list[int]]]]":
+    """Load a persisted PQ index: the codes DataFrame plus the exact
+    codebooks (one bounded collect of the KB-sized centroid table)."""
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m_max = max(r["m"] for r in rows)
+    k_max = max(r["cid"] for r in rows)
+    d_max = max(r["dd"] for r in rows)
+    cb = [
+        [[0] * (d_max + 1) for _ in range(k_max + 1)]
+        for _ in range(m_max + 1)
+    ]
+    for r in rows:
+        cb[r["m"]][r["cid"]][r["dd"]] = int(r["val"])
+    return spark.read.parquet(f"{path}/codes"), cb
+
+
+def pq_ann_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`pq_ann` over a PERSISTED index: identical integer LUT
+    scoring and ranking, none of the train/code cost — the loaded
+    codes table feeds the same broadcast-join/aggregate/window plan,
+    so results are bit-identical to the in-plan path by construction."""
+    codes, cb = pq_index_load(spark, path)
+    return _pq_adc_topk(codes, queries, cb, k, corpus_id, query_id, vec_col)
