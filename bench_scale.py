@@ -107,8 +107,22 @@ DOCS_10X = [
     # upscale divides df/N by the factor, so the dial can't fire at
     # both scales here — it has its own zipf-corpus experiment below)
     "hybrid_retrieval_rrf",
+    # r9 additions: all three are per-row maps fused into the scan
+    # (rule signals / line rules / regexp chain) — linear by
+    # construction, pinned here so a future expression-placement
+    # regression (Catalyst traps 1-4) shows up as a ratio flag
+    "gopher_quality",
+    "c4_line_filter",
+    "text_normalization",
 ]
-EMB_10X = ["knn_bruteforce", "semantic_dedup", "ann_recall"]
+# pq_train collects the corpus (linear driver fan-in, vectorized int64
+# numpy); pq_codes is a literal-codebook per-row map; pq_ann adds one
+# posexplode + broadcast join + (query, vec) aggregate — all linear in
+# corpus rows at fixed query count
+EMB_10X = [
+    "knn_bruteforce", "semantic_dedup", "ann_recall",
+    "pq_codes", "pq_ann",
+]
 PATHOLOGY = [
     "ngram_jaccard_pairs",
     "minhash_near_dup",
