@@ -1218,54 +1218,55 @@ def gopher_quality_report(
     raising under ANSI.
     """
     c = F.col(text_col)
-    words = tokenize(c)
-    n_words = F.size(words).cast("long")
-    d_words = F.greatest(n_words, F.lit(1))
-    word_chars = F.aggregate(
-        F.transform(words, lambda w: F.length(w).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    n_symbols = (
+    # Three staged selects so every multiply-referenced subtree is a
+    # NAMED column (Catalyst trap 3): the token/line arrays feed 4+ and
+    # 3+ count expressions each — inlined, the tokenize split/filter
+    # would re-run once per consumer (measured 2.8 s vs 0.5 s exec-only
+    # at sf0.1).  The arrays are lambda ARGUMENTS below, not
+    # lambda-body references, so the project boundary survives.
+    arrays = docs.select(
+        F.col(id_col),
+        tokenize(c).alias("_words"),
+        F.split(c, r"\n").alias("_lines"),
         F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"), 0))
         .cast("long")
+        .alias("_sym"),
     )
-    lines = F.split(c, r"\n")
+    words = F.col("_words")
+    lines = F.col("_lines")
+    n_words = F.size(words).cast("long")
     n_lines = F.size(lines).cast("long")
-    d_lines = F.greatest(n_lines, F.lit(1))
-    n_bullet = F.size(
-        F.filter(lines, lambda l: l.rlike(GOPHER_BULLET_RE))
-    ).cast("long")
-    n_ellipsis = F.size(
-        F.filter(lines, lambda l: l.rlike(GOPHER_ELLIPSIS_RE))
-    ).cast("long")
-    n_alpha = F.size(
-        F.filter(words, lambda w: w.rlike(r"[a-z]"))
-    ).cast("long")
-    stop_hits = F.aggregate(
-        F.array(
-            *[
-                F.array_contains(words, F.lit(s)).cast("long")
-                for s in GOPHER_STOPWORDS
-            ]
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    # staged select so multiply-referenced counts are NAMED columns
-    # (Catalyst trap 3): compute raw counts once, derive after
-    staged = docs.select(
-        F.col(id_col),
+    staged = arrays.select(
+        id_col,
         n_words.alias("n_words"),
-        d_words.alias("_dw"),
-        word_chars.alias("_wc"),
-        n_symbols.alias("_sym"),
+        F.greatest(n_words, F.lit(1)).alias("_dw"),
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("_wc"),
+        F.col("_sym"),
         n_lines.alias("n_lines"),
-        d_lines.alias("_dl"),
-        n_bullet.alias("_bul"),
-        n_ellipsis.alias("_ell"),
-        n_alpha.alias("_alpha"),
-        stop_hits.alias("n_stop_hits"),
+        F.greatest(n_lines, F.lit(1)).alias("_dl"),
+        F.size(
+            F.filter(lines, lambda l: l.rlike(GOPHER_BULLET_RE))
+        ).cast("long").alias("_bul"),
+        F.size(
+            F.filter(lines, lambda l: l.rlike(GOPHER_ELLIPSIS_RE))
+        ).cast("long").alias("_ell"),
+        F.size(
+            F.filter(words, lambda w: w.rlike(r"[a-z]"))
+        ).cast("long").alias("_alpha"),
+        F.aggregate(
+            F.array(
+                *[
+                    F.array_contains(words, F.lit(s)).cast("long")
+                    for s in GOPHER_STOPWORDS
+                ]
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_stop_hits"),
     )
     derived = staged.select(
         id_col,
