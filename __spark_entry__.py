@@ -4511,6 +4511,41 @@ def q_pq_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_ann_from_index(spark, path, queries, k=10)
 
 
+def q_knn_ivfpq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with nprobe = n_centroids (r9 close): the coarse
+    quantizer admits every list, so the composition must equal plain
+    pq_ann bit-for-bit — certifying the coarse assignment, probe
+    ranking, code plumbing, and ADC join exactly the way
+    knn_ivf_exhaustive certifies IVF-Flat.  Oracle: the pq_ann SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.knn_ivfpq(
+        corpus, queries, k=10, n_centroids=16, nprobe=16
+    )
+
+
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ at the production dial (r9 close): nprobe=4 of 16 lists,
+    ADC scoring over PQ codes — the FAISS-default composition and THE
+    standard 100-TB ANN layout (vector bytes never shuffle; candidates
+    carry four integers).  nprobe < n_centroids trades recall for
+    latency by contract, so this is a rows-only check; the composition
+    is certified by knn_ivfpq_exhaustive's hash-matched twin (and the
+    coarse/fine parts separately by knn_ivf_exhaustive / pq_codes /
+    pq_ann)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.knn_ivfpq(
+        corpus, queries, k=10, n_centroids=16, nprobe=4
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 pricing summary at sf0.001 (driver smoke)."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4520,12 +4555,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification rotation, not taxonomy: the
     driver's per-round correctness check covers the FIRST 50 entries,
     so each round front-loads queries needing driver evidence.
-    Cumulative state at r9 build: 239 registered (232 entering + six
-    in-window r9 additions + ``pq_ann_persisted`` at the tail after
-    the window was spent), 236 DuckDB-oracle-checked, 3 rows-only by
-    documented contract (raw ``knn_ivf`` nprobe dial and the two raw
-    t-digest sketches — each certified by a hash-checked accuracy
-    twin); staleness is tool-tracked (``tools/staleness.py`` joins
+    Cumulative state at r9 build: 241 registered (232 entering + six
+    in-window r9 additions + ``pq_ann_persisted`` /
+    ``knn_ivfpq_exhaustive`` / ``knn_ivfpq`` at the tail after the
+    window was spent), 237 DuckDB-oracle-checked, 4 rows-only by
+    documented contract (the ``knn_ivf`` and ``knn_ivfpq`` nprobe
+    dials and the two raw t-digest sketches — each certified by a
+    hash-checked exhaustive/accuracy twin); staleness is tool-tracked (``tools/staleness.py`` joins
     this registry against every CORRECTNESS_r*.json).
 
     The r9 window: (A) the eight never-driver-checked queries — the
@@ -4807,6 +4843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9-close addition (registered after the r9 window was spent;
         # never driver-checked, queues for r10)
         "pq_ann_persisted": q_pq_ann_persisted,
+        "knn_ivfpq_exhaustive": q_knn_ivfpq_exhaustive,
+        "knn_ivfpq": q_knn_ivfpq,
     }
 
 
@@ -9236,6 +9274,11 @@ def oracle_sql() -> dict[str, str]:
     # loaded-index ADC must be hash-identical to the in-plan
     # construction — one contract, two execution paths
     out["pq_ann_persisted"] = out["pq_ann"]
+    # nprobe = n_centroids admits every list, so IVF-PQ must equal
+    # plain pq_ann bit-for-bit (knn_ivf_exhaustive's certification
+    # argument applied to the composition); the dialed knn_ivfpq is
+    # rows-only by the same contract as knn_ivf
+    out["knn_ivfpq_exhaustive"] = out["pq_ann"]
     return out
 
 

@@ -57,6 +57,10 @@ HEADLINE = [
     "dsir_importance_weights",
     "bm25_search",
     "hll_shard_union",
+    # r9 additions: the PQ family (train+code, then LUT ADC search) —
+    # first r9 measurements are their BASELINE.md rows
+    "pq_codes",
+    "pq_ann",
 ]
 
 

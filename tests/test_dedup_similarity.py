@@ -1284,3 +1284,45 @@ def test_pq_index_roundtrip_equals_in_plan(spark, tmp_path):
         for r in pq_ann_from_index(spark, path, queries, k=7).collect()
     )
     assert from_index == in_plan
+
+
+def test_knn_ivfpq_exhaustive_equals_pq_ann(spark):
+    """knn_ivfpq (r9): with nprobe = n_centroids the coarse prune
+    admits everything, so the composition must be bit-identical to
+    plain pq_ann; with nprobe=1 the result is a subset of the per-list
+    candidates (recall dial)."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.similarity import (
+        knn_ivfpq,
+        pq_ann,
+        pq_train,
+    )
+
+    df = _pq_fixture(spark)
+    corpus = df.where("vec_id >= 5")
+    queries = df.where("vec_id < 5").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    cb = pq_train(corpus, m_subspaces=2, k_centroids=4, iters=2)
+    exact = sorted(
+        tuple(r) for r in pq_ann(corpus, queries, cb, k=5).collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in knn_ivfpq(
+            corpus, queries, k=5, n_centroids=4, nprobe=4,
+            m_subspaces=2, k_centroids=4,
+        ).collect()
+    )
+    assert full == exact
+
+    pruned = knn_ivfpq(
+        corpus, queries, k=5, n_centroids=4, nprobe=1,
+        m_subspaces=2, k_centroids=4,
+    ).collect()
+    exact_scores = {(r[0], r[2]): r[3] for r in exact}
+    # every pruned hit carries the SAME ADC distance as the exhaustive
+    # path (pruning changes candidates, never scores)
+    for r in pruned:
+        if (r.query_id, r.vec_id) in exact_scores:
+            assert r.adc_d2 == exact_scores[(r.query_id, r.vec_id)]
+    assert {r.query_id for r in pruned} == {0, 1, 2, 3, 4}

@@ -1218,6 +1218,37 @@ def pq_codes(
     )
 
 
+def _pq_query_lut(
+    spark,
+    queries: DataFrame,
+    codebooks: "list[list[list[int]]]",
+    query_id: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-(query, subspace, centroid) squared-distance lookup table,
+    computed driver-side in exact Python ints over the BOUNDED query
+    set (the knn_bruteforce broadcast-queries contract) — q·m·k rows of
+    four integers, broadcast to every ADC consumer."""
+    d = len(codebooks[0][0])
+    q_rows = sorted(
+        queries.select(
+            F.col(query_id), _micro_vec(F.col(vec_col)).alias("_vm")
+        ).collect(),
+        key=lambda r: r[0],
+    )
+    lut = []
+    for r in q_rows:
+        qv = r["_vm"]
+        for m, cents in enumerate(codebooks):
+            qs = qv[m * d : (m + 1) * d]
+            for cid, c in enumerate(cents):
+                d2 = sum((a - b) * (a - b) for a, b in zip(qs, c))
+                lut.append((int(r[0]), m, cid, int(d2)))
+    return spark.createDataFrame(
+        lut, f"{query_id} long, _m int, _cid int, _d2 long"
+    )
+
+
 def _pq_adc_topk(
     codes: DataFrame,
     queries: DataFrame,
@@ -1235,23 +1266,8 @@ def _pq_adc_topk(
     the corpus side is one posexplode + broadcast join + one
     (query, vec) aggregate — candidates carry three integers, never
     vectors."""
-    d = len(codebooks[0][0])
-    q_rows = sorted(
-        queries.select(
-            F.col(query_id), _micro_vec(F.col(vec_col)).alias("_vm")
-        ).collect(),
-        key=lambda r: r[0],
-    )
-    lut = []
-    for r in q_rows:
-        qv = r["_vm"]
-        for m, cents in enumerate(codebooks):
-            qs = qv[m * d : (m + 1) * d]
-            for cid, c in enumerate(cents):
-                d2 = sum((a - b) * (a - b) for a, b in zip(qs, c))
-                lut.append((int(r[0]), m, cid, int(d2)))
-    lut_df = codes.sparkSession.createDataFrame(
-        lut, f"{query_id} long, _m int, _cid int, _d2 long"
+    lut_df = _pq_query_lut(
+        codes.sparkSession, queries, codebooks, query_id, vec_col
     )
     exploded = codes.select(
         corpus_id, F.posexplode("codes").alias("_m", "_cid")
@@ -1375,3 +1391,115 @@ def pq_ann_from_index(
     so results are bit-identical to the in-plan path by construction."""
     codes, cb = pq_index_load(spark, path)
     return _pq_adc_topk(codes, queries, cb, k, corpus_id, query_id, vec_col)
+
+
+def knn_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    m_subspaces: int = 4,
+    k_centroids: int = 8,
+    train_sample: int | None = None,
+) -> DataFrame:
+    """IVF-PQ — the composition FAISS ships as its production default
+    and THE standard 100-TB ANN layout: the IVF coarse quantizer
+    prunes the corpus to ``nprobe`` inverted lists per query, and PQ
+    asymmetric distance scores the survivors from m-int code words
+    instead of raw vectors, so the exchange carries (query, vec, m,
+    code) integers and the corpus's vector bytes are never shuffled.
+
+    One corpus pass computes BOTH quantizations as literal-table
+    per-row maps (coarse centroid id + PQ code word).  The probe side
+    reuses :func:`knn_ivf`'s literal-centroid ranking; scoring reuses
+    the integer LUT.  With ``nprobe = n_centroids`` the coarse prune
+    admits everything and the result is bit-identical to
+    :func:`pq_ann` (the oracle-certified exhaustive twin —
+    ``knn_ivf_exhaustive``'s certification argument applied to the
+    composition); smaller ``nprobe`` is the recall/latency dial,
+    measured by ``ann_recall_report`` like every other approximate
+    path here.
+
+    Returns (query_id, rank, vec_id, adc_d2) — exact integers,
+    deterministic ties.
+    """
+    cents_col = _centroid_literal(
+        _lloyd(
+            _train_sample_rows(corpus, corpus_id, vec_col, train_sample),
+            n_centroids,
+            iters,
+        )
+    )
+    cb = pq_train(
+        corpus, corpus_id, vec_col, m_subspaces, k_centroids, iters,
+        train_sample,
+    )
+    d = len(cb[0][0])
+    coded = corpus.select(
+        F.col(corpus_id),
+        _nearest_centroid(F.col(vec_col), cents_col),
+        _micro_vec(F.col(vec_col)).alias("_vm"),
+    ).select(
+        corpus_id,
+        "centroid_id",
+        *[
+            F.slice(F.col("_vm"), m * d + 1, d).alias(f"_s{m}")
+            for m in range(len(cb))
+        ],
+    ).select(
+        corpus_id,
+        "centroid_id",
+        F.array(*_sub_codes(cb)).alias("codes"),
+    )
+    probes = queries.select(
+        F.col(query_id),
+        F.explode(
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.transform(
+                            cents_col,
+                            lambda c: F.struct(
+                                F.round(
+                                    cosine_similarity(
+                                        F.col(vec_col), c.getField("vec")
+                                    ),
+                                    6,
+                                ).alias("sim"),
+                                c.getField("centroid_id").alias(
+                                    "centroid_id"
+                                ),
+                            ),
+                        )
+                    )
+                ),
+                1,
+                nprobe,
+            )
+        ).alias("_probe"),
+    ).select(query_id, F.col("_probe.centroid_id").alias("centroid_id"))
+    lut_df = _pq_query_lut(
+        corpus.sparkSession, queries, cb, query_id, vec_col
+    )
+    exploded = coded.select(
+        corpus_id, "centroid_id", F.posexplode("codes").alias("_m", "_cid")
+    )
+    scored = (
+        exploded.join(F.broadcast(probes), "centroid_id")
+        .join(F.broadcast(lut_df), [query_id, "_m", "_cid"])
+        .groupBy(query_id, corpus_id)
+        .agg(F.sum("_d2").cast("long").alias("adc_d2"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("adc_d2").asc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(query_id, "rank", corpus_id, "adc_d2")
+    )
