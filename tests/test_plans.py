@@ -781,3 +781,32 @@ def test_domain_mix_and_turn_dedup_stay_within_shuffle_budget(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Exchange SinglePartition" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_r9_per_row_maps_have_zero_exchanges(spark, sf_dir):
+    """The r9 rule/normalization/coding operators are scan-fused
+    per-row maps by design — any exchange appearing here means an
+    accidental aggregation or join crept into a map-only path."""
+    for q in (
+        "gopher_quality",
+        "c4_line_filter",
+        "text_normalization",
+        "pq_codes",
+    ):
+        plan = _plan(spark, sf_dir, q)
+        assert "Exchange" not in plan, q
+        assert "SortMergeJoin" not in plan, q
+
+
+def test_pq_ann_and_ivfpq_shuffle_budget(spark, sf_dir):
+    """PQ ADC search: one (query, vec) aggregate exchange + the top-k
+    window exchange; the LUT (and for IVF-PQ the probe table) joins as
+    a broadcast — candidates carry integers, vectors never shuffle."""
+    plan = _plan(spark, sf_dir, "pq_ann")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    plan = _plan(spark, sf_dir, "knn_ivfpq")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("BroadcastHashJoin") == 2  # probes + LUT
+    assert "SortMergeJoin" not in plan
