@@ -1326,3 +1326,15 @@ def test_knn_ivfpq_exhaustive_equals_pq_ann(spark):
         if (r.query_id, r.vec_id) in exact_scores:
             assert r.adc_d2 == exact_scores[(r.query_id, r.vec_id)]
     assert {r.query_id for r in pruned} == {0, 1, 2, 3, 4}
+
+
+def test_pq_train_empty_corpus_raises_clearly(spark):
+    """pq_train on an empty corpus raises ValueError at train time
+    instead of IndexError (or deferring the crash to plan build)."""
+    import pytest
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.similarity import pq_train
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty training corpus"):
+        pq_train(empty)

@@ -1116,6 +1116,11 @@ def pq_train(
     once on a sample, never a distributed job.
     """
     rows = _train_sample_rows(corpus, id_col, vec_col, train_sample)
+    if not rows:
+        # fail loudly at train time (the bm25 empty-corpus lesson,
+        # ADVICE r8): an empty codebook would only defer the crash to
+        # every downstream pq_codes/pq_ann plan build
+        raise ValueError("pq_train: empty training corpus")
     dim = len(rows[0].v)
     assert dim % m_subspaces == 0, "dim must divide evenly"
     d = dim // m_subspaces
