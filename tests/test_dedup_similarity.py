@@ -1338,3 +1338,20 @@ def test_pq_train_empty_corpus_raises_clearly(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty training corpus"):
         pq_train(empty)
+
+
+def test_pq_train_invariant_under_repartition(spark):
+    """pq_train's sample collection sorts by id and all arithmetic is
+    integer, so the codebooks are a pure function of the DATA — any
+    partitioning, any row order."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.similarity import pq_train
+
+    df = _pq_fixture(spark)
+    a = pq_train(df, m_subspaces=2, k_centroids=4, iters=2)
+    b = pq_train(
+        df.repartition(7).sortWithinPartitions("embedding"),
+        m_subspaces=2,
+        k_centroids=4,
+        iters=2,
+    )
+    assert a == b
