@@ -1116,6 +1116,18 @@ def pq_train(
     once on a sample, never a distributed job.
     """
     rows = _train_sample_rows(corpus, id_col, vec_col, train_sample)
+    return _pq_train_rows(rows, m_subspaces, k_centroids, iters)
+
+
+def _pq_train_rows(
+    rows: list,
+    m_subspaces: int,
+    k_centroids: int,
+    iters: int,
+) -> "list[list[list[int]]]":
+    """:func:`pq_train` over an already-collected training sample —
+    lets a composed trainer (``knn_ivfpq``) run ONE sample collect and
+    feed both quantizers."""
     if not rows:
         # fail loudly at train time (the bm25 empty-corpus lesson,
         # ADVICE r8): an empty codebook would only defer the crash to
@@ -1433,17 +1445,11 @@ def knn_ivfpq(
     Returns (query_id, rank, vec_id, adc_d2) — exact integers,
     deterministic ties.
     """
-    cents_col = _centroid_literal(
-        _lloyd(
-            _train_sample_rows(corpus, corpus_id, vec_col, train_sample),
-            n_centroids,
-            iters,
-        )
-    )
-    cb = pq_train(
-        corpus, corpus_id, vec_col, m_subspaces, k_centroids, iters,
-        train_sample,
-    )
+    # ONE sample collect feeds both quantizers (the two trainers use
+    # the identical deterministic sample definition)
+    rows = _train_sample_rows(corpus, corpus_id, vec_col, train_sample)
+    cents_col = _centroid_literal(_lloyd(rows, n_centroids, iters))
+    cb = _pq_train_rows(rows, m_subspaces, k_centroids, iters)
     d = len(cb[0][0])
     coded = corpus.select(
         F.col(corpus_id),
