@@ -4546,6 +4546,23 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes quality classifier (r9 close;
+    operators/curation.py:nb_quality_scores) — the deterministic
+    stand-in for the fastText/logistic seed-set quality filters
+    (GPT-3 §A.2 / CCNet §4.2): train add-1 per-class token models on
+    a labeled slice (label = the lang=='en' seed, the pii_scan-style
+    fixture synth), score the held-out slice by integer micro-unit
+    log-odds.  Quantization is the lm_perplexity ln seam, so the
+    oracle retrains and rescores bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.where(F.col("doc_id") % 3 != 0).withColumn(
+        "label", F.col("lang") == "en"
+    )
+    to_score = docs.where(F.col("doc_id") % 3 == 0)
+    return curation.nb_quality_scores(labeled, to_score)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 pricing summary at sf0.001 (driver smoke)."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4555,10 +4572,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification rotation, not taxonomy: the
     driver's per-round correctness check covers the FIRST 50 entries,
     so each round front-loads queries needing driver evidence.
-    Cumulative state at r9 build: 241 registered (232 entering + six
+    Cumulative state at r9 build: 242 registered (232 entering + six
     in-window r9 additions + ``pq_ann_persisted`` /
-    ``knn_ivfpq_exhaustive`` / ``knn_ivfpq`` at the tail after the
-    window was spent), 237 DuckDB-oracle-checked, 4 rows-only by
+    ``knn_ivfpq_exhaustive`` / ``knn_ivfpq`` /
+    ``nb_quality_classifier`` at the tail after the window was
+    spent), 238 DuckDB-oracle-checked, 4 rows-only by
     documented contract (the ``knn_ivf`` and ``knn_ivfpq`` nprobe
     dials and the two raw t-digest sketches — each certified by a
     hash-checked exhaustive/accuracy twin); staleness is tool-tracked (``tools/staleness.py`` joins
@@ -4845,6 +4863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann_persisted": q_pq_ann_persisted,
         "knn_ivfpq_exhaustive": q_knn_ivfpq_exhaustive,
         "knn_ivfpq": q_knn_ivfpq,
+        "nb_quality_classifier": q_nb_quality_classifier,
     }
 
 
@@ -9279,6 +9298,61 @@ def oracle_sql() -> dict[str, str]:
     # argument applied to the composition); the dialed knn_ivfpq is
     # rows-only by the same contract as knn_ivf
     out["knn_ivfpq_exhaustive"] = out["pq_ann"]
+    out["nb_quality_classifier"] = """
+            WITH labeled AS (
+                SELECT doc_id, text, (lang = 'en') AS lab
+                FROM documents WHERE doc_id % 3 <> 0),
+            score_docs AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+            tok_l AS (
+                SELECT lab, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS w FROM labeled),
+            counts AS (
+                SELECT w,
+                    CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT)
+                        AS cp,
+                    CAST(sum(CASE WHEN NOT lab THEN 1 ELSE 0 END)
+                         AS BIGINT) AS cn
+                FROM tok_l GROUP BY w),
+            stats AS (
+                SELECT coalesce(sum(cp), 0) AS tp,
+                       coalesce(sum(cn), 0) AS tn,
+                       count(*) + 1 AS v
+                FROM counts),
+            dstats AS (
+                SELECT sum(CASE WHEN lab THEN 1 ELSE 0 END) AS np,
+                       sum(CASE WHEN NOT lab THEN 1 ELSE 0 END) AS nn
+                FROM labeled),
+            toks AS (
+                SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS w
+                FROM score_docs),
+            wt AS (
+                SELECT t.doc_id,
+                    (CAST(floor(1000000.0 * (ln(coalesce(c.cp, 0) + 1)
+                         - ln((s.tp + s.v)::DOUBLE))) AS BIGINT)
+                     - CAST(floor(1000000.0 * (ln(coalesce(c.cn, 0) + 1)
+                         - ln((s.tn + s.v)::DOUBLE))) AS BIGINT)) AS wti
+                FROM toks t
+                LEFT JOIN counts c ON t.w = c.w
+                CROSS JOIN stats s),
+            agg AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+                       CAST(sum(wti) AS BIGINT) AS ssum
+                FROM wt GROUP BY doc_id),
+            prior AS (
+                SELECT (CAST(floor(1000000.0 * (ln(np::DOUBLE)
+                            - ln((np + nn)::DOUBLE))) AS BIGINT)
+                      - CAST(floor(1000000.0 * (ln(nn::DOUBLE)
+                            - ln((np + nn)::DOUBLE))) AS BIGINT)) AS pr
+                FROM dstats)
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_scored, 0) AS BIGINT) AS n_scored,
+                   CAST(a.ssum + p.pr AS BIGINT) AS score_micro,
+                   CASE WHEN a.ssum IS NOT NULL
+                        THEN (a.ssum + p.pr) > 0 END AS predicted
+            FROM score_docs d
+            LEFT JOIN agg a USING (doc_id)
+            CROSS JOIN prior p
+        """
     return out
 
 

@@ -822,3 +822,79 @@ def test_normalize_text_twin_and_idempotence(spark):
             f"SELECT {normalize_text_sql('t')} FROM (SELECT '{esc}' AS t)"
         ).fetchone()[0]
         assert d == g, (repr(d), repr(g))
+
+
+def test_nb_quality_scores_hand_computed(spark):
+    """nb_quality_scores (r9): weights and prior on a tiny 4-doc seed
+    match an exact by-hand Naive-Bayes with the micro-unit ln seam;
+    the quality doc scores positive, the junk doc negative; zero-token
+    docs score NULL."""
+    import math
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        nb_quality_scores,
+    )
+
+    labeled = spark.createDataFrame(
+        [
+            (1, "good clean prose here", True),
+            (2, "more good clean text", True),
+            (3, "spam spam buy now", False),
+            (4, "buy spam click spam", False),
+        ],
+        "doc_id long, text string, label boolean",
+    )
+    docs = spark.createDataFrame(
+        [(10, "good clean prose"), (11, "buy spam now"), (12, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_scored, r.score_micro, r.predicted)
+        for r in nb_quality_scores(labeled, docs).collect()
+    }
+
+    # exact replay
+    from collections import Counter
+
+    cp, cn = Counter(), Counter()
+    for t, lab in [
+        ("good clean prose here", True),
+        ("more good clean text", True),
+        ("spam spam buy now", False),
+        ("buy spam click spam", False),
+    ]:
+        (cp if lab else cn).update(t.split())
+    vocab = len(set(cp) | set(cn)) + 1
+    tp, tn = sum(cp.values()), sum(cn.values())
+
+    def q(x):
+        return math.floor(1_000_000.0 * x)
+
+    prior = q(math.log(2 / 4)) - q(math.log(2 / 4))
+
+    def score(text):
+        s = 0
+        for w in text.split():
+            s += q(math.log((cp.get(w, 0) + 1) / (tp + vocab))) - q(
+                math.log((cn.get(w, 0) + 1) / (tn + vocab))
+            )
+        return s + prior
+
+    assert got[10] == (3, score("good clean prose"), True)
+    assert got[11] == (3, score("buy spam now"), False)
+    assert got[12] == (0, None, None)
+
+
+def test_nb_quality_scores_requires_both_classes(spark):
+    import pytest
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        nb_quality_scores,
+    )
+
+    one_class = spark.createDataFrame(
+        [(1, "only positives", True)], "doc_id long, text string, label boolean"
+    )
+    docs = spark.createDataFrame([(2, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="both classes"):
+        nb_quality_scores(one_class, docs)

@@ -1370,3 +1370,124 @@ def c4_line_filter(
         F.size("_kept").cast("long").alias("n_kept"),
         F.array_join("_kept", "\n").alias("text_clean"),
     )
+
+
+def nb_quality_scores(
+    labeled: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Multinomial Naive-Bayes quality classifier — the deterministic
+    cousin of the fastText/logistic quality filters every web-corpus
+    pipeline trains on a trusted seed set (GPT-3 §A.2, CCNet §4.2;
+    no reference analog, §2.C surface).  Train add-1-smoothed per-class
+    token models on ``labeled`` (boolean ``label_col``: True = the
+    quality seed), then score every ``docs`` row by the integer
+    micro-unit log-odds
+
+        Σ_tokens [q(ln P(w|pos)) − q(ln P(w|neg))] + q-prior,
+
+    with ``q(x) = floor(1e6·x)`` applied per class per token — the
+    exact lm_perplexity seam, so per-doc totals are pure int64,
+    order-independent, and bit-identical across engines (unseen words
+    hit the coalesce(count, 0)+1 smoothing path on both sides; NB has
+    a natural UNK because ln(1) = 0 exactly).
+
+    Scale shape: the per-class count table aggregates ONCE (map-side
+    combined, vocabulary-grain) and is eagerly checkpointed — it feeds
+    the corpus scalar probe AND the scoring join, and without the
+    checkpoint the multi-consumer paste would re-run training per
+    consumer (the r8 bm25/lm lesson).  The four corpus scalars (class
+    token totals, vocabulary size, class doc counts) fold in as plan
+    LITERALS via bounded 1-row collects; scoring is one explode + one
+    vocabulary join (AQE broadcasts the count table) + one per-doc
+    sum; document text never shuffles.
+
+    Returns one row per ``docs`` row: (id, n_scored, score_micro,
+    predicted) — zero-token docs score NULL / predicted NULL.
+    """
+    lab = F.col(label_col).cast("boolean")
+    tok_l = labeled.select(
+        lab.alias("_lab"),
+        F.explode(tokenize(F.col(text_col))).alias("_w"),
+    )
+    counts = (
+        tok_l.groupBy("_w")
+        .agg(
+            F.sum(F.when(F.col("_lab"), 1).otherwise(0))
+            .cast("long")
+            .alias("_cp"),
+            F.sum(F.when(~F.col("_lab"), 1).otherwise(0))
+            .cast("long")
+            .alias("_cn"),
+        )
+        .localCheckpoint()
+    )
+    stats = counts.agg(
+        F.sum("_cp").alias("_tp"),
+        F.sum("_cn").alias("_tn"),
+        F.count(F.lit(1)).alias("_v"),
+    ).collect()[0]
+    t_pos = int(stats["_tp"] or 0)
+    t_neg = int(stats["_tn"] or 0)
+    vocab_v = int(stats["_v"]) + 1  # one reserved UNK type
+    dstats = labeled.agg(
+        F.sum(F.when(lab, 1).otherwise(0)).alias("_np"),
+        F.sum(F.when(~lab, 1).otherwise(0)).alias("_nn"),
+    ).collect()[0]
+    n_pos, n_neg = int(dstats["_np"] or 0), int(dstats["_nn"] or 0)
+    if not n_pos or not n_neg:
+        raise ValueError("nb_quality_scores: both classes required")
+
+    def q(expr):
+        return F.floor(F.lit(1_000_000.0) * expr).cast("long")
+
+    # engine-side ln over the same integers on both engines (the
+    # lm_perplexity parity seam); scalars are plan literals
+    w_pos = q(
+        F.log((F.coalesce("_cp", F.lit(0)) + F.lit(1)).cast("double"))
+        - F.log(F.lit(float(t_pos + vocab_v)))
+    )
+    w_neg = q(
+        F.log((F.coalesce("_cn", F.lit(0)) + F.lit(1)).cast("double"))
+        - F.log(F.lit(float(t_neg + vocab_v)))
+    )
+    # class prior, quantized per class like the word weights; ln runs
+    # engine-side over literal ints on BOTH engines (python math.log
+    # stays out of the contract)
+    prior_col = q(
+        F.log(F.lit(float(n_pos))) - F.log(F.lit(float(n_pos + n_neg)))
+    ) - q(
+        F.log(F.lit(float(n_neg))) - F.log(F.lit(float(n_pos + n_neg)))
+    )
+    doc_toks = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("_w")
+    )
+    scored = (
+        doc_toks.join(counts, "_w", "left")
+        .select(F.col(id_col), (w_pos - w_neg).alias("_wt"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.sum("_wt").cast("long").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_scored",
+            (F.col("_s") + prior_col).cast("long").alias("score_micro"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_scored", F.lit(0)).cast("long").alias("n_scored"),
+            "score_micro",
+            F.when(
+                F.col("score_micro").isNotNull(), F.col("score_micro") > 0
+            ).alias("predicted"),
+        )
+    )
