@@ -4563,6 +4563,38 @@ def q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.nb_quality_scores(labeled, to_score)
 
 
+def q_line_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-line language segmentation (r9 close;
+    operators/curation.py:line_language_report) — mixed-language pages
+    are synthesized from the fixture (the c4 re-lining synth plus a
+    planted German line on doc_id%4 and a French line on %6), then
+    each line gets the deterministic stopword language ID and docs
+    roll up to dominant language, its permille share, and distinct
+    line languages.  The oracle replays the synth, the per-line ID
+    (same lexicon constants via language_id_sql), and the argmax."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(
+        F.lit(0), ((F.size(toks) - F.lit(1)) / F.lit(6)).cast("int")
+    )
+    lined = F.array_join(
+        F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i * 6 + 1, 6), " ")
+        ),
+        "\n",
+    )
+    lined = F.when(
+        d % 4 == 0,
+        F.concat(F.lit("der hund ist nicht da und ich\n"), lined),
+    ).otherwise(lined)
+    lined = F.when(
+        d % 6 == 0,
+        F.concat(lined, F.lit("\nle chat est dans la maison pour")),
+    ).otherwise(lined)
+    return curation.line_language_report(docs.withColumn("text", lined))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 pricing summary at sf0.001 (driver smoke)."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4572,11 +4604,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification rotation, not taxonomy: the
     driver's per-round correctness check covers the FIRST 50 entries,
     so each round front-loads queries needing driver evidence.
-    Cumulative state at r9 build: 242 registered (232 entering + six
-    in-window r9 additions + ``pq_ann_persisted`` /
-    ``knn_ivfpq_exhaustive`` / ``knn_ivfpq`` /
-    ``nb_quality_classifier`` at the tail after the window was
-    spent), 238 DuckDB-oracle-checked, 4 rows-only by
+    Cumulative state at r9 build: 243 registered (232 entering + six
+    in-window r9 additions + five tail additions after the window was
+    spent: ``pq_ann_persisted``, ``knn_ivfpq_exhaustive``,
+    ``knn_ivfpq``, ``nb_quality_classifier``,
+    ``line_language_mix``), 239 DuckDB-oracle-checked, 4 rows-only by
     documented contract (the ``knn_ivf`` and ``knn_ivfpq`` nprobe
     dials and the two raw t-digest sketches — each certified by a
     hash-checked exhaustive/accuracy twin); staleness is tool-tracked (``tools/staleness.py`` joins
@@ -4864,6 +4896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq_exhaustive": q_knn_ivfpq_exhaustive,
         "knn_ivfpq": q_knn_ivfpq,
         "nb_quality_classifier": q_nb_quality_classifier,
+        "line_language_mix": q_line_language_mix,
     }
 
 
@@ -9352,6 +9385,45 @@ def oracle_sql() -> dict[str, str]:
             FROM score_docs d
             LEFT JOIN agg a USING (doc_id)
             CROSS JOIN prior p
+        """
+    out["line_language_mix"] = f"""
+            WITH synth AS (
+                SELECT doc_id,
+                    (CASE WHEN doc_id % 4 = 0
+                        THEN 'der hund ist nicht da und ich' || chr(10)
+                        ELSE '' END)
+                    || array_to_string(
+                        [array_to_string(l[(i*6+1):(i*6+6)], ' ')
+                         for i in generate_series(0, (len(l) - 1) // 6)],
+                        chr(10))
+                    || (CASE WHEN doc_id % 6 = 0
+                        THEN chr(10) || 'le chat est dans la maison pour'
+                        ELSE '' END) AS text
+                FROM (SELECT doc_id, string_split(text, ' ') AS l
+                      FROM documents)),
+            lines AS (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+                FROM synth),
+            nb AS (SELECT doc_id, l FROM lines WHERE trim(l) <> ''),
+            langed AS (
+                SELECT doc_id, {language_id_sql('l')} AS lang FROM nb),
+            per AS (
+                SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n
+                FROM langed GROUP BY 1, 2),
+            rolled AS (
+                SELECT doc_id, lang, n,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY n DESC, lang ASC) AS rk,
+                       CAST(sum(n) OVER (PARTITION BY doc_id) AS BIGINT)
+                           AS n_lines,
+                       CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT)
+                           AS n_langs
+                FROM per)
+            SELECT doc_id, n_lines, lang AS dominant_lang,
+                   CAST(1000 * n // n_lines AS BIGINT)
+                       AS dominant_permille,
+                   n_langs
+            FROM rolled WHERE rk = 1
         """
     return out
 

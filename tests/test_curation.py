@@ -898,3 +898,52 @@ def test_nb_quality_scores_requires_both_classes(spark):
     docs = spark.createDataFrame([(2, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="both classes"):
         nb_quality_scores(one_class, docs)
+
+
+def test_c4_line_filter_idempotent_on_fixture(spark, sf_dir):
+    """A line that survives the C4 rules still survives them after the
+    rebuild (terminal punct, word count, and banned substrings are
+    properties of the line itself), so the filter is idempotent."""
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import c4_line_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    once = c4_line_filter(docs).selectExpr(
+        "doc_id", "text_clean as text"
+    )
+    twice = c4_line_filter(once)
+    a = {(r.doc_id): r.text_clean for r in twice.collect()}
+    b = {(r.doc_id): r.text for r in once.collect()}
+    assert a == b
+    # and every kept count matches its own line count on the 2nd pass
+    assert all(
+        r.n_kept == r.n_lines or (r.n_lines == 1 and r.n_kept == 0)
+        for r in twice.collect()
+    )  # (an emptied doc re-splits to one empty line that fails again)
+
+
+def test_line_language_report_hand_cases(spark):
+    """line_language_report (r9): per-line stopword ID, deterministic
+    dominant-language argmax (ties by code), blank lines skipped,
+    all-blank docs absent."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        line_language_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat is with the dog\nder hund ist nicht da\nthe end is here"),
+            (2, "le chat est dans la maison"),
+            (3, "\n\n"),
+            (4, "xyzzy qwerty"),
+            # tie: one en line, one de line -> de wins lexicographically
+            (5, "the cat is with a dog\nder hund ist nicht da"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: tuple(r)[1:] for r in line_language_report(docs).collect()}
+    assert got[1] == (3, "en", 666, 2)
+    assert got[2] == (1, "fr", 1000, 1)
+    assert 3 not in got
+    assert got[4] == (1, "und", 1000, 1)
+    assert got[5] == (2, "de", 500, 2)

@@ -1491,3 +1491,56 @@ def nb_quality_scores(
             ).alias("predicted"),
         )
     )
+
+
+def line_language_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-LINE language segmentation (the multilingual-crawl step CLD2
+    pipelines run before line-level cleaning: a page's boilerplate is
+    often in a different language than its content, so doc-level
+    language ID alone misclassifies mixed pages).  Each line gets the
+    engine's deterministic stopword language ID; the doc rolls up to
+
+    - ``n_lines`` (non-blank)
+    - ``dominant_lang`` — most frequent line language (ties: first by
+      language code ascending, fully deterministic)
+    - ``dominant_permille`` — its share of non-blank lines
+    - ``n_langs`` — distinct line languages observed
+
+    Scale shape: one explode at line grain (narrow), one (doc, lang)
+    aggregate and one doc-grain argmax window over the bounded
+    per-doc language table — exchanges carry (id, lang, count), text
+    stays in its scan stage.  Blank lines are skipped on both engines.
+    """
+    from ..functions.text import language_id
+
+    lines = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\n")).alias("_l")
+    ).where(F.trim("_l") != "")
+    per_lang = (
+        lines.select(F.col(id_col), language_id(F.col("_l")).alias("_lang"))
+        .groupBy(id_col, "_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_n").desc(), F.col("_lang").asc()
+    )
+    tot = Window.partitionBy(id_col)
+    return (
+        per_lang.withColumn("_rk", F.row_number().over(w))
+        .withColumn("n_lines", F.sum("_n").over(tot).cast("long"))
+        .withColumn("n_langs", F.count(F.lit(1)).over(tot).cast("long"))
+        .where(F.col("_rk") == 1)
+        .select(
+            id_col,
+            "n_lines",
+            F.col("_lang").alias("dominant_lang"),
+            F.expr("1000 * _n div n_lines").cast("long").alias(
+                "dominant_permille"
+            ),
+            "n_langs",
+        )
+    )
