@@ -4595,6 +4595,26 @@ def q_line_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.line_language_report(docs.withColumn("text", lined))
 
 
+def q_nb_quality_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB quality-model persistence roundtrip (r9 close — the
+    lm_perplexity_persisted pattern): train + persist the per-class
+    count table and corpus scalars, load them back, score the same
+    held-out slice through the shared _nb_score core
+    (operators/curation.py:nb_model_write/nb_scores_from_model).
+    Oracle: the nb_quality_classifier SQL — loaded-model output must
+    be hash-identical to in-plan training."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.where(F.col("doc_id") % 3 != 0).withColumn(
+        "label", F.col("lang") == "en"
+    )
+    to_score = docs.where(F.col("doc_id") % 3 == 0)
+    path = tempfile.mkdtemp(prefix="spark_graft_nb_")
+    curation.nb_model_write(labeled, path)
+    return curation.nb_scores_from_model(spark, path, to_score)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 pricing summary at sf0.001 (driver smoke)."""
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -4604,11 +4624,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification rotation, not taxonomy: the
     driver's per-round correctness check covers the FIRST 50 entries,
     so each round front-loads queries needing driver evidence.
-    Cumulative state at r9 build: 243 registered (232 entering + six
-    in-window r9 additions + five tail additions after the window was
+    Cumulative state at r9 build: 244 registered (232 entering + six
+    in-window r9 additions + six tail additions after the window was
     spent: ``pq_ann_persisted``, ``knn_ivfpq_exhaustive``,
-    ``knn_ivfpq``, ``nb_quality_classifier``,
-    ``line_language_mix``), 239 DuckDB-oracle-checked, 4 rows-only by
+    ``knn_ivfpq``, ``nb_quality_classifier``, ``line_language_mix``,
+    ``nb_quality_persisted``), 240 DuckDB-oracle-checked, 4 rows-only by
     documented contract (the ``knn_ivf`` and ``knn_ivfpq`` nprobe
     dials and the two raw t-digest sketches — each certified by a
     hash-checked exhaustive/accuracy twin); staleness is tool-tracked (``tools/staleness.py`` joins
@@ -4897,6 +4917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq": q_knn_ivfpq,
         "nb_quality_classifier": q_nb_quality_classifier,
         "line_language_mix": q_line_language_mix,
+        "nb_quality_persisted": q_nb_quality_persisted,
     }
 
 
@@ -9425,6 +9446,8 @@ def oracle_sql() -> dict[str, str]:
                    n_langs
             FROM rolled WHERE rk = 1
         """
+    # loaded-model scoring must be hash-identical to in-plan training
+    out["nb_quality_persisted"] = out["nb_quality_classifier"]
     return out
 
 

@@ -947,3 +947,42 @@ def test_line_language_report_hand_cases(spark):
     assert 3 not in got
     assert got[4] == (1, "und", 1000, 1)
     assert got[5] == (2, "de", 500, 2)
+
+
+def test_nb_model_roundtrip_equals_in_plan(spark, tmp_path):
+    """nb_model_write/nb_scores_from_model (r9): loaded-model scores
+    equal the in-plan trainer row-for-row; meta records the exact
+    scalars."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        nb_model_write,
+        nb_quality_scores,
+        nb_scores_from_model,
+    )
+
+    labeled = spark.createDataFrame(
+        [
+            (1, "good clean prose here", True),
+            (2, "more good clean text", True),
+            (3, "spam spam buy now", False),
+            (4, "buy spam click spam", False),
+        ],
+        "doc_id long, text string, label boolean",
+    )
+    docs = spark.createDataFrame(
+        [(10, "good clean prose"), (11, "buy spam now"), (12, "")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "nb_model")
+    nb_model_write(labeled, path)
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    assert (meta.n_pos, meta.n_neg) == (2, 2)
+    assert meta.vocab_v == len(
+        {w for t in ["good clean prose here", "more good clean text",
+                     "spam spam buy now", "buy spam click spam"]
+         for w in t.split()}
+    ) + 1
+    in_plan = sorted(tuple(r) for r in nb_quality_scores(labeled, docs).collect())
+    loaded = sorted(
+        tuple(r) for r in nb_scores_from_model(spark, path, docs).collect()
+    )
+    assert loaded == in_plan

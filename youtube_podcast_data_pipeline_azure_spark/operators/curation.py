@@ -1441,6 +1441,28 @@ def nb_quality_scores(
     if not n_pos or not n_neg:
         raise ValueError("nb_quality_scores: both classes required")
 
+    return _nb_score(
+        docs, counts, t_pos, t_neg, vocab_v, n_pos, n_neg,
+        text_col, id_col,
+    )
+
+
+def _nb_score(
+    docs: DataFrame,
+    counts: DataFrame,
+    t_pos: int,
+    t_neg: int,
+    vocab_v: int,
+    n_pos: int,
+    n_neg: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared NB scoring core over a materialized per-class count
+    table + literal corpus scalars — used by the in-plan trainer and
+    the loaded-model path so the quantized arithmetic cannot
+    diverge."""
+
     def q(expr):
         return F.floor(F.lit(1_000_000.0) * expr).cast("long")
 
@@ -1490,6 +1512,90 @@ def nb_quality_scores(
                 F.col("score_micro").isNotNull(), F.col("score_micro") > 0
             ).alias("predicted"),
         )
+    )
+
+
+def nb_model_write(
+    labeled: DataFrame,
+    path: str,
+    text_col: str = "text",
+    label_col: str = "label",
+) -> None:
+    """Train the NB quality model ONCE and persist it (the
+    lm_model_write pattern): the per-class count table range-clustered
+    by token plus a 1-row meta recording the five corpus scalars, so
+    scoring batches never retrains.  Index layout = data."""
+    spark = labeled.sparkSession
+    lab = F.col(label_col).cast("boolean")
+    counts = (
+        labeled.select(
+            lab.alias("_lab"),
+            F.explode(tokenize(F.col(text_col))).alias("_w"),
+        )
+        .groupBy("_w")
+        .agg(
+            F.sum(F.when(F.col("_lab"), 1).otherwise(0))
+            .cast("long")
+            .alias("_cp"),
+            F.sum(F.when(~F.col("_lab"), 1).otherwise(0))
+            .cast("long")
+            .alias("_cn"),
+        )
+        .localCheckpoint()
+    )
+    stats = counts.agg(
+        F.sum("_cp").alias("_tp"),
+        F.sum("_cn").alias("_tn"),
+        F.count(F.lit(1)).alias("_v"),
+    ).collect()[0]
+    dstats = labeled.agg(
+        F.sum(F.when(lab, 1).otherwise(0)).alias("_np"),
+        F.sum(F.when(~lab, 1).otherwise(0)).alias("_nn"),
+    ).collect()[0]
+    n_pos, n_neg = int(dstats["_np"] or 0), int(dstats["_nn"] or 0)
+    if not n_pos or not n_neg:
+        raise ValueError("nb_model_write: both classes required")
+    (
+        counts.repartitionByRange(32, "_w")
+        .sortWithinPartitions("_w")
+        .write.mode("overwrite")
+        .parquet(f"{path}/counts")
+    )
+    spark.createDataFrame(
+        [
+            (
+                int(stats["_tp"] or 0),
+                int(stats["_tn"] or 0),
+                int(stats["_v"]) + 1,
+                n_pos,
+                n_neg,
+            )
+        ],
+        "t_pos long, t_neg long, vocab_v long, n_pos long, n_neg long",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def nb_scores_from_model(
+    spark,
+    path: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`nb_quality_scores` over a PERSISTED model — identical
+    integer scores for the same documents, none of the training cost
+    (shared :func:`_nb_score` core, recorded scalars as literals)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return _nb_score(
+        docs,
+        spark.read.parquet(f"{path}/counts"),
+        int(meta["t_pos"]),
+        int(meta["t_neg"]),
+        int(meta["vocab_v"]),
+        int(meta["n_pos"]),
+        int(meta["n_neg"]),
+        text_col,
+        id_col,
     )
 
 
