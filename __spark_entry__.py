@@ -1044,7 +1044,7 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = emb.where(F.col("vec_id") % 2 == 0)
     cur = emb.where(F.col("vec_id") % 2 == 1)
     return similarity.embedding_drift_report(
-        ref, cur, n_centroids=8, iters=2
+        ref, cur, n_centroids=8, iters=2, train_sample=None
     )
 
 
@@ -1110,7 +1110,8 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.where(F.col("vec_id") >= 5)
     return similarity.ann_recall_report(
-        corpus, queries, k=10, n_centroids=8, nprobe=2, iters=2
+        corpus, queries, k=10, n_centroids=8, nprobe=2, iters=2,
+        train_sample=None,
     )
 
 
@@ -4464,13 +4465,22 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization code assignment (r9; Jégou et al. 2011 via
     operators/similarity.py:pq_train/pq_codes): 4 subspaces × 8
     centroids trained with 2 integer-exact Lloyd iterations on the
-    full embedding table (lowest-id init), every vector coded by
+    full embedding table (lowest-id init, train_sample=None is the
+    oracle's explicit full-corpus opt-in), every vector coded by
     subspace-argmin.  All arithmetic is micro-unit int64, so the
     oracle retrains the identical codebooks as CTEs and the code
-    words hash-match exactly."""
+    words hash-match exactly.
+
+    Registered shape is the EXPLODED (vec_id, m, code) long form —
+    one row per subspace — because the driver's pandas canonicalizer
+    cannot sort an array<int> column (the r9 ``unhashable type:
+    'list'`` miss); the Python API (similarity.pq_codes) keeps the
+    (vec_id, codes array<int>) form."""
     emb = _t(spark, sf_dir, "embeddings")
-    cb = similarity.pq_train(emb)
-    return similarity.pq_codes(emb, cb)
+    cb = similarity.pq_train(emb, train_sample=None)
+    return similarity.pq_codes(emb, cb).select(
+        "vec_id", F.posexplode("codes").alias("m", "code")
+    )
 
 
 def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4485,7 +4495,7 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cb = similarity.pq_train(corpus)
+    cb = similarity.pq_train(corpus, train_sample=None)
     return similarity.pq_ann(corpus, queries, cb, k=10)
 
 
@@ -4507,7 +4517,7 @@ def q_pq_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     path = tempfile.mkdtemp(prefix="spark_graft_pq_")
-    similarity.pq_index_write(corpus, path)
+    similarity.pq_index_write(corpus, path, train_sample=None)
     return similarity.pq_ann_from_index(spark, path, queries, k=10)
 
 
@@ -4523,7 +4533,8 @@ def q_knn_ivfpq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.knn_ivfpq(
-        corpus, queries, k=10, n_centroids=16, nprobe=16
+        corpus, queries, k=10, n_centroids=16, nprobe=16,
+        train_sample=None,
     )
 
 
@@ -4542,7 +4553,8 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.knn_ivfpq(
-        corpus, queries, k=10, n_centroids=16, nprobe=4
+        corpus, queries, k=10, n_centroids=16, nprobe=4,
+        train_sample=None,
     )
 
 
@@ -9523,6 +9535,8 @@ def _r9_oracles() -> dict[str, str]:
     from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
         C4_BANNED_SUBSTRINGS,
         C4_TERMINAL_RE,
+        C4_TRAIL_RE,
+        GOPHER_ALPHA_RE,
         GOPHER_BULLET_RE,
         GOPHER_ELLIPSIS_RE,
         GOPHER_STOPWORDS,
@@ -9575,7 +9589,8 @@ def _r9_oracles() -> dict[str, str]:
                         l -> regexp_matches(l, '{GOPHER_ELLIPSIS_RE}')))
                         AS ell,
                     len(list_filter(words,
-                        w -> regexp_matches(w, '[a-z]'))) AS alpha,
+                        w -> regexp_matches(w, '{GOPHER_ALPHA_RE}')))
+                        AS alpha,
                     {stop_sum} AS n_stop
                 FROM base)
             SELECT doc_id,
@@ -9633,7 +9648,9 @@ def _r9_oracles() -> dict[str, str]:
             kept AS (
                 SELECT doc_id, len(lines) AS n_lines,
                     list_filter(lines, l ->
-                        regexp_matches(rtrim(l), '{C4_TERMINAL_RE}')
+                        regexp_matches(
+                            regexp_replace(l, '{C4_TRAIL_RE}', ''),
+                            '{C4_TERMINAL_RE}')
                         AND len(list_filter(
                                 string_split_regex(l, '\\s+'),
                                 t -> t <> '')) >= 3
@@ -9690,8 +9707,8 @@ def _r9_oracles() -> dict[str, str]:
         """,
         "pq_codes": f"""
             WITH {_pq_sql_ctes("")}
-            SELECT vec_id, list(cid ORDER BY m) AS codes
-            FROM a3 GROUP BY vec_id
+            SELECT vec_id, CAST(m AS INT) AS m, CAST(cid AS INT) AS code
+            FROM a3
         """,
         "pq_ann": f"""
             WITH {_pq_sql_ctes("WHERE vec_id >= 5")},

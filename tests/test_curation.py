@@ -986,3 +986,123 @@ def test_nb_model_roundtrip_equals_in_plan(spark, tmp_path):
         tuple(r) for r in nb_scores_from_model(spark, path, docs).collect()
     )
     assert loaded == in_plan
+
+
+def test_c4_line_filter_crlf_twin_parity(spark):
+    """ADVICE r9: CRLF crawl pages must not split the twin contract —
+    Java '$' matches before a final line terminator ('Good.\\r' would
+    pass) while RE2 '$' is end-of-text only ('Good.\\r' would fail).
+    The C4_TRAIL_RE strip makes both engines agree; fixture docs have
+    no \\r, so this pins the seam with planted CR/NEL tails."""
+    import duckdb
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        C4_BANNED_SUBSTRINGS,
+        C4_TERMINAL_RE,
+        C4_TRAIL_RE,
+        c4_line_filter,
+    )
+
+    cr, nel = chr(13), chr(0x85)
+    docs = [
+        (1, f"Good line one two.{cr}\nbad brace one {{{cr}\nFine line three?{cr}"),
+        (2, f"Tab tail line here.\t{cr}\nNo terminal punct{cr}"),
+        (3, f"Nel tail line ends.{nel}\nplain clean line stays."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_kept, r.text_clean)
+        for r in c4_line_filter(df).collect()
+    }
+    # CR/NEL/tab tails pass the gate once stripped; banned/short/unpunct fail
+    assert got[1] == (2, f"Good line one two.{cr}\nFine line three?{cr}")
+    assert got[2] == (1, f"Tab tail line here.\t{cr}")
+    assert got[3] == (2, f"Nel tail line ends.{nel}\nplain clean line stays.")
+
+    # DuckDB twin of the gate, built from the SAME module constants,
+    # must keep the identical lines
+    banned = " OR ".join(
+        f"contains(lower(l), '{s}')" for s in C4_BANNED_SUBSTRINGS
+    )
+    duck = duckdb.connect()
+    for doc_id, text in docs:
+        esc = text.replace("'", "''").replace("\n", "' || chr(10) || '")
+        esc = esc.replace(chr(13), "' || chr(13) || '")
+        esc = esc.replace(chr(0x85), "' || chr(133) || '")
+        kept = duck.sql(
+            f"""
+            SELECT list_filter(string_split('{esc}', chr(10)), l ->
+                regexp_matches(
+                    regexp_replace(l, '{C4_TRAIL_RE}', ''),
+                    '{C4_TERMINAL_RE}')
+                AND len(list_filter(string_split_regex(l, '\\s+'),
+                                    t -> t <> '')) >= 3
+                AND NOT ({banned}))
+            """
+        ).fetchone()[0]
+        n_kept, text_clean = got[doc_id]
+        assert len(kept) == n_kept, (doc_id, kept)
+        assert "\n".join(kept) == text_clean, (doc_id, kept)
+
+
+def test_gopher_alpha_rule_counts_unicode_letters(spark):
+    """ADVICE r9: the Gopher 'word contains an alphabetic character'
+    rule uses \\p{L} (any-script letter), not [a-z] — an all-accented
+    or non-Latin doc is not auto-rejected by the alpha gate."""
+    import duckdb
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        GOPHER_ALPHA_RE,
+        gopher_quality_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "café naïve fête déjà"),
+            (2, "日本語 中文 русский ελληνικά"),
+            (3, "123 456 ... ###"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.alpha_word_permille
+        for r in gopher_quality_report(docs).collect()
+    }
+    assert got[1] == 1000
+    assert got[2] == 1000  # [a-z] would have scored 0
+    assert got[3] == 0
+    # RE2 agrees on the same constant
+    duck = duckdb.connect()
+    for w, want in [("日本語", True), ("café", True), ("123", False)]:
+        assert (
+            duck.sql(
+                f"SELECT regexp_matches('{w}', '{GOPHER_ALPHA_RE}')"
+            ).fetchone()[0]
+            is want
+        )
+
+
+def test_normalize_text_strips_carriage_returns(spark):
+    """ADVICE r9: NORMALIZE_STEPS maps \\r away (CRLF -> bare \\n), so
+    normalized text can never hit the Java-vs-RE2 '$' divergence in
+    downstream line gates; \\n and \\t survive as documented."""
+    import duckdb
+
+    from youtube_podcast_data_pipeline_azure_spark.functions.text import (
+        normalize_text,
+        normalize_text_sql,
+    )
+
+    raw = "one.\r\ntwo.\rthree\tkeeps tab-as-space\ndone."
+    df = spark.createDataFrame([(raw,)], "t string")
+    got = df.select(normalize_text("t").alias("n")).collect()[0].n
+    assert "\r" not in got
+    assert got == "one.\ntwo.three keeps tab-as-space\ndone."
+    duck = duckdb.connect()
+    esc = raw.replace("\r", "' || chr(13) || '").replace(
+        "\n", "' || chr(10) || '"
+    ).replace("\t", "' || chr(9) || '")
+    d = duck.sql(
+        f"SELECT {normalize_text_sql('t')} FROM (SELECT '{esc}' AS t)"
+    ).fetchone()[0]
+    assert d == got

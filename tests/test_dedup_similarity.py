@@ -1355,3 +1355,84 @@ def test_pq_train_invariant_under_repartition(spark):
         iters=2,
     )
     assert a == b
+
+
+def test_pq_train_nondivisible_dim_raises(spark):
+    """pq_train (ADVICE r9): dim % m_subspaces != 0 must raise
+    ValueError — a bare assert would be stripped under ``python -O``
+    and silently truncate the trailing dimensions out of every
+    codebook/code."""
+    df = _pq_fixture(spark)  # dim 8
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_train(df, m_subspaces=3)
+
+
+def test_pq_ann_string_query_ids(spark):
+    """pq_ann / _pq_query_lut (ADVICE r9): the LUT keeps the caller's
+    query-id TYPE (derived from queries.schema, no int coercion), so
+    string ids rank identically to their long twins."""
+    df = _pq_fixture(spark)
+    corpus = df.where(F.col("vec_id") >= 5)
+    q_long = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    q_str = q_long.select(
+        F.concat(F.lit("q"), F.col("query_id")).alias("query_id"),
+        "embedding",
+    )
+    cb = similarity.pq_train(corpus, m_subspaces=2, k_centroids=4)
+    base = {
+        (r.query_id, r.rank): (r.vec_id, r.adc_d2)
+        for r in similarity.pq_ann(corpus, q_long, cb, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.adc_d2)
+        for r in similarity.pq_ann(corpus, q_str, cb, k=5).collect()
+    }
+    assert got == {(f"q{q}", rk): v for (q, rk), v in base.items()}
+
+
+def test_train_sample_default_is_bounded(spark):
+    """VERDICT r9: the library default for quantizer training must be a
+    BOUNDED sample (driver collect), never the full corpus — full-corpus
+    training (the SQL-oracle replay mode) is an explicit
+    train_sample=None opt-in."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.similarity import (
+        DEFAULT_TRAIN_SAMPLE,
+        _train_sample_rows,
+    )
+
+    n = DEFAULT_TRAIN_SAMPLE + 123
+    big = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("float"), F.lit(1.0).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    rows = _train_sample_rows(
+        big, "vec_id", "embedding", DEFAULT_TRAIN_SAMPLE
+    )
+    assert len(rows) == DEFAULT_TRAIN_SAMPLE
+    # every trainer signature defaults to the bound, not to full-corpus
+    import inspect
+
+    for fn in (
+        similarity.ivf_train,
+        similarity.pq_train,
+        similarity.pq_index_write,
+        similarity.knn_ivfpq,
+        similarity.cluster_profile,
+        similarity.semantic_dedup,
+        similarity.ann_recall_report,
+        similarity.embedding_drift_report,
+        similarity.ivf_index_write,
+    ):
+        sig = inspect.signature(fn)
+        assert (
+            sig.parameters["train_sample"].default == DEFAULT_TRAIN_SAMPLE
+        ), fn.__name__
+    # and the sample is still deterministic: same rows from any layout
+    again = _train_sample_rows(
+        big.repartition(13), "vec_id", "embedding", DEFAULT_TRAIN_SAMPLE
+    )
+    assert [r.vec_id for r in again] == [r.vec_id for r in rows]

@@ -318,7 +318,13 @@ NORMALIZE_STEPS: tuple[tuple[str, str], ...] = (
     (r"\x{2026}", "..."),                            # horizontal ellipsis
     (r"[\x{A0}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]", " "),  # spaces
     (r"[\x{200B}-\x{200D}\x{FEFF}\x{AD}]", ""),    # zero-width, soft hyphen
-    (r"[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]", ""),  # control
+    # control chars INCLUDING \r (0x0D): CRLF pages must normalize to
+    # bare-\n lines or Java-regex '$' (matches before a final line
+    # terminator) and RE2 '$' (end-of-text only) diverge on every
+    # downstream line-gate — the C4 terminal-punct twin contract.
+    # \t (0x09) survives here and collapses in the space-run step;
+    # \n (0x0A) survives, line structure feeds the C4 line rules.
+    (r"[\x{00}-\x{08}\x{0B}-\x{1F}\x{7F}]", ""),   # control (0B-1F ∌ \n)
     (r"[ \t]+", " "),                               # collapse runs
 )
 

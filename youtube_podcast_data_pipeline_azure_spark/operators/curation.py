@@ -1187,6 +1187,13 @@ GOPHER_STOPWORDS: tuple[str, ...] = (
 GOPHER_BULLET_RE = r"^\s*[-*•]"
 GOPHER_ELLIPSIS_RE = r"(\.\.\.|…)\s*$"
 
+#: a word is "alphabetic" if it contains at least one LETTER in any
+#: script — Unicode \p{L}, identical in Java regex and RE2 — not just
+#: [a-z]: the ASCII form would reject most non-English documents
+#: outright, a deviation from Rae et al. 2021's rule.  Shared with the
+#: SQL twin.
+GOPHER_ALPHA_RE = r"\p{L}"
+
 
 def gopher_quality_report(
     docs: DataFrame,
@@ -1255,7 +1262,7 @@ def gopher_quality_report(
             F.filter(lines, lambda l: l.rlike(GOPHER_ELLIPSIS_RE))
         ).cast("long").alias("_ell"),
         F.size(
-            F.filter(words, lambda w: w.rlike(r"[a-z]"))
+            F.filter(words, lambda w: w.rlike(GOPHER_ALPHA_RE))
         ).cast("long").alias("_alpha"),
         F.aggregate(
             F.array(
@@ -1312,6 +1319,16 @@ C4_BANNED_SUBSTRINGS: tuple[str, ...] = (
 #: a kept line must end in terminal punctuation (C4's sentence gate)
 C4_TERMINAL_RE = r'[.!?"]$'
 
+#: trailing whitespace/line-terminator strip applied BEFORE the
+#: terminal-punct gate, on both engines.  Explicit codepoints, not
+#: ``\s`` (Java and RE2 class membership differs at \x0B), covering
+#: every character Java regex treats as a line terminator (\r, NEL
+#: \x85, U+2028, U+2029) plus tab/VT/FF/space: after the strip the
+#: line cannot end in a Java line terminator, so Java '$'
+#: (matches before a FINAL line terminator) and RE2 '$' (end-of-text
+#: only) agree on C4_TERMINAL_RE — the CRLF-crawl-page twin seam.
+C4_TRAIL_RE = r"[\x{09}\x{0B}\x{0C}\x{0D}\x{85}\x{2028}\x{2029} ]+$"
+
 
 def c4_line_filter(
     docs: DataFrame,
@@ -1350,7 +1367,9 @@ def c4_line_filter(
         for s in C4_BANNED_SUBSTRINGS:
             banned = banned | low.contains(s)
         return (
-            F.rtrim(l).rlike(C4_TERMINAL_RE)
+            # C4_TRAIL_RE first: with trailing terminators stripped,
+            # Java '$' and RE2 '$' agree (see the constant's docstring)
+            F.regexp_replace(l, C4_TRAIL_RE, "").rlike(C4_TERMINAL_RE)
             & (F.size(words) >= min_line_words)
             & ~banned
         )
@@ -1408,6 +1427,29 @@ def nb_quality_scores(
     Returns one row per ``docs`` row: (id, n_scored, score_micro,
     predicted) — zero-token docs score NULL / predicted NULL.
     """
+    counts, t_pos, t_neg, vocab_v, n_pos, n_neg = _nb_train(
+        labeled, text_col, label_col, "nb_quality_scores"
+    )
+    return _nb_score(
+        docs, counts, t_pos, t_neg, vocab_v, n_pos, n_neg,
+        text_col, id_col,
+    )
+
+
+def _nb_train(
+    labeled: DataFrame,
+    text_col: str,
+    label_col: str,
+    caller: str,
+) -> "tuple[DataFrame, int, int, int, int, int]":
+    """Shared NB training aggregation — ONE implementation of the
+    per-class count table + the five corpus scalars, used by both
+    :func:`nb_quality_scores` (in-plan scoring) and
+    :func:`nb_model_write` (persistence), so the two training paths
+    cannot drift.  Returns ``(counts, t_pos, t_neg, vocab_v, n_pos,
+    n_neg)`` with ``counts`` eagerly checkpointed (it feeds the scalar
+    probe AND the scoring join — the r8 multi-consumer-paste lesson).
+    """
     lab = F.col(label_col).cast("boolean")
     tok_l = labeled.select(
         lab.alias("_lab"),
@@ -1439,12 +1481,8 @@ def nb_quality_scores(
     ).collect()[0]
     n_pos, n_neg = int(dstats["_np"] or 0), int(dstats["_nn"] or 0)
     if not n_pos or not n_neg:
-        raise ValueError("nb_quality_scores: both classes required")
-
-    return _nb_score(
-        docs, counts, t_pos, t_neg, vocab_v, n_pos, n_neg,
-        text_col, id_col,
-    )
+        raise ValueError(f"{caller}: both classes required")
+    return counts, t_pos, t_neg, vocab_v, n_pos, n_neg
 
 
 def _nb_score(
@@ -1524,37 +1562,14 @@ def nb_model_write(
     """Train the NB quality model ONCE and persist it (the
     lm_model_write pattern): the per-class count table range-clustered
     by token plus a 1-row meta recording the five corpus scalars, so
-    scoring batches never retrains.  Index layout = data."""
+    scoring batches never retrains.  Index layout = data.  Training is
+    the shared :func:`_nb_train` — the same aggregation
+    :func:`nb_quality_scores` runs in-plan, so persisted and in-plan
+    models cannot drift."""
     spark = labeled.sparkSession
-    lab = F.col(label_col).cast("boolean")
-    counts = (
-        labeled.select(
-            lab.alias("_lab"),
-            F.explode(tokenize(F.col(text_col))).alias("_w"),
-        )
-        .groupBy("_w")
-        .agg(
-            F.sum(F.when(F.col("_lab"), 1).otherwise(0))
-            .cast("long")
-            .alias("_cp"),
-            F.sum(F.when(~F.col("_lab"), 1).otherwise(0))
-            .cast("long")
-            .alias("_cn"),
-        )
-        .localCheckpoint()
+    counts, t_pos, t_neg, vocab_v, n_pos, n_neg = _nb_train(
+        labeled, text_col, label_col, "nb_model_write"
     )
-    stats = counts.agg(
-        F.sum("_cp").alias("_tp"),
-        F.sum("_cn").alias("_tn"),
-        F.count(F.lit(1)).alias("_v"),
-    ).collect()[0]
-    dstats = labeled.agg(
-        F.sum(F.when(lab, 1).otherwise(0)).alias("_np"),
-        F.sum(F.when(~lab, 1).otherwise(0)).alias("_nn"),
-    ).collect()[0]
-    n_pos, n_neg = int(dstats["_np"] or 0), int(dstats["_nn"] or 0)
-    if not n_pos or not n_neg:
-        raise ValueError("nb_model_write: both classes required")
     (
         counts.repartitionByRange(32, "_w")
         .sortWithinPartitions("_w")
@@ -1562,15 +1577,7 @@ def nb_model_write(
         .parquet(f"{path}/counts")
     )
     spark.createDataFrame(
-        [
-            (
-                int(stats["_tp"] or 0),
-                int(stats["_tn"] or 0),
-                int(stats["_v"]) + 1,
-                n_pos,
-                n_neg,
-            )
-        ],
+        [(t_pos, t_neg, vocab_v, n_pos, n_neg)],
         "t_pos long, t_neg long, vocab_v long, n_pos long, n_neg long",
     ).write.mode("overwrite").parquet(f"{path}/meta")
 

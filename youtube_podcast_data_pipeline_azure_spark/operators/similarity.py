@@ -34,6 +34,15 @@ from pyspark.sql import functions as F
 from youtube_podcast_data_pipeline_azure_spark.functions.vectors import cosine_similarity
 from youtube_podcast_data_pipeline_azure_spark.operators.util import spread
 
+#: Default quantizer training-sample bound.  Training quality needs a
+#: representative sample, not the corpus (FAISS trains on
+#: ~(30-256)·n_centroids points), and the trainers here collect the
+#: sample to the driver — so the LIBRARY default must be bounded or
+#: `train_sample=None` becomes a driver OOM on a 100-TB corpus.
+#: Full-corpus training (required by the bit-exact SQL oracle replays)
+#: is an explicit opt-in: pass ``train_sample=None``.
+DEFAULT_TRAIN_SAMPLE = 2048
+
 
 def _normalize(vec: Column) -> Column:
     """Unit-normalize an array<float> (double elements); null if zero-norm."""
@@ -290,7 +299,7 @@ def ivf_train(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     iters: int = 2,
-    train_sample: int | None = None,
+    train_sample: int | None = DEFAULT_TRAIN_SAMPLE,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means over DataFrame ops → (centroid_id,
     vec) coarse quantizer.
@@ -405,7 +414,7 @@ def knn_ivf(
     n_centroids: int = 16,
     nprobe: int = 4,
     iters: int = 2,
-    train_sample: int | None = None,
+    train_sample: int | None = DEFAULT_TRAIN_SAMPLE,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in per-centroid
     inverted lists; each query scores only the ``nprobe`` nearest lists.
@@ -494,7 +503,7 @@ def ivf_index_write(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     iters: int = 2,
-    train_sample: int | None = None,
+    train_sample: int | None = DEFAULT_TRAIN_SAMPLE,
 ) -> None:
     """Train the IVF quantizer ONCE and persist the index: centroids as
     a tiny parquet table, inverted lists partitioned by ``centroid_id``
@@ -562,7 +571,7 @@ def cluster_profile(
     vec_col: str = "embedding",
     n_centroids: int = 8,
     iters: int = 2,
-    train_sample: int | None = None,
+    train_sample: int | None = DEFAULT_TRAIN_SAMPLE,
 ) -> DataFrame:
     """K-means clustering as a first-class profiling operator: train the
     deterministic quantizer (bounded sample, driver-side Lloyd's), assign
@@ -703,7 +712,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     n_centroids: int | None = 8,
     iters: int = 2,
-    train_sample: int | None = None,
+    train_sample: int | None = DEFAULT_TRAIN_SAMPLE,
     cosine_threshold: float = 0.95,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: k-means buckets the
@@ -820,7 +829,7 @@ def ann_recall_report(
     n_centroids: int = 8,
     nprobe: int = 2,
     iters: int = 2,
-    train_sample: int | None = None,
+    train_sample: int | None = DEFAULT_TRAIN_SAMPLE,
 ) -> DataFrame:
     """Recall@k audit of the IVF index against exact brute force — THE
     standard ANN quality metric, and the dial-tuning evidence an
@@ -878,7 +887,7 @@ def embedding_drift_report(
     vec_col: str = "embedding",
     n_centroids: int = 8,
     iters: int = 2,
-    train_sample: int | None = None,
+    train_sample: int | None = DEFAULT_TRAIN_SAMPLE,
 ) -> DataFrame:
     """Embedding-distribution drift between two corpus snapshots: train
     the quantizer on the REFERENCE snapshot, assign BOTH snapshots to
@@ -1098,7 +1107,7 @@ def pq_train(
     m_subspaces: int = 4,
     k_centroids: int = 8,
     iters: int = 2,
-    train_sample: int | None = None,
+    train_sample: int | None = DEFAULT_TRAIN_SAMPLE,
 ) -> "list[list[list[int]]]":
     """Train PQ codebooks: split the vector into ``m_subspaces`` equal
     blocks and run an independent deterministic k-means in each
@@ -1134,7 +1143,12 @@ def _pq_train_rows(
         # every downstream pq_codes/pq_ann plan build
         raise ValueError("pq_train: empty training corpus")
     dim = len(rows[0].v)
-    assert dim % m_subspaces == 0, "dim must divide evenly"
+    if dim % m_subspaces != 0:
+        # a bare assert would vanish under ``python -O`` and silently
+        # truncate the trailing dims out of every codebook/code
+        raise ValueError(
+            f"pq_train: dim {dim} not divisible by m_subspaces {m_subspaces}"
+        )
     d = dim // m_subspaces
     # int64 numpy keeps training exact AND fast: integer sums are
     # order-independent (unlike the float recenters in _lloyd), so
@@ -1245,8 +1259,11 @@ def _pq_query_lut(
     """Per-(query, subspace, centroid) squared-distance lookup table,
     computed driver-side in exact Python ints over the BOUNDED query
     set (the knn_bruteforce broadcast-queries contract) — q·m·k rows of
-    four integers, broadcast to every ADC consumer."""
+    one id + three integers, broadcast to every ADC consumer.  The id
+    column keeps the caller's type (derived from ``queries.schema``, no
+    integer coercion), so string/uuid query ids work."""
     d = len(codebooks[0][0])
+    id_type = queries.schema[query_id].dataType.simpleString()
     q_rows = sorted(
         queries.select(
             F.col(query_id), _micro_vec(F.col(vec_col)).alias("_vm")
@@ -1260,9 +1277,9 @@ def _pq_query_lut(
             qs = qv[m * d : (m + 1) * d]
             for cid, c in enumerate(cents):
                 d2 = sum((a - b) * (a - b) for a, b in zip(qs, c))
-                lut.append((int(r[0]), m, cid, int(d2)))
+                lut.append((r[0], m, cid, int(d2)))
     return spark.createDataFrame(
-        lut, f"{query_id} long, _m int, _cid int, _d2 long"
+        lut, f"{query_id} {id_type}, _m int, _cid int, _d2 long"
     )
 
 
@@ -1342,7 +1359,7 @@ def pq_index_write(
     m_subspaces: int = 4,
     k_centroids: int = 8,
     iters: int = 2,
-    train_sample: int | None = None,
+    train_sample: int | None = DEFAULT_TRAIN_SAMPLE,
 ) -> None:
     """Train PQ ONCE and persist the index — the fourth member of the
     engine's build-once family (``ivf_index_write`` lists,
@@ -1422,7 +1439,7 @@ def knn_ivfpq(
     iters: int = 2,
     m_subspaces: int = 4,
     k_centroids: int = 8,
-    train_sample: int | None = None,
+    train_sample: int | None = DEFAULT_TRAIN_SAMPLE,
 ) -> DataFrame:
     """IVF-PQ — the composition FAISS ships as its production default
     and THE standard 100-TB ANN layout: the IVF coarse quantizer
