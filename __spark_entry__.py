@@ -4558,6 +4558,27 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF-PQ composition at a lossy dial (r10;
+    operators/similarity.py:ivfpq_recall_report) — nprobe=2 of 8
+    coarse cells, 4×8 PQ codes — against exact brute-force cosine:
+    the audit evidence knn_ivfpq's production dial ships with,
+    completing the recall-report family (ann_recall covers IVF-Flat).
+    Fully SQL-replayable: float Lloyd coarse training (the ann_recall
+    CTE chain), integer PQ training (the pq_codes CTE chain,
+    'pq'-prefixed to compose), round-6 probe ranking, integer ADC
+    scoring, round-4 exact ranking — every tie-break total."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return similarity.ivfpq_recall_report(
+        corpus, queries, k=10, n_centroids=8, nprobe=2, iters=2,
+        m_subspaces=4, k_centroids=8, train_sample=None,
+    )
+
+
 def q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive-Bayes quality classifier (r9 close;
     operators/curation.py:nb_quality_scores) — the deterministic
@@ -4930,6 +4951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality_classifier": q_nb_quality_classifier,
         "line_language_mix": q_line_language_mix,
         "nb_quality_persisted": q_nb_quality_persisted,
+        # r10 addition: the recall audit for knn_ivfpq's nprobe dial
+        "ivfpq_recall": q_ivfpq_recall,
     }
 
 
@@ -8347,6 +8370,114 @@ def oracle_sql() -> dict[str, str]:
                        AS recall_bp
             FROM hits GROUP BY 1
         """,
+        # ivfpq_recall: the ann_recall construction applied to the
+        # IVF-PQ composition — float Lloyd coarse chain (unprefixed)
+        # + integer PQ chain ('pq'-prefixed, _pq_sql_ctes) + probe
+        # prune + ADC ranking, recall vs round-4 exact brute force
+        "ivfpq_recall": f"""
+            WITH eall AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> x::DOUBLE) AS v
+                FROM embeddings),
+            e AS (SELECT vec_id, v FROM eall WHERE vec_id >= 5),
+            qs AS (SELECT vec_id, v FROM eall WHERE vec_id < 5),
+            dims AS (
+                SELECT vec_id, generate_subscripts(v, 1) AS d,
+                       unnest(v) AS val
+                FROM e),
+            c0 AS (
+                SELECT cast(row_number() OVER (ORDER BY vec_id) - 1
+                            AS int) AS cid, v
+                FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+            {_lloyd_iter('c0', 'la1', 'c1')},
+            {_lloyd_iter('c1', 'la2', 'c2')},
+            assign AS (
+                SELECT vec_id, cid FROM (
+                    SELECT e.vec_id, c.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY round(list_dot_product(e.v, c.v)
+                                   / (sqrt(list_dot_product(e.v, e.v))
+                                      * sqrt(list_dot_product(c.v, c.v))),
+                                   6) DESC,
+                                   c.cid ASC) AS rn
+                    FROM e CROSS JOIN c2 c)
+                WHERE rn = 1),
+            probes AS (
+                SELECT query_id, cid FROM (
+                    SELECT q.vec_id AS query_id, c.cid,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY round(list_dot_product(q.v, c.v)
+                                   / (sqrt(list_dot_product(q.v, q.v))
+                                      * sqrt(list_dot_product(c.v, c.v))),
+                                   6) DESC,
+                                   c.cid DESC) AS rn
+                    FROM qs q CROSS JOIN c2 c)
+                WHERE rn <= 2),
+            {_pq_sql_ctes("WHERE vec_id >= 5", "pq")},
+            qe AS (
+                SELECT vec_id AS query_id,
+                       list_transform(embedding,
+                           t -> CAST(floor(t::DOUBLE * 1000000.0)
+                                     AS BIGINT)) AS vm
+                FROM embeddings WHERE vec_id < 5),
+            qx AS (
+                SELECT query_id, CAST((d - 1) // 16 AS INT) AS m,
+                       (d - 1) % 16 AS dd, val
+                FROM (SELECT query_id,
+                             generate_subscripts(vm, 1) AS d,
+                             unnest(vm) AS val
+                      FROM qe)),
+            lut AS (
+                SELECT q.query_id, c.m, c.cid,
+                       sum((q.val - c.val) * (q.val - c.val)) AS d2
+                FROM qx q JOIN pqcb2 c ON q.m = c.m AND q.dd = c.dd
+                GROUP BY 1, 2, 3),
+            scored AS (
+                SELECT p.query_id, a.vec_id,
+                       CAST(sum(l.d2) AS BIGINT) AS adc_d2
+                FROM pqa3 a
+                JOIN assign s ON s.vec_id = a.vec_id
+                JOIN probes p ON p.cid = s.cid
+                JOIN lut l ON l.query_id = p.query_id
+                          AND l.m = a.m AND l.cid = a.cid
+                GROUP BY 1, 2),
+            approx AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, vec_id AS neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY adc_d2 ASC, vec_id ASC) AS rn
+                    FROM scored)
+                WHERE rn <= 10),
+            exact AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY round(list_dot_product(c.v, q.v)
+                                   / (sqrt(list_dot_product(c.v, c.v))
+                                      * sqrt(list_dot_product(q.v, q.v))),
+                                   4) DESC,
+                                   c.vec_id ASC) AS rn
+                    FROM qs q CROSS JOIN e c)
+                WHERE rn <= 10),
+            hits AS (
+                SELECT ex.query_id, ex.neighbor_id,
+                       CASE WHEN ap.neighbor_id IS NOT NULL
+                            THEN 1 ELSE 0 END AS hit
+                FROM exact ex
+                LEFT JOIN approx ap
+                    ON ap.query_id = ex.query_id
+                       AND ap.neighbor_id = ex.neighbor_id)
+            SELECT query_id,
+                   cast(count(*) AS bigint) AS n_exact,
+                   cast(sum(hit) AS bigint) AS n_hits,
+                   cast(sum(hit) * 10000 // count(*) AS bigint)
+                       AS recall_bp
+            FROM hits GROUP BY 1
+        """,
         # Lloyd training on the EVEN half (the fixed ruler), round-6
         # ties-asc assignment of both halves, integer permille shares
         "embedding_drift": f"""
@@ -9463,14 +9594,19 @@ def oracle_sql() -> dict[str, str]:
     return out
 
 
-def _pq_sql_ctes(corpus_where: str) -> str:
-    """Shared PQ oracle CTE chain (pq_codes / pq_ann): micro-unit
-    quantization, lowest-id codebook init, two integer Lloyd
+def _pq_sql_ctes(corpus_where: str, p: str = "") -> str:
+    """Shared PQ oracle CTE chain (pq_codes / pq_ann / ivfpq_recall):
+    micro-unit quantization, lowest-id codebook init, two integer Lloyd
     iterations (L2 argmin with lowest-cid ties; truncate-toward-zero
     integer-mean recenter — DuckDB ``//`` truncates exactly like
     Spark ``div``; empty clusters keep their centroid), final
     assignment.  Bit-exact replay of similarity.pq_train/pq_codes
-    because every op is integer."""
+    because every op is integer.
+
+    ``p`` prefixes every CTE name (final assignment = ``{p}a3``,
+    codebooks = ``{p}cb2``) so the chain can compose with the float
+    Lloyd coarse-quantizer CTEs in one query without name collisions
+    (ivfpq_recall)."""
 
     def assign(cin: str, aout: str) -> str:
         return f"""
@@ -9482,7 +9618,7 @@ def _pq_sql_ctes(corpus_where: str) -> str:
                     FROM (SELECT x.vec_id, c.m, c.cid,
                                  sum((x.val - c.val) * (x.val - c.val))
                                      AS d2
-                          FROM x JOIN {cin} c
+                          FROM {p}x x JOIN {cin} c
                               ON x.m = c.m AND x.dd = c.dd
                           GROUP BY 1, 2, 3))
                 WHERE rn = 1)"""
@@ -9495,36 +9631,36 @@ def _pq_sql_ctes(corpus_where: str) -> str:
                     SELECT a.m, a.cid, x.dd,
                            sum(x.val) // count(*) AS val
                     FROM {ain} a
-                    JOIN x ON x.vec_id = a.vec_id AND x.m = a.m
+                    JOIN {p}x x ON x.vec_id = a.vec_id AND x.m = a.m
                     GROUP BY 1, 2, 3) nv
                 ON nv.m = c.m AND nv.cid = c.cid AND nv.dd = c.dd)"""
 
     return f"""
-            e AS (
+            {p}e AS (
                 SELECT vec_id,
                        list_transform(embedding,
                            t -> CAST(floor(t::DOUBLE * 1000000.0)
                                      AS BIGINT)) AS vm
                 FROM embeddings {corpus_where}),
-            x AS (
+            {p}x AS (
                 SELECT vec_id, CAST((d - 1) // 16 AS INT) AS m,
                        (d - 1) % 16 AS dd, val
                 FROM (SELECT vec_id, generate_subscripts(vm, 1) AS d,
                              unnest(vm) AS val
-                      FROM e)),
-            init AS (
+                      FROM {p}e)),
+            {p}init AS (
                 SELECT vec_id,
                        CAST(row_number() OVER (ORDER BY vec_id) - 1
                             AS INT) AS cid
-                FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)),
-            cb0 AS (
+                FROM (SELECT vec_id FROM {p}e ORDER BY vec_id LIMIT 8)),
+            {p}cb0 AS (
                 SELECT x.m, i.cid, x.dd, x.val
-                FROM x JOIN init i USING (vec_id)),
-            {assign('cb0', 'a1')},
-            {recenter('cb0', 'a1', 'cb1')},
-            {assign('cb1', 'a2')},
-            {recenter('cb1', 'a2', 'cb2')},
-            {assign('cb2', 'a3')}"""
+                FROM {p}x x JOIN {p}init i USING (vec_id)),
+            {assign(f'{p}cb0', f'{p}a1')},
+            {recenter(f'{p}cb0', f'{p}a1', f'{p}cb1')},
+            {assign(f'{p}cb1', f'{p}a2')},
+            {recenter(f'{p}cb1', f'{p}a2', f'{p}cb2')},
+            {assign(f'{p}cb2', f'{p}a3')}"""
 
 
 def _r9_oracles() -> dict[str, str]:

@@ -1436,3 +1436,43 @@ def test_train_sample_default_is_bounded(spark):
         big.repartition(13), "vec_id", "embedding", DEFAULT_TRAIN_SAMPLE
     )
     assert [r.vec_id for r in again] == [r.vec_id for r in rows]
+
+
+def test_ivfpq_recall_report_invariants(spark):
+    """ivfpq_recall_report (r10): n_exact == k for every query,
+    recall_bp is the exact integer floor of n_hits/n_exact, and at the
+    exhaustive dial (nprobe == n_centroids) the report equals the one
+    computed from plain pq_ann — the composition-certification
+    argument (knn_ivfpq == pq_ann when nothing is pruned)."""
+    df = _pq_fixture(spark)
+    corpus = df.where(F.col("vec_id") >= 5)
+    queries = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rep = {
+        r.query_id: r
+        for r in similarity.ivfpq_recall_report(
+            corpus, queries, k=5, n_centroids=4, nprobe=4,
+            m_subspaces=2, k_centroids=4,
+        ).collect()
+    }
+    assert set(rep) == {0, 1, 2}
+    for r in rep.values():
+        assert r.n_exact == 5
+        assert 0 <= r.n_hits <= r.n_exact
+        assert r.recall_bp == r.n_hits * 10000 // r.n_exact
+    # exhaustive dial == pq_ann-as-approx recall
+    cb = similarity.pq_train(corpus, m_subspaces=2, k_centroids=4)
+    exact = similarity.knn_bruteforce(corpus, queries, 5)
+    approx = similarity.pq_ann(corpus, queries, cb, k=5).select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
+    want = {
+        r.query_id: r.n_hits
+        for r in exact.select("query_id", "neighbor_id")
+        .join(approx.withColumn("_h", F.lit(1)), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("_h", F.lit(0))).cast("long").alias("n_hits"))
+        .collect()
+    }
+    assert {q: r.n_hits for q, r in rep.items()} == want

@@ -880,6 +880,72 @@ def ann_recall_report(
     )
 
 
+def ivfpq_recall_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    iters: int = 2,
+    m_subspaces: int = 4,
+    k_centroids: int = 8,
+    train_sample: int | None = DEFAULT_TRAIN_SAMPLE,
+) -> DataFrame:
+    """Recall@k audit of the IVF-PQ composition against exact brute
+    force — :func:`ann_recall_report` for :func:`knn_ivfpq`, closing
+    the audit family (every approximate dial in this engine ships with
+    a recall report): how much of the true cosine top-k survives BOTH
+    the coarse nprobe prune AND the PQ code-word approximation, per
+    query, in integer basis points.
+
+    Both legs are the engine's own operators; the searches' tie-breaks
+    are total (round-6 probe order, integer ADC distances, id asc) and
+    both trainings are deterministic (lowest-id Lloyd init, integer PQ
+    k-means), so the report is bit-exact and fully SQL-replayable —
+    the same certification construction as ``ann_recall``.
+
+    Returns (query_id, n_exact, n_hits, recall_bp).
+    """
+    exact = knn_bruteforce(corpus, queries, k, corpus_id, query_id, vec_col)
+    approx = knn_ivfpq(
+        corpus,
+        queries,
+        k,
+        corpus_id,
+        query_id,
+        vec_col,
+        n_centroids=n_centroids,
+        nprobe=nprobe,
+        iters=iters,
+        m_subspaces=m_subspaces,
+        k_centroids=k_centroids,
+        train_sample=train_sample,
+    ).select(
+        query_id,
+        F.col(corpus_id).alias("neighbor_id"),
+        F.lit(1).alias("_hit"),
+    )
+    return (
+        exact.select(query_id, "neighbor_id")
+        .join(approx, [query_id, "neighbor_id"], "left")
+        .groupBy(query_id)
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+            F.floor(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) * 10000 / F.count("*")
+            )
+            .cast("long")
+            .alias("recall_bp"),
+        )
+    )
+
+
 def embedding_drift_report(
     reference: DataFrame,
     current: DataFrame,
