@@ -810,3 +810,65 @@ def test_pq_ann_and_ivfpq_shuffle_budget(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2
     assert plan.count("BroadcastHashJoin") == 2  # probes + LUT
     assert "SortMergeJoin" not in plan
+
+
+def test_unbounded_global_window_checker_detects_violation(spark, sf_dir):
+    """The tools/plan_invariants.py checker itself: an unpartitioned
+    row_number over a raw table scan is flagged; the same window over
+    a groupBy aggregate (bounded input) and over a literal table pass;
+    a key-partitioned window over a raw scan passes."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tools.plan_invariants import unbounded_global_windows
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bad = docs.withColumn(
+        "rk", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    assert unbounded_global_windows(bad), "raw-scan global window missed"
+
+    ok_agg = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(Window.orderBy(F.col("n"))))
+    )
+    assert unbounded_global_windows(ok_agg) == []
+
+    # a true LocalRelation literal table (createDataFrame parallelizes
+    # to a LogicalRDD, which the checker rightly can't certify)
+    ok_lit = spark.sql(
+        "SELECT * FROM VALUES (1, 'a'), (2, 'b') t(k, v)"
+    ).withColumn("rk", F.row_number().over(Window.orderBy("k")))
+    assert unbounded_global_windows(ok_lit) == []
+
+    ok_part = docs.withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("lang").orderBy("doc_id")),
+    )
+    assert unbounded_global_windows(ok_part) == []
+
+
+def test_registry_plan_invariants_hold_everywhere(spark, sf_dir):
+    """Registry-wide sweep (VERDICT r9 #2/#7): EVERY registered query
+    must (a) return a canonicalizer-safe top-level schema — no
+    array/map column, the r9 pq_codes window miss — and (b) keep any
+    unpartitioned Window over a provably bounded input (an Aggregate /
+    GlobalLimit below it, or literal leaves).  (b) is the 100-TB
+    single-task-meltdown guard: Spark funnels an unpartitioned window
+    into ONE task, fine over an n_buckets-row aggregate, fatal over a
+    corpus scan."""
+    from tools.plan_invariants import (
+        result_schema_hazards,
+        unbounded_global_windows,
+    )
+
+    bad: list[str] = []
+    for name, fn in entry.queries().items():
+        df = fn(spark, sf_dir)
+        for col in result_schema_hazards(df):
+            bad.append(f"{name}: array/map result column {col}")
+        for v in unbounded_global_windows(df):
+            bad.append(f"{name}: {v}")
+    assert not bad, "\n".join(bad)

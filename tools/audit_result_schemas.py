@@ -29,9 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
-    from pyspark.sql.types import ArrayType, MapType
-
     import __spark_entry__ as entry
+    from tools.plan_invariants import (
+        result_schema_hazards,
+        unbounded_global_windows,
+    )
     from youtube_podcast_data_pipeline_azure_spark import get_spark
 
     spark = get_spark(app_name="audit-result-schemas")
@@ -41,23 +43,25 @@ def main() -> int:
     for name, fn in qs.items():
         try:
             df = fn(spark, sf_dir)
+            bad = result_schema_hazards(df)
+            if bad:
+                hazards.append(
+                    (name, "array/map top-level: " + ", ".join(bad))
+                )
+            for v in unbounded_global_windows(df):
+                hazards.append((name, v))
         except Exception as e:  # noqa: BLE001 - report, keep sweeping
             errors.append((name, f"{type(e).__name__}: {e}"))
-            continue
-        bad = [
-            f.name
-            for f in df.schema.fields
-            if isinstance(f.dataType, (ArrayType, MapType))
-        ]
-        if bad:
-            hazards.append((name, ", ".join(bad)))
     print(f"swept {len(qs)} queries at {sf_dir}")
-    for name, cols in hazards:
-        print(f"[HAZARD] {name}: array/map top-level column(s): {cols}")
+    for name, what in hazards:
+        print(f"[HAZARD] {name}: {what}")
     for name, err in errors:
         print(f"[ERROR ] {name}: {err}")
     if not hazards and not errors:
-        print("clean: no array/map top-level result columns anywhere")
+        print(
+            "clean: no array/map result columns, no unbounded "
+            "unpartitioned windows"
+        )
     return 1 if (hazards or errors) else 0
 
 
