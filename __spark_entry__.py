@@ -4579,6 +4579,44 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nb_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB quality-filter operating-point table (r10;
+    operators/curation.py:nb_threshold_curve): train on the labeled
+    slice (doc_id%3 != 0, label = lang=='en' — the
+    nb_quality_classifier fixture convention), score the held-out
+    slice, and report yield/precision/recall at every cutoff of the
+    micro-log-odds grid — the table a seed-set filter is tuned from
+    before committing a cutoff to a 100-TB run.  One scoring pass +
+    one conditional aggregate; integer permille end-to-end, so the
+    oracle retrains, rescores, and re-aggregates bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.where(F.col("doc_id") % 3 != 0).withColumn(
+        "label", F.col("lang") == "en"
+    )
+    eval_docs = docs.where(F.col("doc_id") % 3 == 0).withColumn(
+        "label", F.col("lang") == "en"
+    )
+    return curation.nb_threshold_curve(labeled, eval_docs)
+
+
+def q_embedding_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka dimension-truncation recall table (r10;
+    operators/similarity.py:dim_truncation_report): exact cosine
+    top-10 over the first 16/32/64 vector components vs the full
+    64-dim top-10, per query, in integer basis points — the
+    memory/IO-halving dial a 100-TB ANN index is sized with.  One
+    corpus pass scores every truncation; the knn_bruteforce round-4 /
+    id-asc tie contract makes every ranking SQL-replayable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return similarity.dim_truncation_report(
+        corpus, queries, k=10, dims=(16, 32, 64)
+    )
+
+
 def q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive-Bayes quality classifier (r9 close;
     operators/curation.py:nb_quality_scores) — the deterministic
@@ -4951,6 +4989,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality_persisted": q_nb_quality_persisted,
         # r10 addition: the recall audit for knn_ivfpq's nprobe dial
         "ivfpq_recall": q_ivfpq_recall,
+        # r10 tail additions (registered after the r10 window was
+        # pre-verified; never driver-checked — first in line for r11)
+        "nb_threshold_curve": q_nb_threshold_curve,
+        "embedding_dim_truncation": q_embedding_dim_truncation,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -9658,6 +9700,104 @@ def oracle_sql() -> dict[str, str]:
         """
     # loaded-model scoring must be hash-identical to in-plan training
     out["nb_quality_persisted"] = out["nb_quality_classifier"]
+
+    # r10: the operating-point curve reuses the classifier's exact CTE
+    # chain (same training, same scoring) and aggregates per cutoff of
+    # the SHARED grid constant — generated, so the grids cannot drift
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        NB_THRESHOLD_GRID,
+    )
+
+    grid = ", ".join(str(int(t)) for t in NB_THRESHOLD_GRID)
+    nb_chain = out["nb_quality_classifier"].split("SELECT d.doc_id,")[0]
+    out["nb_threshold_curve"] = f"""
+            {nb_chain.rstrip()},
+            scored AS (
+                SELECT d.doc_id, (d.lang = 'en') AS truth,
+                       CAST(a.ssum + p.pr AS BIGINT) AS score_micro
+                FROM (SELECT doc_id, lang FROM documents
+                      WHERE doc_id % 3 = 0) d
+                LEFT JOIN agg a USING (doc_id)
+                CROSS JOIN prior p),
+            totals AS (
+                SELECT CAST(coalesce(sum(CASE WHEN truth THEN 1 ELSE 0
+                            END), 0) AS BIGINT) AS npos,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM scored),
+            grid AS (SELECT unnest([{grid}]) AS threshold_micro),
+            curve AS (
+                SELECT g.threshold_micro,
+                       CAST(sum(CASE WHEN s.score_micro > g.threshold_micro
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                       CAST(sum(CASE WHEN s.score_micro > g.threshold_micro
+                                     AND s.truth
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_pos_kept
+                FROM grid g CROSS JOIN scored s
+                GROUP BY 1)
+            SELECT CAST(c.threshold_micro AS BIGINT) AS threshold_micro,
+                   c.n_kept, c.n_pos_kept,
+                   CAST(1000 * c.n_pos_kept // greatest(c.n_kept, 1)
+                        AS BIGINT) AS precision_permille,
+                   CAST(1000 * c.n_pos_kept // greatest(t.npos, 1)
+                        AS BIGINT) AS recall_permille,
+                   CAST(1000 * c.n_kept // greatest(t.n, 1)
+                        AS BIGINT) AS yield_permille
+            FROM curve c CROSS JOIN totals t
+        """
+
+    # r10: matryoshka truncation recall — per (trunc_dim, query),
+    # round-4 cosine over the list prefix, rank, hit-join vs the
+    # full-dim reference (the knn_bruteforce tie contract)
+    out["embedding_dim_truncation"] = """
+            WITH eall AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> x::DOUBLE) AS v
+                FROM embeddings),
+            c AS (SELECT vec_id, v FROM eall WHERE vec_id >= 5),
+            q AS (SELECT vec_id, v FROM eall WHERE vec_id < 5),
+            d AS (SELECT unnest([16, 32, 64]) AS trunc_dim),
+            scored AS (
+                SELECT d.trunc_dim, q.vec_id AS query_id,
+                       c.vec_id AS neighbor_id,
+                       round(
+                           list_dot_product(c.v[1:d.trunc_dim],
+                                            q.v[1:d.trunc_dim])
+                           / (sqrt(list_dot_product(c.v[1:d.trunc_dim],
+                                                    c.v[1:d.trunc_dim]))
+                              * sqrt(list_dot_product(q.v[1:d.trunc_dim],
+                                                      q.v[1:d.trunc_dim]))),
+                           4) AS cos
+                FROM d CROSS JOIN q CROSS JOIN c),
+            topk AS (
+                SELECT trunc_dim, query_id, neighbor_id FROM (
+                    SELECT trunc_dim, query_id, neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY trunc_dim, query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+                    FROM scored)
+                WHERE rn <= 10),
+            exact AS (
+                SELECT query_id, neighbor_id FROM topk
+                WHERE trunc_dim = 64),
+            nex AS (
+                SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+                FROM exact GROUP BY 1),
+            hits AS (
+                SELECT t.trunc_dim, t.query_id,
+                       CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+                FROM topk t
+                LEFT JOIN exact e
+                    ON e.query_id = t.query_id
+                       AND e.neighbor_id = t.neighbor_id
+                GROUP BY 1, 2)
+            SELECT CAST(h.trunc_dim AS BIGINT) AS trunc_dim,
+                   h.query_id, n.n_exact, h.n_hits,
+                   CAST(h.n_hits * 10000 // n.n_exact AS BIGINT)
+                       AS recall_bp
+            FROM hits h JOIN nex n USING (query_id)
+        """
     return out
 
 

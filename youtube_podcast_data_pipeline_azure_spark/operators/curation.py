@@ -1606,6 +1606,108 @@ def nb_scores_from_model(
     )
 
 
+#: default micro-log-odds cutoffs for :func:`nb_threshold_curve` —
+#: a symmetric grid around the decision boundary (0 = equal class
+#: likelihood), in the same floor(1e6·ln) units as ``score_micro``
+NB_THRESHOLD_GRID: tuple[int, ...] = (
+    -5_000_000,
+    -2_000_000,
+    -1_000_000,
+    -500_000,
+    0,
+    500_000,
+    1_000_000,
+    2_000_000,
+    5_000_000,
+)
+
+
+def nb_threshold_curve(
+    labeled: DataFrame,
+    docs_eval: DataFrame,
+    thresholds: "tuple[int, ...]" = NB_THRESHOLD_GRID,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    eval_label_col: str = "label",
+) -> DataFrame:
+    """Operating-point table for the NB quality filter: train on
+    ``labeled``, score a held-out LABELED eval slice, and report, for
+    every cutoff in ``thresholds`` (micro-log-odds units), the corpus
+    yield and the filter's precision/recall against the eval labels —
+    the table every seed-set quality filter is tuned from BEFORE
+    committing a cutoff to a 100-TB run (CCNet picks its perplexity
+    terciles this way; GPT-3 §A.2 its Pareto cut).
+
+    Per threshold: ``n_kept`` (score > t), ``n_pos_kept``,
+    ``precision_permille`` (positives among kept, 0 when nothing
+    kept), ``recall_permille`` (kept among positives),
+    ``yield_permille`` (kept among all eval docs).  Integer permille
+    via truncating div — bit-identical across engines.  NULL scores
+    (zero-token docs) are never kept, on both engines, because the
+    CASE gate defaults to 0.
+
+    Scale shape: ONE scoring pass (the :func:`nb_quality_scores`
+    plan), then a single 1-row conditional aggregate (len(thresholds)
+    CASE-sums — no per-threshold scan, no crossJoin) unpivoted with
+    ``stack`` to the (threshold, metrics) table.  The curve costs the
+    score pass + one bounded aggregate at any corpus size.
+    """
+    scored = nb_quality_scores(
+        labeled, docs_eval, text_col, id_col, label_col
+    ).join(
+        docs_eval.select(
+            F.col(id_col),
+            F.col(eval_label_col).cast("boolean").alias("_truth"),
+        ),
+        id_col,
+    )
+    aggs = [
+        F.sum(F.when(F.col("_truth"), 1).otherwise(0))
+        .cast("long")
+        .alias("_npos"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    ]
+    for i, t in enumerate(thresholds):
+        kept = F.when(F.col("score_micro") > F.lit(int(t)), 1).otherwise(0)
+        aggs.append(F.sum(kept).cast("long").alias(f"_k{i}"))
+        aggs.append(
+            F.sum(
+                F.when(
+                    (F.col("score_micro") > F.lit(int(t))) & F.col("_truth"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"_p{i}")
+        )
+    wide = scored.agg(*aggs)
+    stack = ", ".join(
+        f"{int(t)}L, _k{i}, _p{i}" for i, t in enumerate(thresholds)
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(thresholds)}, {stack}) AS "
+            "(threshold_micro, n_kept, n_pos_kept)"
+        ),
+        "_npos",
+        "_n",
+    ).select(
+        F.col("threshold_micro").cast("long"),
+        F.col("n_kept").cast("long"),
+        F.col("n_pos_kept").cast("long"),
+        F.expr("1000 * n_pos_kept div greatest(n_kept, 1)")
+        .cast("long")
+        .alias("precision_permille"),
+        F.expr("1000 * n_pos_kept div greatest(_npos, 1)")
+        .cast("long")
+        .alias("recall_permille"),
+        F.expr("1000 * n_kept div greatest(_n, 1)")
+        .cast("long")
+        .alias("yield_permille"),
+    )
+
+
 def line_language_report(
     docs: DataFrame,
     text_col: str = "text",

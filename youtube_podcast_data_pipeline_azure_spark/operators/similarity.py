@@ -946,6 +946,113 @@ def ivfpq_recall_report(
     )
 
 
+def dim_truncation_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dims: "tuple[int, ...]" = (16, 32, 64),
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation quality report: for each
+    prefix length ``d`` in ``dims``, the exact cosine top-k over only
+    the FIRST d vector components, scored against the full-dimension
+    top-k (the largest entry of ``dims`` is the reference ruler, so
+    its rows read recall_bp = 10000 by construction — a built-in
+    sanity row).  This is the cost dial a 100-TB ANN deployment tunes
+    before anything else: half the dimensions is half the index
+    memory, half the scan bytes, and half the FLOPs — IF recall
+    holds; this table says whether it does on YOUR vectors.
+
+    Scale shape: ONE corpus pass — the broadcast-queries crossJoin
+    (the :func:`knn_bruteforce` contract) computes every truncation's
+    cosine in the same projection, ``stack`` unpivots to
+    (trunc_dim, cosine) rows, and the bounded per-partition top-k
+    (:func:`partition_topk`) reduces each corpus partition to
+    O(dims·q·k) rows BEFORE the only shuffle.  The dims·q·k top-k
+    table is checkpointed once (it feeds the reference leg AND the
+    hit join — the multi-consumer paste trap) and is KB-sized by
+    construction.  Rounding is the knn_bruteforce 4dp contract; ties
+    break on neighbor id — fully SQL-replayable.
+
+    Returns (trunc_dim, query_id, n_exact, n_hits, recall_bp).
+    """
+    full_d = max(dims)
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qvec"))
+    base = spread(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(vec_col).alias("_cvec"),
+        ),
+        "neighbor_id",
+    ).crossJoin(F.broadcast(q))
+    scored = base.select(
+        query_id,
+        "neighbor_id",
+        *[
+            F.round(
+                cosine_similarity(
+                    F.slice("_cvec", 1, d), F.slice("_qvec", 1, d)
+                ),
+                4,
+            ).alias(f"_c{d}")
+            for d in dims
+        ],
+    )
+    stack = ", ".join(f"{int(d)}L, _c{d}" for d in dims)
+    long = scored.select(
+        query_id,
+        "neighbor_id",
+        F.expr(f"stack({len(dims)}, {stack}) AS (trunc_dim, cosine)"),
+    ).withColumn(
+        "_dq",
+        F.concat_ws(
+            "#",
+            F.col("trunc_dim").cast("string"),
+            F.col(query_id).cast("string"),
+        ),
+    )
+    reduced = partition_topk(long, "_dq", "cosine", k, id_col="neighbor_id")
+    w = Window.partitionBy("trunc_dim", query_id).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    topk = (
+        reduced.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("trunc_dim", query_id, "neighbor_id")
+        .localCheckpoint()  # dims·q·k rows; feeds 2 consumers below
+    )
+    exact = topk.where(F.col("trunc_dim") == full_d).select(
+        query_id, "neighbor_id"
+    )
+    nex = exact.groupBy(query_id).agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    hits = (
+        topk.join(
+            exact.withColumn("_h", F.lit(1)),
+            [query_id, "neighbor_id"],
+            "left",
+        )
+        .groupBy("trunc_dim", query_id)
+        .agg(
+            F.sum(F.coalesce(F.col("_h"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits")
+        )
+    )
+    return hits.join(nex, query_id).select(
+        F.col("trunc_dim").cast("long"),
+        query_id,
+        "n_exact",
+        "n_hits",
+        F.floor(F.col("n_hits") * 10000 / F.col("n_exact"))
+        .cast("long")
+        .alias("recall_bp"),
+    )
+
+
 def embedding_drift_report(
     reference: DataFrame,
     current: DataFrame,
