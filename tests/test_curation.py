@@ -1106,3 +1106,53 @@ def test_normalize_text_strips_carriage_returns(spark):
         f"SELECT {normalize_text_sql('t')} FROM (SELECT '{esc}' AS t)"
     ).fetchone()[0]
     assert d == got
+
+
+def test_nb_threshold_curve_hand_computed(spark):
+    """nb_threshold_curve (r10): on a tiny labeled seed + eval slice,
+    the curve's counts/permilles match by-hand values at extreme
+    thresholds, precision/recall behave monotonically at the ends,
+    and NULL-score (zero-token) docs are never kept."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        nb_threshold_curve,
+    )
+
+    labeled = spark.createDataFrame(
+        [
+            (1, "good clean prose here", True),
+            (2, "more good clean text", True),
+            (3, "spam junk spam junk", False),
+            (4, "junk words junk words", False),
+        ],
+        "doc_id long, text string, label boolean",
+    )
+    eval_docs = spark.createDataFrame(
+        [
+            (10, "good clean prose", True),
+            (11, "spam junk spam", False),
+            (12, "", True),  # zero tokens -> NULL score, never kept
+        ],
+        "doc_id long, text string, label boolean",
+    )
+    thresholds = (-100_000_000, 0, 100_000_000)
+    got = {
+        r.threshold_micro: r
+        for r in nb_threshold_curve(
+            labeled, eval_docs, thresholds=thresholds
+        ).collect()
+    }
+    assert set(got) == set(thresholds)
+    # at -1e8 every SCORED doc is kept (2 of 3; the empty doc never is)
+    lo = got[-100_000_000]
+    assert lo.n_kept == 2 and lo.yield_permille == 666
+    assert lo.n_pos_kept == 1  # the good doc; truth-positive empty doc unscored
+    assert lo.precision_permille == 500
+    assert lo.recall_permille == 500  # 1 of 2 truth-positives kept
+    # at +1e8 nothing survives
+    hi = got[100_000_000]
+    assert hi.n_kept == 0 and hi.n_pos_kept == 0
+    assert hi.precision_permille == 0 and hi.yield_permille == 0
+    # at 0 the classifier separates the two scored docs
+    mid = got[0]
+    assert mid.n_kept == 1 and mid.n_pos_kept == 1
+    assert mid.precision_permille == 1000

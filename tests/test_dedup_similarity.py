@@ -1476,3 +1476,32 @@ def test_ivfpq_recall_report_invariants(spark):
         .collect()
     }
     assert {q: r.n_hits for q, r in rep.items()} == want
+
+
+def test_dim_truncation_report_invariants(spark):
+    """dim_truncation_report (r10): the full-dim rows are the
+    reference (recall_bp == 10000 by construction), every recall is
+    the exact integer floor, n_exact == k when the corpus has >= k
+    scorable rows, and the report is invariant under corpus
+    repartitioning (the partition_topk tie contract)."""
+    df = _pq_fixture(spark)  # 40 vecs, dim 8
+    corpus = df.where(F.col("vec_id") >= 5)
+    queries = df.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rep = similarity.dim_truncation_report(
+        corpus, queries, k=5, dims=(2, 4, 8)
+    ).collect()
+    assert {(r.trunc_dim, r.query_id) for r in rep} == {
+        (d, q) for d in (2, 4, 8) for q in (0, 1, 2)
+    }
+    for r in rep:
+        assert r.n_exact == 5
+        assert r.recall_bp == r.n_hits * 10000 // r.n_exact
+        if r.trunc_dim == 8:
+            assert r.n_hits == 5 and r.recall_bp == 10000
+    rep2 = similarity.dim_truncation_report(
+        corpus.repartition(7), queries, k=5, dims=(2, 4, 8)
+    ).collect()
+    key = lambda r: (r.trunc_dim, r.query_id)
+    assert sorted(map(tuple, rep)) == sorted(map(tuple, rep2))
