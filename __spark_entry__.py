@@ -4617,6 +4617,32 @@ def q_embedding_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused per-document quality-signal vector (r10;
+    operators/curation.py:quality_signals) — the Dolma-attributes /
+    RedPajama-v2 wide-signal table: the seven Gopher metrics +
+    verdict, stopword language ID, blended quality score, and the
+    three PII counts, ALL in one scan (no explode, no shuffle, no
+    join — pinned in test_plans.py).  Signals are the same shared
+    expression functions the standalone reports use, so this table
+    always agrees with them; the oracle recomputes every signal from
+    the same generated SQL twins."""
+    return curation.quality_signals(_t(spark, sf_dir, "documents"))
+
+
+def q_rarity_bins_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language rarity terciles (r10;
+    operators/text_mining.py:rarity_bins_by_lang) — CCNet §4.3's
+    actual binning contract: head/middle/tail cut points computed
+    WITHIN each language bucket (a corpus-wide cut tails every
+    low-resource language wholesale).  Language ID computed once at
+    the scan and carried through the (doc, token) aggregate as a
+    grouping key; cut points are one exact-percentile aggregate per
+    language, broadcast back on lang.  Integer scoring end-to-end —
+    the oracle replays the chain and the per-lang quantile cuts."""
+    return text_mining.rarity_bins_by_lang(_t(spark, sf_dir, "documents"))
+
+
 def q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive-Bayes quality classifier (r9 close;
     operators/curation.py:nb_quality_scores) — the deterministic
@@ -4993,6 +5019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pre-verified; never driver-checked — first in line for r11)
         "nb_threshold_curve": q_nb_threshold_curve,
         "embedding_dim_truncation": q_embedding_dim_truncation,
+        "quality_signals": q_quality_signals,
+        "rarity_bins_by_lang": q_rarity_bins_by_lang,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -9797,6 +9825,118 @@ def oracle_sql() -> dict[str, str]:
                    CAST(h.n_hits * 10000 // n.n_exact AS BIGINT)
                        AS recall_bp
             FROM hits h JOIN nex n USING (query_id)
+        """
+
+    # r10: the fused Dolma-style signal vector — every signal from the
+    # same generated twins the standalone reports use (gopher rule
+    # constants, language_id_sql, quality_score_sql, the module-level
+    # pii_count_sql)
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        GOPHER_ALPHA_RE as _GA,
+    )
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        GOPHER_BULLET_RE as _GB,
+    )
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        GOPHER_ELLIPSIS_RE as _GE,
+    )
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        GOPHER_STOPWORDS as _GS,
+    )
+
+    _stop_sum = " + ".join(
+        f"(CASE WHEN list_contains(words, '{s}') THEN 1 ELSE 0 END)"
+        for s in _GS
+    )
+    out["quality_signals"] = f"""
+            WITH base AS (
+                SELECT doc_id, text,
+                    list_filter(string_split_regex(lower(text), '\\s+'),
+                        t -> t <> '') AS words,
+                    string_split(text, chr(10)) AS lines,
+                    len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
+                        AS nsym
+                FROM documents),
+            c AS (
+                SELECT doc_id, text,
+                    len(words) AS n_words,
+                    greatest(len(words), 1) AS dw,
+                    coalesce(list_aggregate(
+                        list_transform(words, w -> length(w)), 'sum'),
+                        0) AS wc,
+                    nsym,
+                    len(lines) AS n_lines,
+                    greatest(len(lines), 1) AS dl,
+                    len(list_filter(lines,
+                        l -> regexp_matches(l, '{_GB}'))) AS bul,
+                    len(list_filter(lines,
+                        l -> regexp_matches(l, '{_GE}'))) AS ell,
+                    len(list_filter(words,
+                        w -> regexp_matches(w, '{_GA}'))) AS alpha,
+                    {_stop_sum} AS n_stop
+                FROM base)
+            SELECT doc_id,
+                CAST(n_words AS BIGINT) AS n_words,
+                CAST(10 * wc // dw AS BIGINT) AS mean_word_len_deci,
+                CAST(1000 * nsym // dw AS BIGINT)
+                    AS symbol_ratio_permille,
+                CAST(n_lines AS BIGINT) AS n_lines,
+                CAST(1000 * bul // dl AS BIGINT)
+                    AS bullet_lines_permille,
+                CAST(1000 * ell // dl AS BIGINT)
+                    AS ellipsis_lines_permille,
+                CAST(1000 * alpha // dw AS BIGINT)
+                    AS alpha_word_permille,
+                CAST(n_stop AS BIGINT) AS n_stop_hits,
+                {lang} AS lang,
+                {qual} AS quality,
+                {pii_count_sql('text', 'email')} AS n_pii_email,
+                {pii_count_sql('text', 'phone')} AS n_pii_phone,
+                {pii_count_sql('text', 'ip')} AS n_pii_ip,
+                (n_words >= 50 AND n_words <= 100000
+                 AND 10 * wc // dw BETWEEN 30 AND 100
+                 AND 1000 * nsym // dw <= 100
+                 AND 1000 * bul // dl <= 900
+                 AND 1000 * ell // dl <= 300
+                 AND 1000 * alpha // dw >= 800
+                 AND n_stop >= 2) AS gopher_keep
+            FROM c
+        """
+
+    # r10: per-language rarity terciles — the token_rarity_bins chain
+    # with lang as a grouping key and per-lang quantile cuts
+    out["rarity_bins_by_lang"] = f"""
+            WITH toks0 AS (
+                SELECT doc_id, {lang} AS lang, {tokens} AS tokens
+                FROM documents),
+            tok AS (
+                SELECT doc_id, lang, unnest(tokens) AS term FROM toks0),
+            counts AS (
+                SELECT term, cast(count(*) AS bigint) AS c
+                FROM tok GROUP BY 1),
+            total AS (
+                SELECT cast(sum(c) AS bigint) AS t FROM counts),
+            scored AS (
+                SELECT tk.doc_id, tk.lang,
+                       cast(count(*) AS bigint) AS n_tokens,
+                       cast(sum((c.c * 1000000) // tt.t) // count(*)
+                            AS bigint) AS mean_token_ppm
+                FROM tok tk
+                JOIN counts c USING (term)
+                CROSS JOIN total tt
+                GROUP BY 1, 2),
+            cuts AS (
+                SELECT lang,
+                       cast(floor(quantile_cont(mean_token_ppm, 0.3333))
+                            AS bigint) AS c1,
+                       cast(floor(quantile_cont(mean_token_ppm, 0.6667))
+                            AS bigint) AS c2
+                FROM scored GROUP BY 1)
+            SELECT s.doc_id, s.lang, s.n_tokens, s.mean_token_ppm,
+                   CASE WHEN s.mean_token_ppm <= c.c1 THEN 'tail'
+                        WHEN s.mean_token_ppm <= c.c2 THEN 'middle'
+                        ELSE 'head' END AS rarity_bin
+            FROM scored s JOIN cuts c USING (lang)
         """
     return out
 

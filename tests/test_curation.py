@@ -1156,3 +1156,50 @@ def test_nb_threshold_curve_hand_computed(spark):
     mid = got[0]
     assert mid.n_kept == 1 and mid.n_pos_kept == 1
     assert mid.precision_permille == 1000
+
+
+def test_quality_signals_agrees_with_standalone_reports(spark, sf_dir):
+    """quality_signals (r10): the fused vector must agree column-for-
+    column with the standalone operators it fuses (shared expression
+    contract) — gopher metrics + verdict, language ID, quality score,
+    PII counts."""
+    from youtube_podcast_data_pipeline_azure_spark.functions.pii import pii_count
+    from youtube_podcast_data_pipeline_azure_spark.functions.text import (
+        language_id,
+        quality_score,
+    )
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        gopher_quality_report,
+        quality_signals,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    fused = {r.doc_id: r for r in quality_signals(docs).collect()}
+    gopher = {r.doc_id: r for r in gopher_quality_report(docs).collect()}
+    standalone = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            language_id("text").alias("lang"),
+            quality_score("text").alias("quality"),
+            pii_count("text", "email").alias("e"),
+        ).collect()
+    }
+    assert set(fused) == set(gopher)
+    for did, f in fused.items():
+        g = gopher[did]
+        for col in (
+            "n_words",
+            "mean_word_len_deci",
+            "symbol_ratio_permille",
+            "n_lines",
+            "bullet_lines_permille",
+            "ellipsis_lines_permille",
+            "alpha_word_permille",
+            "n_stop_hits",
+        ):
+            assert getattr(f, col) == getattr(g, col), (did, col)
+        assert f.gopher_keep == g.keep
+        s = standalone[did]
+        assert (f.lang, f.quality, f.n_pii_email) == (s.lang, s.quality, s.e)

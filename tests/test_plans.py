@@ -872,3 +872,13 @@ def test_registry_plan_invariants_hold_everywhere(spark, sf_dir):
         for v in unbounded_global_windows(df):
             bad.append(f"{name}: {v}")
     assert not bad, "\n".join(bad)
+
+
+def test_quality_signals_is_single_scan_zero_exchange(spark, sf_dir):
+    """quality_signals (r10): the fused Dolma-style attribute vector
+    must stay ONE scan with NO exchange — every signal is doc-local;
+    a shuffle or second scan here means the fusion regressed to the
+    multi-pass shape it exists to replace."""
+    plan = _plan(spark, sf_dir, "quality_signals")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Exchange" not in plan, plan

@@ -557,3 +557,38 @@ def test_bm25_empty_corpus_yields_empty_not_typeerror(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_rarity_bins_by_lang_cuts_are_per_language(spark):
+    """rarity_bins_by_lang (r10): each language gets its own tercile
+    cut points — a language whose docs would all be corpus-wide tail
+    still splits into head/middle/tail within itself (the CCNet §4.3
+    contract), and every (doc, lang) pair is binned."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import (
+        rarity_bins_by_lang,
+        token_rarity_bins,
+    )
+
+    en = [
+        (i, "the and is of to " + ("common " * (i % 3 + 1)))
+        for i in range(0, 9)
+    ]
+    de = [
+        (100 + i, "der und ist nicht " + ("selten" + str(i) + " ") * (i % 3 + 1))
+        for i in range(0, 9)
+    ]
+    docs = spark.createDataFrame(en + de, "doc_id long, text string")
+    out = {r.doc_id: r for r in rarity_bins_by_lang(docs).collect()}
+    assert set(out) == {r[0] for r in en + de}
+    langs = {r.lang for r in out.values()}
+    assert langs == {"en", "de"}
+    for lang in langs:
+        bins = {r.rarity_bin for r in out.values() if r.lang == lang}
+        # per-language cuts give EVERY language its full tercile split
+        assert bins == {"tail", "middle", "head"}, (lang, bins)
+    # the contrast this operator exists for: corpus-wide cuts never
+    # call a rare-token German doc "head" nor a common-token English
+    # doc "tail" — the mixture eats the per-language structure
+    flat = {r.doc_id: r for r in token_rarity_bins(docs).collect()}
+    assert "head" not in {flat[d].rarity_bin for d, _ in de}
+    assert "tail" not in {flat[d].rarity_bin for d, _ in en}

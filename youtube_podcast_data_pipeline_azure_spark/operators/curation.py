@@ -35,7 +35,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from youtube_podcast_data_pipeline_azure_spark.functions.text import positional_ngrams, tokenize
+from youtube_podcast_data_pipeline_azure_spark.functions.pii import pii_count
+from youtube_podcast_data_pipeline_azure_spark.functions.text import (
+    language_id,
+    positional_ngrams,
+    quality_score,
+    tokenize,
+)
 from youtube_podcast_data_pipeline_azure_spark.operators.dedup import shingles
 
 
@@ -1224,13 +1230,32 @@ def gopher_quality_report(
     floored denominator of 1 and fail the word-count rule rather than
     raising under ANSI.
     """
+    derived = _gopher_derived(docs, text_col, id_col)
+    return derived.select(
+        "*",
+        _gopher_keep(min_words, max_words).alias("keep"),
+    )
+
+
+def _gopher_derived(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    extra: "tuple[tuple[str, Column], ...]" = (),
+) -> DataFrame:
+    """The Gopher signal pipeline SHARED by
+    :func:`gopher_quality_report` and :func:`quality_signals` (one
+    implementation, two consumers — the `_nb_train` lesson).  Three
+    staged selects so every multiply-referenced subtree is a NAMED
+    column (Catalyst trap 3): the token/line arrays feed 4+ and 3+
+    count expressions each — inlined, the tokenize split/filter would
+    re-run once per consumer (measured 2.8 s vs 0.5 s exec-only at
+    sf0.1).  The arrays are lambda ARGUMENTS below, not lambda-body
+    references, so the project boundary survives.  ``extra`` =
+    (name, expression-over-the-text-column) pairs computed in the
+    FIRST select and carried through — how :func:`quality_signals`
+    fuses language/quality/PII signals into the same single scan."""
     c = F.col(text_col)
-    # Three staged selects so every multiply-referenced subtree is a
-    # NAMED column (Catalyst trap 3): the token/line arrays feed 4+ and
-    # 3+ count expressions each — inlined, the tokenize split/filter
-    # would re-run once per consumer (measured 2.8 s vs 0.5 s exec-only
-    # at sf0.1).  The arrays are lambda ARGUMENTS below, not
-    # lambda-body references, so the project boundary survives.
     arrays = docs.select(
         F.col(id_col),
         tokenize(c).alias("_words"),
@@ -1238,6 +1263,7 @@ def gopher_quality_report(
         F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"), 0))
         .cast("long")
         .alias("_sym"),
+        *[e.alias(n) for n, e in extra],
     )
     words = F.col("_words")
     lines = F.col("_lines")
@@ -1274,8 +1300,9 @@ def gopher_quality_report(
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("n_stop_hits"),
+        *[F.col(n) for n, _ in extra],
     )
-    derived = staged.select(
+    return staged.select(
         id_col,
         "n_words",
         F.expr("10 * _wc div _dw").cast("long").alias("mean_word_len_deci"),
@@ -1293,20 +1320,67 @@ def gopher_quality_report(
             "alpha_word_permille"
         ),
         "n_stop_hits",
+        *[F.col(n) for n, _ in extra],
     )
-    return derived.select(
+
+
+def _gopher_keep(min_words: int, max_words: int) -> Column:
+    """The Gopher rule conjunction over :func:`_gopher_derived`'s
+    columns — shared so the fused and standalone reports cannot
+    disagree on the verdict."""
+    return (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len_deci") >= 30)
+        & (F.col("mean_word_len_deci") <= 100)
+        & (F.col("symbol_ratio_permille") <= 100)
+        & (F.col("bullet_lines_permille") <= 900)
+        & (F.col("ellipsis_lines_permille") <= 300)
+        & (F.col("alpha_word_permille") >= 800)
+        & (F.col("n_stop_hits") >= 2)
+    )
+
+
+def quality_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Dolma-attributes-style FUSED per-document signal vector: every
+    doc-local quality signal the curation stack uses — the seven
+    Gopher rule metrics + verdict, the stopword language ID, the
+    blended heuristic quality score, and the three PII counts — in
+    ONE scan (Soldaini et al. 2024's "attributes" job; RedPajama-v2
+    ships the same wide-signal table).  At 100 TB this fusion is the
+    difference between one pass over the corpus and six: every signal
+    here is a doc-local expression, so the whole table is a narrow
+    per-row map fused into the scan — no explode, no shuffle, no
+    join, nothing but the scan's own parallelism at any corpus size
+    (pinned in test_plans.py).
+
+    Column semantics are IDENTICAL to the standalone operators by
+    construction (shared :func:`_gopher_derived` pipeline /
+    :func:`_gopher_keep` verdict / `language_id` / `quality_score` /
+    `pii_count` expression functions), so a signal read from this
+    table always agrees with the dedicated report.
+    """
+    c = F.col(text_col)
+    return _gopher_derived(
+        docs,
+        text_col,
+        id_col,
+        extra=(
+            ("lang", language_id(c)),
+            ("quality", quality_score(c)),
+            ("n_pii_email", pii_count(c, "email")),
+            ("n_pii_phone", pii_count(c, "phone")),
+            ("n_pii_ip", pii_count(c, "ip")),
+        ),
+    ).select(
         "*",
-        (
-            (F.col("n_words") >= min_words)
-            & (F.col("n_words") <= max_words)
-            & (F.col("mean_word_len_deci") >= 30)
-            & (F.col("mean_word_len_deci") <= 100)
-            & (F.col("symbol_ratio_permille") <= 100)
-            & (F.col("bullet_lines_permille") <= 900)
-            & (F.col("ellipsis_lines_permille") <= 300)
-            & (F.col("alpha_word_permille") >= 800)
-            & (F.col("n_stop_hits") >= 2)
-        ).alias("keep"),
+        _gopher_keep(min_words, max_words).alias("gopher_keep"),
     )
 
 

@@ -354,6 +354,75 @@ def token_rarity_bins(
     )
 
 
+def rarity_bins_by_lang(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`token_rarity_bins` with the cut points computed PER
+    LANGUAGE — the binning CCNet actually ships (§4.3: perplexity
+    terciles are computed within each language bucket, because a
+    corpus-wide cut classifies every low-resource language as "tail"
+    wholesale and an English-dominated head/middle eats the mixture).
+
+    Identical integer scoring chain; the document's language comes
+    from the engine's deterministic stopword ID computed ONCE at the
+    scan and carried through the (doc, token) aggregate as a grouping
+    key, so no second corpus scan and no doc-grain join-back.  Cut
+    points are one exact-percentile aggregate per language — a
+    n_langs-row table, broadcast-joined back on ``lang``.
+
+    Returns (id, lang, n_tokens, mean_token_ppm, rarity_bin).
+    """
+    from youtube_podcast_data_pipeline_azure_spark.functions.text import language_id
+
+    toks = docs.select(
+        F.col(id_col),
+        language_id(F.col(text_col)).alias("lang"),
+        F.explode(tokenize(text_col)).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    scored = (
+        toks.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col, "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.expr("c * 1000000 div t")).alias("_s"),
+        )
+        .select(
+            F.col(id_col),
+            "lang",
+            "n_tokens",
+            F.expr("_s div n_tokens").alias("mean_token_ppm"),
+        )
+    )
+    cuts = (
+        scored.groupBy("lang")
+        .agg(
+            F.expr(
+                "percentile(mean_token_ppm, array(0.3333, 0.6667))"
+            ).alias("p")
+        )
+        .select(
+            "lang",
+            F.floor(F.element_at("p", 1)).alias("c1"),
+            F.floor(F.element_at("p", 2)).alias("c2"),
+        )
+    )
+    return scored.join(F.broadcast(cuts), "lang").select(
+        F.col(id_col),
+        "lang",
+        "n_tokens",
+        "mean_token_ppm",
+        F.when(F.col("mean_token_ppm") <= F.col("c1"), "tail")
+        .when(F.col("mean_token_ppm") <= F.col("c2"), "middle")
+        .otherwise("head")
+        .alias("rarity_bin"),
+    )
+
+
 def bpe_merges(
     docs: DataFrame,
     text_col: str = "text",
