@@ -61,6 +61,10 @@ HEADLINE = [
     # first r9 measurements are their BASELINE.md rows
     "pq_codes",
     "pq_ann",
+    # r10 additions: the fused one-scan signal vector and the IVF-PQ
+    # recall audit (two searches + a bounded join)
+    "quality_signals",
+    "ivfpq_recall",
 ]
 
 

@@ -114,6 +114,14 @@ DOCS_10X = [
     "gopher_quality",
     "c4_line_filter",
     "text_normalization",
+    # r10 additions: quality_signals is the fused per-row signal map
+    # (single scan, zero exchanges — linear by construction);
+    # rarity_bins_by_lang adds one (doc, token) aggregate + a per-lang
+    # percentile over the doc-grain table; nb_threshold_curve is the
+    # NB scoring pass + a 1-row conditional aggregate
+    "quality_signals",
+    "rarity_bins_by_lang",
+    "nb_threshold_curve",
 ]
 # pq_train collects the corpus (linear driver fan-in, vectorized int64
 # numpy); pq_codes is a literal-codebook per-row map; pq_ann adds one
@@ -122,6 +130,10 @@ DOCS_10X = [
 EMB_10X = [
     "knn_bruteforce", "semantic_dedup", "ann_recall",
     "pq_codes", "pq_ann",
+    # r10: the composition (coarse prune + ADC) and the truncation
+    # sweep are both one-corpus-pass shapes at fixed query count
+    "ivfpq_recall",
+    "embedding_dim_truncation",
 ]
 PATHOLOGY = [
     "ngram_jaccard_pairs",
