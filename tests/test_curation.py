@@ -1203,3 +1203,36 @@ def test_quality_signals_agrees_with_standalone_reports(spark, sf_dir):
         assert f.gopher_keep == g.keep
         s = standalone[did]
         assert (f.lang, f.quality, f.n_pii_email) == (s.lang, s.quality, s.e)
+
+
+def test_nb_threshold_curve_monotone_in_threshold(spark, sf_dir):
+    """nb_threshold_curve property: as the cutoff rises, n_kept,
+    n_pos_kept, recall and yield are non-increasing (kept-set nesting);
+    every count is bounded by the eval-slice size."""
+    from pyspark.sql import functions as F
+
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        nb_threshold_curve,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.where(F.col("doc_id") % 3 != 0).withColumn(
+        "label", F.col("lang") == "en"
+    )
+    eval_docs = docs.where(F.col("doc_id") % 3 == 0).withColumn(
+        "label", F.col("lang") == "en"
+    )
+    rows = sorted(
+        nb_threshold_curve(labeled, eval_docs).collect(),
+        key=lambda r: r.threshold_micro,
+    )
+    n_eval = eval_docs.count()
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_kept <= prev.n_kept
+        assert cur.n_pos_kept <= prev.n_pos_kept
+        assert cur.recall_permille <= prev.recall_permille
+        assert cur.yield_permille <= prev.yield_permille
+    for r in rows:
+        assert 0 <= r.n_pos_kept <= r.n_kept <= n_eval
+        assert 0 <= r.precision_permille <= 1000

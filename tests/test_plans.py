@@ -882,3 +882,44 @@ def test_quality_signals_is_single_scan_zero_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "quality_signals")
     assert plan.count("Scan parquet") == 1, plan
     assert "Exchange" not in plan, plan
+
+
+def test_pq_family_exchanges_never_carry_vectors(spark, sf_dir):
+    """The PQ family's 100-TB contract: vector bytes NEVER cross an
+    exchange — codes/ids/integer distances shuffle, embeddings stay in
+    their scan stage.  Reads the formatted plan's per-node Output
+    lists for every Exchange (shuffle or broadcast) and asserts no
+    vector-typed column is in the payload."""
+    import re
+
+    # ivfpq_recall is NOT in scope: its exact brute-force leg runs
+    # spread() (an id-hash repartition that unlocks local parallelism
+    # on the single-file fixture scan — a documented no-op on a real
+    # multi-split cluster), and that exchange legitimately carries the
+    # corpus vectors once.  The PQ search paths themselves must not.
+    vec_ref = re.compile(r"(embedding|_vm|_cvec|_qvec|_s\d)#")
+    inspected = 0
+    for name in ("pq_ann", "pq_codes", "knn_ivfpq"):
+        df = entry.queries()[name](spark, sf_dir)
+        jvm = spark._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        txt = df._jdf.queryExecution().explainString(mode)
+        # formatted mode: "(N) Exchange" / "(N) BroadcastExchange"
+        # detail sections list their payload as "Input [n]: [...]"
+        # (an exchange's output == its input)
+        sections = re.split(r"\n\(\d+\) ", txt)
+        for sec in sections:
+            head = sec.split("\n", 1)[0]
+            if "Exchange" not in head:
+                continue
+            m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", sec)
+            if not m:
+                continue
+            payload = m.group(1)
+            inspected += 1
+            assert not vec_ref.search(payload), (name, head, payload)
+    # the PQ plans do shuffle (codes aggregate, top-k window) — if no
+    # Exchange was inspected the parse went vacuous, not the plans
+    assert inspected >= 3, inspected
