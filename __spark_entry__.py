@@ -5026,7 +5026,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the queries needing driver evidence (see the docstring); every
     # other entry keeps its relative order behind them.
     window = set(_R10_WINDOW)
-    assert len(_R10_WINDOW) == 50 and window <= out.keys()
+    if len(_R10_WINDOW) != 50 or not window <= out.keys():
+        # a plain raise, not assert: stripped asserts under python -O
+        # would let a mis-sized band silently shift which queries get
+        # driver evidence (the pq_train dim-guard lesson, ADVICE r9)
+        raise ValueError("_R10_WINDOW must be 50 registered query names")
     return {k: out[k] for k in _R10_WINDOW} | {
         k: v for k, v in out.items() if k not in window
     }
