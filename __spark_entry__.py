@@ -4617,6 +4617,27 @@ def q_embedding_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment near-dup join (r10;
+    operators/dedup.py:containment_pairs): the fixture plants a
+    12-token "quote" document (doc_id + 100000) for every doc_id%7==0
+    original — a subset duplicate whose Jaccard vs its source is low
+    but whose containment is 1.0 — and the lossless asymmetric prefix
+    filter must recover every ordered pair with containment >= 0.8.
+    Oracle is the INDEPENDENT O(n²) brute force (all ordered pairs,
+    exact list_intersect ratio) — certifying the prefix filter's
+    losslessness, not replaying it."""
+    docs = _t(spark, sf_dir, "documents")
+    quotes = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 12), " "
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(quotes)
+    return dedup.containment_pairs(corpus, threshold=0.8)
+
+
 def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused per-document quality-signal vector (r10;
     operators/curation.py:quality_signals) — the Dolma-attributes /
@@ -5021,6 +5042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_truncation": q_embedding_dim_truncation,
         "quality_signals": q_quality_signals,
         "rarity_bins_by_lang": q_rarity_bins_by_lang,
+        "containment_pairs": q_containment_pairs,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -9941,6 +9963,37 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s.mean_token_ppm <= c.c2 THEN 'middle'
                         ELSE 'head' END AS rarity_bin
             FROM scored s JOIN cuts c USING (lang)
+        """
+
+    # r10: containment near-dup — INDEPENDENT brute-force oracle (all
+    # ordered pairs, exact intersect ratio) certifying the asymmetric
+    # prefix filter's losslessness; same shingle construction as the
+    # ngram_jaccard oracle.  len(sh) > 0 guard: a 0/0 containment is
+    # NaN, which DuckDB compares GREATER than the threshold while
+    # Spark's candidate generation never emits shingle-less probes.
+    out["containment_pairs"] = f"""
+            WITH base AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000,
+                       array_to_string(
+                           (string_split(text, ' '))[1:12], ' ')
+                FROM documents WHERE doc_id % 7 = 0),
+            toks AS (
+                SELECT doc_id, {tokens} AS tokens FROM base),
+            sdocs AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(tokens[i:i+2], ' ')
+                           for i in generate_series(
+                               1, greatest(len(tokens)-3, 0)+1)]) AS sh
+                FROM toks)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(cast(len(list_intersect(a.sh, b.sh)) AS double)
+                         / len(a.sh), 4) AS containment
+            FROM sdocs a JOIN sdocs b ON a.doc_id <> b.doc_id
+            WHERE len(a.sh) > 0
+              AND round(cast(len(list_intersect(a.sh, b.sh)) AS double)
+                        / len(a.sh), 4) >= 0.8
         """
     return out
 

@@ -122,6 +122,11 @@ DOCS_10X = [
     "quality_signals",
     "rarity_bins_by_lang",
     "nb_threshold_curve",
+    # containment's candidates come from prefix keys x the full
+    # inverted index — linear on the disjoint-vocabulary upscale (its
+    # replica-pathology behavior is the ngram_jaccard exact-pair
+    # contract)
+    "containment_pairs",
 ]
 # pq_train collects the corpus (linear driver fan-in, vectorized int64
 # numpy); pq_codes is a literal-codebook per-row map; pq_ann adds one

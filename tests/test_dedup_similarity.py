@@ -1505,3 +1505,51 @@ def test_dim_truncation_report_invariants(spark):
     ).collect()
     key = lambda r: (r.trunc_dim, r.query_id)
     assert sorted(map(tuple, rep)) == sorted(map(tuple, rep2))
+
+
+def test_containment_pairs_catches_subset_dups_jaccard_misses(spark):
+    """containment_pairs (r10): a short quote embedded in a long
+    article has containment 1.0 quote->article (reported) but low
+    Jaccard (ngram_jaccard_pairs at 0.5 misses it); the reverse
+    direction is below threshold; and the prefix-filtered result
+    equals a brute-force recomputation (losslessness)."""
+    article_words = " ".join(f"w{i}" for i in range(60))
+    quote = " ".join(f"w{i}" for i in range(10, 22))  # 12-word excerpt
+    other = " ".join(f"x{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, article_words), (2, quote), (3, other)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert got == {(2, 1): 1.0}  # quote fully inside article, one way
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []  # the symmetric metric misses the subset dup
+
+    # losslessness on a denser corpus: prefix-filtered == brute force
+    import itertools
+
+    rows = [
+        (i, " ".join(f"t{(i * 7 + k) % 23}" for k in range(5 + i % 9)))
+        for i in range(30)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_pairs(corpus, threshold=0.6).collect()
+    }
+    sh = {
+        r.doc_id: set(r.sh)
+        for r in corpus.select(
+            "doc_id", dedup.shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    brute = {}
+    for a, b in itertools.permutations(sh, 2):
+        if sh[a]:
+            c = round(len(sh[a] & sh[b]) / len(sh[a]), 4)
+            if c >= 0.6:
+                brute[(a, b)] = c
+    assert fast == brute

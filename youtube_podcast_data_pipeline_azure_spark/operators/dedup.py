@@ -542,6 +542,77 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT asymmetric shingle-containment join: ordered pairs
+    (a, b) with ``|sh(a) ∩ sh(b)| / |sh(a)| >= threshold`` — how much
+    of document *a* already exists inside document *b*.  Jaccard
+    (:func:`ngram_jaccard_pairs`) misses subset duplicates whenever
+    the containing document is much longer (a quote embedded in a
+    10× article has Jaccard ~0.1 but containment 1.0); containment is
+    the dedup signal for quote-expansion, boilerplate-wrapped, and
+    re-posted-with-commentary duplicates (the same asymmetry
+    ``corpus_overlap_report`` uses at corpus grain, here at document
+    grain with an exact guarantee).
+
+    Losslessness (asymmetric prefix filter, Chaudhuri et al. '06):
+    under the global md5 canonical order, if ``|A∩B| >= t·|A|`` then
+    the first ``|A| - ceil(t·|A|) + 1`` shingles of A must hit B's
+    FULL shingle set (pigeonhole on the probe side only) — so joining
+    A-prefix keys against the full inverted index yields a candidate
+    superset, and the exact verify keeps truth only.  The integer
+    prefix bound mirrors ngram_jaccard_pairs: the verify predicate is
+    ``round(c, 4) >= t``, so ``bp = floor(t·1e4) − 1`` keeps boundary
+    pairs admissible.
+
+    Scale shape: the probe side explodes only prefixes (shrinks as t
+    rises); the index side is the standard full inverted index — both
+    shuffle 32-char digests, never text; candidate volume is
+    O(matching prefix keys), not O(n²).  Returns
+    (id_a, id_b, containment) with id_a ≠ id_b, both directions
+    reported independently.
+    """
+    docs = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    sz = F.size("sh")
+    bp = max(int(threshold * 10000) - 1, 0)
+    alpha = F.floor((F.lit(bp) * sz + F.lit(9999)) / F.lit(10000.0))
+    prefix_len = (sz - alpha + 1).cast("int")
+    keys = F.array_sort(F.transform("sh", lambda s: F.md5(s)))
+    pref = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.explode(F.slice(keys, F.lit(1), prefix_len)).alias("pkey"),
+    )
+    full = docs.select(
+        F.col(id_col).alias("id_b"), F.explode(keys).alias("pkey")
+    )
+    cand = (
+        pref.join(full, ["pkey"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a_sh = docs.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b_sh = docs.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    contain = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size("sh_a").cast("double"),
+        4,
+    ).alias("containment")
+    return (
+        cand.join(a_sh, "id_a")
+        .join(b_sh, "id_b")
+        .select("id_a", "id_b", contain)
+        .where(F.col("containment") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Duplicate clusters (connected components over the near-dup pair graph)
 # ---------------------------------------------------------------------------
