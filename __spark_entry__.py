@@ -4742,15 +4742,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification rotation, not taxonomy: the
     driver's per-round correctness check covers the FIRST 50 entries,
     so each round front-loads queries needing driver evidence.
-    Cumulative state at r9 build: 244 registered (232 entering + six
-    in-window r9 additions + six tail additions after the window was
-    spent: ``pq_ann_persisted``, ``knn_ivfpq_exhaustive``,
-    ``knn_ivfpq``, ``nb_quality_classifier``, ``line_language_mix``,
-    ``nb_quality_persisted``), 240 DuckDB-oracle-checked, 4 rows-only by
-    documented contract (the ``knn_ivf`` and ``knn_ivfpq`` nprobe
-    dials and the two raw t-digest sketches — each certified by a
-    hash-checked exhaustive/accuracy twin); staleness is tool-tracked (``tools/staleness.py`` joins
-    this registry against every CORRECTNESS_r*.json).
+    Cumulative state at r10 build: 250 registered (244 entering + the
+    in-window ``ivfpq_recall`` + five tail additions after the window
+    was pre-verified: ``nb_threshold_curve``,
+    ``embedding_dim_truncation``, ``quality_signals``,
+    ``rarity_bins_by_lang``, ``containment_pairs``), 246
+    DuckDB-oracle-checked, 4 rows-only by documented contract (the
+    ``knn_ivf`` and ``knn_ivfpq`` nprobe dials and the two raw
+    t-digest sketches — each certified by a hash-checked
+    exhaustive/accuracy twin); staleness is tool-tracked
+    (``tools/staleness.py`` joins this registry against every
+    CORRECTNESS_r*.json).  Capstone at r10 close: the ENTIRE registry
+    verified on a plain ANSI local[32] session at sf0.01 — 249/249
+    then-registered hash-matched (+ ``containment_pairs`` verified the
+    same way on registration), and 249/249 on the engine session at
+    sf0.001.
 
     The r10 window (``_R10_WINDOW`` below — the dict literal keeps its
     historical r9 grouping; the rotation is applied programmatically at
