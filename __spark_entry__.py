@@ -4638,6 +4638,26 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(corpus, threshold=0.8)
 
 
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment keep-one verdicts (r10;
+    operators/dedup.py:containment_dedup) over the same planted-quote
+    corpus as containment_pairs: every quote doc must drop with
+    ``contained_in`` pointing at its (larger) source; sources and
+    unrelated docs keep.  Dominance = strict (|sh|, −id) order, so
+    mutual-containment groups keep exactly one survivor.  Oracle is
+    the same independent brute-force pair base + the dominance pick
+    replayed in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    quotes = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 12), " "
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(quotes)
+    return dedup.containment_dedup(corpus, threshold=0.8)
+
+
 def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused per-document quality-signal vector (r10;
     operators/curation.py:quality_signals) — the Dolma-attributes /
@@ -5049,6 +5069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_signals": q_quality_signals,
         "rarity_bins_by_lang": q_rarity_bins_by_lang,
         "containment_pairs": q_containment_pairs,
+        "containment_dedup": q_containment_dedup,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -10000,6 +10021,52 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(a.sh) > 0
               AND round(cast(len(list_intersect(a.sh, b.sh)) AS double)
                         / len(a.sh), 4) >= 0.8
+        """
+
+    # r10: containment keep-one verdicts — same brute-force pair base
+    # + the strict (|sh|, -id) dominance pick replayed in SQL
+    out["containment_dedup"] = f"""
+            WITH base AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000,
+                       array_to_string(
+                           (string_split(text, ' '))[1:12], ' ')
+                FROM documents WHERE doc_id % 7 = 0),
+            toks AS (
+                SELECT doc_id, {tokens} AS tokens FROM base),
+            sdocs AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(tokens[i:i+2], ' ')
+                           for i in generate_series(
+                               1, greatest(len(tokens)-3, 0)+1)]) AS sh
+                FROM toks),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       round(cast(len(list_intersect(a.sh, b.sh))
+                                  AS double) / len(a.sh), 4)
+                           AS containment,
+                       len(a.sh) AS sz_a, len(b.sh) AS sz_b
+                FROM sdocs a JOIN sdocs b ON a.doc_id <> b.doc_id
+                WHERE len(a.sh) > 0
+                  AND round(cast(len(list_intersect(a.sh, b.sh))
+                                 AS double) / len(a.sh), 4) >= 0.8),
+            dom AS (
+                SELECT * FROM pairs
+                WHERE sz_b > sz_a OR (sz_b = sz_a AND id_b < id_a)),
+            best AS (
+                SELECT id_a, id_b, containment FROM (
+                    SELECT id_a, id_b, containment,
+                           row_number() OVER (PARTITION BY id_a
+                               ORDER BY containment DESC, sz_b DESC,
+                                        id_b ASC) AS rk
+                    FROM dom)
+                WHERE rk = 1)
+            SELECT base.doc_id,
+                   (b.id_b IS NULL) AS kept,
+                   b.id_b AS contained_in,
+                   b.containment
+            FROM base LEFT JOIN best b ON b.id_a = base.doc_id
         """
     return out
 

@@ -1553,3 +1553,28 @@ def test_containment_pairs_catches_subset_dups_jaccard_misses(spark):
             if c >= 0.6:
                 brute[(a, b)] = c
     assert fast == brute
+
+
+def test_containment_dedup_policy(spark):
+    """containment_dedup (r10): quotes drop with contained_in pointing
+    at the larger source; mutual-containment twins keep exactly ONE
+    survivor (strict dominance order, never both deleted); unrelated
+    docs keep; two articles sharing a quote are NOT merged."""
+    article = " ".join(f"w{i}" for i in range(60))
+    article2 = "intro " + " ".join(f"w{i}" for i in range(10, 22)) + " " + " ".join(
+        f"y{i}" for i in range(40)
+    )
+    quote = " ".join(f"w{i}" for i in range(10, 22))
+    twin_a = " ".join(f"z{i}" for i in range(20))
+    twin_b = " ".join(f"z{i}" for i in range(20))  # identical content
+    docs = spark.createDataFrame(
+        [(1, article), (2, article2), (3, quote), (4, twin_a), (5, twin_b)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup.containment_dedup(docs, threshold=0.8).collect()}
+    assert got[3].kept is False and got[3].contained_in in (1, 2)
+    # both articles survive even though both contain the quote
+    assert got[1].kept and got[2].kept
+    # identical twins: exactly one survivor, the smaller id
+    assert got[4].kept is True and got[5].kept is False
+    assert got[5].contained_in == 4

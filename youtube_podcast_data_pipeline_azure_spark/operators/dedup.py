@@ -155,7 +155,13 @@ def minhash_band_keys(
     (``streaming/docs_stream.py:near_dup_against_corpus``).
     """
     rows_per_band = num_hashes // bands
-    assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
+    if bands * rows_per_band != num_hashes:
+        # a bare assert vanishes under python -O and would silently
+        # drop the trailing hashes from every band (the pq_train
+        # dim-guard lesson, ADVICE r9)
+        raise ValueError(
+            f"bands {bands} must divide num_hashes {num_hashes}"
+        )
     return (
         docs_sh.select(
             id_col, minhash_signature(F.col("sh"), num_hashes).alias("sig")
@@ -213,7 +219,13 @@ def minhash_lsh_pairs(
     id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
+    if bands * rows_per_band != num_hashes:
+        # a bare assert vanishes under python -O and would silently
+        # drop the trailing hashes from every band (the pq_train
+        # dim-guard lesson, ADVICE r9)
+        raise ValueError(
+            f"bands {bands} must divide num_hashes {num_hashes}"
+        )
 
     docs = spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
@@ -410,7 +422,12 @@ def simhash_near_dup_pairs(
     if blocks is None:
         # pigeonhole: distance <= h guarantees agreement on one of h+1 chunks
         blocks = max(4, max_hamming + 1)
-    assert blocks > max_hamming, "need blocks > max_hamming for pigeonhole recall"
+    if blocks <= max_hamming:
+        # stripped under python -O this would silently break the
+        # pigeonhole recall guarantee (distance <= h needs h+1 chunks)
+        raise ValueError(
+            f"need blocks ({blocks}) > max_hamming ({max_hamming})"
+        )
     chunk_bits = bits // blocks
     mask = (1 << chunk_bits) - 1
 
@@ -610,6 +627,96 @@ def containment_pairs(
         .join(b_sh, "id_b")
         .select("id_a", "id_b", contain)
         .where(F.col("containment") >= threshold)
+    )
+
+
+def containment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Keep-one decision layer over :func:`containment_pairs`: drop
+    every document that is (near-)contained in a DOMINATING document —
+    the quote-expansion cleanup a crawl corpus runs after symmetric
+    dedup (the subset side contributes no new n-grams; keeping it
+    double-counts the container's content at training time).
+
+    Dominance is the strict total order ``(|sh|, −id)``: *b* dominates
+    *a* iff ``containment(a→b) >= threshold`` and *b* is strictly
+    larger (ties: smaller id).  Strictness makes mutual-containment
+    pairs (two near-identical docs, both directions over threshold)
+    keep exactly one survivor instead of deleting both, and guarantees
+    the maximal element of any dominance chain survives.  NOTE
+    containment at ``threshold < 1`` is not transitive, so along a
+    chain a→b→c where b is also dropped, a's surviving "container" is
+    transitively approximate — the same acceptance every near-dup
+    keep-one policy makes (:func:`dedup_corpus`'s clusters have the
+    identical property), stated here because the relation is
+    asymmetric.  Deliberately NOT component-collapse: two unrelated
+    articles that both contain the same quote are NOT duplicates of
+    each other, so clustering the containment graph would over-delete;
+    only dominated docs drop.
+
+    Per input doc: (id, kept, contained_in, containment) where
+    ``contained_in`` is the strongest dominator (highest containment,
+    then largest, then smallest id) — NULL for survivors.
+
+    Scale shape: the pair list is :func:`containment_pairs` (prefix-
+    filtered, digests shuffle); the dominance pick is one window over
+    the bounded pair table; the final verdict is a left join back on
+    the id column.  Text never shuffles.
+    """
+    docs = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    sizes = docs.select(F.col(id_col), F.size("sh").alias("_sz"))
+    pairs = containment_pairs(df, text_col, id_col, shingle_n, threshold)
+    dom = (
+        pairs.join(
+            sizes.select(
+                F.col(id_col).alias("id_a"), F.col("_sz").alias("_sz_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.select(
+                F.col(id_col).alias("id_b"), F.col("_sz").alias("_sz_b")
+            ),
+            "id_b",
+        )
+        .where(
+            (F.col("_sz_b") > F.col("_sz_a"))
+            | (
+                (F.col("_sz_b") == F.col("_sz_a"))
+                & (F.col("id_b") < F.col("id_a"))
+            )
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("containment").desc(),
+        F.col("_sz_b").desc(),
+        F.col("id_b").asc(),
+    )
+    best = (
+        dom.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("id_b").alias("contained_in"),
+            "containment",
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.col("contained_in").isNull().alias("kept"),
+            "contained_in",
+            "containment",
+        )
     )
 
 
