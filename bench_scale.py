@@ -125,8 +125,10 @@ DOCS_10X = [
     # containment's candidates come from prefix keys x the full
     # inverted index — linear on the disjoint-vocabulary upscale (its
     # replica-pathology behavior is the ngram_jaccard exact-pair
-    # contract)
+    # contract); the keep-one layer adds a window over the bounded
+    # pair table
     "containment_pairs",
+    "containment_dedup",
 ]
 # pq_train collects the corpus (linear driver fan-in, vectorized int64
 # numpy); pq_codes is a literal-codebook per-row map; pq_ann adds one
