@@ -4658,6 +4658,20 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_dedup(corpus, threshold=0.8)
 
 
+def q_streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus-quality monitor (r10;
+    streaming/docs_stream.py:quality_monitor), batch mode: the fused
+    quality_signals vector rolled up to (lang, n_docs, n_gopher_keep,
+    mean_quality_bp, n_pii_docs) — the same expression runs as a
+    complete-mode streaming aggregate with O(languages) state
+    (stream/batch parity in test_streaming.py).  mean is the integer
+    floor(quality·1e4)-sum division, order-independent, so the oracle
+    replays it over the quality_signals twin."""
+    from youtube_podcast_data_pipeline_azure_spark.streaming.docs_stream import quality_monitor
+
+    return quality_monitor(_t(spark, sf_dir, "documents"))
+
+
 def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused per-document quality-signal vector (r10;
     operators/curation.py:quality_signals) — the Dolma-attributes /
@@ -5070,6 +5084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rarity_bins_by_lang": q_rarity_bins_by_lang,
         "containment_pairs": q_containment_pairs,
         "containment_dedup": q_containment_dedup,
+        "streaming_quality_monitor": q_streaming_quality_monitor,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -10067,6 +10082,23 @@ def oracle_sql() -> dict[str, str]:
                    b.id_b AS contained_in,
                    b.containment
             FROM base LEFT JOIN best b ON b.id_a = base.doc_id
+        """
+
+    # r10: streaming quality monitor — the per-lang rollup over the
+    # quality_signals twin (integer bp mean: per-doc floor then an
+    # order-independent integer-sum division)
+    out["streaming_quality_monitor"] = f"""
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN gopher_keep THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_gopher_keep,
+                   CAST(sum(CAST(floor(quality * 10000) AS BIGINT))
+                        // count(*) AS BIGINT) AS mean_quality_bp,
+                   CAST(sum(CASE WHEN n_pii_email + n_pii_phone
+                                      + n_pii_ip > 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs
+            FROM ({out["quality_signals"]}) q
+            GROUP BY lang
         """
     return out
 

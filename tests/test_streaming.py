@@ -557,3 +557,39 @@ def test_streaming_near_dup_stream_equals_batch(spark, sf_dir, tmp_path):
     assert set(streamed) == batch
     # pair dedup state held across micro-batches: no pair emitted twice
     assert len(streamed) == len(set(streamed))
+
+
+def test_quality_monitor_stream_equals_batch(spark, sf_dir, tmp_path):
+    """quality_monitor (r10): the per-language quality rollup emitted
+    after the stream drains (complete mode, cumulative state) must
+    equal the batch run over the same documents, on any file/batch
+    split — the fused signal vector is a narrow per-row map and the
+    aggregate's state is O(languages)."""
+    from pyspark.sql import functions as F
+
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+    from youtube_podcast_data_pipeline_azure_spark.streaming.docs_stream import (
+        quality_monitor,
+    )
+    from youtube_podcast_data_pipeline_azure_spark.streaming.events_stream import (
+        run_stream_to_memory,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = {tuple(r) for r in quality_monitor(docs).collect()}
+
+    src = str(tmp_path / "qm_incoming")
+    docs.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_to_memory(
+        quality_monitor(stream), "quality_monitor_stream", "complete"
+    )
+    streamed = {
+        tuple(r)
+        for r in spark.sql("SELECT * FROM quality_monitor_stream").collect()
+    }
+    assert streamed == batch

@@ -158,3 +158,52 @@ def near_dup_against_corpus(
         .select("in_id", "corpus_id", jac)
         .where(F.col("jaccard") >= jaccard_threshold)
     )
+
+
+def quality_monitor(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-language corpus-quality monitor over the fused
+    :func:`~youtube_podcast_data_pipeline_azure_spark.operators.curation.quality_signals`
+    vector: (lang, n_docs, n_gopher_keep, mean_quality_bp,
+    n_pii_docs) — the live dashboard a continuously-crawling pipeline
+    watches for ingest drift (a falling keep-rate or a PII spike in
+    one language is the first sign a crawl source went bad).
+
+    Written against a plain DataFrame so the SAME function runs in
+    batch (the oracle-checked mode) and as a Structured Streaming
+    complete-mode aggregate: the signal vector is a narrow per-row map
+    (streaming-safe by construction — no explode, no join), and the
+    rollup is one non-windowed groupBy whose streaming state is
+    O(languages).  Each micro-batch therefore emits the CUMULATIVE
+    quality state of everything ingested so far — batch/stream parity
+    is exact, not windowed (tests/test_streaming.py).
+
+    ``mean_quality_bp`` is integer basis points via per-doc
+    ``floor(quality · 1e4)`` then an integer-sum division — the
+    engine's standard order-independent mean, bit-identical across
+    engines and micro-batch arrival orders.
+    """
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import quality_signals
+
+    sig = quality_signals(docs, text_col, id_col)
+    return sig.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("gopher_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_gopher_keep"),
+        F.expr("sum(cast(floor(quality * 10000) as bigint)) div count(*)")
+        .cast("long")
+        .alias("mean_quality_bp"),
+        F.sum(
+            F.when(
+                F.col("n_pii_email") + F.col("n_pii_phone") + F.col("n_pii_ip")
+                > 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_pii_docs"),
+    )
