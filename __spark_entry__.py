@@ -4672,6 +4672,24 @@ def q_streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_monitor(_t(spark, sf_dir, "documents"))
 
 
+def q_knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage int8-quantized ANN (r10;
+    operators/similarity.py:knn_sq8_rerank): coarse candidates from an
+    INTEGER dot product over per-vector symmetric int8 codes (the
+    embedding_quantization arithmetic — 4× less scan bandwidth at
+    100 TB), exact-cosine rerank of the top-32 per query.  Every stage
+    is deterministic (floor quantization, integer coarse scores,
+    row_number tie-breaks), so the oracle replays the full composition
+    rather than checking a recall claim; rerank ≥ |corpus| equals
+    knn_bruteforce bit-for-bit (pinned in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return similarity.knn_sq8_rerank(corpus, queries, k=10, rerank=32)
+
+
 def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused per-document quality-signal vector (r10;
     operators/curation.py:quality_signals) — the Dolma-attributes /
@@ -5085,6 +5103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "containment_dedup": q_containment_dedup,
         "streaming_quality_monitor": q_streaming_quality_monitor,
+        "knn_sq8_rerank": q_knn_sq8_rerank,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -10099,6 +10118,54 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs
             FROM ({out["quality_signals"]}) q
             GROUP BY lang
+        """
+
+    # r10: int8-coarse / exact-rerank ANN — the full two-stage
+    # composition replayed: floor quantization (the
+    # embedding_quantization chain), integer coarse dot · corpus
+    # scale, top-32 candidate rank, exact-cosine rerank.
+    out["knn_sq8_rerank"] = f"""
+            WITH v8 AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> x::DOUBLE) AS v
+                FROM embeddings),
+            s8 AS (
+                SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) AS scale
+                FROM v8),
+            q8 AS (
+                SELECT vec_id,
+                       list_transform(v, x -> floor(x * 127 /
+                           (CASE WHEN scale > 0 THEN scale ELSE 1.0 END)
+                           + 0.5)) AS q,
+                       CAST(floor(scale * 1e6) AS BIGINT) AS sm
+                FROM s8),
+            coarse AS (
+                SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+                       CAST(list_sum(list_transform(
+                           generate_series(1, len(cc.q)),
+                           i -> cc.q[i] * qq.q[i])) AS BIGINT) * cc.sm
+                           AS approx
+                FROM q8 cc, q8 qq
+                WHERE qq.vec_id < 5 AND cc.vec_id >= 5),
+            cand AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id,
+                           row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx DESC, neighbor_id ASC)
+                               AS crk
+                    FROM coarse)
+                WHERE crk <= 32)
+            SELECT query_id, neighbor_id, rank, cosine FROM (
+                SELECT cd.query_id, cd.neighbor_id,
+                       round({cos}, 4) AS cosine,
+                       row_number() OVER (PARTITION BY cd.query_id
+                           ORDER BY round({cos}, 4) DESC,
+                                    cd.neighbor_id ASC) AS rank
+                FROM cand cd
+                JOIN embeddings c ON c.vec_id = cd.neighbor_id
+                JOIN embeddings q ON q.vec_id = cd.query_id)
+            WHERE rank <= 10
         """
     return out
 

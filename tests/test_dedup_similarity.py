@@ -163,6 +163,52 @@ def test_knn_lsh_is_subset_of_bruteforce_topk(embeddings):
             assert r["cosine"] == pytest.approx(exact_cos[key], abs=1e-6)
 
 
+def test_knn_sq8_exhaustive_rerank_equals_bruteforce(embeddings):
+    """With rerank >= |corpus| the coarse int8 stage cannot drop a true
+    neighbor, so the exact-cosine rerank must reproduce knn_bruteforce
+    bit-for-bit — certifying quantization, candidate selection, and the
+    rerank join in one equality."""
+    queries = embeddings.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = embeddings.where(F.col("vec_id") >= 3)
+    exact = {
+        tuple(r)
+        for r in similarity.knn_bruteforce(corpus, queries, k=5).collect()
+    }
+    sq8 = {
+        tuple(r)
+        for r in similarity.knn_sq8_rerank(
+            corpus, queries, k=5, rerank=10**6
+        ).collect()
+    }
+    assert sq8 == exact
+
+
+def test_knn_sq8_rerank_dialed(embeddings):
+    """Dialed rerank: full k per query, exact-rank ordering, and every
+    reported cosine equals the brute-force value for that pair (the
+    rerank is exact — only RECALL is approximate).  Stable under a
+    different input partitioning."""
+    queries = embeddings.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = embeddings.where(F.col("vec_id") >= 3)
+    out = similarity.knn_sq8_rerank(corpus, queries, k=5, rerank=16).collect()
+    assert len(out) == 15
+    exact_cos = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.knn_bruteforce(corpus, queries, k=200).collect()
+    }
+    for r in out:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in exact_cos and r["cosine"] == exact_cos[key]
+    again = similarity.knn_sq8_rerank(
+        corpus.repartition(7), queries, k=5, rerank=16
+    ).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in out}
+
+
 def test_embedding_near_dup_pairs_verified(embeddings):
     out = similarity.embedding_near_dup_pairs(
         embeddings.limit(200), cosine_threshold=0.3

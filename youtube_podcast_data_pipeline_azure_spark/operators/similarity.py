@@ -702,6 +702,144 @@ def quantize_embeddings_report(
     )
 
 
+def _sq8_codes(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Symmetric per-vector int8 codes + micro-unit scale — the exact
+    :func:`quantize_embeddings_report` arithmetic (scale = max|x|,
+    q_i = floor(x_i·127/scale + 0.5)) kept as columns instead of a
+    report.  No float SUMS anywhere (per-component floors over the
+    float→double cast only), so the codes are bit-deterministic on any
+    engine that agrees on IEEE doubles.  Staged projections for the
+    same CollapseProject reason as the report."""
+    s1 = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    s2 = s1.select(
+        id_col,
+        "_v",
+        F.array_max(F.transform(F.col("_v"), lambda x: F.abs(x))).alias(
+            "_scale"
+        ),
+    )
+    s3 = s2.select(
+        id_col,
+        "_v",
+        "_scale",
+        F.when(F.col("_scale") > 0, F.col("_scale"))
+        .otherwise(F.lit(1.0))
+        .alias("_safe"),
+    )
+    return s3.select(
+        F.col(id_col),
+        F.transform(
+            F.col("_v"),
+            lambda x: F.floor(x * 127 / F.col("_safe") + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("_q"),
+        F.floor(F.col("_scale") * 1e6).cast("long").alias("_scale_micro"),
+    )
+
+
+def knn_sq8_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = 32,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: int8 scalar-quantized coarse scan → exact cosine
+    rerank of the top-``rerank`` candidates per query.
+
+    The production memory-bandwidth play (FAISS ``SQ8`` / ScaNN's
+    quantized first pass): the coarse stage scans 4× fewer bytes than
+    float32 and scores with an INTEGER dot product over the code words
+    — ``approx = (Σ qc_i·qq_i) · scale_micro_c``, the per-query-constant
+    query scale dropped — so candidate selection is exact integer
+    arithmetic, deterministic on any engine/partitioning.  The coarse
+    metric approximates the raw INNER PRODUCT (pre-normalize embeddings
+    upstream if cosine ordering must drive recall); the rerank stage
+    rescores only ``rerank`` candidates per query with exact float
+    cosine, so with ``rerank ≥ |corpus|`` the result equals
+    :func:`knn_bruteforce` bit-for-bit (pinned in tests).
+
+    Scale shape: the coarse crossJoin broadcasts the bounded query
+    codes over corpus partitions (no corpus shuffle); a bounded
+    per-partition top-``rerank`` (:func:`partition_topk`) runs BEFORE
+    the only coarse exchange, so at most q·rerank(+ties) integer rows
+    shuffle; the rerank fetches candidate float vectors via a broadcast
+    semi-join against the corpus — the exchange never carries vector
+    bytes for non-candidates.  Zero-scale (all-zero) vectors get
+    all-zero codes and approx 0; their rerank cosine is null and sorts
+    last, exactly as in :func:`knn_bruteforce`.
+
+    Returns (query_id, neighbor_id, rank, cosine 4dp) — the
+    :func:`knn_bruteforce` shape.
+    """
+    c_codes = _sq8_codes(
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), vec_col),
+        "neighbor_id",
+        vec_col,
+    )
+    q_codes = _sq8_codes(queries, query_id, vec_col).select(
+        query_id,
+        F.col("_q").alias("_qq"),
+    )
+    scored = (
+        spread(c_codes, "neighbor_id")
+        .crossJoin(F.broadcast(q_codes))
+        .select(
+            query_id,
+            "neighbor_id",
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_q"), F.col("_qq"), lambda a, b: a * b
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                * F.col("_scale_micro")
+            ).alias("approx"),
+        )
+    )
+    reduced = partition_topk(
+        scored, query_id, "approx", rerank, id_col="neighbor_id"
+    )
+    wc = Window.partitionBy(query_id).orderBy(
+        F.col("approx").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        reduced.withColumn("_crk", F.row_number().over(wc))
+        .where(F.col("_crk") <= rerank)
+        .select(query_id, "neighbor_id")
+    )
+    q_vecs = queries.select(
+        F.col(query_id), F.col(vec_col).alias("_qvec")
+    )
+    rer = (
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(vec_col).alias("_cvec"),
+        )
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q_vecs), query_id)
+        .withColumn(
+            "cosine", F.round(cosine_similarity("_cvec", "_qvec"), 4)
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(query_id, "neighbor_id", "rank", "cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup-style cluster-bucketed near-dup pruning)
 # ---------------------------------------------------------------------------
