@@ -4690,6 +4690,60 @@ def q_knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_sq8_rerank(corpus, queries, k=10, rerank=32)
 
 
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup (r10;
+    operators/multimodal.py:ahash_images + image_near_dup_pairs, join
+    core shared with simhash at operators/dedup.py:hamming_pairs).
+    6×6 raw-RGB payloads synthesized from seven md5 digests of the doc
+    text (the media_thumbnails generator pattern), with planted exact
+    twins (doc_id % 11, identical payload → Hamming 0) and one-byte
+    perturbations (doc_id % 7, first byte zeroed → small Hamming).
+    The REAL numpy decode→luma→36-bit aHash kernel runs in one
+    mapInPandas pass; only 8-byte hashes leave the scan; the pigeonhole
+    block join is lossless, certified by an INDEPENDENT brute-force
+    bit_count(xor) oracle twin that replays the hash from the digest
+    bytes."""
+    d = _t(spark, sf_dir, "documents")
+    hs = F.substring(
+        F.concat(
+            *[
+                F.md5(F.concat(F.col("text"), F.lit(s))) if s else F.md5("text")
+                for s in ["", "x", "y", "z", "w", "v", "u"]
+            ]
+        ),
+        1,
+        216,
+    )
+    hx = d.select("doc_id", hs.alias("hs"))
+    variants = (
+        hx.select(F.col("doc_id").alias("asset_id"), "hs")
+        .unionByName(
+            hx.where(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1000000).alias("asset_id"), "hs"
+            )
+        )
+        .unionByName(
+            hx.where(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 2000000).alias("asset_id"),
+                F.concat(
+                    F.lit("00"), F.expr("substring(hs, 3, 214)")
+                ).alias("hs"),
+            )
+        )
+    )
+    assets = variants.select(
+        "asset_id",
+        F.lit("image").alias("modality"),
+        F.unhex("hs").alias("payload"),
+        F.lit(6).alias("width"),
+        F.lit(6).alias("height"),
+    )
+    pairs = multimodal.image_near_dup_pairs(assets, grid=6, max_hamming=3)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused per-document quality-signal vector (r10;
     operators/curation.py:quality_signals) — the Dolma-attributes /
@@ -5104,6 +5158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_dedup": q_containment_dedup,
         "streaming_quality_monitor": q_streaming_quality_monitor,
         "knn_sq8_rerank": q_knn_sq8_rerank,
+        "image_near_dup": q_image_near_dup,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -10166,6 +10221,58 @@ def oracle_sql() -> dict[str, str]:
                 JOIN embeddings c ON c.vec_id = cd.neighbor_id
                 JOIN embeddings q ON q.vec_id = cd.query_id)
             WHERE rank <= 10
+        """
+
+    # r10: perceptual-hash image near-dup — INDEPENDENT brute-force
+    # twin: the 36-bit aHash is recomputed from the digest hex bytes
+    # (luma = r+g+b per pixel, strict cross-multiplied mean compare),
+    # then all pairs at bit_count(xor) <= 3 listed by O(n²) join —
+    # certifying the kernel bit-for-bit AND the pigeonhole blocking's
+    # losslessness rather than replaying the block join.
+    out["image_near_dup"] = """
+            WITH hx AS (
+                SELECT doc_id,
+                       substr(md5(text) || md5(text || 'x')
+                           || md5(text || 'y') || md5(text || 'z')
+                           || md5(text || 'w') || md5(text || 'v')
+                           || md5(text || 'u'), 1, 216) AS hs
+                FROM documents),
+            assets AS (
+                SELECT doc_id AS asset_id, hs FROM hx
+                UNION ALL
+                SELECT doc_id + 1000000, hs FROM hx WHERE doc_id % 11 = 0
+                UNION ALL
+                SELECT doc_id + 2000000, '00' || substr(hs, 3)
+                FROM hx WHERE doc_id % 7 = 0),
+            byt AS (
+                SELECT asset_id,
+                       [ (strpos('0123456789abcdef',
+                             substr(hs, 2*j + 1, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef',
+                             substr(hs, 2*j + 2, 1)) - 1)
+                         FOR j IN generate_series(0, 107) ] AS by
+                FROM assets),
+            lum AS (
+                SELECT asset_id,
+                       [ by[3*p + 1] + by[3*p + 2] + by[3*p + 3]
+                         FOR p IN generate_series(0, 35) ] AS lm
+                FROM byt),
+            tot AS (
+                SELECT asset_id, lm, list_sum(lm) AS t FROM lum),
+            h AS (
+                SELECT asset_id,
+                       CAST(list_sum(
+                           [ CASE WHEN 36 * lm[i] > t
+                                  THEN (1::BIGINT << (i - 1))
+                                  ELSE 0 END
+                             FOR i IN generate_series(1, 36) ])
+                           AS BIGINT) AS ahash
+                FROM tot)
+            SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+                   CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT)
+                       AS hamming
+            FROM h a JOIN h b ON a.asset_id < b.asset_id
+            WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
         """
     return out
 

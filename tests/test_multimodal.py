@@ -98,3 +98,89 @@ def test_audio_stats_filters_to_audio_modality(assets):
     ids = {r.asset_id for r in out}
     # fixture assets: only asset 2 is audio
     assert ids == {2}
+
+
+def test_ahash_kernel_exact(spark):
+    """4×4 image, pixel p has all channels p·8 → luma 24p, mean 180:
+    bit p set iff 24p·16 > 2880 ⇔ p ≥ 8 → hash 0xFF00.  Scaling every
+    channel by 2 (still within uint8) must not change the hash (aHash
+    compares to the image mean, not absolute levels)."""
+    import numpy as np
+
+    base = (np.arange(16, dtype=np.uint8).repeat(3) * 8).reshape(4, 4, 3)
+    rows = [
+        (1, "image", "image/raw-rgb", base.tobytes(), 4, 4, None, "d"),
+        (2, "image", "image/raw-rgb", (base * 2).tobytes(), 4, 4, None, "d"),
+        (3, "image", "image/png", b"\x89PNG not raw", 4, 4, None, "d"),
+    ]
+    assets = spark.createDataFrame(rows, schemas.MEDIA_ASSETS)
+    out = {r.asset_id: r for r in multimodal.ahash_images(assets).collect()}
+    assert out[1].ahash == 0xFF00
+    assert out[2].ahash == 0xFF00
+    assert out[3].ahash is None  # codec seam: undecodable → null
+    assert out[1].n_cells == 16
+
+
+def test_ahash_block_downsample_unequal_cells(spark):
+    """5×5 image hashed on a 4×4 grid exercises the unequal-block
+    cross-multiplied compare; result must equal a direct Python replay
+    of the same integer rule."""
+    import numpy as np
+
+    rng_bytes = bytes((i * 37 + 11) % 256 for i in range(5 * 5 * 3))
+    arr = np.frombuffer(rng_bytes, dtype=np.uint8).reshape(5, 5, 3)
+    lum = arr.astype(int).sum(axis=2)
+    total, n_pix = int(lum.sum()), 25
+    expected = 0
+    for gy in range(4):
+        y0, y1 = gy * 5 // 4, (gy + 1) * 5 // 4
+        for gx in range(4):
+            x0, x1 = gx * 5 // 4, (gx + 1) * 5 // 4
+            blk = int(lum[y0:y1, x0:x1].sum())
+            if blk * n_pix > total * (y1 - y0) * (x1 - x0):
+                expected |= 1 << (gy * 4 + gx)
+    rows = [(9, "image", "image/raw-rgb", rng_bytes, 5, 5, None, "d")]
+    assets = spark.createDataFrame(rows, schemas.MEDIA_ASSETS)
+    out = multimodal.ahash_images(assets).collect()[0]
+    assert out.ahash == expected
+
+
+def test_image_near_dup_pairs_lossless(spark):
+    """Planted duplicates: identical image → hamming 0; one-pixel edit
+    → small hamming; unrelated pattern excluded.  Output must equal the
+    brute-force pair set over the kernel hashes (blocking is
+    lossless)."""
+    import numpy as np
+
+    base = (np.arange(16, dtype=np.uint8).repeat(3) * 10).reshape(4, 4, 3)
+    near = base.copy()
+    near[0, 0] = 255  # push one dark pixel above the mean
+    other = np.zeros((4, 4, 3), dtype=np.uint8)
+    other[0, 0] = 200  # a very different luma layout
+    rows = [
+        (1, "image", "image/raw-rgb", base.tobytes(), 4, 4, None, "d"),
+        (2, "image", "image/raw-rgb", base.tobytes(), 4, 4, None, "d"),
+        (3, "image", "image/raw-rgb", near.tobytes(), 4, 4, None, "d"),
+        (4, "image", "image/raw-rgb", other.tobytes(), 4, 4, None, "d"),
+    ]
+    assets = spark.createDataFrame(rows, schemas.MEDIA_ASSETS)
+    hashes = {
+        r.asset_id: r.ahash
+        for r in multimodal.ahash_images(assets).collect()
+    }
+    brute = {
+        (a, b): bin(hashes[a] ^ hashes[b]).count("1")
+        for a in hashes
+        for b in hashes
+        if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.image_near_dup_pairs(
+            assets, max_hamming=3
+        ).collect()
+    }
+    assert got == brute
+    assert got[(1, 2)] == 0
+    assert (1, 3) in got and got[(1, 3)] >= 1
+    assert (1, 4) not in got

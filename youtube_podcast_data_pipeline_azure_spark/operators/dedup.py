@@ -419,6 +419,40 @@ def simhash_near_dup_pairs(
     ``token_hash`` seam this makes the operator oracle-checkable
     bit-for-bit (the driver query uses ``bits=56``).
     """
+    sigs = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col),
+        simhash(F.col(text_col), bits, token_hash=token_hash).alias("sig"),
+    )
+    return hamming_pairs(
+        sigs,
+        id_col=id_col,
+        sig_col="sig",
+        bits=bits,
+        max_hamming=max_hamming,
+        blocks=blocks,
+    )
+
+
+def hamming_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bits: int = 64,
+    max_hamming: int = 3,
+    blocks: int | None = None,
+) -> DataFrame:
+    """All pairs at Hamming distance <= ``max_hamming`` over ANY integer
+    signature table — the pigeonhole block join shared by SimHash text
+    dedup and perceptual-hash image dedup (operators/multimodal.py).
+
+    Split the ``bits``-wide signature into ``blocks`` > ``max_hamming``
+    chunks; any pair within distance ``max_hamming`` agrees exactly on
+    at least one chunk, so candidates come from a hash-join on
+    (chunk_id, chunk_value) — never a cross join, candidate volume ∝
+    chunk collisions.  Exact ``bit_count(xor)`` then filters, so the
+    blocking is LOSSLESS and the output is exactly the true pair set.
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
     if blocks is None:
         # pigeonhole: distance <= h guarantees agreement on one of h+1 chunks
         blocks = max(4, max_hamming + 1)
@@ -431,10 +465,7 @@ def simhash_near_dup_pairs(
     chunk_bits = bits // blocks
     mask = (1 << chunk_bits) - 1
 
-    sigs = spread(df.select(id_col, text_col), id_col).select(
-        F.col(id_col),
-        simhash(F.col(text_col), bits, token_hash=token_hash).alias("sig"),
-    )
+    sigs = sigs.select(F.col(id_col), F.col(sig_col).alias("sig"))
     # literal shift amounts per chunk (shiftright requires int literals)
     chunked = sigs.select(
         id_col,

@@ -193,6 +193,97 @@ def audio_stats(df: DataFrame, sample_rate: int = 16000) -> DataFrame:
     )
 
 
+AHASH_SCHEMA = "asset_id long, ahash long, n_cells int"
+
+
+def ahash_images(df: DataFrame, grid: int = 4) -> DataFrame:
+    """Perceptual average-hash (aHash) over raw-RGB images — the
+    image-dedup analog of SimHash: near-identical images land within a
+    small Hamming distance of each other.
+
+    Real numpy kernel (no codec): per image, integer luma ``r+g+b`` per
+    pixel, summed over a ``grid×grid`` block partition (block bounds
+    ``[i·h//grid, (i+1)·h//grid)`` — exact integer arithmetic for any
+    geometry), then bit ``i`` (row-major) is set iff the block's luma
+    EXCEEDS the image mean, compared cross-multiplied so unequal block
+    sizes stay exact: ``block_sum·total_pixels > total_sum·block_pixels``
+    (strict).  All-integer end-to-end, so the hash is bit-deterministic
+    and — for digest-synthesized payloads — replayable byte-for-byte by
+    a SQL oracle (``image_near_dup``).
+
+    ``grid`` must satisfy ``grid² <= 63`` (hash packs into a long).
+    Undecodable payloads (compressed formats — the codec seam) yield a
+    null hash.  Input needs (asset_id, modality, payload, width,
+    height); returns (asset_id, ahash, n_cells).
+    """
+    import numpy as np
+
+    if grid * grid > 63:
+        raise ValueError(f"grid² must fit a long hash, got grid={grid}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                arr = decode_raw_rgb(p, w, h)
+                if arr is None:
+                    hashes.append(None)
+                    continue
+                lum = arr.astype(np.int64).sum(axis=2)
+                hh, ww = lum.shape
+                total = int(lum.sum())
+                n_pix = hh * ww
+                sig = 0
+                for gy in range(grid):
+                    y0, y1 = gy * hh // grid, (gy + 1) * hh // grid
+                    for gx in range(grid):
+                        x0, x1 = gx * ww // grid, (gx + 1) * ww // grid
+                        blk = int(lum[y0:y1, x0:x1].sum())
+                        n_blk = (y1 - y0) * (x1 - x0)
+                        if blk * n_pix > total * n_blk:
+                            sig |= 1 << (gy * grid + gx)
+                hashes.append(sig)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "ahash": pd.array(hashes, dtype="Int64"),
+                    "n_cells": np.full(len(pdf), grid * grid, dtype="int32"),
+                }
+            )
+
+    return (
+        df.where(F.col("modality") == "image")
+        .select("asset_id", "payload", "width", "height")
+        .mapInPandas(run, schema=AHASH_SCHEMA)
+    )
+
+
+def image_near_dup_pairs(
+    df: DataFrame, grid: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """Image near-duplicate pairs at aHash Hamming <= ``max_hamming``.
+
+    Composition: the :func:`ahash_images` kernel (binary decode stays
+    in one ``mapInPandas`` pass; only the 8-byte hash leaves the scan)
+    feeds the shared lossless pigeonhole block join
+    (``operators/dedup.py:hamming_pairs``) — image bytes NEVER shuffle,
+    candidate volume ∝ chunk collisions, and the output is exactly the
+    true pair set at the threshold (certified by an independent
+    brute-force oracle twin in the registered query).  Returns
+    (id_a, id_b, hamming) with id_a < id_b.
+    """
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import hamming_pairs
+
+    sigs = ahash_images(df, grid=grid).where(F.col("ahash").isNotNull())
+    return hamming_pairs(
+        sigs,
+        id_col="asset_id",
+        sig_col="ahash",
+        bits=grid * grid,
+        max_hamming=max_hamming,
+    )
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Sample video frames every ``every_ms``.  Deterministic fake: emits
     one stub 'frame' (payload digest) per sampled timestamp based on the
