@@ -4744,6 +4744,49 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Demo domain blocklist shared by q_domain_blocklist and its oracle —
+#: matches two of the four planted domain_mix hosts (example.com via
+#: both the exact and the docs. subdomain forms, site.org via the
+#: News.Site.org host), leaving cdn.assets.net kept.
+_BLOCKLIST_DOMAINS = ("example.com", "site.org")
+
+
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1/C4-style domain-blocklist verdicts (r10;
+    operators/curation.py:domain_blocklist_report) over the SAME
+    planted crawl URLs as domain_mix: registrable domain + every
+    parent-domain label suffix tested against a literal blocklist with
+    ``arrays_overlap`` — scan-fused, ZERO shuffles/joins (the bounded
+    curated-list path; the web-scale DataFrame path is the same
+    contract via broadcast semi-join, unit-tested).  The oracle replays
+    the URL synth, the url.py domain twin, and the suffix test."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.element_at(
+        F.array(
+            F.lit("www.Example.COM"),
+            F.lit("docs.example.com"),
+            F.lit("News.Site.org"),
+            F.lit("cdn.assets.net"),
+        ),
+        (d % 4 + 1).cast("int"),
+    )
+    scheme = F.when(d % 3 == 0, F.lit("HTTPS://")).otherwise(F.lit("http://"))
+    port = F.when(
+        d % 5 == 0,
+        F.when(d % 3 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+    ).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/p/"),
+        (d % 40).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    url = F.concat(scheme, host, port, path)
+    return curation.domain_blocklist_report(
+        docs.withColumn("url", url), list(_BLOCKLIST_DOMAINS)
+    )
+
+
 def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused per-document quality-signal vector (r10;
     operators/curation.py:quality_signals) — the Dolma-attributes /
@@ -5159,6 +5202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_quality_monitor": q_streaming_quality_monitor,
         "knn_sq8_rerank": q_knn_sq8_rerank,
         "image_near_dup": q_image_near_dup,
+        "domain_blocklist": q_domain_blocklist,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -10273,6 +10317,41 @@ def oracle_sql() -> dict[str, str]:
                        AS hamming
             FROM h a JOIN h b ON a.asset_id < b.asset_id
             WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        """
+
+    # r10: domain blocklist — same URL synth as domain_mix (minus the
+    # query/fragment parts the verdict never reads), url.py domain twin,
+    # label-suffix containment against the shared literal list.
+    bl_sql = "[" + ", ".join(f"'{d}'" for d in _BLOCKLIST_DOMAINS) + "]"
+    out["domain_blocklist"] = f"""
+            WITH urls AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://'
+                             ELSE 'http://' END)
+                       || (['www.Example.COM','docs.example.com',
+                            'News.Site.org','cdn.assets.net'])
+                          [cast(doc_id % 4 AS int) + 1]
+                       || (CASE WHEN doc_id % 5 = 0 THEN
+                             CASE WHEN doc_id % 3 = 0 THEN ':443'
+                                  ELSE ':80' END
+                           ELSE '' END)
+                       || '/p/' || cast(doc_id % 40 AS varchar)
+                       || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+                           AS url
+                FROM documents),
+            dom AS (
+                SELECT doc_id, {url_domain_sql('url')} AS domain
+                FROM urls),
+            lab AS (
+                SELECT doc_id, domain,
+                       string_split(domain, '.') AS labels
+                FROM dom)
+            SELECT doc_id, domain,
+                   coalesce(list_has_any(
+                       [array_to_string(labels[i:], '.')
+                        FOR i IN generate_series(1, len(labels))],
+                       {bl_sql}), false) AS blocked
+            FROM lab
         """
     return out
 

@@ -1236,3 +1236,42 @@ def test_nb_threshold_curve_monotone_in_threshold(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_pos_kept <= r.n_kept <= n_eval
         assert 0 <= r.precision_permille <= 1000
+
+
+def test_domain_blocklist_report_suffix_semantics(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        domain_blocklist_filter,
+        domain_blocklist_report,
+    )
+
+    rows = [
+        (1, "https://ads.tracker.example.com/p"),   # parent-domain hit
+        (2, "http://example.com/x"),                # exact hit
+        (3, "http://www.example.com/x"),            # www-stripped hit
+        (4, "https://safe.org/x"),                  # kept
+        (5, "https://notexample.com/x"),            # NOT a label suffix
+        (6, "garbage-no-scheme"),                   # null domain -> kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = ["example.com", "blocked.net"]
+    got = {
+        r.doc_id: (r.domain, r.blocked)
+        for r in domain_blocklist_report(df, bl).collect()
+    }
+    assert got[1] == ("ads.tracker.example.com", True)
+    assert got[2] == ("example.com", True)
+    assert got[3] == ("example.com", True)
+    assert got[4] == ("safe.org", False)
+    assert got[5] == ("notexample.com", False)
+    assert got[6] == (None, False)
+
+    survivors = {r.doc_id for r in domain_blocklist_filter(df, bl).collect()}
+    assert survivors == {4, 5, 6}
+
+    # the web-scale DataFrame path must agree with the literal path
+    bl_df = spark.createDataFrame([(d,) for d in bl], "domain string")
+    got_df = {
+        r.doc_id: (r.domain, r.blocked)
+        for r in domain_blocklist_report(df, bl_df).collect()
+    }
+    assert got_df == got

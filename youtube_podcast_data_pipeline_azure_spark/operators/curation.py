@@ -1833,3 +1833,97 @@ def line_language_report(
             "n_langs",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# domain blocklist filtering (UT1 / C4 / RefinedWeb-style URL hygiene)
+# ---------------------------------------------------------------------------
+
+def domain_blocklist_report(
+    df: DataFrame,
+    blocklist,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document domain-blocklist verdicts — the URL-hygiene step a
+    crawl corpus runs before any content filter (C4 §2.2 "bad words"
+    URL lists, RefinedWeb's UT1 adult/malware blocklists).
+
+    A document is BLOCKED when its registrable domain
+    (``functions/url.py:url_domain``) or ANY parent domain appears in
+    the blocklist — ``ads.tracker.example.com`` is blocked by an
+    ``example.com`` entry.  The label suffixes of a host are bounded by
+    its label count (≤ ~6), generated per row as an array expression.
+
+    Two execution shapes by blocklist type:
+
+    * ``list``/``tuple`` (bounded, e.g. a curated category list): the
+      suffix set is tested with ``arrays_overlap`` against a literal
+      array — scan-fused, ZERO shuffles and zero joins.
+    * ``DataFrame`` with a ``domain`` column (web-scale lists like
+      UT1's millions of entries): suffixes explode (bounded fan-out)
+      into a broadcast semi-join; if a list outgrows broadcast, feed it
+      through ``operators/bloom.py`` first — the report contract is
+      unchanged.
+
+    Out-of-contract URLs (no ``scheme://``) have a NULL domain and are
+    KEPT (they cannot match a domain list; route them to a separate
+    validity filter).  Returns (id_col, domain, blocked).
+    """
+    from youtube_podcast_data_pipeline_azure_spark.functions.url import url_domain
+
+    base = df.select(
+        F.col(id_col), url_domain(url_col).alias("domain")
+    ).select(
+        id_col, "domain", F.split(F.col("domain"), r"\.").alias("_labels")
+    )
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_labels"))),
+        lambda i: F.array_join(
+            F.slice(F.col("_labels"), i, F.size(F.col("_labels")) - i + 1),
+            ".",
+        ),
+    )
+    if isinstance(blocklist, (list, tuple)):
+        blocked = F.coalesce(
+            F.arrays_overlap(
+                suffixes, F.array(*[F.lit(b) for b in blocklist])
+            ),
+            F.lit(False),
+        )
+        return base.select(id_col, "domain", blocked.alias("blocked"))
+    hits = (
+        base.select(id_col, F.explode(suffixes).alias("_sfx"))
+        .join(
+            F.broadcast(blocklist.select(F.col("domain").alias("_sfx"))),
+            "_sfx",
+        )
+        .select(id_col)
+        .distinct()
+        .withColumn("blocked", F.lit(True))
+    )
+    return (
+        base.select(id_col, "domain")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "domain",
+            F.coalesce(F.col("blocked"), F.lit(False)).alias("blocked"),
+        )
+    )
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    blocklist,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivors of :func:`domain_blocklist_report` — the original rows
+    whose domain (and every parent domain) is absent from the
+    blocklist.  Left-semi on the report's keep side, so payload
+    columns never enter the verdict plan."""
+    keep = domain_blocklist_report(
+        df, blocklist, url_col=url_col, id_col=id_col
+    ).where(~F.col("blocked"))
+    return df.join(keep.select(id_col), id_col, "left_semi")
