@@ -4787,6 +4787,20 @@ def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood keyness (r10;
+    operators/text_mining.py:keyness_terms) of English-labelled docs
+    vs the rest — the corpus-comparison statistic mixture weights and
+    domain-shift audits are read from.  Integer micro-ln quantization
+    per term BEFORE the count multiply (the lm_perplexity seam), one
+    vocabulary-bounded aggregate, TakeOrdered top-50 — the oracle
+    replays the identical arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_mining.keyness_terms(
+        docs, F.col("lang") == "en", top_k=50, min_count=5
+    )
+
+
 def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused per-document quality-signal vector (r10;
     operators/curation.py:quality_signals) — the Dolma-attributes /
@@ -5203,6 +5217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_sq8_rerank": q_knn_sq8_rerank,
         "image_near_dup": q_image_near_dup,
         "domain_blocklist": q_domain_blocklist,
+        "keyness_terms": q_keyness_terms,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -10352,6 +10367,48 @@ def oracle_sql() -> dict[str, str]:
                         FOR i IN generate_series(1, len(labels))],
                        {bl_sql}), false) AS blocked
             FROM lab
+        """
+
+    # r10: Dunning G² keyness — identical integer micro-ln composition
+    # (per-side floor(1e6·ln-ratio) then exact count multiply).
+    out["keyness_terms"] = f"""
+            WITH toks AS (
+                SELECT (lang = 'en') AS f, unnest({tokens}) AS term
+                FROM documents),
+            counts AS (
+                SELECT term,
+                       CAST(sum(CASE WHEN f THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_focus,
+                       CAST(sum(CASE WHEN f THEN 0 ELSE 1 END)
+                            AS BIGINT) AS n_ref
+                FROM toks GROUP BY term),
+            tot AS (
+                SELECT CAST(sum(n_focus) AS BIGINT) AS nf,
+                       CAST(sum(n_ref) AS BIGINT) AS nr
+                FROM counts),
+            sc AS (
+                SELECT term, n_focus, n_ref, nf, nr,
+                       CASE WHEN n_focus > 0 THEN
+                           CAST(floor(1e6 * (ln(n_focus::DOUBLE)
+                               + ln((nf + nr)::DOUBLE)
+                               - ln((n_focus + n_ref)::DOUBLE)
+                               - ln(nf::DOUBLE))) AS BIGINT)
+                           ELSE 0 END AS lf,
+                       CASE WHEN n_ref > 0 THEN
+                           CAST(floor(1e6 * (ln(n_ref::DOUBLE)
+                               + ln((nf + nr)::DOUBLE)
+                               - ln((n_focus + n_ref)::DOUBLE)
+                               - ln(nr::DOUBLE))) AS BIGINT)
+                           ELSE 0 END AS lr
+                FROM counts, tot)
+            SELECT term, n_focus, n_ref,
+                   CAST(2 * (n_focus * lf + n_ref * lr) AS BIGINT)
+                       AS g2_micro,
+                   (n_focus * nr > n_ref * nf) AS overused
+            FROM sc
+            WHERE n_focus + n_ref >= 5
+            ORDER BY g2_micro DESC, term ASC
+            LIMIT 50
         """
     return out
 

@@ -592,3 +592,42 @@ def test_rarity_bins_by_lang_cuts_are_per_language(spark):
     flat = {r.doc_id: r for r in token_rarity_bins(docs).collect()}
     assert "head" not in {flat[d].rarity_bin for d, _ in de}
     assert "tail" not in {flat[d].rarity_bin for d, _ in en}
+
+
+def test_keyness_terms_dunning_g2_exact(spark):
+    """Hand-computed Dunning G² on a tiny two-slice corpus, replayed
+    with the same floor(1e6·ln) quantization the operator uses."""
+    import math
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import keyness_terms
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, True, "alpha alpha alpha beta"),
+        (2, True, "alpha alpha beta beta"),
+        (3, False, "beta beta beta alpha"),
+        (4, False, "beta beta gamma gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, is_f boolean, text string")
+    out = {
+        r.term: r
+        for r in keyness_terms(
+            df, F.col("is_f"), top_k=10, min_count=2
+        ).collect()
+    }
+    # token totals: focus = 8, ref = 8
+    nf, nr = 8, 8
+
+    def g2(a, b):
+        n, ab = nf + nr, a + b
+        lf = math.floor(1e6 * (math.log(a) + math.log(n) - math.log(ab) - math.log(nf))) if a else 0
+        lr = math.floor(1e6 * (math.log(b) + math.log(n) - math.log(ab) - math.log(nr))) if b else 0
+        return 2 * (a * lf + b * lr)
+
+    assert out["alpha"].n_focus == 5 and out["alpha"].n_ref == 1
+    assert out["alpha"].g2_micro == g2(5, 1) and out["alpha"].overused
+    assert out["beta"].n_focus == 3 and out["beta"].n_ref == 5
+    assert out["beta"].g2_micro == g2(3, 5) and not out["beta"].overused
+    assert out["gamma"].n_focus == 0 and out["gamma"].g2_micro == g2(0, 2)
+    # min_count: every surviving term has a+b >= 2 (all do here)
+    assert set(out) == {"alpha", "beta", "gamma"}

@@ -1122,3 +1122,111 @@ def zipf_fit_report(
             ).alias("r2_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-comparison keyness (Dunning log-likelihood G²)
+# ---------------------------------------------------------------------------
+
+def keyness_terms(
+    df: DataFrame,
+    focus: Column,
+    text_col: str = "text",
+    top_k: int = 50,
+    min_count: int = 5,
+) -> DataFrame:
+    """Dunning (1993) log-likelihood keyness: which terms distinguish
+    the FOCUS slice of a corpus from the rest — the standard
+    corpus-linguistics diagnostic behind mixture design ("what is this
+    source actually made of?") and domain-shift audits.
+
+    For a term with focus count ``a``, reference count ``b`` and slice
+    token totals ``N_f``/``N_r`` (``N = N_f + N_r``):
+    ``G² = 2·(a·ln(a/E_f) + b·ln(b/E_r))`` with expected counts
+    ``E_x = (a+b)·N_x/N``; zero-count sides contribute 0.  Each ln
+    ratio is quantized to integer micro-units (``floor(1e6·ln)``, the
+    lm_perplexity seam) BEFORE multiplying by the integer count, so the
+    statistic is exact integer arithmetic over IEEE-deterministic
+    per-term lns — hash-replayable by the SQL oracle.
+
+    Plan: one token explode → ONE (term, conditional-count) aggregate
+    with map-side combine (shuffle rows bounded by vocabulary, never
+    corpus size), eagerly checkpointed because it feeds both the 1-row
+    totals and the scoring (the r8 multi-consumer rule); totals ride a
+    broadcast crossJoin; top-k is TakeOrderedAndProject.  Returns
+    (term, n_focus, n_ref, g2_micro, overused) — ``overused`` true
+    when the term is MORE frequent in focus than its share predicts
+    (a·N_r > b·N_f).
+    """
+    toks = df.select(
+        focus.alias("_f"), F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    counts = (
+        toks.groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("_f"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_focus"),
+            F.sum(F.when(F.col("_f"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_ref"),
+        )
+        # multi-consumer rule (r8): feeds the totals AND the scoring
+        .localCheckpoint(eager=True)
+    )
+    totals = counts.agg(
+        F.sum("n_focus").cast("long").alias("_nf"),
+        F.sum("n_ref").cast("long").alias("_nr"),
+    )
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        "n_focus",
+        "n_ref",
+        "_nf",
+        "_nr",
+        # per-side micro ln-ratio: ln(a) + ln(N) - ln(a+b) - ln(N_side)
+        F.when(
+            F.col("n_focus") > 0,
+            F.floor(
+                F.lit(1_000_000.0)
+                * (
+                    F.log(F.col("n_focus").cast("double"))
+                    + F.log((F.col("_nf") + F.col("_nr")).cast("double"))
+                    - F.log((F.col("n_focus") + F.col("n_ref")).cast("double"))
+                    - F.log(F.col("_nf").cast("double"))
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("_lf"),
+        F.when(
+            F.col("n_ref") > 0,
+            F.floor(
+                F.lit(1_000_000.0)
+                * (
+                    F.log(F.col("n_ref").cast("double"))
+                    + F.log((F.col("_nf") + F.col("_nr")).cast("double"))
+                    - F.log((F.col("n_focus") + F.col("n_ref")).cast("double"))
+                    - F.log(F.col("_nr").cast("double"))
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("_lr"),
+    )
+    return (
+        scored.where(F.col("n_focus") + F.col("n_ref") >= min_count)
+        .select(
+            "term",
+            "n_focus",
+            "n_ref",
+            (
+                2 * (F.col("n_focus") * F.col("_lf") + F.col("n_ref") * F.col("_lr"))
+            ).alias("g2_micro"),
+            (F.col("n_focus") * F.col("_nr") > F.col("n_ref") * F.col("_nf")).alias(
+                "overused"
+            ),
+        )
+        .orderBy(F.col("g2_micro").desc(), F.col("term").asc())
+        .limit(top_k)
+    )
