@@ -4801,6 +4801,16 @@ def q_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy per document (r10;
+    operators/curation.py:char_entropy_report) — the gibberish /
+    encoded-blob detector: one (id, char) count aggregate, the
+    ``H = ln n − Σk·ln k / n`` decomposition in floor(1e6·ln) integer
+    micro-units, (id, char) pairs on the shuffle, text never.  Oracle
+    replays the identical quantized arithmetic."""
+    return curation.char_entropy_report(_t(spark, sf_dir, "documents"))
+
+
 def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused per-document quality-signal vector (r10;
     operators/curation.py:quality_signals) — the Dolma-attributes /
@@ -5218,6 +5228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup": q_image_near_dup,
         "domain_blocklist": q_domain_blocklist,
         "keyness_terms": q_keyness_terms,
+        "char_entropy": q_char_entropy,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -10409,6 +10420,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_focus + n_ref >= 5
             ORDER BY g2_micro DESC, term ASC
             LIMIT 50
+        """
+
+    # r10: char entropy — H = ln n − Σ k·ln k / n in micro-units;
+    # empty fragments filtered (split('') empty-input divergence).
+    out["char_entropy"] = """
+            WITH ch AS (
+                SELECT doc_id, unnest(string_split(text, '')) AS c
+                FROM documents),
+            cc AS (
+                SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+                FROM ch WHERE c <> '' GROUP BY 1, 2),
+            per AS (
+                SELECT doc_id,
+                       CAST(sum(k) AS BIGINT) AS n_chars,
+                       CAST(count(*) AS BIGINT) AS n_distinct,
+                       CAST(sum(k * CAST(floor(1e6 * ln(k::DOUBLE))
+                                         AS BIGINT)) AS BIGINT) AS s2
+                FROM cc GROUP BY 1)
+            SELECT doc_id, n_chars, n_distinct,
+                   CAST(floor(1e6 * ln(n_chars::DOUBLE)) AS BIGINT)
+                       - s2 // n_chars AS entropy_micro
+            FROM per
         """
     return out
 

@@ -1275,3 +1275,29 @@ def test_domain_blocklist_report_suffix_semantics(spark):
         for r in domain_blocklist_report(df, bl_df).collect()
     }
     assert got_df == got
+
+
+def test_char_entropy_report_exact(spark):
+    """Hand-computed entropy quantization: 'aabb' → n=4, k=2,2 →
+    floor(1e6·ln4) − (2·floor(1e6·ln2) + 2·floor(1e6·ln2)) div 4
+    = ln2 in micro-units (binary-balanced string); 'aaaa' → 0;
+    and a uniform 4-char string beats the 2-char one."""
+    import math
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import char_entropy_report
+
+    rows = [(1, "aabb"), (2, "aaaa"), (3, "abcd"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in char_entropy_report(df).collect()}
+
+    def expect(ks):
+        n = sum(ks)
+        s2 = sum(k * math.floor(1e6 * math.log(k)) for k in ks)
+        return math.floor(1e6 * math.log(n)) - s2 // n
+
+    assert out[1].n_chars == 4 and out[1].n_distinct == 2
+    assert out[1].entropy_micro == expect([2, 2])
+    assert out[2].entropy_micro == expect([4]) == 0
+    assert out[3].entropy_micro == expect([1, 1, 1, 1])
+    assert out[3].entropy_micro > out[1].entropy_micro > out[2].entropy_micro
+    assert 4 not in out  # empty text yields no row on either engine

@@ -1927,3 +1927,64 @@ def domain_blocklist_filter(
         df, blocklist, url_col=url_col, id_col=id_col
     ).where(~F.col("blocked"))
     return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+def char_entropy_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document character-distribution entropy — the cheap
+    gibberish/encoded-blob detector that complements the Gopher word
+    rules: natural prose sits near the language's characteristic
+    entropy band, base64/hex dumps and key-mash noise sit far above,
+    single-character floods far below.
+
+    Uses the decomposition ``H = ln(n) − (Σ_c k_c·ln k_c)/n`` so the
+    whole statistic comes from ONE (id, char) count aggregate followed
+    by a per-doc rollup — no self-join back for totals.  Quantization
+    contract (integer end-to-end, SQL-replayable):
+    ``entropy_micro = floor(1e6·ln n) − (Σ_c k_c·floor(1e6·ln k_c)) div n``.
+    Empty-string fragments are filtered on both engines (Spark and
+    DuckDB split('') disagree on empty input).
+
+    Scale shape: shuffle rows are (id, char) pairs — bounded by
+    alphabet size per document (≲ low hundreds), with map-side combine;
+    text never shuffles.  Returns (id_col, n_chars, n_distinct,
+    entropy_micro).
+    """
+    cc = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), "")).alias("_c"),
+        )
+        .where(F.col("_c") != "")
+        .groupBy(id_col, "_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("_k"))
+    )
+    rows = cc.select(
+        id_col,
+        "_k",
+        (
+            F.col("_k")
+            * F.floor(
+                F.lit(1_000_000.0) * F.log(F.col("_k").cast("double"))
+            ).cast("long")
+        ).alias("_t"),
+    )
+    per = rows.groupBy(id_col).agg(
+        F.sum("_k").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum("_t").cast("long").alias("_s2"),
+    )
+    return per.select(
+        id_col,
+        "n_chars",
+        "n_distinct",
+        (
+            F.floor(
+                F.lit(1_000_000.0) * F.log(F.col("n_chars").cast("double"))
+            ).cast("long")
+            - F.expr("_s2 div n_chars")
+        ).alias("entropy_micro"),
+    )
