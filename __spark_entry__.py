@@ -4787,6 +4787,52 @@ def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-fingerprint near-dup (r10;
+    operators/multimodal.py:audio_fingerprint + audio_near_dup_pairs,
+    join core shared via operators/dedup.py:hamming_pairs).  64-sample
+    s16le PCM payloads synthesized from eight md5 digests (the
+    media_audio_stats generator pattern) with planted exact twins
+    (doc_id % 11) and first-byte perturbations (doc_id % 7); the REAL
+    numpy decode→energy-delta 32-bit fingerprint kernel runs in one
+    mapInPandas pass, PCM bytes never shuffle, and the independent
+    brute-force oracle twin recomputes the fingerprint from the digest
+    bytes and lists all pairs at bit_count(xor) <= 3."""
+    d = _t(spark, sf_dir, "documents")
+    hs = F.concat(
+        *[
+            F.md5(F.concat(F.col("text"), F.lit(s))) if s else F.md5("text")
+            for s in ["", "a", "b", "c", "d", "e", "f", "g"]
+        ]
+    )
+    hx = d.select("doc_id", hs.alias("hs"))
+    variants = (
+        hx.select(F.col("doc_id").alias("asset_id"), "hs")
+        .unionByName(
+            hx.where(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1000000).alias("asset_id"), "hs"
+            )
+        )
+        .unionByName(
+            hx.where(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 2000000).alias("asset_id"),
+                F.concat(
+                    F.lit("00"), F.expr("substring(hs, 3, 254)")
+                ).alias("hs"),
+            )
+        )
+    )
+    assets = variants.select(
+        "asset_id",
+        F.lit("audio").alias("modality"),
+        F.unhex("hs").alias("payload"),
+    )
+    pairs = multimodal.audio_near_dup_pairs(assets, n_bits=32, max_hamming=3)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def q_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dunning log-likelihood keyness (r10;
     operators/text_mining.py:keyness_terms) of English-labelled docs
@@ -5229,6 +5275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_blocklist": q_domain_blocklist,
         "keyness_terms": q_keyness_terms,
         "char_entropy": q_char_entropy,
+        "audio_near_dup": q_audio_near_dup,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -10442,6 +10489,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(1e6 * ln(n_chars::DOUBLE)) AS BIGINT)
                        - s2 // n_chars AS entropy_micro
             FROM per
+        """
+
+    # r10: audio-fingerprint near-dup — independent brute-force twin:
+    # s16le samples decoded from the digest hex (the media_audio_stats
+    # byte math), 33 integer window energies, sign-of-delta bits,
+    # all pairs at bit_count(xor) <= 3 via O(n²) join.
+    out["audio_near_dup"] = """
+            WITH hx AS (
+                SELECT doc_id,
+                       md5(text) || md5(text || 'a') || md5(text || 'b')
+                       || md5(text || 'c') || md5(text || 'd')
+                       || md5(text || 'e') || md5(text || 'f')
+                       || md5(text || 'g') AS hs
+                FROM documents),
+            assets AS (
+                SELECT doc_id AS asset_id, hs FROM hx
+                UNION ALL
+                SELECT doc_id + 1000000, hs FROM hx WHERE doc_id % 11 = 0
+                UNION ALL
+                SELECT doc_id + 2000000, '00' || substr(hs, 3)
+                FROM hx WHERE doc_id % 7 = 0),
+            smp AS (
+                SELECT asset_id,
+                       [ CASE WHEN u >= 32768 THEN 65536 - u ELSE u END
+                         FOR u IN [
+                             (strpos('0123456789abcdef',
+                                 substr(hs, 4*j + 1, 1)) - 1) * 16
+                           + (strpos('0123456789abcdef',
+                                 substr(hs, 4*j + 2, 1)) - 1)
+                           + 256 * ((strpos('0123456789abcdef',
+                                 substr(hs, 4*j + 3, 1)) - 1) * 16
+                           + (strpos('0123456789abcdef',
+                                 substr(hs, 4*j + 4, 1)) - 1))
+                             FOR j IN generate_series(0, 63)] ] AS ab
+                FROM assets),
+            en AS (
+                SELECT asset_id,
+                       [ list_sum(ab[(w*64//33) + 1 : ((w+1)*64//33)])
+                         FOR w IN generate_series(0, 32) ] AS e
+                FROM smp),
+            h AS (
+                SELECT asset_id,
+                       CAST(list_sum(
+                           [ CASE WHEN e[w + 2] > e[w + 1]
+                                  THEN (1::BIGINT << w) ELSE 0 END
+                             FOR w IN generate_series(0, 31) ])
+                           AS BIGINT) AS afp
+                FROM en)
+            SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+                   CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+            FROM h a JOIN h b ON a.asset_id < b.asset_id
+            WHERE bit_count(xor(a.afp, b.afp)) <= 3
         """
     return out
 

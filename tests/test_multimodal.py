@@ -184,3 +184,70 @@ def test_image_near_dup_pairs_lossless(spark):
     assert got[(1, 2)] == 0
     assert (1, 3) in got and got[(1, 3)] >= 1
     assert (1, 4) not in got
+
+
+def test_audio_fingerprint_energy_delta_exact(spark):
+    """Hand-computed energy-delta fingerprint on a short track, plus
+    amplitude-scale invariance (volume must not change the bits) and
+    the too-short/undecodable null seam."""
+    import numpy as np
+
+    n_bits, n_win = 8, 9
+    base = np.array(
+        [10, -20, 5, 300, -4, 80, 80, -80, 7, 900, 2, -2, 40, 40, 1, -1, 60, 3],
+        dtype="<i2",
+    )
+    ab = np.abs(base.astype(int))
+    n = len(ab)
+    e = [int(ab[w * n // n_win : (w + 1) * n // n_win].sum()) for w in range(n_win)]
+    expected = sum(1 << w for w in range(n_bits) if e[w + 1] > e[w])
+    rows = [
+        (1, "audio", "audio/pcm-s16le", base.tobytes(), None, None, None, "d"),
+        (2, "audio", "audio/pcm-s16le", (base * 3).tobytes(), None, None, None, "d"),
+        (3, "audio", "audio/pcm-s16le", base[:4].tobytes(), None, None, None, "d"),
+        (4, "audio", "audio/mpeg", b"\x00\x01\x02", None, None, None, "d"),
+    ]
+    assets = spark.createDataFrame(rows, schemas.MEDIA_ASSETS)
+    out = {
+        r.asset_id: r
+        for r in multimodal.audio_fingerprint(assets, n_bits=n_bits).collect()
+    }
+    assert out[1].afp == expected and out[1].n_windows == n_win
+    assert out[2].afp == expected  # 3x volume, same fingerprint
+    assert out[3].afp is None  # shorter than n_win samples
+    assert out[4].afp is None  # odd byte count: undecodable
+
+
+def test_audio_near_dup_pairs_lossless(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(-5000, 5000, size=64).astype("<i2")
+    near = base.copy()
+    near[0] = 5000  # perturb one sample
+    other = rng.randint(-5000, 5000, size=64).astype("<i2")
+    rows = [
+        (1, "audio", "audio/pcm-s16le", base.tobytes(), None, None, None, "d"),
+        (2, "audio", "audio/pcm-s16le", base.tobytes(), None, None, None, "d"),
+        (3, "audio", "audio/pcm-s16le", near.tobytes(), None, None, None, "d"),
+        (4, "audio", "audio/pcm-s16le", other.tobytes(), None, None, None, "d"),
+    ]
+    assets = spark.createDataFrame(rows, schemas.MEDIA_ASSETS)
+    fps = {
+        r.asset_id: r.afp
+        for r in multimodal.audio_fingerprint(assets, n_bits=32).collect()
+    }
+    brute = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.audio_near_dup_pairs(
+            assets, n_bits=32, max_hamming=3
+        ).collect()
+    }
+    assert got == brute
+    assert got[(1, 2)] == 0

@@ -315,3 +315,90 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         .select("asset_id", "payload", "duration_ms")
         .mapInPandas(run, schema=FRAME_SCHEMA)
     )
+
+
+AUDIO_FP_SCHEMA = "asset_id long, afp long, n_windows int"
+
+
+def audio_fingerprint(df: DataFrame, n_bits: int = 32) -> DataFrame:
+    """Energy-delta audio fingerprint over raw PCM — the audio analog
+    of :func:`ahash_images` (the sign-of-adjacent-band-energy-change
+    idea behind Shazam/Chromaprint-class fingerprints, reduced to the
+    time domain so it stays codec-free and integer-exact).
+
+    The signal is framed into ``n_bits + 1`` windows with exact integer
+    boundaries ``[w·n // (n_bits+1), (w+1)·n // (n_bits+1))``; window
+    energy is the integer sum of absolute sample values; bit ``w`` is
+    set iff window ``w+1``'s energy STRICTLY exceeds window ``w``'s.
+    Sign-of-delta is invariant under positive amplitude scaling (volume
+    changes), the property that makes it a perceptual fingerprint and
+    not a checksum.  All-integer, so SQL-oracle-replayable for
+    digest-synthesized payloads.
+
+    ``n_bits <= 63`` (packs into a long).  Tracks shorter than
+    ``n_bits + 1`` samples (or undecodable payloads — the codec seam)
+    yield a null fingerprint.  Input needs (asset_id, modality,
+    payload); returns (asset_id, afp, n_windows).
+    """
+    import numpy as np
+
+    if n_bits > 63:
+        raise ValueError(f"n_bits must fit a long hash, got {n_bits}")
+    n_win = n_bits + 1
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for p in pdf["payload"]:
+                x = decode_pcm_s16le(p)
+                if x is None or len(x) < n_win:
+                    fps.append(None)
+                    continue
+                ab = np.abs(x)
+                n = len(ab)
+                e = [
+                    int(ab[w * n // n_win : (w + 1) * n // n_win].sum())
+                    for w in range(n_win)
+                ]
+                sig = 0
+                for w in range(n_bits):
+                    if e[w + 1] > e[w]:
+                        sig |= 1 << w
+                fps.append(sig)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "afp": pd.array(fps, dtype="Int64"),
+                    "n_windows": np.full(len(pdf), n_win, dtype="int32"),
+                }
+            )
+
+    return (
+        df.where(F.col("modality") == "audio")
+        .select("asset_id", "payload")
+        .mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+    )
+
+
+def audio_near_dup_pairs(
+    df: DataFrame, n_bits: int = 32, max_hamming: int = 3
+) -> DataFrame:
+    """Audio near-duplicate pairs at fingerprint Hamming <=
+    ``max_hamming`` — :func:`audio_fingerprint` feeding the shared
+    lossless pigeonhole block join (``operators/dedup.py:
+    hamming_pairs``).  PCM bytes never shuffle; candidates ∝ chunk
+    collisions; output is exactly the true pair set (independent
+    brute-force oracle twin in the registered query).  Returns
+    (id_a, id_b, hamming) with id_a < id_b."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import hamming_pairs
+
+    sigs = audio_fingerprint(df, n_bits=n_bits).where(
+        F.col("afp").isNotNull()
+    )
+    return hamming_pairs(
+        sigs,
+        id_col="asset_id",
+        sig_col="afp",
+        bits=n_bits,
+        max_hamming=max_hamming,
+    )
