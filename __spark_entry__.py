@@ -4833,6 +4833,33 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rule_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule Gopher kill attribution (r10;
+    operators/curation.py:gopher_rule_attribution) over the SAME
+    planted corpus as gopher_quality: for each of the seven rules, the
+    docs failing it and the docs it kills ALONE (the relax-this-rule
+    recovery count) — the report a rule set is tuned from before a
+    100 TB pass.  One scan + one conditional aggregate; the oracle
+    composes per-rule fail flags over the gopher_quality twin, so the
+    signal arithmetic is shared verbatim."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t = F.col("text")
+    text2 = (
+        F.when(d % 11 == 0, F.concat(F.lit("- "), t))
+        .when(d % 13 == 0, F.concat(t, F.lit("...")))
+        .when(d % 17 == 0, F.concat(t, F.lit(" # ## ### ####")))
+        .when(
+            d % 19 == 0,
+            F.concat(
+                t, F.lit(" the cat and the dog have fun with that wool.")
+            ),
+        )
+        .otherwise(t)
+    )
+    return curation.gopher_rule_attribution(docs.withColumn("text", text2))
+
+
 def q_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dunning log-likelihood keyness (r10;
     operators/text_mining.py:keyness_terms) of English-labelled docs
@@ -5276,6 +5303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyness_terms": q_keyness_terms,
         "char_entropy": q_char_entropy,
         "audio_near_dup": q_audio_near_dup,
+        "gopher_rule_attribution": q_gopher_rule_attribution,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -10541,6 +10569,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
             FROM h a JOIN h b ON a.asset_id < b.asset_id
             WHERE bit_count(xor(a.afp, b.afp)) <= 3
+        """
+
+    # r10: gopher rule attribution — per-rule fail flags composed over
+    # the gopher_quality twin (shared signal arithmetic), generated
+    # from one (name, PASS-predicate) list mirroring _gopher_rules.
+    _ga_rules = [
+        ("word_count", "n_words >= 50 AND n_words <= 100000"),
+        ("mean_word_len", "mean_word_len_deci BETWEEN 30 AND 100"),
+        ("symbol_ratio", "symbol_ratio_permille <= 100"),
+        ("bullet_lines", "bullet_lines_permille <= 900"),
+        ("ellipsis_lines", "ellipsis_lines_permille <= 300"),
+        ("alpha_words", "alpha_word_permille >= 800"),
+        ("stopword_hits", "n_stop_hits >= 2"),
+    ]
+    _ga_flags = ",\n                       ".join(
+        f"CASE WHEN NOT ({pred}) THEN 1 ELSE 0 END AS f_{n}"
+        for n, pred in _ga_rules
+    )
+    _ga_nf = " + ".join(f"f_{n}" for n, _ in _ga_rules)
+    _ga_sums = ",\n                       ".join(
+        f"CAST(sum(f_{n}) AS BIGINT) AS fail_{n},\n"
+        f"                       CAST(sum(CASE WHEN f_{n} = 1 AND nf = 1"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS sole_{n}"
+        for n, _ in _ga_rules
+    )
+    _ga_union = "\n            UNION ALL ".join(
+        f"SELECT '{n}' AS rule, n AS n_docs, fail_{n} AS n_failed,"
+        f" sole_{n} AS n_sole_kill FROM a"
+        for n, _ in _ga_rules
+    )
+    out["gopher_rule_attribution"] = f"""
+            WITH gq AS ({out["gopher_quality"]}),
+            f AS (
+                SELECT doc_id,
+                       {_ga_flags}
+                FROM gq),
+            g AS (SELECT *, {_ga_nf} AS nf FROM f),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       {_ga_sums}
+                  FROM g)
+            {_ga_union}
         """
     return out
 

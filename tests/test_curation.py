@@ -1301,3 +1301,42 @@ def test_char_entropy_report_exact(spark):
     assert out[3].entropy_micro == expect([1, 1, 1, 1])
     assert out[3].entropy_micro > out[1].entropy_micro > out[2].entropy_micro
     assert 4 not in out  # empty text yields no row on either engine
+
+
+def test_gopher_rule_attribution_counts(spark):
+    """Planted failures: a too-short doc fails word_count (and others);
+    a healthy long doc that ONLY fails the symbol rule shows up as that
+    rule's sole kill; a fully-passing doc contributes nowhere."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        gopher_quality_report,
+        gopher_rule_attribution,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then walks "
+        "into town with all of its friends to find some fresh food "
+        "for the long cold winter that is surely coming soon this year "
+        "while everyone watches with great interest and quiet hope"
+    )
+    rows = [
+        (1, good),                       # passes everything
+        (2, good + " ab# cd# ef# gh# ij# kl# mn# op#"),  # symbol spam only
+        (3, "tiny doc"),                 # fails word_count + stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = {r.doc_id: r.keep for r in gopher_quality_report(df, min_words=30).collect()}
+    assert rep == {1: True, 2: False, 3: False}
+    out = {
+        r.rule: r
+        for r in gopher_rule_attribution(df, min_words=30).collect()
+    }
+    assert set(out) == {
+        "word_count", "mean_word_len", "symbol_ratio", "bullet_lines",
+        "ellipsis_lines", "alpha_words", "stopword_hits",
+    }
+    assert all(r.n_docs == 3 for r in out.values())
+    assert out["symbol_ratio"].n_failed == 1
+    assert out["symbol_ratio"].n_sole_kill == 1   # doc 2 recoverable
+    assert out["word_count"].n_failed == 1        # doc 3
+    assert out["word_count"].n_sole_kill == 0     # doc 3 fails 2 rules
+    assert out["bullet_lines"].n_failed == 0

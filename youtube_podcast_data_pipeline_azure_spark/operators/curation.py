@@ -1324,21 +1324,94 @@ def _gopher_derived(
     )
 
 
+def _gopher_rules(
+    min_words: int, max_words: int
+) -> "tuple[tuple[str, Column], ...]":
+    """The seven named Gopher PASS predicates over
+    :func:`_gopher_derived`'s columns — the single rule source shared
+    by :func:`_gopher_keep` (their conjunction) and
+    :func:`gopher_rule_attribution` (per-rule kill counts), so the
+    verdict and the attribution cannot drift."""
+    return (
+        (
+            "word_count",
+            (F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words),
+        ),
+        (
+            "mean_word_len",
+            (F.col("mean_word_len_deci") >= 30)
+            & (F.col("mean_word_len_deci") <= 100),
+        ),
+        ("symbol_ratio", F.col("symbol_ratio_permille") <= 100),
+        ("bullet_lines", F.col("bullet_lines_permille") <= 900),
+        ("ellipsis_lines", F.col("ellipsis_lines_permille") <= 300),
+        ("alpha_words", F.col("alpha_word_permille") >= 800),
+        ("stopword_hits", F.col("n_stop_hits") >= 2),
+    )
+
+
 def _gopher_keep(min_words: int, max_words: int) -> Column:
     """The Gopher rule conjunction over :func:`_gopher_derived`'s
     columns — shared so the fused and standalone reports cannot
     disagree on the verdict."""
-    return (
-        (F.col("n_words") >= min_words)
-        & (F.col("n_words") <= max_words)
-        & (F.col("mean_word_len_deci") >= 30)
-        & (F.col("mean_word_len_deci") <= 100)
-        & (F.col("symbol_ratio_permille") <= 100)
-        & (F.col("bullet_lines_permille") <= 900)
-        & (F.col("ellipsis_lines_permille") <= 300)
-        & (F.col("alpha_word_permille") >= 800)
-        & (F.col("n_stop_hits") >= 2)
+    rules = _gopher_rules(min_words, max_words)
+    keep = rules[0][1]
+    for _, expr in rules[1:]:
+        keep = keep & expr
+    return keep
+
+
+def gopher_rule_attribution(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Per-rule kill attribution for the Gopher filter — the "why did
+    my corpus shrink" operational report run before committing a rule
+    set to a 100 TB pass: for each of the seven rules, how many
+    documents FAIL it, and how many it kills ALONE (``n_sole_kill`` —
+    the docs that would be recovered by relaxing just that rule).
+
+    Same single-scan shape as :func:`gopher_quality_report` (the
+    shared :func:`_gopher_derived` pipeline and the
+    :func:`_gopher_rules` predicates), collapsed by ONE conditional
+    aggregate; the 7-row result is a driver-side stack unpivot.
+    Returns (rule, n_docs, n_failed, n_sole_kill).
+    """
+    rules = _gopher_rules(min_words, max_words)
+    derived = _gopher_derived(docs, text_col, id_col)
+    flags = derived.select(
+        *[(~expr).cast("long").alias(f"_f_{n}") for n, expr in rules]
     )
+    nf = F.col(f"_f_{rules[0][0]}")
+    for n, _ in rules[1:]:
+        nf = nf + F.col(f"_f_{n}")
+    flagged = flags.select("*", nf.alias("_nf"))
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        *[
+            F.sum(f"_f_{n}").cast("long").alias(f"_fail_{n}")
+            for n, _ in rules
+        ],
+        *[
+            F.sum(
+                F.when(
+                    (F.col(f"_f_{n}") == 1) & (F.col("_nf") == 1), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"_sole_{n}")
+            for n, _ in rules
+        ],
+    )
+    stack = "stack({}, {}) as (rule, n_docs, n_failed, n_sole_kill)".format(
+        len(rules),
+        ", ".join(f"'{n}', _n, _fail_{n}, _sole_{n}" for n, _ in rules),
+    )
+    return agg.select(F.expr(stack))
 
 
 def quality_signals(
