@@ -4860,6 +4860,29 @@ def q_gopher_rule_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.gopher_rule_attribution(docs.withColumn("text", text2))
 
 
+def q_streaming_near_dup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash band-index persistence roundtrip (r10 — the fifth
+    build-once index after IVF lists, PQ codebooks, suffix ranks and
+    BM25 postings): fingerprint + band the standing corpus ONCE
+    (operators/dedup.py:minhash_index_write — range-clustered band
+    table, shingle sets, 1-row parameter meta), then probe the LOADED
+    index with the same arriving batch as streaming_near_dup, banding
+    parameters taken from the recorded meta.  Oracle: the
+    streaming_near_dup SQL — the loaded-index pair set must be
+    hash-identical to the in-plan construction."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="spark_graft_mh_")
+    dedup.minhash_index_write(docs.where(F.col("doc_id") % 5 != 0), path)
+    out = dedup.near_dup_from_minhash_index(
+        docs.where(F.col("doc_id") % 5 == 0), spark, path
+    )
+    return out.select(
+        "in_id", "corpus_id", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
 def q_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dunning log-likelihood keyness (r10;
     operators/text_mining.py:keyness_terms) of English-labelled docs
@@ -5304,6 +5327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "audio_near_dup": q_audio_near_dup,
         "gopher_rule_attribution": q_gopher_rule_attribution,
+        "streaming_near_dup_persisted": q_streaming_near_dup_persisted,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -10611,6 +10635,12 @@ def oracle_sql() -> dict[str, str]:
                   FROM g)
             {_ga_union}
         """
+
+    # r10: minhash index persistence — loaded-index probe must be
+    # hash-identical to the in-plan streaming_near_dup construction,
+    # so the oracle is shared verbatim (the bm25_search_persisted
+    # pattern).
+    out["streaming_near_dup_persisted"] = out["streaming_near_dup"]
     return out
 
 

@@ -1624,3 +1624,43 @@ def test_containment_dedup_policy(spark):
     # identical twins: exactly one survivor, the smaller id
     assert got[4].kept is True and got[5].kept is False
     assert got[5].contained_in == 4
+
+
+def test_minhash_index_roundtrip_equals_in_plan(spark, sf_dir, tmp_path):
+    """Persisted band index probe must equal the in-plan
+    near_dup_against_corpus at the same parameters, and the probe must
+    take its banding scheme from the recorded meta (not caller args)."""
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import (
+        minhash_index_load,
+        minhash_index_write,
+        near_dup_from_minhash_index,
+    )
+    from youtube_podcast_data_pipeline_azure_spark.streaming.docs_stream import (
+        corpus_near_dup_index,
+        near_dup_against_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "mh_index")
+    minhash_index_write(corpus, path, num_hashes=64, bands=16)
+
+    index, sh, meta = minhash_index_load(spark, path)
+    assert (meta["num_hashes"], meta["bands"], meta["shingle_n"]) == (64, 16, 3)
+
+    in_plan_index, in_plan_sh = corpus_near_dup_index(
+        corpus, num_hashes=64, bands=16
+    )
+    expected = {
+        (r.in_id, r.corpus_id, round(r.jaccard, 4))
+        for r in near_dup_against_corpus(
+            incoming, in_plan_index, in_plan_sh, num_hashes=64, bands=16
+        ).collect()
+    }
+    got = {
+        (r.in_id, r.corpus_id, round(r.jaccard, 4))
+        for r in near_dup_from_minhash_index(incoming, spark, path).collect()
+    }
+    assert got == expected and len(got) > 0

@@ -2033,3 +2033,93 @@ def minhash_band_tuning(
         .cast("long")
         .alias("candidate_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH band-index persistence (build once, probe every batch)
+# ---------------------------------------------------------------------------
+
+def minhash_index_write(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 96,
+    bands: int = 24,
+) -> None:
+    """Build the standing corpus's near-dup lookup surfaces ONCE and
+    persist them — the fifth member of the build-once index family
+    (IVF lists, PQ codebooks, suffix ranks, BM25 postings): every
+    incoming crawl batch then probes the saved index instead of
+    re-fingerprinting the corpus.
+
+    Layout: ``{path}/bands`` — the (id, band_id, band_hash) probe
+    table, range-clustered on (band_id, band_hash) so files carry
+    disjoint min/max footers; ``{path}/shingles`` — the per-doc
+    shingle sets consulted only for exact-Jaccard candidate verify;
+    ``{path}/meta`` — one row recording (shingle_n, num_hashes, bands,
+    id_col) so probes CANNOT band with mismatched parameters.  Index
+    layout = data: appends, compaction, GDPR deletes all inherit the
+    engine's sink operators."""
+    from youtube_podcast_data_pipeline_azure_spark.streaming.docs_stream import (
+        corpus_near_dup_index,
+    )
+
+    spark = corpus.sparkSession
+    index, sh = corpus_near_dup_index(
+        corpus, text_col, id_col, shingle_n, num_hashes, bands
+    )
+    (
+        index.repartitionByRange(4, "band_id", "band_hash")
+        .sortWithinPartitions("band_id", "band_hash")
+        .write.mode("overwrite")
+        .parquet(f"{path}/bands")
+    )
+    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    spark.createDataFrame(
+        [(shingle_n, num_hashes, bands, id_col)],
+        "shingle_n int, num_hashes int, bands int, id_col string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def minhash_index_load(spark, path: str):
+    """Load a persisted MinHash band index: (band table, shingle table,
+    meta dict).  Meta is one bounded 1-row collect."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    return (
+        spark.read.parquet(f"{path}/bands"),
+        spark.read.parquet(f"{path}/shingles"),
+        meta,
+    )
+
+
+def near_dup_from_minhash_index(
+    incoming: DataFrame,
+    spark,
+    path: str,
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs of an incoming batch against a PERSISTED corpus
+    index (see :func:`minhash_index_write`) — identical semantics to
+    ``streaming/docs_stream.py:near_dup_against_corpus`` with the
+    banding parameters taken from the index's recorded meta, so a probe
+    can never hash with a different scheme than the index was built
+    with.  Returns (in_id, corpus_id, jaccard)."""
+    from youtube_podcast_data_pipeline_azure_spark.streaming.docs_stream import (
+        near_dup_against_corpus,
+    )
+
+    index, sh, meta = minhash_index_load(spark, path)
+    return near_dup_against_corpus(
+        incoming,
+        index,
+        sh,
+        text_col=text_col,
+        id_col=meta["id_col"],
+        shingle_n=meta["shingle_n"],
+        num_hashes=meta["num_hashes"],
+        bands=meta["bands"],
+        jaccard_threshold=jaccard_threshold,
+    )
