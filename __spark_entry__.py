@@ -4883,6 +4883,20 @@ def q_streaming_near_dup_persisted(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_packing_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency-at-every-budget table (r10;
+    operators/sampling.py:packing_budget_curve): the id-order running
+    sum is computed ONCE (budget-independent), candidate budgets fan
+    out as a 5-wide explode after the window, and each budget's bins
+    replay pack_sequences exactly — the choose-your-sequence-length
+    report before a 100 TB packing run.  Oracle replays the window +
+    fan-out + two-level bin aggregate."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", word_count("text").alias("tok")
+    )
+    return sampling.packing_budget_curve(docs, "tok", group_col="source")
+
+
 def q_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dunning log-likelihood keyness (r10;
     operators/text_mining.py:keyness_terms) of English-labelled docs
@@ -5328,6 +5342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dup": q_audio_near_dup,
         "gopher_rule_attribution": q_gopher_rule_attribution,
         "streaming_near_dup_persisted": q_streaming_near_dup_persisted,
+        "packing_budget_curve": q_packing_budget_curve,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -10641,6 +10656,52 @@ def oracle_sql() -> dict[str, str]:
     # so the oracle is shared verbatim (the bm25_search_persisted
     # pattern).
     out["streaming_near_dup_persisted"] = out["streaming_near_dup"]
+
+    # r10: packing budget curve — the packing_efficiency construction
+    # per budget over ONE budget-independent running sum.
+    out["packing_budget_curve"] = f"""
+            WITH d AS (
+                SELECT source, doc_id,
+                       cast(len({tokens}) AS bigint) AS n_tokens
+                FROM documents),
+            p AS (
+                SELECT source, n_tokens,
+                       cast(coalesce(sum(n_tokens) OVER (
+                                PARTITION BY source ORDER BY doc_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0)
+                            AS bigint) AS before
+                FROM d),
+            f AS (
+                SELECT p.*, b.budget
+                FROM p, (SELECT unnest([512, 1024, 2048, 4096, 8192])
+                             ::BIGINT AS budget) b),
+            g AS (
+                SELECT budget, source, n_tokens,
+                       cast(floor(before / budget::DOUBLE) AS bigint)
+                           AS pack_id
+                FROM f),
+            b1 AS (
+                SELECT budget, source, pack_id,
+                       count(*) AS nd,
+                       sum(n_tokens) AS tt,
+                       sum(CASE WHEN n_tokens > budget THEN 1 ELSE 0 END)
+                           AS ov
+                FROM g GROUP BY 1, 2, 3),
+            a AS (
+                SELECT budget,
+                       cast(sum(nd) AS bigint) AS n_docs,
+                       cast(count(*) AS bigint) AS n_bins,
+                       cast(sum(tt) AS bigint) AS total_tokens,
+                       cast(sum(ov) AS bigint) AS n_oversize_docs
+                FROM b1 GROUP BY 1)
+            SELECT budget, n_docs, n_bins, total_tokens,
+                   cast(n_bins * budget AS bigint) AS capacity_tokens,
+                   cast(floor(total_tokens * 10000
+                        / (n_bins * budget)) AS bigint) AS utilization_bp,
+                   n_oversize_docs
+            FROM a
+        """
     return out
 
 

@@ -522,3 +522,37 @@ def test_dsir_rejects_unknown_hasher(spark):
     raw, tgt = _dsir_frames(spark)
     with _pt.raises(ValueError):
         dsir_importance_weights(raw, tgt, hasher="sha1").collect()
+
+
+def test_packing_budget_curve_matches_per_budget_efficiency(spark):
+    """Every row of the one-pass curve must equal packing_efficiency
+    run separately at that budget."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import (
+        packing_budget_curve,
+        packing_efficiency,
+    )
+
+    rows = [(i, "g%d" % (i % 3), 50 + (i * 37) % 400) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, tok long")
+    budgets = (256, 1024, 4096)
+    curve = {
+        r.budget: r
+        for r in packing_budget_curve(
+            df, "tok", group_col="source", budgets=budgets
+        ).collect()
+    }
+    assert set(curve) == set(budgets)
+    for b in budgets:
+        exp = packing_efficiency(
+            df, "tok", group_col="source", budget=b
+        ).collect()[0]
+        got = curve[b]
+        assert (
+            got.n_docs, got.n_bins, got.total_tokens,
+            got.capacity_tokens, got.utilization_bp, got.n_oversize_docs,
+        ) == (
+            exp.n_docs, exp.n_bins, exp.total_tokens,
+            exp.capacity_tokens, exp.utilization_bp, exp.n_oversize_docs,
+        )
+    # smaller budgets always at least as utilized or more oversize docs
+    assert curve[256].n_oversize_docs >= curve[4096].n_oversize_docs

@@ -587,3 +587,73 @@ def dsir_resample(
     return keyed.orderBy(
         F.col("key_micro").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def packing_budget_curve(
+    df: DataFrame,
+    token_count_col: str,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    budgets: tuple[int, ...] = (512, 1024, 2048, 4096, 8192),
+) -> DataFrame:
+    """:func:`packing_efficiency` at every candidate budget in ONE
+    pass — the table a training team picks its sequence length from
+    BEFORE burning GPU-hours (the nb_threshold_curve pattern applied
+    to packing): utilization rises with smaller bins but oversize-doc
+    counts rise with them too.
+
+    Key saving: the id-order running sum ``before`` is
+    budget-INDEPENDENT, so the window runs ONCE; budgets fan out as a
+    |budgets|-wide explode AFTER the window (rows × |budgets|, partial
+    aggregation collapses map-side), and every per-budget bin id is
+    ``floor(before / budget)`` — identical to :func:`pack_sequences`
+    at that budget.  Returns one row per budget: (budget, n_docs,
+    n_bins, total_tokens, capacity_tokens, utilization_bp,
+    n_oversize_docs).
+    """
+    parts = [group_col] if group_col else []
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(token_count_col).over(w), F.lit(0))
+    base = df.select(
+        *[F.col(c) for c in parts],
+        F.col(token_count_col).alias("n_tokens"),
+        before.alias("_before"),
+    )
+    fanned = base.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(b).cast("long") for b in budgets])
+        ).alias("budget"),
+    ).select(
+        "budget",
+        "n_tokens",
+        *[F.col(c) for c in parts],
+        F.floor(F.col("_before") / F.col("budget")).cast("long").alias(
+            "pack_id"
+        ),
+    )
+    agg = fanned.groupBy("budget").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct(*(parts + ["pack_id"])).cast("long").alias("n_bins"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("n_tokens") > F.col("budget"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oversize_docs"),
+    )
+    return agg.select(
+        "budget",
+        "n_docs",
+        "n_bins",
+        "total_tokens",
+        (F.col("n_bins") * F.col("budget")).alias("capacity_tokens"),
+        F.floor(
+            F.col("total_tokens") * 10000 / (F.col("n_bins") * F.col("budget"))
+        )
+        .cast("long")
+        .alias("utilization_bp"),
+        "n_oversize_docs",
+    )
