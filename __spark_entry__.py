@@ -4897,6 +4897,39 @@ def q_packing_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.packing_budget_curve(docs, "tok", group_col="source")
 
 
+#: Demo keyword→topic dictionary shared by q_topic_tags and its oracle
+#: (fixture-vocabulary words grouped into four themes).
+_TOPIC_KEYWORDS = {
+    "query": "querying",
+    "join": "querying",
+    "filter": "querying",
+    "agg": "querying",
+    "group": "querying",
+    "sort": "querying",
+    "table": "storage",
+    "column": "storage",
+    "row": "storage",
+    "scan": "storage",
+    "stream": "streaming",
+    "batch": "streaming",
+    "window": "streaming",
+    "vector": "ml",
+    "hash": "ml",
+}
+
+
+def q_topic_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary topic tagging (r10;
+    operators/text_mining.py:topic_tags): a broadcast keyword→topic
+    equi-join on the token stream (never a giant regex alternation),
+    per-doc topic hit counts, bounded argmax window for the dominant
+    topic, id-spine left join so no-hit docs keep a NULL tag.  Oracle
+    replays the join + argmax from the same dictionary constant."""
+    return text_mining.topic_tags(
+        _t(spark, sf_dir, "documents"), _TOPIC_KEYWORDS
+    )
+
+
 def q_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dunning log-likelihood keyness (r10;
     operators/text_mining.py:keyness_terms) of English-labelled docs
@@ -5343,6 +5376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rule_attribution": q_gopher_rule_attribution,
         "streaming_near_dup_persisted": q_streaming_near_dup_persisted,
         "packing_budget_curve": q_packing_budget_curve,
+        "topic_tags": q_topic_tags,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -10701,6 +10735,39 @@ def oracle_sql() -> dict[str, str]:
                         / (n_bins * budget)) AS bigint) AS utilization_bp,
                    n_oversize_docs
             FROM a
+        """
+
+    # r10: topic tagging — VALUES dictionary from the same constant,
+    # join + per-doc argmax (ties → topic asc) + id-spine left join.
+    _kw_values = ", ".join(
+        f"('{k}', '{v}')" for k, v in sorted(_TOPIC_KEYWORDS.items())
+    )
+    out["topic_tags"] = f"""
+            WITH kw(keyword, topic) AS (VALUES {_kw_values}),
+            toks AS (
+                SELECT doc_id, unnest({tokens}) AS keyword
+                FROM documents),
+            counts AS (
+                SELECT doc_id, topic, CAST(count(*) AS BIGINT) AS hits
+                FROM toks JOIN kw USING (keyword) GROUP BY 1, 2),
+            rk AS (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                           ORDER BY hits DESC, topic ASC) AS rk
+                FROM counts),
+            per AS (
+                SELECT doc_id,
+                       max(CASE WHEN rk = 1 THEN topic END)
+                           AS dominant_topic,
+                       CAST(max(CASE WHEN rk = 1 THEN hits END)
+                           AS BIGINT) AS n_hits_dominant,
+                       CAST(count(*) AS BIGINT) AS n_topics,
+                       CAST(sum(hits) AS BIGINT) AS n_hits_total
+                FROM rk GROUP BY 1)
+            SELECT d.doc_id, p.dominant_topic, p.n_hits_dominant,
+                   CAST(coalesce(p.n_topics, 0) AS BIGINT) AS n_topics,
+                   CAST(coalesce(p.n_hits_total, 0) AS BIGINT)
+                       AS n_hits_total
+            FROM documents d LEFT JOIN per p USING (doc_id)
         """
     return out
 

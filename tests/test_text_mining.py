@@ -631,3 +631,20 @@ def test_keyness_terms_dunning_g2_exact(spark):
     assert out["gamma"].n_focus == 0 and out["gamma"].g2_micro == g2(0, 2)
     # min_count: every surviving term has a+b >= 2 (all do here)
     assert set(out) == {"alpha", "beta", "gamma"}
+
+
+def test_topic_tags_argmax_and_spine(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.text_mining import topic_tags
+
+    kw = {"cat": "pets", "dog": "pets", "joins": "db", "scans": "db"}
+    rows = [
+        (1, "the cat and dog like joins"),   # pets 2, db 1
+        (2, "joins scans cat dog"),          # tie 2-2 → db (topic asc)
+        (3, "nothing matches here"),         # no hits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in topic_tags(df, kw).collect()}
+    assert out[1].dominant_topic == "pets" and out[1].n_hits_dominant == 2
+    assert out[1].n_topics == 2 and out[1].n_hits_total == 3
+    assert out[2].dominant_topic == "db"  # tie broken by topic name
+    assert out[3].dominant_topic is None and out[3].n_hits_total == 0

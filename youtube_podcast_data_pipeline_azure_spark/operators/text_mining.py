@@ -1230,3 +1230,74 @@ def keyness_terms(
         .orderBy(F.col("g2_micro").desc(), F.col("term").asc())
         .limit(top_k)
     )
+
+
+def topic_tags(
+    df: DataFrame,
+    keywords: "dict[str, str] | DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dictionary-based topic tagging — the FlashText/Aho-Corasick
+    class of taxonomy labeling a mixture designer runs when no
+    classifier exists yet: a curated keyword → topic dictionary,
+    matched at the TOKEN level, rolled up per document.
+
+    Spark-first shape: the dictionary is a broadcast equi-JOIN on the
+    exploded token stream (never a per-row regex scan over a giant
+    alternation — the join is whole-stage-codegen'd and the dictionary
+    can grow to millions of entries before broadcast stops fitting);
+    (doc, topic) hit counts aggregate with map-side combine; the
+    dominant topic is a bounded per-doc argmax window (ties → topic
+    asc).  Documents with no dictionary hit keep a NULL dominant topic
+    (left join back to the id spine).
+
+    ``keywords`` is a ``{keyword: topic}`` dict or an equivalent
+    (keyword, topic) DataFrame.  Returns (id_col, dominant_topic,
+    n_hits_dominant, n_topics, n_hits_total).
+    """
+    if isinstance(keywords, dict):
+        spark = df.sparkSession
+        kw = spark.createDataFrame(
+            sorted(keywords.items()), "keyword string, topic string"
+        )
+    else:
+        kw = keywords.select("keyword", "topic")
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("keyword")
+    )
+    counts = (
+        toks.join(F.broadcast(kw), "keyword")
+        .groupBy(id_col, "topic")
+        .agg(F.count(F.lit(1)).cast("long").alias("_hits"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_hits").desc(), F.col("topic").asc()
+    )
+    per_doc = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("_rk") == 1, F.col("topic"))).alias(
+                "dominant_topic"
+            ),
+            F.max(F.when(F.col("_rk") == 1, F.col("_hits")))
+            .cast("long")
+            .alias("n_hits_dominant"),
+            F.count(F.lit(1)).cast("long").alias("n_topics"),
+            F.sum("_hits").cast("long").alias("n_hits_total"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "dominant_topic",
+            "n_hits_dominant",
+            F.coalesce("n_topics", F.lit(0)).cast("long").alias("n_topics"),
+            F.coalesce("n_hits_total", F.lit(0))
+            .cast("long")
+            .alias("n_hits_total"),
+        )
+    )
