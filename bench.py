@@ -65,6 +65,11 @@ HEADLINE = [
     # recall audit (two searches + a bounded join)
     "quality_signals",
     "ivfpq_recall",
+    # r10-session additions: one representative each for the two-stage
+    # int8 ANN and the multimodal (kernel + Hamming-join) near-dup
+    # families — first r10 measurements are their BASELINE.md rows
+    "knn_sq8_rerank",
+    "image_near_dup",
 ]
 
 

@@ -129,6 +129,26 @@ DOCS_10X = [
     # pair table
     "containment_pairs",
     "containment_dedup",
+    # r10-session additions, all linear by construction on the
+    # disjoint-vocabulary upscale: char_entropy is one (id, char)
+    # aggregate; keyness is a vocab-bounded conditional aggregate;
+    # topic_tags a broadcast dictionary join + bounded argmax;
+    # domain_blocklist a scan-fused suffix test; rule attribution the
+    # gopher per-row map + one aggregate; the packing curve one window
+    # + a 5-wide fan-out.  image/audio near-dup kernels are linear
+    # mapInPandas passes and replica docs hash to distinct
+    # fingerprints (disjoint vocabularies -> disjoint digests), so the
+    # Hamming block join stays linear; the persisted minhash probe
+    # includes its build (index write + load + probe).
+    "char_entropy",
+    "keyness_terms",
+    "topic_tags",
+    "domain_blocklist",
+    "gopher_rule_attribution",
+    "packing_budget_curve",
+    "image_near_dup",
+    "audio_near_dup",
+    "streaming_near_dup_persisted",
 ]
 # pq_train collects the corpus (linear driver fan-in, vectorized int64
 # numpy); pq_codes is a literal-codebook per-row map; pq_ann adds one
@@ -141,6 +161,9 @@ EMB_10X = [
     # sweep are both one-corpus-pass shapes at fixed query count
     "ivfpq_recall",
     "embedding_dim_truncation",
+    # r10-session: int8 coarse scan + bounded rerank — one corpus pass
+    # at fixed query count
+    "knn_sq8_rerank",
 ]
 PATHOLOGY = [
     "ngram_jaccard_pairs",
