@@ -4694,25 +4694,28 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup (r10;
     operators/multimodal.py:ahash_images + image_near_dup_pairs, join
     core shared with simhash at operators/dedup.py:hamming_pairs).
-    6×6 raw-RGB payloads synthesized from seven md5 digests of the doc
+    7×7 raw-RGB payloads synthesized from ten md5 digests of the doc
     text (the media_thumbnails generator pattern), with planted exact
     twins (doc_id % 11, identical payload → Hamming 0) and one-byte
     perturbations (doc_id % 7, first byte zeroed → small Hamming).
-    The REAL numpy decode→luma→36-bit aHash kernel runs in one
+    The REAL numpy decode→luma→49-bit aHash kernel runs in one
     mapInPandas pass; only 8-byte hashes leave the scan; the pigeonhole
     block join is lossless, certified by an INDEPENDENT brute-force
     bit_count(xor) oracle twin that replays the hash from the digest
-    bytes."""
+    bytes.  49 bits (12-bit chunks) rather than 36 (9-bit): block-join
+    candidates scale as blocks·n²/2^(bits/blocks) — the 36-bit form
+    measured 3.1× wall on the 10× bench corpus, 49-bit stays
+    collision-sparse (the audio_near_dup sizing rule)."""
     d = _t(spark, sf_dir, "documents")
     hs = F.substring(
         F.concat(
             *[
                 F.md5(F.concat(F.col("text"), F.lit(s))) if s else F.md5("text")
-                for s in ["", "x", "y", "z", "w", "v", "u"]
+                for s in ["", "x", "y", "z", "w", "v", "u", "t", "s", "r"]
             ]
         ),
         1,
-        216,
+        294,
     )
     hx = d.select("doc_id", hs.alias("hs"))
     variants = (
@@ -4726,7 +4729,7 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             hx.where(F.col("doc_id") % 7 == 0).select(
                 (F.col("doc_id") + 2000000).alias("asset_id"),
                 F.concat(
-                    F.lit("00"), F.expr("substring(hs, 3, 214)")
+                    F.lit("00"), F.expr("substring(hs, 3, 292)")
                 ).alias("hs"),
             )
         )
@@ -4735,10 +4738,10 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id",
         F.lit("image").alias("modality"),
         F.unhex("hs").alias("payload"),
-        F.lit(6).alias("width"),
-        F.lit(6).alias("height"),
+        F.lit(7).alias("width"),
+        F.lit(7).alias("height"),
     )
-    pairs = multimodal.image_near_dup_pairs(assets, grid=6, max_hamming=3)
+    pairs = multimodal.image_near_dup_pairs(assets, grid=7, max_hamming=3)
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
@@ -4797,7 +4800,11 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy decode→energy-delta 32-bit fingerprint kernel runs in one
     mapInPandas pass, PCM bytes never shuffle, and the independent
     brute-force oracle twin recomputes the fingerprint from the digest
-    bytes and lists all pairs at bit_count(xor) <= 3."""
+    bytes and lists all pairs at bit_count(xor) <= 3.  48-bit
+    fingerprints (12-bit chunks): the block join's candidate volume is
+    blocks·n²/2^(bits/blocks), so width grows with log(corpus) — at
+    32 bits the 10× bench corpus measured 10.3× wall from chunk
+    collisions; at 48 the join stays collision-sparse."""
     d = _t(spark, sf_dir, "documents")
     hs = F.concat(
         *[
@@ -4827,7 +4834,7 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("audio").alias("modality"),
         F.unhex("hs").alias("payload"),
     )
-    pairs = multimodal.audio_near_dup_pairs(assets, n_bits=32, max_hamming=3)
+    pairs = multimodal.audio_near_dup_pairs(assets, n_bits=48, max_hamming=3)
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
@@ -4880,6 +4887,23 @@ def q_streaming_near_dup_persisted(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return out.select(
         "in_id", "corpus_id", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-sequence materialization (r10;
+    operators/sampling.py:pack_documents): the pack_sequences bins
+    turned into actual dataloader text — id-ordered concat within each
+    per-source 2048-token bin via the retry-safe
+    sort_array(collect_list(struct)) rebuild.  Per-bin state is
+    bounded by the token budget.  The oracle replays the window + an
+    ORDER BY string_agg."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text", word_count("text").alias("tok")
+    )
+    return sampling.pack_documents(
+        docs, text_col="text", token_count_col="tok",
+        group_col="source", budget=2048,
     )
 
 
@@ -5377,6 +5401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_near_dup_persisted": q_streaming_near_dup_persisted,
         "packing_budget_curve": q_packing_budget_curve,
         "topic_tags": q_topic_tags,
+        "pack_documents": q_pack_documents,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -10453,7 +10478,9 @@ def oracle_sql() -> dict[str, str]:
                        substr(md5(text) || md5(text || 'x')
                            || md5(text || 'y') || md5(text || 'z')
                            || md5(text || 'w') || md5(text || 'v')
-                           || md5(text || 'u'), 1, 216) AS hs
+                           || md5(text || 'u') || md5(text || 't')
+                           || md5(text || 's') || md5(text || 'r'),
+                           1, 294) AS hs
                 FROM documents),
             assets AS (
                 SELECT doc_id AS asset_id, hs FROM hx
@@ -10468,22 +10495,22 @@ def oracle_sql() -> dict[str, str]:
                              substr(hs, 2*j + 1, 1)) - 1) * 16
                        + (strpos('0123456789abcdef',
                              substr(hs, 2*j + 2, 1)) - 1)
-                         FOR j IN generate_series(0, 107) ] AS by
+                         FOR j IN generate_series(0, 146) ] AS by
                 FROM assets),
             lum AS (
                 SELECT asset_id,
                        [ by[3*p + 1] + by[3*p + 2] + by[3*p + 3]
-                         FOR p IN generate_series(0, 35) ] AS lm
+                         FOR p IN generate_series(0, 48) ] AS lm
                 FROM byt),
             tot AS (
                 SELECT asset_id, lm, list_sum(lm) AS t FROM lum),
             h AS (
                 SELECT asset_id,
                        CAST(list_sum(
-                           [ CASE WHEN 36 * lm[i] > t
+                           [ CASE WHEN 49 * lm[i] > t
                                   THEN (1::BIGINT << (i - 1))
                                   ELSE 0 END
-                             FOR i IN generate_series(1, 36) ])
+                             FOR i IN generate_series(1, 49) ])
                            AS BIGINT) AS ahash
                 FROM tot)
             SELECT a.asset_id AS id_a, b.asset_id AS id_b,
@@ -10627,15 +10654,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM assets),
             en AS (
                 SELECT asset_id,
-                       [ list_sum(ab[(w*64//33) + 1 : ((w+1)*64//33)])
-                         FOR w IN generate_series(0, 32) ] AS e
+                       [ list_sum(ab[(w*64//49) + 1 : ((w+1)*64//49)])
+                         FOR w IN generate_series(0, 48) ] AS e,
+                       [ ((w+1)*64//49) - (w*64//49)
+                         FOR w IN generate_series(0, 48) ] AS ln
                 FROM smp),
             h AS (
                 SELECT asset_id,
                        CAST(list_sum(
-                           [ CASE WHEN e[w + 2] > e[w + 1]
+                           [ CASE WHEN e[w + 2] * ln[w + 1]
+                                       > e[w + 1] * ln[w + 2]
                                   THEN (1::BIGINT << w) ELSE 0 END
-                             FOR w IN generate_series(0, 31) ])
+                             FOR w IN generate_series(0, 47) ])
                            AS BIGINT) AS afp
                 FROM en)
             SELECT a.asset_id AS id_a, b.asset_id AS id_b,
@@ -10690,6 +10720,28 @@ def oracle_sql() -> dict[str, str]:
     # so the oracle is shared verbatim (the bm25_search_persisted
     # pattern).
     out["streaming_near_dup_persisted"] = out["streaming_near_dup"]
+
+    # r10: packed-sequence materialization — pack_sequences window +
+    # id-ordered string_agg per bin.
+    out["pack_documents"] = f"""
+            WITH d AS (
+                SELECT source, doc_id, text,
+                       cast(len({tokens}) AS bigint) AS tok
+                FROM documents),
+            p AS (
+                SELECT source, doc_id, text, tok,
+                       cast(floor(coalesce(sum(tok) OVER (
+                                PARTITION BY source ORDER BY doc_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0)
+                            / 2048.0) AS bigint) AS pack_id
+                FROM d)
+            SELECT source, pack_id,
+                   cast(count(*) AS bigint) AS n_docs,
+                   cast(sum(tok) AS bigint) AS n_tokens,
+                   string_agg(text, ' ' ORDER BY doc_id) AS text
+            FROM p GROUP BY 1, 2
+        """
 
     # r10: packing budget curve — the packing_efficiency construction
     # per budget over ONE budget-independent running sum.

@@ -199,8 +199,14 @@ def test_audio_fingerprint_energy_delta_exact(spark):
     )
     ab = np.abs(base.astype(int))
     n = len(ab)
-    e = [int(ab[w * n // n_win : (w + 1) * n // n_win].sum()) for w in range(n_win)]
-    expected = sum(1 << w for w in range(n_bits) if e[w + 1] > e[w])
+    bounds = [w * n // n_win for w in range(n_win + 1)]
+    e = [int(ab[bounds[w] : bounds[w + 1]].sum()) for w in range(n_win)]
+    ln = [bounds[w + 1] - bounds[w] for w in range(n_win)]
+    expected = sum(
+        1 << w
+        for w in range(n_bits)
+        if e[w + 1] * ln[w] > e[w] * ln[w + 1]
+    )
     rows = [
         (1, "audio", "audio/pcm-s16le", base.tobytes(), None, None, None, "d"),
         (2, "audio", "audio/pcm-s16le", (base * 3).tobytes(), None, None, None, "d"),
@@ -216,6 +222,20 @@ def test_audio_fingerprint_energy_delta_exact(spark):
     assert out[2].afp == expected  # 3x volume, same fingerprint
     assert out[3].afp is None  # shorter than n_win samples
     assert out[4].afp is None  # odd byte count: undecodable
+
+
+def test_audio_fingerprint_unbiased_on_unequal_windows(spark):
+    """64 samples into 33 windows alternates 1- and 2-sample windows;
+    a constant-amplitude signal must fingerprint to 0 (every MEAN
+    equal — the raw-sum compare would set every 2-vs-1 boundary bit
+    and collapse hash entropy)."""
+    import numpy as np
+
+    const = np.full(64, 100, dtype="<i2")
+    rows = [(1, "audio", "audio/pcm-s16le", const.tobytes(), None, None, None, "d")]
+    assets = spark.createDataFrame(rows, schemas.MEDIA_ASSETS)
+    out = multimodal.audio_fingerprint(assets, n_bits=32).collect()[0]
+    assert out.afp == 0
 
 
 def test_audio_near_dup_pairs_lossless(spark):

