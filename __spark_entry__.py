@@ -4907,6 +4907,34 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_inclusion_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key-candidate profiling (r10;
+    operators/quality.py:inclusion_dependency_report) across three
+    fixture relationships: events.user_id ⊆ customer.c_custkey,
+    orders.o_custkey ⊆ customer.c_custkey, lineitem.l_partkey ⊆
+    part.p_partkey — distinct keys only on the shuffle, LEFT ANTI
+    orphan count, integer containment basis points.  The oracle
+    replays each pair's distinct/anti-join arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        quality.inclusion_dependency_report(ev, cust, [("user_id", "c_custkey")])
+        .unionByName(
+            quality.inclusion_dependency_report(
+                orders, cust, [("o_custkey", "c_custkey")]
+            )
+        )
+        .unionByName(
+            quality.inclusion_dependency_report(
+                li, part, [("l_partkey", "p_partkey")]
+            )
+        )
+    )
+
+
 def q_packing_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing-efficiency-at-every-budget table (r10;
     operators/sampling.py:packing_budget_curve): the id-order running
@@ -5402,6 +5430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_budget_curve": q_packing_budget_curve,
         "topic_tags": q_topic_tags,
         "pack_documents": q_pack_documents,
+        "inclusion_dependencies": q_inclusion_dependencies,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -10741,6 +10770,33 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(tok) AS bigint) AS n_tokens,
                    string_agg(text, ' ' ORDER BY doc_id) AS text
             FROM p GROUP BY 1, 2
+        """
+
+    # r10: inclusion dependencies — distinct/anti arithmetic per pair,
+    # generated from one (child_table, child_col, parent_table,
+    # parent_col) list mirroring the query's three calls.
+    _ind_pairs = [
+        ("events", "user_id", "customer", "c_custkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+    ]
+    _ind_union = "\n            UNION ALL ".join(
+        f"""SELECT '{cc}' AS child_col, '{pc}' AS parent_col,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_orphaned
+            FROM (SELECT DISTINCT {cc} AS v FROM {ct}
+                  WHERE {cc} IS NOT NULL) c
+            LEFT JOIN (SELECT DISTINCT {pc} AS pk FROM {pt}
+                       WHERE {pc} IS NOT NULL) p ON c.v = p.pk"""
+        for ct, cc, pt, pc in _ind_pairs
+    )
+    out["inclusion_dependencies"] = f"""
+            SELECT child_col, parent_col, n_distinct, n_orphaned,
+                   CAST(10000 * (n_distinct - n_orphaned) // n_distinct
+                        AS BIGINT) AS containment_bp,
+                   (n_orphaned = 0) AS holds
+            FROM ({_ind_union})
         """
 
     # r10: packing budget curve — the packing_efficiency construction

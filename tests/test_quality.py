@@ -249,3 +249,24 @@ def test_ks_drift_null_rows_are_excluded(spark):
     assert got == rows(df_clean)
     # and the counts prove the null rows never entered the ECDFs
     assert got[0][1] == 4 and got[0][2] == 4
+
+
+def test_inclusion_dependency_report(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.quality import (
+        inclusion_dependency_report,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None), (5, 10)],
+        "id long, fk int",
+    )
+    parent = spark.createDataFrame([(10,), (20,), (30,)], "pk int")
+    out = inclusion_dependency_report(child, parent, [("fk", "pk")]).collect()[0]
+    # distinct non-null fks: {10, 20, 99} — 99 orphaned, nulls excluded
+    assert out.n_distinct == 3 and out.n_orphaned == 1
+    assert out.containment_bp == 6666 and not out.holds
+
+    full = inclusion_dependency_report(
+        child.where("fk in (10, 20)"), parent, [("fk", "pk")]
+    ).collect()[0]
+    assert full.holds and full.containment_bp == 10000

@@ -400,3 +400,59 @@ def ks_drift_report(
             F.expr("_d * 10000 div (n_ref * n_group)").alias("ks_bp"),
         )
     )
+
+
+def inclusion_dependency_report(
+    child: DataFrame,
+    parent: DataFrame,
+    pairs: "list[tuple[str, str]]",
+) -> DataFrame:
+    """Inclusion-dependency (foreign-key-candidate) profiler: for each
+    candidate ``child_col ⊆ parent_col``, how completely the child's
+    DISTINCT values are contained in the parent's — the schema-
+    discovery companion to :func:`functional_dependency_report` (is
+    `events.user_id` really a key into `customer.c_custkey`?  which
+    join column survived an upstream rename?).
+
+    Per pair: distinct-project both sides (keys only on the shuffle,
+    never payloads), LEFT ANTI join child-distinct against
+    parent-distinct, and reduce to one row: distinct child values,
+    how many have no parent match, and containment in basis points
+    (``10000·(n_distinct − n_orphaned) div n_distinct``).  NULL child
+    values are excluded on both engines (a NULL can't reference a
+    key).  Returns (child_col, parent_col, n_distinct, n_orphaned,
+    containment_bp, holds) — ``holds`` iff containment is total.
+    """
+    reports = []
+    for ccol, pcol in pairs:
+        c = child.select(F.col(ccol).alias("_v")).where(
+            F.col("_v").isNotNull()
+        ).distinct()
+        p = parent.select(F.col(pcol).alias("_v")).where(
+            F.col("_v").isNotNull()
+        ).distinct()
+        orphans = c.join(p, "_v", "left_anti")
+        n_c = c.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit(ccol).alias("child_col"),
+            F.lit(pcol).alias("parent_col"),
+            F.col("n").alias("n_distinct"),
+        )
+        n_o = orphans.agg(
+            F.count(F.lit(1)).cast("long").alias("n_orphaned")
+        )
+        reports.append(
+            n_c.crossJoin(F.broadcast(n_o)).select(
+                "child_col",
+                "parent_col",
+                "n_distinct",
+                "n_orphaned",
+                F.expr(
+                    "10000 * (n_distinct - n_orphaned) div n_distinct"
+                ).alias("containment_bp"),
+                (F.col("n_orphaned") == 0).alias("holds"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
