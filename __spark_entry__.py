@@ -4907,6 +4907,20 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean purchase value (r10;
+    operators/sampling.py:bootstrap_mean_ci).  Replicate weights are
+    Poisson(1) inverse-CDF buckets of md5-derived 56-bit uniforms
+    against shared integer thresholds — a pure (id, b, seed) function,
+    so the whole resampling procedure (48 replicates, integer
+    micro-cent means, exact order-statistic CI) is replayed
+    bit-for-bit by the oracle."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    return sampling.bootstrap_mean_ci(
+        ev, "value", "event_id", n_replicates=48, seed=0
+    )
+
+
 def q_inclusion_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Foreign-key-candidate profiling (r10;
     operators/quality.py:inclusion_dependency_report) across three
@@ -5431,6 +5445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_tags": q_topic_tags,
         "pack_documents": q_pack_documents,
         "inclusion_dependencies": q_inclusion_dependencies,
+        "bootstrap_mean_ci": q_bootstrap_mean_ci,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -10797,6 +10812,58 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS containment_bp,
                    (n_orphaned = 0) AS holds
             FROM ({_ind_union})
+        """
+
+    # r10: Poisson bootstrap — weight CASE generated from the SAME
+    # integer threshold constants, identical md5 uniform, integer
+    # replicate means, exact order-statistic CI.
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import (
+        POISSON1_CDF_56 as _pcdf,
+    )
+
+    _boot_u = sketches.md5_int56_sql(
+        "'boot:0:' || cast(id AS varchar) || ':' || cast(b AS varchar)"
+    )
+    _boot_w = (
+        "CASE "
+        + " ".join(
+            f"WHEN {_boot_u} < {t} THEN {k}" for k, t in enumerate(_pcdf)
+        )
+        + " ELSE 9 END"
+    )
+    _boot_b = 48
+    _boot_lo = max(1, -(-250 * _boot_b // 10000))
+    _boot_hi = max(1, -(-9750 * _boot_b // 10000))
+    out["bootstrap_mean_ci"] = f"""
+            WITH base AS (
+                SELECT event_id AS id,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events WHERE event_type = 'purchase'),
+            fan AS (
+                SELECT id, cents, b
+                FROM base, (SELECT unnest(generate_series(0, {_boot_b - 1}))
+                            AS b)),
+            wts AS (
+                SELECT b, cents, CAST({_boot_w} AS BIGINT) AS w FROM fan),
+            reps AS (
+                SELECT b, CAST(sum(w) AS BIGINT) AS sw,
+                       CAST(sum(w * cents) AS BIGINT) AS swx
+                FROM wts GROUP BY b),
+            means AS (
+                SELECT b, CAST(swx * 10000 // sw AS BIGINT) AS m
+                FROM reps WHERE sw > 0),
+            ranked AS (
+                SELECT m, row_number() OVER (ORDER BY m ASC, b ASC) AS rk
+                FROM means)
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST({_boot_b} AS BIGINT) AS n_replicates,
+                   CAST(sum(cents) * 10000 // count(*) AS BIGINT)
+                       AS mean_microcents,
+                   (SELECT m FROM ranked WHERE rk = {_boot_lo})
+                       AS ci_lo_microcents,
+                   (SELECT m FROM ranked WHERE rk = {_boot_hi})
+                       AS ci_hi_microcents
+            FROM base
         """
 
     # r10: packing budget curve — the packing_efficiency construction

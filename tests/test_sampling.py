@@ -595,3 +595,50 @@ def test_pack_documents_parity_and_rebuild(spark):
         group_col="source", budget=100,
     ).collect()
     assert {tuple(r) for r in again} == {tuple(r) for r in packed}
+
+
+def test_bootstrap_mean_ci_exact_python_replay(spark):
+    """The operator's replicate machinery replayed in pure Python:
+    identical md5-uniform → Poisson bucket → integer replicate means →
+    order-statistic CI."""
+    import hashlib
+    import math
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import (
+        POISSON1_CDF_56,
+        bootstrap_mean_ci,
+    )
+
+    rows = [(i, round(10.0 + (i * 7) % 13 + 0.25, 2)) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    B = 16
+    out = bootstrap_mean_ci(df, "v", "id", n_replicates=B, seed=3).collect()[0]
+
+    cents = {i: math.floor(v * 100) for i, v in rows}
+    means = []
+    for b in range(B):
+        sw = swx = 0
+        for i, _ in rows:
+            d = hashlib.md5(f"boot:3:{i}:{b}".encode()).digest()
+            u = int.from_bytes(d[:7], "little")
+            w = 9
+            for k, t in enumerate(POISSON1_CDF_56):
+                if u < t:
+                    w = k
+                    break
+            sw += w
+            swx += w * cents[i]
+        means.append((swx * 10000 // sw, b))
+    means.sort()
+    lo_rank = max(1, math.ceil(250 * B / 10000))
+    hi_rank = max(1, math.ceil(9750 * B / 10000))
+    assert out.n_rows == 120 and out.n_replicates == B
+    assert out.mean_microcents == sum(cents.values()) * 10000 // 120
+    assert out.ci_lo_microcents == means[lo_rank - 1][0]
+    assert out.ci_hi_microcents == means[hi_rank - 1][0]
+    assert out.ci_lo_microcents <= out.ci_hi_microcents
+
+    again = bootstrap_mean_ci(
+        df.repartition(7), "v", "id", n_replicates=B, seed=3
+    ).collect()[0]
+    assert tuple(again) == tuple(out)

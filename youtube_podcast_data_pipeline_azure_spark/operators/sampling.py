@@ -715,3 +715,114 @@ def pack_documents(
             ).alias("text"),
         )
     )
+
+
+#: Poisson(1) cumulative thresholds in 2^56 units — floor(P(X<=k)·2^56)
+#: for k = 0..8 (the k=9 tail keeps ~1.1e-6 of the mass; the cap is
+#: part of the deterministic contract).  Shared with the SQL oracle so
+#: both engines draw the identical weight from the identical hash.
+POISSON1_CDF_56: tuple[int, ...] = (
+    26508507426831584,
+    53017014853663168,
+    66271268567078960,
+    70689353138217560,
+    71793874281002208,
+    72014778509559136,
+    72051595880985288,
+    72056855505474736,
+    72057512958535920,
+)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 48,
+    seed: int = 0,
+    lo_bp: int = 250,
+    hi_bp: int = 9750,
+) -> DataFrame:
+    """Deterministic POISSON-bootstrap confidence interval for a mean —
+    the error bar an eval pipeline should attach to any corpus metric
+    ("is source A's quality really higher than B's?").  The classic
+    multinomial bootstrap needs coordinated global resampling; the
+    Poisson(1) approximation (the standard large-scale substitute)
+    draws each row's per-replicate multiplicity INDEPENDENTLY, which is
+    exactly what a distributed scan can do.
+
+    Determinism contract: replicate ``b``'s weight for a row is the
+    Poisson(1) inverse-CDF bucket of the md5-derived 56-bit uniform of
+    ``boot:<seed>:<id>:<b>`` against the shared integer thresholds
+    :data:`POISSON1_CDF_56` — a pure (id, b, seed) function, invariant
+    under partitioning/retries and replayed bit-for-bit by the SQL
+    oracle.  Values enter as per-row floor-to-cents; each replicate's
+    mean is the order-independent integer division
+    ``(Σ w·cents)·10000 div Σw`` (micro-cents); the CI picks exact
+    order statistics of the B replicate means (ranks
+    ``ceil(q·B)``, ties by replicate id).
+
+    Plan: one ``n × B`` fan-out collapsed map-side to B partial rows
+    per task; the final window runs over the B-row aggregate.  Returns
+    one row: (n_rows, n_replicates, mean_microcents, ci_lo_microcents,
+    ci_hi_microcents).
+    """
+    from youtube_podcast_data_pipeline_azure_spark.operators.sketches import md5_int56
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.floor(F.col(value_col) * 100).cast("long").alias("_cents"),
+    )
+    fanned = base.select(
+        "_id",
+        "_cents",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_replicates) - 1))
+        ).alias("_b"),
+    )
+    u = md5_int56(
+        F.concat(
+            F.lit(f"boot:{seed}:"),
+            F.col("_id").cast("string"),
+            F.lit(":"),
+            F.col("_b").cast("string"),
+        )
+    )
+    w = F.lit(9).cast("long")
+    for k in range(len(POISSON1_CDF_56) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF_56[k]), F.lit(k).cast("long")).otherwise(w)
+    reps = (
+        fanned.select("_b", w.alias("_w"), F.col("_cents"))
+        .groupBy("_b")
+        .agg(
+            F.sum("_w").cast("long").alias("_sw"),
+            F.sum(F.col("_w") * F.col("_cents")).cast("long").alias("_swx"),
+        )
+        .where(F.col("_sw") > 0)
+        .select("_b", F.expr("_swx * 10000 div _sw").alias("_mean"))
+    )
+    wnd = Window.orderBy(F.col("_mean").asc(), F.col("_b").asc())
+    lo_rank = max(1, -(-lo_bp * n_replicates // 10000))
+    hi_rank = max(1, -(-hi_bp * n_replicates // 10000))
+    ranked = reps.select(
+        "_mean", F.row_number().over(wnd).alias("_rk")
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("_rk") == lo_rank, F.col("_mean"))).alias(
+            "ci_lo_microcents"
+        ),
+        F.max(F.when(F.col("_rk") == hi_rank, F.col("_mean"))).alias(
+            "ci_hi_microcents"
+        ),
+    )
+    point = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr("sum(_cents) * 10000 div count(*)").alias("mean_microcents"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_rows",
+        F.lit(int(n_replicates)).cast("long").alias("n_replicates"),
+        "mean_microcents",
+        "ci_lo_microcents",
+        "ci_hi_microcents",
+    )
