@@ -37,6 +37,8 @@ from youtube_podcast_data_pipeline_azure_spark.functions.text import (
     language_id_sql,
     normalize_text,
     normalize_text_sql,
+    strip_markup,
+    strip_markup_sql,
     quality_score,
     quality_score_sql,
     token_count_bpe,
@@ -4907,6 +4909,38 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_markup_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML text extraction (r10; functions/text.py:strip_markup over
+    MARKUP_STEPS): the fixture is plain prose, so crawl markup is
+    planted deterministically — tag wrappers on every doc, a script
+    block on %5, an HTML comment on %7, escaped entities on %3 — and
+    the extractor must recover clean text.  Pure scan-fused
+    regexp_replace chain; the oracle replays synth + steps from the
+    same constants."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t = F.col("text")
+    html = F.concat(
+        F.lit('<html><body class="page">'),
+        F.when(
+            d % 5 == 0,
+            F.lit('<script type="text/js">var x = "<div>";</script>'),
+        ).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("<!-- boilerplate\nheader -->")).otherwise(
+            F.lit("")
+        ),
+        F.lit("<p>"),
+        t,
+        F.when(d % 3 == 0, F.lit(" &amp; more &lt;here&gt;")).otherwise(
+            F.lit("")
+        ),
+        F.lit("</p></body></html>"),
+    )
+    return docs.select(
+        "doc_id", strip_markup(html).alias("clean")
+    )
+
+
 def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap 95% CI for mean purchase value (r10;
     operators/sampling.py:bootstrap_mean_ci).  Replicate weights are
@@ -5446,6 +5480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": q_pack_documents,
         "inclusion_dependencies": q_inclusion_dependencies,
         "bootstrap_mean_ci": q_bootstrap_mean_ci,
+        "markup_extraction": q_markup_extraction,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -10864,6 +10899,27 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT m FROM ranked WHERE rk = {_boot_hi})
                        AS ci_hi_microcents
             FROM base
+        """
+
+    # r10: markup extraction — identical planted-HTML synth + the
+    # strip_markup step chain generated from MARKUP_STEPS.
+    out["markup_extraction"] = f"""
+            WITH synth AS (
+                SELECT doc_id,
+                       '<html><body class="page">'
+                       || (CASE WHEN doc_id % 5 = 0 THEN
+                           '<script type="text/js">var x = "<div>";</script>'
+                           ELSE '' END)
+                       || (CASE WHEN doc_id % 7 = 0 THEN
+                           '<!-- boilerplate' || chr(10) || 'header -->'
+                           ELSE '' END)
+                       || '<p>' || text
+                       || (CASE WHEN doc_id % 3 = 0 THEN
+                           ' &amp; more &lt;here&gt;' ELSE '' END)
+                       || '</p></body></html>' AS html
+                FROM documents)
+            SELECT doc_id, {strip_markup_sql('html')} AS clean
+            FROM synth
         """
 
     # r10: packing budget curve — the packing_efficiency construction

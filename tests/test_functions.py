@@ -183,3 +183,22 @@ def test_variant_parse_and_typed_get(spark):
     assert (out[2].k_int, out[2].k_str, out[2].parsed) == (None, "x", True)
     assert (out[3].k_int, out[3].k_str, out[3].parsed) == (None, None, False)
     assert (out[4].k_int, out[4].k_str, out[4].parsed) == (None, None, False)
+
+
+def test_strip_markup_extraction(spark):
+    from youtube_podcast_data_pipeline_azure_spark.functions.text import strip_markup
+
+    rows = [
+        (1, '<html><body onload="x()">Hello <b>world</b> &amp; more</body></html>'),
+        (2, 'keep <script type="text/js">var x = "<div>";\nalert(1)</script> this'),
+        (3, 'a <!-- multi\nline comment --> b'),
+        (4, '&lt;tag&gt; stays literal &quot;q&quot; &#39;s&#39; &nbsp;sp'),
+        (5, 'plain text untouched'),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = {r.id: r.c for r in df.select("id", strip_markup("s").alias("c")).collect()}
+    assert out[1] == "Hello world & more"
+    assert out[2] == "keep this"
+    assert out[3] == "a b"
+    assert out[4] == '<tag> stays literal "q" \'s\' sp'
+    assert out[5] == "plain text untouched"
