@@ -4909,6 +4909,21 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard content checksums (r10;
+    operators/sampling.py:shard_manifest) over the same 8-shard
+    training_shards layout: n_rows + order-independent md5-int56 XOR +
+    low-20-bit multiplicity sum per shard — the manifest a rebuild is
+    verified against.  Oracle replays the Knuth shard hash and the
+    fingerprint aggregate."""
+    return sampling.shard_manifest(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        ["doc_id", "text", "lang"],
+        n_shards=8,
+    )
+
+
 def q_markup_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML text extraction (r10; functions/text.py:strip_markup over
     MARKUP_STEPS): the fixture is plain prose, so crawl markup is
@@ -5481,6 +5496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inclusion_dependencies": q_inclusion_dependencies,
         "bootstrap_mean_ci": q_bootstrap_mean_ci,
         "markup_extraction": q_markup_extraction,
+        "shard_manifest": q_shard_manifest,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -10920,6 +10936,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             SELECT doc_id, {strip_markup_sql('html')} AS clean
             FROM synth
+        """
+
+    # r10: shard manifest — Knuth shard hash + md5-int56 row
+    # fingerprint (the table_fingerprint arithmetic at shard grain).
+    _sm_fp = sketches.md5_int56_sql(
+        "concat_ws(chr(31), "
+        "coalesce(cast(doc_id AS varchar), chr(0)||'NULL'), "
+        "coalesce(cast(text AS varchar), chr(0)||'NULL'), "
+        "coalesce(cast(lang AS varchar), chr(0)||'NULL'))"
+    )
+    out["shard_manifest"] = f"""
+            WITH h AS (
+                SELECT cast(((doc_id + 0) * 2654435761) % 4294967296 % 8
+                            AS int) AS shard_id,
+                       {_sm_fp} AS fp
+                FROM documents)
+            SELECT shard_id,
+                   cast(count(*) AS bigint) AS n_rows,
+                   cast(bit_xor(fp) AS bigint) AS xor_fp,
+                   cast(sum(fp % 1048576) AS bigint) AS sum_low20
+            FROM h GROUP BY 1
         """
 
     # r10: packing budget curve — the packing_efficiency construction

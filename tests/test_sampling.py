@@ -642,3 +642,28 @@ def test_bootstrap_mean_ci_exact_python_replay(spark):
         df.repartition(7), "v", "id", n_replicates=B, seed=3
     ).collect()[0]
     assert tuple(again) == tuple(out)
+
+
+def test_shard_manifest_detects_any_shard_change(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import shard_manifest
+
+    df = spark.createDataFrame(
+        [(i, "t%d" % i) for i in range(200)], "doc_id long, text string"
+    )
+    m1 = {r.shard_id: (r.n_rows, r.xor_fp, r.sum_low20)
+          for r in shard_manifest(df, "doc_id", ["doc_id", "text"]).collect()}
+    assert sum(v[0] for v in m1.values()) == 200
+    # identical rebuild on different partitioning -> identical manifest
+    m2 = {r.shard_id: (r.n_rows, r.xor_fp, r.sum_low20)
+          for r in shard_manifest(df.repartition(9), "doc_id", ["doc_id", "text"]).collect()}
+    assert m2 == m1
+    # a single changed row flips exactly its shard's checksum
+    from pyspark.sql import functions as F
+    df2 = df.withColumn(
+        "text", F.when(F.col("doc_id") == 7, F.lit("CHANGED")).otherwise(F.col("text"))
+    )
+    m3 = {r.shard_id: (r.n_rows, r.xor_fp, r.sum_low20)
+          for r in shard_manifest(df2, "doc_id", ["doc_id", "text"]).collect()}
+    diff = [s for s in m1 if m1[s] != m3[s]]
+    assert len(diff) == 1
+    assert all(m1[s][0] == m3[s][0] for s in m1)  # row counts unchanged

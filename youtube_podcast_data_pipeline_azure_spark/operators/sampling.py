@@ -826,3 +826,36 @@ def bootstrap_mean_ci(
         "ci_lo_microcents",
         "ci_hi_microcents",
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str,
+    fingerprint_cols: "list[str]",
+    n_shards: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-shard reproducibility manifest for a :func:`training_shards`
+    export: (shard_id, n_rows, xor_fp, sum_low20) — the content
+    checksums a training run records NEXT TO its shards so any later
+    rebuild (new cluster, new partitioning, incremental re-export) can
+    prove byte-equivalence per shard without re-reading the originals
+    (the ``table_fingerprint`` contract applied at shard grain).
+
+    One scan: the shard assignment is the same content-hash arithmetic
+    as the export, the per-row md5-int56 fingerprint XORs
+    order-independently per shard (duplicate-pair-cancellation guarded
+    by the low-20-bit multiplicity sum).  Shuffle rows carry
+    (shard_id, one long).
+    """
+    from youtube_podcast_data_pipeline_azure_spark.operators.quality import row_fingerprint
+
+    sharded = training_shards(df, id_col, n_shards=n_shards, seed=seed)
+    base = sharded.select(
+        "shard_id", row_fingerprint(fingerprint_cols).alias("_fp")
+    )
+    return base.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr("bit_xor(_fp)").alias("xor_fp"),
+        F.sum(F.col("_fp") % F.lit(1 << 20)).cast("long").alias("sum_low20"),
+    )
