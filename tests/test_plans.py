@@ -923,3 +923,34 @@ def test_pq_family_exchanges_never_carry_vectors(spark, sf_dir):
     # the PQ plans do shuffle (codes aggregate, top-k window) — if no
     # Exchange was inspected the parse went vacuous, not the plans
     assert inspected >= 3, inspected
+
+
+def test_multimodal_near_dup_exchanges_never_carry_payloads(spark, sf_dir):
+    """The multimodal near-dup 100-TB contract (the PQ vector-free pin
+    applied to binary media): image/audio payload bytes — and the hex
+    synth strings they decode from — NEVER cross an exchange.  The
+    decode→fingerprint kernel runs in the scan stage; only
+    (asset_id, 8-byte hash, chunk key) rows shuffle."""
+    import re
+
+    payload_ref = re.compile(r"(payload|hs|_text)#")
+    inspected = 0
+    for name in ("image_near_dup", "audio_near_dup"):
+        df = entry.queries()[name](spark, sf_dir)
+        jvm = spark._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        txt = df._jdf.queryExecution().explainString(mode)
+        sections = re.split(r"\n\(\d+\) ", txt)
+        for sec in sections:
+            head = sec.split("\n", 1)[0]
+            if "Exchange" not in head:
+                continue
+            m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", sec)
+            if not m:
+                continue
+            payload = m.group(1)
+            inspected += 1
+            assert not payload_ref.search(payload), (name, head, payload)
+    assert inspected >= 2, inspected

@@ -463,3 +463,84 @@ def test_star_cc_equals_label_propagation(spark, edges):
         map(tuple, duplicate_clusters(nodes, pairs, max_iterations=30).collect())
     )
     assert a == b
+
+
+@settings(**_SETTINGS)
+@given(
+    sigs=st.lists(
+        st.integers(min_value=0, max_value=(1 << 36) - 1),
+        min_size=2,
+        max_size=24,
+    ),
+    max_h=st.integers(min_value=0, max_value=4),
+)
+def test_hamming_pairs_lossless_on_arbitrary_signatures(spark, sigs, max_h):
+    """The pigeonhole block join must return EXACTLY the brute-force
+    pair set at any threshold over arbitrary 36-bit signatures —
+    losslessness is the whole contract (shared by simhash text dedup
+    and the image/audio fingerprints)."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import hamming_pairs
+
+    rows = [(i, s) for i, s in enumerate(sigs)]
+    df = spark.createDataFrame(rows, "asset_id long, sig long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_pairs(
+            df, id_col="asset_id", sig_col="sig", bits=36, max_hamming=max_h
+        ).collect()
+    }
+    brute = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in range(len(sigs))
+        for b in range(a + 1, len(sigs))
+        if bin(sigs[a] ^ sigs[b]).count("1") <= max_h
+    }
+    assert got == brute
+
+
+@settings(**_SETTINGS)
+@given(
+    words=st.lists(
+        st.text(
+            alphabet="abcdefghij XYZ.,!?", min_size=1, max_size=12
+        ).filter(lambda s: s.strip()),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_strip_markup_recovers_plain_text_from_tag_wrapping(spark, words):
+    """Wrapping entity-free plain text in arbitrary tags and stripping
+    must recover the whitespace-collapsed text."""
+    import re
+
+    from youtube_podcast_data_pipeline_azure_spark.functions.text import strip_markup
+
+    plain = " ".join(words)
+    html = "<div a='1'><p>" + plain.replace(" ", "</p> <p>") + "</p></div>"
+    df = spark.createDataFrame([(1, html)], "id long, s string")
+    out = df.select(strip_markup("s").alias("c")).collect()[0].c
+    assert out == re.sub(r"[ \t]+", " ", plain).strip()
+
+
+@settings(**_SETTINGS)
+@given(
+    pixels=st.lists(
+        st.integers(min_value=0, max_value=120), min_size=48, max_size=48
+    ),
+)
+def test_ahash_amplitude_invariance(spark, pixels):
+    """aHash compares each block to the image mean cross-multiplied, so
+    doubling every channel (within uint8) can never change a bit."""
+    import numpy as np
+
+    from youtube_podcast_data_pipeline_azure_spark import schemas
+    from youtube_podcast_data_pipeline_azure_spark.operators.multimodal import ahash_images
+
+    base = np.array(pixels, dtype=np.uint8).reshape(4, 4, 3)
+    rows = [
+        (1, "image", "x", base.tobytes(), 4, 4, None, "d"),
+        (2, "image", "x", (base * 2).tobytes(), 4, 4, None, "d"),
+    ]
+    df = spark.createDataFrame(rows, schemas.MEDIA_ASSETS)
+    out = {r.asset_id: r.ahash for r in ahash_images(df, grid=4).collect()}
+    assert out[1] == out[2]
