@@ -667,3 +667,26 @@ def test_shard_manifest_detects_any_shard_change(spark):
     diff = [s for s in m1 if m1[s] != m3[s]]
     assert len(diff) == 1
     assert all(m1[s][0] == m3[s][0] for s in m1)  # row counts unchanged
+
+
+def test_bootstrap_xxhash_dial_same_contract(spark):
+    """The xxhash56 production dial: valid bracketing CI, identical
+    output on any partitioning, point estimate unchanged from the md5
+    seam (only the replicate uniforms differ)."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import (
+        bootstrap_mean_ci,
+        xxhash56,
+    )
+
+    rows = [(i, float(5 + (i * 11) % 17)) for i in range(150)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    fast = bootstrap_mean_ci(
+        df, "v", "id", n_replicates=16, hash_fn=xxhash56
+    ).collect()[0]
+    seam = bootstrap_mean_ci(df, "v", "id", n_replicates=16).collect()[0]
+    assert fast.mean_microcents == seam.mean_microcents
+    assert fast.ci_lo_microcents <= fast.ci_hi_microcents
+    again = bootstrap_mean_ci(
+        df.repartition(5), "v", "id", n_replicates=16, hash_fn=xxhash56
+    ).collect()[0]
+    assert tuple(again) == tuple(fast)
