@@ -4909,6 +4909,58 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Name-part pools shared by q_entity_resolution and its oracle.
+_ER_FIRST = (
+    "maria", "james", "wei", "aisha", "ivan", "chloe", "raj",
+    "nina", "omar", "lucas", "sofia", "emma", "noah",
+)
+_ER_LAST = (
+    "garcia", "smith", "chen", "okafor", "petrov", "dubois",
+    "patel", "rossi", "kim", "novak", "silva",
+)
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage / entity resolution (r10;
+    operators/dedup.py:record_linkage_pairs + resolve_entities):
+    person-ish names synthesized from shared part pools over the
+    customer keys, with planted mid-name typos (%7, third char
+    dropped — survives the 2-char prefix block) and exact duplicates
+    (%11).  Blocked candidates (prefix + margin-lossless length bands)
+    verify with exact levenshtein ≤ 2, the match graph collapses to
+    connected-component entity ids.  The oracle replays synth,
+    blocking, levenshtein, and the recursive-CTE components."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    name = F.concat(
+        F.element_at(
+            F.array(*[F.lit(s) for s in _ER_FIRST]), (k % 13 + 1).cast("int")
+        ),
+        F.lit(" "),
+        F.element_at(
+            F.array(*[F.lit(s) for s in _ER_LAST]),
+            (F.expr("c_custkey div 13") % 11 + 1).cast("int"),
+        ),
+    )
+    named = cust.select(k.alias("record_id"), name.alias("name"))
+    recs = (
+        named.unionByName(
+            named.where(F.col("record_id") % 7 == 0).select(
+                (F.col("record_id") + 1000000).alias("record_id"),
+                F.concat(
+                    F.substring("name", 1, 2), F.expr("substring(name, 4)")
+                ).alias("name"),
+            )
+        )
+        .unionByName(
+            named.where(F.col("record_id") % 11 == 0).select(
+                (F.col("record_id") + 2000000).alias("record_id"), "name"
+            )
+        )
+    )
+    return dedup.resolve_entities(recs, max_edits=2)
+
+
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-shard content checksums (r10;
     operators/sampling.py:shard_manifest) over the same 8-shard
@@ -5497,6 +5549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_mean_ci": q_bootstrap_mean_ci,
         "markup_extraction": q_markup_extraction,
         "shard_manifest": q_shard_manifest,
+        "entity_resolution": q_entity_resolution,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -11036,6 +11089,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(p.n_hits_total, 0) AS BIGINT)
                        AS n_hits_total
             FROM documents d LEFT JOIN per p USING (doc_id)
+        """
+
+    # r10: entity resolution — synth from the shared name pools,
+    # prefix + margin-banded blocking, levenshtein verify, recursive
+    # CTE components (the duplicate_clusters oracle pattern).
+    _er_first = "[" + ", ".join(f"'{s}'" for s in _ER_FIRST) + "]"
+    _er_last = "[" + ", ".join(f"'{s}'" for s in _ER_LAST) + "]"
+    out["entity_resolution"] = f"""
+            WITH RECURSIVE named AS (
+                SELECT c_custkey AS record_id,
+                       {_er_first}[cast(c_custkey % 13 AS int) + 1]
+                       || ' ' ||
+                       {_er_last}[cast((c_custkey // 13) % 11 AS int) + 1]
+                           AS name
+                FROM customer),
+            recs AS (
+                SELECT record_id, name FROM named
+                UNION ALL
+                SELECT record_id + 1000000,
+                       substr(name, 1, 2) || substr(name, 4)
+                FROM named WHERE record_id % 7 = 0
+                UNION ALL
+                SELECT record_id + 2000000, name
+                FROM named WHERE record_id % 11 = 0),
+            norm AS (
+                SELECT record_id,
+                       lower(regexp_replace(trim(name), '\\s+', ' ', 'g'))
+                           AS nm
+                FROM recs),
+            bb AS (
+                SELECT record_id, nm, substr(nm, 1, 2) AS pfx,
+                       length(nm) AS ln
+                FROM norm),
+            banded AS (
+                SELECT record_id, nm, pfx,
+                       unnest(list_distinct([ln // 4, (ln + 2) // 4]))
+                           AS band
+                FROM bb),
+            pairs AS (
+                SELECT DISTINCT a.record_id AS id_a,
+                       b2.record_id AS id_b
+                FROM banded a JOIN banded b2
+                    ON a.pfx = b2.pfx AND a.band = b2.band
+                   AND a.record_id < b2.record_id
+                WHERE levenshtein(a.nm, b2.nm) <= 2),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(id, comp) AS (
+                SELECT record_id, record_id FROM recs
+                UNION
+                SELECT e.src, r.comp
+                FROM edges e JOIN reach r ON e.dst = r.id),
+            lab AS (
+                SELECT id AS record_id, min(comp) AS entity_id
+                FROM reach GROUP BY id),
+            sz AS (
+                SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members
+                FROM lab GROUP BY 1)
+            SELECT l.record_id, l.entity_id, s.n_members
+            FROM lab l JOIN sz s USING (entity_id)
         """
     return out
 

@@ -1664,3 +1664,50 @@ def test_minhash_index_roundtrip_equals_in_plan(spark, sf_dir, tmp_path):
         for r in near_dup_from_minhash_index(incoming, spark, path).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_record_linkage_and_entity_resolution(spark):
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import (
+        record_linkage_pairs,
+        resolve_entities,
+    )
+
+    rows = [
+        (1, "John Smith"),
+        (2, "Jon Smith"),        # 1 edit from John Smith
+        (3, "john  SMITH"),      # normalizes to 'john smith' -> 0 edits
+        (4, "Mary Jones"),       # unrelated
+        (5, "Xohn Smith"),       # typo INSIDE the prefix: blocked apart
+        (6, "jo smithson"),      # len 11 vs 10: bands 2/2 + margin keys
+    ]
+    df = spark.createDataFrame(rows, "record_id long, name string")
+    pairs = {
+        (r.id_a, r.id_b): r.edits
+        for r in record_linkage_pairs(df, max_edits=2).collect()
+    }
+    assert pairs[(1, 2)] == 1
+    assert pairs[(1, 3)] == 0
+    assert pairs[(2, 3)] == 1
+    assert not any(4 in p for p in pairs)
+    assert not any(5 in p for p in pairs)  # the documented prefix dial
+
+    ents = {r.record_id: (r.entity_id, r.n_members)
+            for r in resolve_entities(df, max_edits=2).collect()}
+    assert ents[1] == (1, 3) and ents[2] == (1, 3) and ents[3] == (1, 3)
+    assert ents[4] == (4, 1) and ents[5] == (5, 1)
+
+
+def test_record_linkage_length_band_margin_is_lossless(spark):
+    """Two names within max_edits whose lengths fall in DIFFERENT
+    length bands must still pair (each record emits the bands of len
+    and len+max_edits, so a shared key always exists)."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import (
+        record_linkage_pairs,
+    )
+
+    # len 7 ('abcdefg') -> band 1; len 9 ('abcdefgxy') -> band 2 at K=4
+    df = spark.createDataFrame(
+        [(1, "abcdefg"), (2, "abcdefgxy")], "record_id long, name string"
+    )
+    pairs = record_linkage_pairs(df, max_edits=2, block_len_band=4).collect()
+    assert [(p.id_a, p.id_b, p.edits) for p in pairs] == [(1, 2, 2)]
