@@ -55,6 +55,12 @@ TPCH_5X = [
     "bloom_semi_join",
 ]
 EVENTS_5X = ["window_running", "asof_join"]
+# entity_resolution rides the customer upscale: 5x records over a
+# fixed 143-name pool — collapse-first keeps rep-pair work CONSTANT
+# (distinct names don't grow) and member→rep star edges linear, so
+# wall growth must track record count, never the Ω(m²) same-name
+# pair list
+TPCH_5X_EXTRA = ["entity_resolution"]
 DOCS_10X = [
     "minhash_near_dup",
     "ngram_jaccard_pairs",
@@ -385,7 +391,7 @@ def main() -> None:
     experiments: dict[str, dict] = {}
     try:
         plans = [
-            ("tpch_5x", build_tpch_upscale, TPCH_5X, "5x rows", 5),
+            ("tpch_5x", build_tpch_upscale, TPCH_5X + TPCH_5X_EXTRA, "5x rows", 5),
             ("events_5x", build_events_upscale, EVENTS_5X, "5x events", 5),
             ("docs_10x", build_docs_upscale, DOCS_10X, "10x docs", 10),
             ("emb_10x", build_emb_upscale, EMB_10X, "10x corpus", 10),
