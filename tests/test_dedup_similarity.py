@@ -1711,3 +1711,39 @@ def test_record_linkage_length_band_margin_is_lossless(spark):
     )
     pairs = record_linkage_pairs(df, max_edits=2, block_len_band=4).collect()
     assert [(p.id_a, p.id_b, p.edits) for p in pairs] == [(1, 2, 2)]
+
+
+def test_minhash_index_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """write(A) + append(B) must probe identically to write(A ∪ B) —
+    the index is a pure per-document function, so incremental
+    maintenance cannot change any verdict."""
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_index_write,
+        near_dup_from_minhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    part_a = docs.where(F.col("doc_id") % 3 == 1)
+    part_b = docs.where(F.col("doc_id") % 3 == 2)
+    incoming = docs.where(F.col("doc_id") % 3 == 0)
+
+    p1 = str(tmp_path / "incr")
+    minhash_index_write(part_a, p1, num_hashes=64, bands=16)
+    minhash_index_append(part_b, p1)
+
+    p2 = str(tmp_path / "full")
+    minhash_index_write(
+        part_a.unionByName(part_b), p2, num_hashes=64, bands=16
+    )
+
+    got = {
+        (r.in_id, r.corpus_id, round(r.jaccard, 4))
+        for r in near_dup_from_minhash_index(incoming, spark, p1).collect()
+    }
+    want = {
+        (r.in_id, r.corpus_id, round(r.jaccard, 4))
+        for r in near_dup_from_minhash_index(incoming, spark, p2).collect()
+    }
+    assert got == want and len(got) > 0

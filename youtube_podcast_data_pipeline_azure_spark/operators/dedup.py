@@ -2255,3 +2255,37 @@ def resolve_entities(
     return labeled.join(sizes, "entity_id").select(
         id_col, "entity_id", "n_members"
     )
+
+
+def minhash_index_append(
+    batch: DataFrame,
+    path: str,
+    text_col: str = "text",
+) -> None:
+    """Append a new document batch to a persisted MinHash band index
+    (see :func:`minhash_index_write`) — the production maintenance
+    loop: each crawl batch is banded with the INDEX'S recorded
+    parameters (never the caller's) and its band rows + shingle sets
+    land in append mode.  Probe-after-append is contractually
+    identical to a full rebuild over the union corpus (pinned in
+    tests), because the index is a pure per-document function —
+    appends never need to touch existing rows.  Appends erode the
+    range clustering of the original write; run the engine's
+    ``io/writers.py:compact_files`` on ``{path}/bands`` when probe
+    scan counts matter."""
+    from youtube_podcast_data_pipeline_azure_spark.streaming.docs_stream import (
+        corpus_near_dup_index,
+    )
+
+    spark = batch.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    index, sh = corpus_near_dup_index(
+        batch,
+        text_col,
+        meta["id_col"],
+        meta["shingle_n"],
+        meta["num_hashes"],
+        meta["bands"],
+    )
+    index.write.mode("append").parquet(f"{path}/bands")
+    sh.write.mode("append").parquet(f"{path}/shingles")
