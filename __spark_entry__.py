@@ -5022,6 +5022,21 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bootstrap_ci_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Poisson-bootstrap CIs (r10;
+    operators/sampling.py:bootstrap_mean_ci_by_group): mean event
+    value per event_type with 95% CIs from 24 deterministic
+    replicates — the source-comparison table where non-overlapping
+    intervals, not bare mean gaps, justify a mixture decision.
+    Weights are (id, b, seed) functions so the grouping cannot perturb
+    another group's CI (pinned in tests); the oracle replays the full
+    grouped resampling."""
+    ev = _t(spark, sf_dir, "events")
+    return sampling.bootstrap_mean_ci_by_group(
+        ev, "value", "event_id", "event_type", n_replicates=24, seed=0
+    )
+
+
 def q_inclusion_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Foreign-key-candidate profiling (r10;
     operators/quality.py:inclusion_dependency_report) across three
@@ -5550,6 +5565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markup_extraction": q_markup_extraction,
         "shard_manifest": q_shard_manifest,
         "entity_resolution": q_entity_resolution,
+        "bootstrap_ci_by_group": q_bootstrap_ci_by_group,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -11150,6 +11166,53 @@ def oracle_sql() -> dict[str, str]:
                 FROM lab GROUP BY 1)
             SELECT l.record_id, l.entity_id, s.n_members
             FROM lab l JOIN sz s USING (entity_id)
+        """
+
+    # r10: grouped Poisson bootstrap — same threshold constants and
+    # hash, resampled within each event_type, per-group rank CI.
+    _bg_b = 24
+    _bg_lo = max(1, -(-250 * _bg_b // 10000))
+    _bg_hi = max(1, -(-9750 * _bg_b // 10000))
+    out["bootstrap_ci_by_group"] = f"""
+            WITH base AS (
+                SELECT event_type AS g, event_id AS id,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events),
+            fan AS (
+                SELECT g, id, cents, b
+                FROM base, (SELECT unnest(generate_series(0, {_bg_b - 1}))
+                            AS b)),
+            wts AS (
+                SELECT g, b, cents, CAST({_boot_w} AS BIGINT) AS w
+                FROM fan),
+            reps AS (
+                SELECT g, b, CAST(sum(w) AS BIGINT) AS sw,
+                       CAST(sum(w * cents) AS BIGINT) AS swx
+                FROM wts GROUP BY 1, 2),
+            means AS (
+                SELECT g, b, CAST(swx * 10000 // sw AS BIGINT) AS m
+                FROM reps WHERE sw > 0),
+            ranked AS (
+                SELECT g, m, row_number() OVER (PARTITION BY g
+                           ORDER BY m ASC, b ASC) AS rk
+                FROM means),
+            ci AS (
+                SELECT g,
+                       max(CASE WHEN rk = {_bg_lo} THEN m END)
+                           AS ci_lo_microcents,
+                       max(CASE WHEN rk = {_bg_hi} THEN m END)
+                           AS ci_hi_microcents
+                FROM ranked GROUP BY 1),
+            point AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(sum(cents) * 10000 // count(*) AS BIGINT)
+                           AS mean_microcents
+                FROM base GROUP BY 1)
+            SELECT p.g AS event_type, p.n_rows,
+                   CAST({_bg_b} AS BIGINT) AS n_replicates,
+                   p.mean_microcents, c.ci_lo_microcents,
+                   c.ci_hi_microcents
+            FROM point p JOIN ci c USING (g)
         """
     return out
 

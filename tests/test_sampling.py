@@ -690,3 +690,35 @@ def test_bootstrap_xxhash_dial_same_contract(spark):
         df.repartition(5), "v", "id", n_replicates=16, hash_fn=xxhash56
     ).collect()[0]
     assert tuple(again) == tuple(fast)
+
+
+def test_bootstrap_by_group_matches_per_group_single(spark):
+    """Each group's row must equal bootstrap_mean_ci run on that group
+    alone — weights are (id, b, seed) functions, so grouping cannot
+    perturb another group's CI."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.sampling import (
+        bootstrap_mean_ci,
+        bootstrap_mean_ci_by_group,
+    )
+
+    rows = [(i, "g%d" % (i % 3), float(3 + (i * 7) % 11)) for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, src string, v double")
+    grouped = {
+        r.src: r
+        for r in bootstrap_mean_ci_by_group(
+            df, "v", "id", "src", n_replicates=12, seed=5
+        ).collect()
+    }
+    assert set(grouped) == {"g0", "g1", "g2"}
+    for g in grouped:
+        single = bootstrap_mean_ci(
+            df.where(F.col("src") == g), "v", "id", n_replicates=12, seed=5
+        ).collect()[0]
+        got = grouped[g]
+        assert (
+            got.n_rows, got.mean_microcents,
+            got.ci_lo_microcents, got.ci_hi_microcents,
+        ) == (
+            single.n_rows, single.mean_microcents,
+            single.ci_lo_microcents, single.ci_hi_microcents,
+        )

@@ -876,3 +876,94 @@ def shard_manifest(
         F.expr("bit_xor(_fp)").alias("xor_fp"),
         F.sum(F.col("_fp") % F.lit(1 << 20)).cast("long").alias("sum_low20"),
     )
+
+
+def bootstrap_mean_ci_by_group(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_col: str,
+    n_replicates: int = 48,
+    seed: int = 0,
+    lo_bp: int = 250,
+    hi_bp: int = 9750,
+    hash_fn=None,
+) -> DataFrame:
+    """Per-group :func:`bootstrap_mean_ci` — the actual comparison
+    table behind "is source A's metric really higher than B's?":
+    non-overlapping CIs are the defensible answer, a bare mean gap is
+    not.  Same deterministic Poisson machinery, resampled WITHIN each
+    group (weights keyed on (group, id, b, seed) via the same id hash —
+    a row's weight doesn't depend on the grouping, so adding a group
+    never perturbs another's CI); the rank window partitions by group
+    over the (groups × B)-row aggregate.  Returns one row per group:
+    (group_col, n_rows, n_replicates, mean_microcents,
+    ci_lo_microcents, ci_hi_microcents).
+    """
+    from youtube_podcast_data_pipeline_azure_spark.operators.sketches import md5_int56
+
+    if hash_fn is None:
+        hash_fn = md5_int56
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        F.floor(F.col(value_col) * 100).cast("long").alias("_cents"),
+    )
+    fanned = base.select(
+        "_g",
+        "_id",
+        "_cents",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_replicates) - 1))
+        ).alias("_b"),
+    )
+    u = hash_fn(
+        F.concat(
+            F.lit(f"boot:{seed}:"),
+            F.col("_id").cast("string"),
+            F.lit(":"),
+            F.col("_b").cast("string"),
+        )
+    )
+    w = F.lit(9).cast("long")
+    for k in range(len(POISSON1_CDF_56) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF_56[k]), F.lit(k).cast("long")).otherwise(w)
+    reps = (
+        fanned.select("_g", "_b", w.alias("_w"), F.col("_cents"))
+        .groupBy("_g", "_b")
+        .agg(
+            F.sum("_w").cast("long").alias("_sw"),
+            F.sum(F.col("_w") * F.col("_cents")).cast("long").alias("_swx"),
+        )
+        .where(F.col("_sw") > 0)
+        .select("_g", "_b", F.expr("_swx * 10000 div _sw").alias("_mean"))
+    )
+    wnd = Window.partitionBy("_g").orderBy(
+        F.col("_mean").asc(), F.col("_b").asc()
+    )
+    lo_rank = max(1, -(-lo_bp * n_replicates // 10000))
+    hi_rank = max(1, -(-hi_bp * n_replicates // 10000))
+    ci = (
+        reps.select("_g", "_mean", F.row_number().over(wnd).alias("_rk"))
+        .groupBy("_g")
+        .agg(
+            F.max(F.when(F.col("_rk") == lo_rank, F.col("_mean"))).alias(
+                "ci_lo_microcents"
+            ),
+            F.max(F.when(F.col("_rk") == hi_rank, F.col("_mean"))).alias(
+                "ci_hi_microcents"
+            ),
+        )
+    )
+    point = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr("sum(_cents) * 10000 div count(*)").alias("mean_microcents"),
+    )
+    return point.join(ci, "_g").select(
+        F.col("_g").alias(group_col),
+        "n_rows",
+        F.lit(int(n_replicates)).cast("long").alias("n_replicates"),
+        "mean_microcents",
+        "ci_lo_microcents",
+        "ci_hi_microcents",
+    )
