@@ -5022,6 +5022,27 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination_by_eval_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-benchmark contamination attribution (r10;
+    operators/curation.py:contamination_by_eval_set): two held-out
+    suites (doc_id % 10 == 7 → suiteA, % 10 == 3 → suiteB) screened in
+    ONE corpus gram pass — the (gram, set) index broadcasts, per-doc
+    totals stay doc-local, rows come back sparse per (doc, suite).
+    The oracle replays the same slices and the per-set join."""
+    docs = _t(spark, sf_dir, "documents")
+    evals = (
+        docs.where(F.col("doc_id") % 10 == 7)
+        .select(F.lit("suiteA").alias("eval_set"), "text")
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 3).select(
+                F.lit("suiteB").alias("eval_set"), "text"
+            )
+        )
+    )
+    corpus = docs.where(~F.col("doc_id").__mod__(10).isin(3, 7))
+    return curation.contamination_by_eval_set(corpus, evals, n=8)
+
+
 def q_bootstrap_ci_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group Poisson-bootstrap CIs (r10;
     operators/sampling.py:bootstrap_mean_ci_by_group): mean event
@@ -5566,6 +5587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "entity_resolution": q_entity_resolution,
         "bootstrap_ci_by_group": q_bootstrap_ci_by_group,
+        "contamination_by_eval_set": q_contamination_by_eval_set,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -11213,6 +11235,36 @@ def oracle_sql() -> dict[str, str]:
                    p.mean_microcents, c.ci_lo_microcents,
                    c.ci_hi_microcents
             FROM point p JOIN ci c USING (g)
+        """
+
+    # r10: multi-suite contamination — same shingle CTEs as
+    # contamination_report, (set, gram) index, per-(doc, set) join.
+    out["contamination_by_eval_set"] = f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS tokens FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(tokens[i:i+7], ' ')
+                           for i in generate_series(
+                               1, greatest(len(tokens)-8, 0)+1)]) AS sh
+                FROM toks),
+            ev AS (
+                SELECT DISTINCT eset, gram FROM (
+                    SELECT 'suiteA' AS eset, unnest(sh) AS gram
+                    FROM sh WHERE doc_id % 10 = 7
+                    UNION ALL
+                    SELECT 'suiteB', unnest(sh)
+                    FROM sh WHERE doc_id % 10 = 3)),
+            corp AS (
+                SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS gram
+                FROM sh WHERE doc_id % 10 NOT IN (3, 7))
+            SELECT doc_id, eset AS eval_set,
+                   cast(n_grams AS bigint) AS n_grams,
+                   cast(count(*) AS bigint) AS n_hit_grams,
+                   cast(count(*) * 1000 // n_grams AS bigint)
+                       AS contam_milli
+            FROM corp JOIN ev USING (gram)
+            GROUP BY doc_id, eset, n_grams
         """
     return out
 

@@ -1340,3 +1340,47 @@ def test_gopher_rule_attribution_counts(spark):
     assert out["word_count"].n_failed == 1        # doc 3
     assert out["word_count"].n_sole_kill == 0     # doc 3 fails 2 rules
     assert out["bullet_lines"].n_failed == 0
+
+
+def test_contamination_by_eval_set_attribution(spark):
+    """Planted leaks: doc 1 contains an 8-gram from suite A, doc 2 from
+    suite B, doc 3 from both, doc 4 clean; per-set rows must agree with
+    contamination_report run against each suite alone."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        contamination_by_eval_set,
+        contamination_report,
+    )
+
+    leak_a = "alpha beta gamma delta epsilon zeta eta theta"
+    leak_b = "one two three four five six seven eight"
+    filler = "just some ordinary page words going on and on here"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{filler} {leak_a} {filler}"),
+            (2, f"{filler} {leak_b}"),
+            (3, f"{leak_a} {filler} {leak_b}"),
+            (4, filler + " nothing leaked at all in this page text"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [("suiteA", f"question: {leak_a} answer"),
+         ("suiteB", f"context {leak_b} more context")],
+        "eval_set string, text string",
+    )
+    got = {
+        (r.doc_id, r.eval_set): (r.n_grams, r.n_hit_grams, r.contam_milli)
+        for r in contamination_by_eval_set(docs, evals).collect()
+    }
+    assert set(got) == {(1, "suiteA"), (2, "suiteB"),
+                        (3, "suiteA"), (3, "suiteB")}
+    for suite in ("suiteA", "suiteB"):
+        single = {
+            r.doc_id: (r.n_grams, r.n_hit_grams, r.contam_milli)
+            for r in contamination_report(
+                docs, evals.where(F.col("eval_set") == suite)
+            ).collect()
+        }
+        for (d, s), v in got.items():
+            if s == suite:
+                assert single[d] == v

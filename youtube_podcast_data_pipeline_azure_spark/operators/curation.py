@@ -2061,3 +2061,56 @@ def char_entropy_report(
             - F.expr("_s2 div n_chars")
         ).alias("entropy_micro"),
     )
+
+
+def contamination_by_eval_set(
+    corpus: DataFrame,
+    eval_sets: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    set_col: str = "eval_set",
+    n: int = 8,
+) -> DataFrame:
+    """Per-(document, eval-set) contamination attribution — the
+    multi-benchmark decontamination sweep (a real pipeline screens
+    against MANY suites at once, and "which benchmark leaked into this
+    page" decides whether to drop the doc or quarantine the suite).
+
+    ``eval_sets`` carries (set_col, text_col) rows for every benchmark
+    at once: the gram index becomes (gram, set) pairs — still
+    KB-to-MB-scale and broadcast — so the corpus's exploded gram pass
+    runs ONCE for all suites instead of once per suite (the point vs.
+    looping :func:`contamination_report`).  The INNER broadcast join
+    keeps only hit rows, so the (id, set) aggregate's shuffle is
+    sparse; per-doc gram totals are doc-LOCAL (``size`` of the shingle
+    set — no explode, no exchange, a cheap second scan) and join onto
+    the tiny hit table.  Returns sparse rows
+    (id, eval_set, n_grams, n_hit_grams, contam_milli) — only
+    documents × sets with at least one shared gram.
+    """
+    sh = shingles(F.col(text_col), n)
+    eval_grams = (
+        eval_sets.select(
+            F.col(set_col).alias("_set"),
+            F.explode(shingles(F.col(text_col), n)).alias("gram"),
+        )
+        .distinct()
+    )
+    corp = corpus.select(F.col(id_col), F.explode(sh).alias("gram"))
+    hits = (
+        corp.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col, "_set")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit_grams"))
+    )
+    totals = corpus.select(
+        F.col(id_col), F.size(sh).cast("long").alias("n_grams")
+    )
+    return hits.join(totals, id_col).select(
+        id_col,
+        F.col("_set").alias(set_col),
+        "n_grams",
+        "n_hit_grams",
+        F.floor(F.col("n_hit_grams") * 1000 / F.col("n_grams"))
+        .cast("long")
+        .alias("contam_milli"),
+    )
