@@ -5022,6 +5022,19 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trimmed_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-trimmed per-event-type means (r10;
+    operators/quality.py:trimmed_mean_report, 5% per tail) — the
+    outlier-robust dashboard metric; trimming by RANK with (value, id)
+    tie-breaks keeps both engines bit-identical where percentile value
+    cuts would be ulp-sensitive.  Oracle replays the rank window and
+    the integer mean arithmetic."""
+    return quality.trimmed_mean_report(
+        _t(spark, sf_dir, "events"), "value", "event_id", "event_type",
+        trim_bp=500,
+    )
+
+
 def q_fd_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional-entropy FD strength (r10;
     operators/quality.py:conditional_entropy_report) for the same
@@ -5604,6 +5617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci_by_group": q_bootstrap_ci_by_group,
         "contamination_by_eval_set": q_contamination_by_eval_set,
         "fd_entropy": q_fd_entropy,
+        "trimmed_means": q_trimmed_means,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -11307,6 +11321,35 @@ def oracle_sql() -> dict[str, str]:
         for det, dep in _fde_pairs
     )
     out["fd_entropy"] = f"SELECT * FROM ({_fde_union})"
+
+    # r10: rank-trimmed means — same rank window + integer mean.
+    out["trimmed_means"] = """
+            WITH base AS (
+                SELECT event_type AS g, event_id AS id,
+                       CAST(floor(value * 100) AS BIGINT) AS cents
+                FROM events),
+            rk AS (
+                SELECT g, cents,
+                       row_number() OVER (PARTITION BY g
+                           ORDER BY cents ASC, id ASC) AS rk,
+                       count(*) OVER (PARTITION BY g) AS n
+                FROM base),
+            kk AS (
+                SELECT g, cents, n,
+                       (rk > n * 500 // 10000
+                        AND rk <= n - n * 500 // 10000) AS keep
+                FROM rk)
+            SELECT g AS event_type,
+                   CAST(max(n) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_used,
+                   CAST(sum(cents) * 10000 // count(*) AS BIGINT)
+                       AS raw_mean_microcents,
+                   CAST(sum(CASE WHEN keep THEN cents ELSE 0 END) * 10000
+                        // sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                        AS BIGINT) AS trimmed_mean_microcents
+            FROM kk GROUP BY 1
+        """
     return out
 
 

@@ -306,3 +306,25 @@ def test_conditional_entropy_fd_strength(spark):
     for k in out:
         assert out[k].holds == fd[k]
         assert (out[k].h_cond_micro == 0) == out[k].holds or out[k].h_cond_micro >= 0
+
+
+def test_trimmed_mean_rank_semantics(spark):
+    """k lowest and k highest rows drop per group; an extreme outlier
+    moves the raw mean but not the trimmed one."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.quality import (
+        trimmed_mean_report,
+    )
+
+    vals = [10.0] * 18 + [0.01, 9999.0]  # 20 rows, one huge outlier
+    rows = [(i, "g", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, src string, v double")
+    out = trimmed_mean_report(df, "v", "id", "src", trim_bp=500).collect()[0]
+    # k = 20*500//10000 = 1: drop the 0.01 and the 9999.0
+    assert out.n_rows == 20 and out.n_used == 18
+    assert out.trimmed_mean_microcents == 10_000_000  # 10.00 in micro-cents
+    assert out.raw_mean_microcents > out.trimmed_mean_microcents
+    # stable under repartition
+    again = trimmed_mean_report(
+        df.repartition(5), "v", "id", "src", trim_bp=500
+    ).collect()[0]
+    assert tuple(again) == tuple(out)

@@ -529,3 +529,73 @@ def conditional_entropy_report(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def trimmed_mean_report(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_col: str,
+    trim_bp: int = 500,
+) -> DataFrame:
+    """Rank-trimmed per-group means — the outlier-robust metric a
+    corpus dashboard should show next to the raw mean (one viral page
+    or one parser glitch moves a raw mean; it cannot move a 5%-trimmed
+    one).  Trimming is by RANK, not by value cut points: the lowest
+    and highest ``k = floor(n·trim_bp/10000)`` rows per group drop,
+    ranks tie-broken by (value, id) — fully integer-deterministic on
+    both engines, where interpolated percentile CUTS would be
+    ulp-sensitive as filter thresholds.
+
+    One per-group rank window (single exchange on the group key), then
+    one aggregate: per-row floor-to-cents, integer-sum division.
+    Returns (group_col, n_rows, n_used, raw_mean_microcents,
+    trimmed_mean_microcents).
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        F.floor(F.col(value_col) * 100).cast("long").alias("_cents"),
+    )
+    w = Window.partitionBy("_g").orderBy(
+        F.col("_cents").asc(), F.col("_id").asc()
+    )
+    wn = Window.partitionBy("_g")
+    ranked = base.select(
+        "_g",
+        "_cents",
+        F.row_number().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    k = F.expr(f"_n * {int(trim_bp)} div 10000")
+    return (
+        ranked.select(
+            "_g",
+            "_cents",
+            "_n",
+            ((F.col("_rk") > k) & (F.col("_rk") <= F.col("_n") - k)).alias(
+                "_keep"
+            ),
+        )
+        .groupBy("_g")
+        .agg(
+            F.max("_n").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_used"),
+            F.expr("sum(_cents) * 10000 div count(*)").alias(
+                "raw_mean_microcents"
+            ),
+            F.expr(
+                "sum(CASE WHEN _keep THEN _cents ELSE 0 END) * 10000 "
+                "div sum(CASE WHEN _keep THEN 1 ELSE 0 END)"
+            ).alias("trimmed_mean_microcents"),
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            "n_rows",
+            "n_used",
+            "raw_mean_microcents",
+            "trimmed_mean_microcents",
+        )
+    )
