@@ -5022,6 +5022,37 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_language_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-page language splitting (r10;
+    operators/curation.py:split_by_line_language) over the SAME
+    synthesized multilingual pages as line_language_mix: each page's
+    lines route to per-language sub-documents rebuilt in original
+    order (the CCNet bucket-by-language step, as a rewrite rather than
+    a report).  Oracle replays the synth, the per-line ID, and an
+    ORDER BY string_agg rebuild."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(
+        F.lit(0), ((F.size(toks) - F.lit(1)) / F.lit(6)).cast("int")
+    )
+    lined = F.array_join(
+        F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i * 6 + 1, 6), " ")
+        ),
+        "\n",
+    )
+    lined = F.when(
+        d % 4 == 0,
+        F.concat(F.lit("der hund ist nicht da und ich\n"), lined),
+    ).otherwise(lined)
+    lined = F.when(
+        d % 6 == 0,
+        F.concat(lined, F.lit("\nle chat est dans la maison pour")),
+    ).otherwise(lined)
+    return curation.split_by_line_language(docs.withColumn("text", lined))
+
+
 def q_trimmed_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-trimmed per-event-type means (r10;
     operators/quality.py:trimmed_mean_report, 5% per tail) — the
@@ -5618,6 +5649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_by_eval_set": q_contamination_by_eval_set,
         "fd_entropy": q_fd_entropy,
         "trimmed_means": q_trimmed_means,
+        "language_split": q_language_split,
     }
     # r10 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -11349,6 +11381,42 @@ def oracle_sql() -> dict[str, str]:
                         // sum(CASE WHEN keep THEN 1 ELSE 0 END)
                         AS BIGINT) AS trimmed_mean_microcents
             FROM kk GROUP BY 1
+        """
+
+    # r10: language splitting — the line_language_mix synth + per-line
+    # ID + ordered per-(doc, lang) string_agg rebuild.
+    out["language_split"] = f"""
+            WITH synth AS (
+                SELECT doc_id,
+                    (CASE WHEN doc_id % 4 = 0
+                        THEN 'der hund ist nicht da und ich' || chr(10)
+                        ELSE '' END)
+                    || array_to_string(
+                        [array_to_string(l[(i*6+1):(i*6+6)], ' ')
+                         for i in generate_series(0, (len(l) - 1) // 6)],
+                        chr(10))
+                    || (CASE WHEN doc_id % 6 = 0
+                        THEN chr(10) || 'le chat est dans la maison pour'
+                        ELSE '' END) AS text
+                FROM (SELECT doc_id, string_split(text, ' ') AS l
+                      FROM documents)),
+            lines AS (
+                SELECT doc_id, u.pos, u.l FROM (
+                    SELECT doc_id,
+                           unnest([{{'pos': i, 'l': ls[i]}}
+                                   for i in generate_series(1, len(ls))])
+                               AS u
+                    FROM (SELECT doc_id,
+                                 string_split(text, chr(10)) AS ls
+                          FROM synth))),
+            nb AS (SELECT doc_id, pos, l FROM lines WHERE trim(l) <> ''),
+            langed AS (
+                SELECT doc_id, pos, l, {language_id_sql('l')} AS lang
+                FROM nb)
+            SELECT doc_id, lang,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   string_agg(l, chr(10) ORDER BY pos) AS text
+            FROM langed GROUP BY 1, 2
         """
     return out
 

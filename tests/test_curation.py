@@ -1384,3 +1384,30 @@ def test_contamination_by_eval_set_attribution(spark):
         for (d, s), v in got.items():
             if s == suite:
                 assert single[d] == v
+
+
+def test_split_by_line_language_ordered_rebuild(spark):
+    from youtube_podcast_data_pipeline_azure_spark.functions.text import language_id
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        split_by_line_language,
+    )
+
+    en1 = "the cat and the dog are here with that wool"
+    fr = "le chat et le chien sont dans une maison avec des amis"
+    en2 = "this is more of the same english text for you"
+    doc = f"{en1}\n{fr}\n\n{en2}"
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    langs = {
+        r.l: None
+        for r in df.select(F.explode(F.split("text", r"\n")).alias("x"))
+        .where(F.trim("x") != "")
+        .select(language_id(F.col("x")).alias("l"))
+        .collect()
+    }
+    out = {r.lang: r for r in split_by_line_language(df).collect()}
+    assert set(out) == set(langs)
+    en_key = [k for k in out if out[k].n_lines == 2]
+    assert len(en_key) == 1  # the two english lines rebuilt together
+    assert out[en_key[0]].text == f"{en1}\n{en2}"  # original order
+    fr_key = [k for k in out if out[k].n_lines == 1][0]
+    assert out[fr_key].text == fr

@@ -2114,3 +2114,52 @@ def contamination_by_eval_set(
         .cast("long")
         .alias("contam_milli"),
     )
+
+
+def split_by_line_language(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split mixed-language pages into per-language SUB-DOCUMENTS —
+    the rebuild counterpart of :func:`line_language_report` (CCNet
+    routes each language's lines to its own language bucket rather
+    than keeping or dropping whole mixed pages): every non-blank line
+    gets the deterministic stopword language ID, and each (doc,
+    language) group reassembles its lines IN ORIGINAL ORDER via the
+    retry-safe ``sort_array(collect_list(struct(pos, line)))`` rebuild.
+
+    One posexplode at line grain, one (doc, lang) aggregate — the
+    shuffle carries lines once (they must reach their sub-document),
+    per-group state is bounded by the page's own size.  Returns
+    (id_col, lang, n_lines, text).
+    """
+    from ..functions.text import language_id
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("_pos", "_l"),
+    ).where(F.trim("_l") != "")
+    tagged = lines.select(
+        id_col, "_pos", "_l", language_id(F.col("_l")).alias("lang")
+    )
+    return (
+        tagged.groupBy(id_col, "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_pos").alias("p"),
+                                F.col("_l").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("t"),
+                ),
+                "\n",
+            ).alias("text"),
+        )
+    )
