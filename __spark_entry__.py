@@ -5320,41 +5320,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification rotation, not taxonomy: the
     driver's per-round correctness check covers the FIRST 50 entries,
     so each round front-loads queries needing driver evidence.
-    Cumulative state at r10 build: 250 registered (244 entering + the
-    in-window ``ivfpq_recall`` + five tail additions after the window
-    was pre-verified: ``nb_threshold_curve``,
-    ``embedding_dim_truncation``, ``quality_signals``,
-    ``rarity_bins_by_lang``, ``containment_pairs``), 246
+    Cumulative state at r11 build: 273 registered, 269
     DuckDB-oracle-checked, 4 rows-only by documented contract (the
     ``knn_ivf`` and ``knn_ivfpq`` nprobe dials and the two raw
     t-digest sketches — each certified by a hash-checked
     exhaustive/accuracy twin); staleness is tool-tracked
     (``tools/staleness.py`` joins this registry against every
     CORRECTNESS_r*.json).  Capstone at r10 close: the ENTIRE registry
-    verified on a plain ANSI local[32] session at sf0.01 — 249/249
-    then-registered hash-matched (+ ``containment_pairs`` verified the
-    same way on registration), and 249/249 on the engine session at
+    verified on a plain ANSI local[32] session at sf0.01 (272/272
+    then-registered hash-matched) and on the engine session at
     sf0.001.
 
-    The r10 window (``_R10_WINDOW`` below — the dict literal keeps its
-    historical r9 grouping; the rotation is applied programmatically at
-    the end): (A) the eight queries with no driver evidence —
-    ``pq_codes`` (the r9 canonicalizer miss, now registered in the
-    exploded scalar shape), the six r9-close tail additions, and the
-    new ``ivfpq_recall``; (B) re-stamps of every query whose code
-    changed this round after its last driver check (the ADVICE r9
-    fixes: CRLF/NEL terminal-punct gate, \\p{{L}} alpha rule, \\r strip
-    in NORMALIZE_STEPS, explicit full-corpus train_sample opt-ins);
-    (C) the 8 r4-stale fills displaced from the r9 window, then the
-    28 oldest r5 fills in ledger order.  The rows-only-by-contract
-    trio (``knn_ivf``, ``tdigest_quantiles``, ``tdigest_by_key``)
-    stays out of the window per VERDICT r9 — their hash-checked
-    exhaustive/accuracy twins carry the evidence.  Every window query
-    was verified on a PLAIN local[32] session (driver conditions:
-    ANSI on, no engine confs) against the DuckDB oracle at sf0.01
-    before this registration."""
+    The r11 window (``_R11_WINDOW`` below — the dict literal keeps its
+    historical grouping; the rotation is applied programmatically at
+    the end) executes VERDICT r10's #1: (A) ALL 28 r10-session tail
+    registrations that have never appeared in a driver window
+    (``nb_threshold_curve`` … ``language_split``), which doubles as
+    the re-stamp set for this round's ADVICE fixes (MARKUP_STEPS
+    unescape order → ``markup_extraction``; band-range record linkage
+    → ``entity_resolution``; survivor-count bootstrap ranks →
+    ``bootstrap_mean_ci``/``bootstrap_ci_by_group``; trim_bp guard →
+    ``trimmed_means``); (B) the 22 oldest oracle-stale fills (r5
+    evidence, ledger order).  The rows-only-by-contract dials
+    (``knn_ivf``, ``knn_ivfpq``, ``tdigest_quantiles``,
+    ``tdigest_by_key``) stay out of the window per VERDICT r9/r10 —
+    their hash-checked exhaustive/accuracy twins carry the evidence.
+    Every window query was verified on a PLAIN local[32] session
+    (driver conditions: ANSI on, no engine confs) against the DuckDB
+    oracle at sf0.01 before this registration
+    (``tools/preverify_r11_band.log`` + the post-fix re-verify this
+    session)."""
     out = {
-        # ===== r09 grouping (historical; see _R10_WINDOW below) =====
+        # ===== r09 grouping (historical; see _R11_WINDOW below) =====
         # part A: never driver-checked — the two persistence
         # roundtrips added after the r8 window was spent, plus the
         # six queries NEW this round (Gopher/C4 quality rules,
@@ -5651,78 +5648,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_means": q_trimmed_means,
         "language_split": q_language_split,
     }
-    # r10 rotation: the driver checks the FIRST 50 entries — front-load
+    # r11 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
     # other entry keeps its relative order behind them.
-    window = set(_R10_WINDOW)
-    if len(_R10_WINDOW) != 50 or not window <= out.keys():
+    window = set(_R11_WINDOW)
+    if len(_R11_WINDOW) != 50 or not window <= out.keys():
         # a plain raise, not assert: stripped asserts under python -O
         # would let a mis-sized band silently shift which queries get
         # driver evidence (the pq_train dim-guard lesson, ADVICE r9)
-        raise ValueError("_R10_WINDOW must be 50 registered query names")
-    return {k: out[k] for k in _R10_WINDOW} | {
+        raise ValueError("_R11_WINDOW must be 50 registered query names")
+    return {k: out[k] for k in _R11_WINDOW} | {
         k: v for k, v in out.items() if k not in window
     }
 
 
-#: r10 driver-check band: (A) 8 never-checked, (B) 6 changed-code
-#: re-stamps, (C) 8 r4-stale + 28 oldest-r5 fills in ledger order.
-_R10_WINDOW = [
-    # A: no driver evidence yet
-    "pq_codes",
-    "pq_ann_persisted",
-    "knn_ivfpq_exhaustive",
-    "knn_ivfpq",
-    "nb_quality_classifier",
-    "line_language_mix",
-    "nb_quality_persisted",
-    "ivfpq_recall",
-    # B: code changed this round since their last driver stamp
-    "gopher_quality",
-    "c4_line_filter",
-    "text_normalization",
-    "pq_ann",
-    "embedding_drift",
-    "ann_recall",
-    # C1: the 8 r4-stale fills displaced from the r9 window
-    "knn_ivf_persisted",
-    "dataset_card",
-    "exact_quantiles_sketched",
-    "asof_join",
-    "asof_join_forward",
-    "asof_join_nearest",
-    "exact_dedup",
-    "kpi_event_type_counts",
-    # C2: the 28 oldest r5-stale fills (ledger order; the rows-only
-    # trio is excluded by contract)
-    "duplicate_clusters_star",
-    "decontaminated_docs",
-    "quality_yield_curve",
-    "corpus_overlap_report",
-    "vocabulary_growth",
-    "packing_efficiency",
-    "novelty_curve",
-    "kpi_totals",
-    "clean_documents",
-    "safe_cast_props",
-    "per_group_limit",
-    "iso_duration_parse",
-    "partitioned_sink_roundtrip",
-    "json_sink_roundtrip",
-    "videos_bronze_to_silver",
-    "comments_bronze_to_silver",
-    "envelope_explode",
-    "pricing_summary",
-    "local_supplier_volume",
-    "top_orders",
-    "agg_suite",
-    "rollup_agg",
-    "cube_agg",
-    "anti_join",
-    "semi_join",
-    "outer_join_agg",
-    "set_ops",
-    "distinct_segments",
+#: r11 driver-check band (VERDICT r10 #1: retire the rotation debt):
+#: (A) ALL 28 r10-session tail registrations with zero driver-side
+#: evidence, in ledger order, including the four ADVICE-r10 fix
+#: consumers (markup_extraction, entity_resolution, bootstrap_mean_ci,
+#: bootstrap_ci_by_group) and trimmed_means; (B) the 22 oldest
+#: oracle-stale fills (r5 evidence, ledger order).  The rows-only
+#: dials (knn_ivf, knn_ivfpq, tdigest_quantiles, tdigest_by_key) stay
+#: OUT per VERDICT r9/r10 #2 — their hash-matched exhaustive/accuracy
+#: twins carry the evidence, so the artifact shows zero `err` rows.
+_R11_WINDOW = [
+    # A: no driver evidence yet (the 28 r10-session additions)
+    "nb_threshold_curve",
+    "embedding_dim_truncation",
+    "quality_signals",
+    "rarity_bins_by_lang",
+    "containment_pairs",
+    "containment_dedup",
+    "streaming_quality_monitor",
+    "knn_sq8_rerank",
+    "image_near_dup",
+    "domain_blocklist",
+    "keyness_terms",
+    "char_entropy",
+    "audio_near_dup",
+    "gopher_rule_attribution",
+    "streaming_near_dup_persisted",
+    "packing_budget_curve",
+    "topic_tags",
+    "pack_documents",
+    "inclusion_dependencies",
+    "bootstrap_mean_ci",
+    "markup_extraction",
+    "shard_manifest",
+    "entity_resolution",
+    "bootstrap_ci_by_group",
+    "contamination_by_eval_set",
+    "fd_entropy",
+    "trimmed_means",
+    "language_split",
+    # B: the 22 oldest oracle-stale fills (r5 ledger order)
+    "string_functions",
+    "date_functions",
+    "math_functions",
+    "case_when_bucketing",
+    "window_lag_lead",
+    "explode_tokens",
+    "json_roundtrip",
+    "salted_distinct_users",
+    "window_ntile_firstlast",
+    "customer_order_distribution",
+    "large_orders",
+    "returned_items",
+    "dedup_corpus",
+    "near_dup_pipeline",
+    "duplicate_clusters",
+    "tfidf_cosine_pairs",
+    "semantic_dedup",
+    "leakage_safe_split",
+    "component_size_report",
+    "dedup_provenance",
+    "minhash_accuracy",
+    "functional_dependencies",
 ]
 
 
@@ -11035,9 +11036,10 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ELSE 9 END"
     )
+    # ranks from the SURVIVING replicate count (count window over the
+    # same B'-row set — the ADVICE r10 fix, mirrored from the Spark
+    # side): (q·B' + 9999) // 10000 is the truncation-safe ceil.
     _boot_b = 48
-    _boot_lo = max(1, -(-250 * _boot_b // 10000))
-    _boot_hi = max(1, -(-9750 * _boot_b // 10000))
     out["bootstrap_mean_ci"] = f"""
             WITH base AS (
                 SELECT event_id AS id,
@@ -11057,15 +11059,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT b, CAST(swx * 10000 // sw AS BIGINT) AS m
                 FROM reps WHERE sw > 0),
             ranked AS (
-                SELECT m, row_number() OVER (ORDER BY m ASC, b ASC) AS rk
+                SELECT m, row_number() OVER (ORDER BY m ASC, b ASC) AS rk,
+                       count(*) OVER () AS nb
                 FROM means)
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
                    CAST({_boot_b} AS BIGINT) AS n_replicates,
                    CAST(sum(cents) * 10000 // count(*) AS BIGINT)
                        AS mean_microcents,
-                   (SELECT m FROM ranked WHERE rk = {_boot_lo})
+                   (SELECT m FROM ranked
+                    WHERE rk = greatest(1, (250 * nb + 9999) // 10000))
                        AS ci_lo_microcents,
-                   (SELECT m FROM ranked WHERE rk = {_boot_hi})
+                   (SELECT m FROM ranked
+                    WHERE rk = greatest(1, (9750 * nb + 9999) // 10000))
                        AS ci_hi_microcents
             FROM base
         """
@@ -11253,10 +11258,9 @@ def oracle_sql() -> dict[str, str]:
         """
 
     # r10: grouped Poisson bootstrap — same threshold constants and
-    # hash, resampled within each event_type, per-group rank CI.
+    # hash, resampled within each event_type, per-group rank CI with
+    # ranks from the per-group SURVIVOR count (ADVICE r10).
     _bg_b = 24
-    _bg_lo = max(1, -(-250 * _bg_b // 10000))
-    _bg_hi = max(1, -(-9750 * _bg_b // 10000))
     out["bootstrap_ci_by_group"] = f"""
             WITH base AS (
                 SELECT event_type AS g, event_id AS id,
@@ -11278,14 +11282,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM reps WHERE sw > 0),
             ranked AS (
                 SELECT g, m, row_number() OVER (PARTITION BY g
-                           ORDER BY m ASC, b ASC) AS rk
+                           ORDER BY m ASC, b ASC) AS rk,
+                       count(*) OVER (PARTITION BY g) AS nb
                 FROM means),
             ci AS (
                 SELECT g,
-                       max(CASE WHEN rk = {_bg_lo} THEN m END)
-                           AS ci_lo_microcents,
-                       max(CASE WHEN rk = {_bg_hi} THEN m END)
-                           AS ci_hi_microcents
+                       max(CASE WHEN rk = greatest(
+                               1, (250 * nb + 9999) // 10000)
+                           THEN m END) AS ci_lo_microcents,
+                       max(CASE WHEN rk = greatest(
+                               1, (9750 * nb + 9999) // 10000)
+                           THEN m END) AS ci_hi_microcents
                 FROM ranked GROUP BY 1),
             point AS (
                 SELECT g, CAST(count(*) AS BIGINT) AS n_rows,

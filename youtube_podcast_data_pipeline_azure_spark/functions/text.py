@@ -361,18 +361,21 @@ def normalize_text_sql(col_sql: str) -> str:
 #: ((?s) makes . span newlines in BOTH Java regex and RE2), then tags,
 #: then the six entities a text extractor must unescape, then
 #: whitespace runs collapse.  Entity unescape runs AFTER tag removal
-#: so '&lt;b&gt;' can never resurrect as a strippable tag.
+#: so '&lt;b&gt;' can never resurrect as a strippable tag, and
+#: '&amp;' unescapes LAST (the standard unescape order): doing it
+#: first would double-decode already-escaped references — '&amp;lt;'
+#: must yield the literal '&lt;', never '<' (ADVICE r10).
 MARKUP_STEPS: tuple[tuple[str, str], ...] = (
     (r"(?s)<script[^>]*>.*?</script>", " "),
     (r"(?s)<style[^>]*>.*?</style>", " "),
     (r"(?s)<!--.*?-->", " "),
     (r"<[^>]+>", " "),
     (r"&nbsp;", " "),
-    (r"&amp;", "&"),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
     (r"&quot;", "\""),
     (r"&#39;", "'"),
+    (r"&amp;", "&"),
     (r"[ \t]+", " "),
 )
 

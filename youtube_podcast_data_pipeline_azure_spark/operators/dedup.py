@@ -2144,10 +2144,14 @@ def record_linkage_pairs(
 
     Names canonicalize (lower, trim, collapse whitespace), then block:
     the join key is (first ``block_prefix`` chars, length band).  The
-    length banding is LOSSLESS for edit distance ≤ ``max_edits``: each
-    record emits the bands of both ``len`` and ``len + max_edits``, and
-    since two matchable lengths differ by ≤ max_edits, some emitted
-    band is always shared (the pigeonhole-with-margin trick).  The
+    length banding is LOSSLESS for edit distance ≤ ``max_edits`` for
+    ANY parameterization: each record emits EVERY band in
+    ``[len div B, (len + max_edits) div B]`` (for two matchable
+    lengths, the longer one's own band lies inside the shorter one's
+    emitted range — pigeonhole with margin; when ``max_edits <
+    block_len_band`` that range is the classic ≤2 bands, and wider
+    ranges keep the guarantee where the old two-endpoint emission
+    could skip an intermediate band, ADVICE r10).  The
     PREFIX block is the recall dial — typos inside the first chars
     straddle blocks by design (production systems stack a second
     phonetic pass; the dial is the documented contract, replayed
@@ -2172,11 +2176,9 @@ def record_linkage_pairs(
         "_nm",
         "_pfx",
         F.explode(
-            F.array_distinct(
-                F.array(
-                    F.expr(f"_len div {block_len_band}"),
-                    F.expr(f"(_len + {max_edits}) div {block_len_band}"),
-                )
+            F.sequence(
+                F.expr(f"_len div {block_len_band}"),
+                F.expr(f"(_len + {max_edits}) div {block_len_band}"),
             )
         ).alias("_band"),
     )

@@ -551,7 +551,17 @@ def trimmed_mean_report(
     one aggregate: per-row floor-to-cents, integer-sum division.
     Returns (group_col, n_rows, n_used, raw_mean_microcents,
     trimmed_mean_microcents).
+
+    ``trim_bp`` must be < 5000: trimming half or more from EACH tail
+    leaves ``n - 2k == 0`` kept rows for some group sizes, a zero
+    divisor and a null trimmed mean (ADVICE r10).  With the bound,
+    ``k = n*bp div 10000 <= (n*4999) div 10000 < n/2`` so at least one
+    row always survives per group.
     """
+    if not 0 <= int(trim_bp) < 5000:
+        raise ValueError(
+            f"trim_bp must be in [0, 5000) basis points, got {trim_bp}"
+        )
     base = df.select(
         F.col(group_col).alias("_g"),
         F.col(id_col).alias("_id"),

@@ -767,8 +767,13 @@ def bootstrap_mean_ci(
     oracle.  Values enter as per-row floor-to-cents; each replicate's
     mean is the order-independent integer division
     ``(Σ w·cents)·10000 div Σw`` (micro-cents); the CI picks exact
-    order statistics of the B replicate means (ranks
-    ``ceil(q·B)``, ties by replicate id).
+    order statistics of the SURVIVING replicate means (ranks
+    ``max(1, ceil(q·B′))`` where B′ counts replicates whose total
+    Poisson weight is positive, ties by replicate id).  B′ == B
+    whenever any replicate draws at least one row — certain at corpus
+    scale (P(all-zero) = e^-n per replicate) — so the oracle contract
+    is unchanged there; on tiny inputs dead replicates no longer push
+    the hi rank past the survivor count into a null CI (ADVICE r10).
 
     Plan: one ``n × B`` fan-out collapsed map-side to B partial rows
     per task; the final window runs over the B-row aggregate.  Returns
@@ -819,16 +824,25 @@ def bootstrap_mean_ci(
         .select("_b", F.expr("_swx * 10000 div _sw").alias("_mean"))
     )
     wnd = Window.orderBy(F.col("_mean").asc(), F.col("_b").asc())
-    lo_rank = max(1, -(-lo_bp * n_replicates // 10000))
-    hi_rank = max(1, -(-hi_bp * n_replicates // 10000))
+    # ranks come from the SURVIVING replicate count (count window over
+    # the same B'-row set), not n_replicates: (q·B' + 9999) div 10000
+    # is the truncation-safe ceil for positive ints on both engines.
     ranked = reps.select(
-        "_mean", F.row_number().over(wnd).alias("_rk")
+        "_mean",
+        F.row_number().over(wnd).alias("_rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("_nb"),
+    )
+    lo_rk = F.greatest(
+        F.lit(1).cast("long"), F.expr(f"({int(lo_bp)} * _nb + 9999) div 10000")
+    )
+    hi_rk = F.greatest(
+        F.lit(1).cast("long"), F.expr(f"({int(hi_bp)} * _nb + 9999) div 10000")
     )
     ci = ranked.agg(
-        F.max(F.when(F.col("_rk") == lo_rank, F.col("_mean"))).alias(
+        F.max(F.when(F.col("_rk") == lo_rk, F.col("_mean"))).alias(
             "ci_lo_microcents"
         ),
-        F.max(F.when(F.col("_rk") == hi_rank, F.col("_mean"))).alias(
+        F.max(F.when(F.col("_rk") == hi_rk, F.col("_mean"))).alias(
             "ci_hi_microcents"
         ),
     )
@@ -941,16 +955,27 @@ def bootstrap_mean_ci_by_group(
     wnd = Window.partitionBy("_g").orderBy(
         F.col("_mean").asc(), F.col("_b").asc()
     )
-    lo_rank = max(1, -(-lo_bp * n_replicates // 10000))
-    hi_rank = max(1, -(-hi_bp * n_replicates // 10000))
+    # per-group survivor count drives the ranks (the bootstrap_mean_ci
+    # ADVICE r10 fix, applied per group)
+    lo_rk = F.greatest(
+        F.lit(1).cast("long"), F.expr(f"({int(lo_bp)} * _nb + 9999) div 10000")
+    )
+    hi_rk = F.greatest(
+        F.lit(1).cast("long"), F.expr(f"({int(hi_bp)} * _nb + 9999) div 10000")
+    )
     ci = (
-        reps.select("_g", "_mean", F.row_number().over(wnd).alias("_rk"))
+        reps.select(
+            "_g",
+            "_mean",
+            F.row_number().over(wnd).alias("_rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("_g")).alias("_nb"),
+        )
         .groupBy("_g")
         .agg(
-            F.max(F.when(F.col("_rk") == lo_rank, F.col("_mean"))).alias(
+            F.max(F.when(F.col("_rk") == lo_rk, F.col("_mean"))).alias(
                 "ci_lo_microcents"
             ),
-            F.max(F.when(F.col("_rk") == hi_rank, F.col("_mean"))).alias(
+            F.max(F.when(F.col("_rk") == hi_rk, F.col("_mean"))).alias(
                 "ci_hi_microcents"
             ),
         )
