@@ -155,6 +155,10 @@ DOCS_10X = [
     "image_near_dup",
     "audio_near_dup",
     "streaming_near_dup_persisted",
+    # r11 (VERDICT r10 #3): the streaming quality monitor's state is
+    # O(languages) (per-lang keep/drop counters via the batch-twin
+    # aggregate), so wall growth must track the scan, never the state
+    "streaming_quality_monitor",
 ]
 # pq_train collects the corpus (linear driver fan-in, vectorized int64
 # numpy); pq_codes is a literal-codebook per-row map; pq_ann adds one
@@ -554,6 +558,98 @@ def main() -> None:
             "pruned_beats_unpruned_at_4x": (
                 experiments["bm25_prune:pruned_775"]["scaled_sec"]
                 < experiments["bm25_prune:unpruned"]["scaled_sec"]
+            ),
+        }
+        shutil.rmtree(dst, ignore_errors=True)
+
+        # hot-prefix containment pathology (r11, VERDICT r10 #4):
+        # every doc opens with the same boilerplate sentence, so those
+        # shingles are corpus-hot (df = n).  Under the md5 digest
+        # canonical order a hot digest lands in ~prefix_len/|sh| of
+        # ALL prefixes -> candidate volume Ω(n²) even though the TRUE
+        # output is EMPTY (each doc's unique tail keeps containment at
+        # 0.4 << 0.8) — quadratic work with zero output, the exact
+        # analog of the MinHash replica pathology.  The df-ascending
+        # canonical order (the PPJoin frequency order, the default
+        # since r11) pushes hot digests out of every prefix, so
+        # candidates track the RARE tail and growth stays ~linear.
+        # Both orders are lossless (the prefix theorem holds for any
+        # global total order), so this is purely a work-shape contract.
+        from youtube_podcast_data_pipeline_azure_spark.operators.dedup import (
+            containment_pairs as _cpairs,
+        )
+
+        dst = os.path.join(work, "containment_hot")
+        os.makedirs(dst, exist_ok=True)
+
+        def _boiler_docs(n):
+            return spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                F.concat(
+                    F.lit(
+                        "terms of service apply to every page of this site "
+                    ),
+                    F.array_join(
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(11)),
+                            lambda i: F.concat(
+                                F.lit("u"),
+                                F.col("doc_id").cast("string"),
+                                F.lit("_"),
+                                i.cast("string"),
+                            ),
+                        ),
+                        " ",
+                    ),
+                ).alias("text"),
+            )
+
+        cp_base_n, cp_scaled_n = 2000, 8000
+        for tag, n in (("base", cp_base_n), ("scaled", cp_scaled_n)):
+            _boiler_docs(n).write.mode("overwrite").parquet(
+                os.path.join(dst, f"{tag}.parquet")
+            )
+
+        def _contain_seconds(tag: str, order: str) -> float:
+            docs = spark.read.parquet(os.path.join(dst, f"{tag}.parquet"))
+            ts = []
+            for i in range(runs + 1):  # first pass warms
+                t0 = time.perf_counter()
+                n_out = _cpairs(
+                    docs, threshold=0.8, prefix_order=order
+                ).count()
+                if i:
+                    ts.append(time.perf_counter() - t0)
+                assert n_out == 0, f"pathology output should be empty: {n_out}"
+            return round(_median(ts), 3)
+
+        cp_ratio = {}
+        for label, order in (("digest_order", "digest"), ("df_order", "df")):
+            b = _contain_seconds("base", order)
+            s = _contain_seconds("scaled", order)
+            cp_ratio[label] = s / max(b, 1e-9)
+            experiments[f"containment_hot_prefix:{label}"] = {
+                "growth": "4x docs, all sharing one boilerplate opener",
+                "growth_factor": 4,
+                "base_sec": b,
+                "scaled_sec": s,
+                "ratio": round(cp_ratio[label], 2),
+                # digest order is Ω(hot_df²) BY CONTRACT on this corpus
+                # (that's the pathology being demonstrated) — only the
+                # df order carries the linearity claim
+                **({"output_bound": True} if order == "digest" else {}),
+            }
+        experiments["containment_hot_prefix:mitigation_ok"] = {
+            # the default order must scale ~linearly where the digest
+            # order degrades quadratically (25% noise band on the
+            # growth factor; digest order measured 7.3x wall here
+            # as candidates grow 16x: 8M -> 128M)
+            "df_order_ratio_le_growth": cp_ratio["df_order"] <= 4 * 1.25,
+            "df_order_beats_digest_at_4x": (
+                experiments["containment_hot_prefix:df_order"]["scaled_sec"]
+                < experiments["containment_hot_prefix:digest_order"][
+                    "scaled_sec"
+                ]
             ),
         }
         shutil.rmtree(dst, ignore_errors=True)

@@ -1601,6 +1601,41 @@ def test_containment_pairs_catches_subset_dups_jaccard_misses(spark):
     assert fast == brute
 
 
+def test_containment_prefix_orders_agree_on_hot_boilerplate(spark):
+    """containment_pairs (r11): the df-ascending canonical order (the
+    PPJoin frequency order, default — hot shingles never enter a
+    prefix) and the md5 digest order produce IDENTICAL pairs, because
+    the prefix-filter theorem holds for any global total order.
+    Pinned on the pathology shape that motivated the df order: every
+    doc shares the same boilerplate opener (corpus-hot shingles), so
+    digest-order prefixes collide on it while df-order prefixes hold
+    only the rare tail — same truth either way."""
+    boiler = "terms of service apply to all pages"
+    rows = [
+        (i, boiler + " " + " ".join(f"u{i}_{k}" for k in range(6)))
+        for i in range(24)
+    ] + [(100, boiler + " u3_0 u3_1 u3_2 u3_3 u3_4 u3_5")]  # dup of 3
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    by_df = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_pairs(
+            corpus, threshold=0.6, prefix_order="df"
+        ).collect()
+    }
+    by_digest = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.containment_pairs(
+            corpus, threshold=0.6, prefix_order="digest"
+        ).collect()
+    }
+    assert by_df == by_digest
+    assert (100, 3) in by_df and (3, 100) in by_df  # the planted dup
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.containment_pairs(corpus, prefix_order="bogus")
+
+
 def test_containment_dedup_policy(spark):
     """containment_dedup (r10): quotes drop with contained_in pointing
     at the larger source; mutual-containment twins keep exactly ONE

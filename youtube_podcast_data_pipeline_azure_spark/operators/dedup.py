@@ -596,6 +596,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    prefix_order: str = "df",
 ) -> DataFrame:
     """EXACT asymmetric shingle-containment join: ordered pairs
     (a, b) with ``|sh(a) ∩ sh(b)| / |sh(a)| >= threshold`` — how much
@@ -609,14 +610,32 @@ def containment_pairs(
     grain with an exact guarantee).
 
     Losslessness (asymmetric prefix filter, Chaudhuri et al. '06):
-    under the global md5 canonical order, if ``|A∩B| >= t·|A|`` then
-    the first ``|A| - ceil(t·|A|) + 1`` shingles of A must hit B's
-    FULL shingle set (pigeonhole on the probe side only) — so joining
-    A-prefix keys against the full inverted index yields a candidate
-    superset, and the exact verify keeps truth only.  The integer
-    prefix bound mirrors ngram_jaccard_pairs: the verify predicate is
-    ``round(c, 4) >= t``, so ``bp = floor(t·1e4) − 1`` keeps boundary
-    pairs admissible.
+    under ANY global total order on shingles, if ``|A∩B| >= t·|A|``
+    then the first ``|A| - ceil(t·|A|) + 1`` shingles of A must hit
+    B's FULL shingle set (pigeonhole on the probe side only) — so
+    joining A-prefix keys against the full inverted index yields a
+    candidate superset, and the exact verify keeps truth only.  The
+    integer prefix bound mirrors ngram_jaccard_pairs: the verify
+    predicate is ``round(c, 4) >= t``, so ``bp = floor(t·1e4) − 1``
+    keeps boundary pairs admissible.
+
+    ``prefix_order`` picks the canonical order (output is IDENTICAL
+    either way — the theorem holds for any total order — so the
+    brute-force oracle certifies both):
+
+    * ``"df"`` (default) — ascending (document frequency, digest), the
+      classic PPJoin frequency order: the RAREST shingles land in
+      prefixes and corpus-hot shingles (boilerplate headers shared by
+      every page — ubiquitous at crawl scale) never do, keeping
+      candidate volume near-linear where the digest order degrades to
+      Ω(hot_df²) ≈ O(n²) (the hot-prefix pathology, VERDICT r10 #4;
+      measured in bench_scale ``containment_hot_prefix``).  Costs one
+      extra (digest, df) aggregate + a per-doc rank window — linear,
+      and the candidate savings dominate at any corpus with shared
+      boilerplate.
+    * ``"digest"`` — plain md5 order, zero pre-join shuffles: the
+      cheap dial for corpora known to have no hot shingles (e.g.
+      disjoint-vocabulary synthetics).
 
     Scale shape: the probe side explodes only prefixes (shrinks as t
     rises); the index side is the standard full inverted index — both
@@ -625,6 +644,8 @@ def containment_pairs(
     (id_a, id_b, containment) with id_a ≠ id_b, both directions
     reported independently.
     """
+    if prefix_order not in ("df", "digest"):
+        raise ValueError(f"prefix_order must be 'df' or 'digest', got {prefix_order!r}")
     docs = spread(df.select(id_col, text_col), id_col).select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
     )
@@ -633,13 +654,36 @@ def containment_pairs(
     alpha = F.floor((F.lit(bp) * sz + F.lit(9999)) / F.lit(10000.0))
     prefix_len = (sz - alpha + 1).cast("int")
     keys = F.array_sort(F.transform("sh", lambda s: F.md5(s)))
-    pref = docs.select(
-        F.col(id_col).alias("id_a"),
-        F.explode(F.slice(keys, F.lit(1), prefix_len)).alias("pkey"),
-    )
     full = docs.select(
         F.col(id_col).alias("id_b"), F.explode(keys).alias("pkey")
     )
+    if prefix_order == "df":
+        # ascending-frequency canonical order: rank each doc's digests
+        # by (global df, digest) and keep the first prefix_len — hot
+        # digests sort last and never enter a prefix.  df comes from
+        # the same exploded table the index side ships anyway.
+        ex = docs.select(
+            F.col(id_col).alias("id_a"),
+            prefix_len.alias("_plen"),
+            F.explode(keys).alias("pkey"),
+        )
+        df_tab = ex.groupBy("pkey").agg(
+            F.count(F.lit(1)).alias("_df")
+        )
+        rk_w = Window.partitionBy("id_a").orderBy(
+            F.col("_df").asc(), F.col("pkey").asc()
+        )
+        pref = (
+            ex.join(df_tab, "pkey")
+            .withColumn("_rk", F.row_number().over(rk_w))
+            .where(F.col("_rk") <= F.col("_plen"))
+            .select("id_a", "pkey")
+        )
+    else:
+        pref = docs.select(
+            F.col(id_col).alias("id_a"),
+            F.explode(F.slice(keys, F.lit(1), prefix_len)).alias("pkey"),
+        )
     cand = (
         pref.join(full, ["pkey"])
         .where(F.col("id_a") != F.col("id_b"))
@@ -667,6 +711,7 @@ def containment_dedup(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    prefix_order: str = "df",
 ) -> DataFrame:
     """Keep-one decision layer over :func:`containment_pairs`: drop
     every document that is (near-)contained in a DOMINATING document —
@@ -703,7 +748,9 @@ def containment_dedup(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
     )
     sizes = docs.select(F.col(id_col), F.size("sh").alias("_sz"))
-    pairs = containment_pairs(df, text_col, id_col, shingle_n, threshold)
+    pairs = containment_pairs(
+        df, text_col, id_col, shingle_n, threshold, prefix_order
+    )
     dom = (
         pairs.join(
             sizes.select(
