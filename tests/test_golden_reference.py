@@ -92,3 +92,170 @@ def test_malformed_llm_output_fixture_survives_roundtrip(golden):
     fenced = comments.where(F.col("summary").contains("```")).collect()
     assert len(fenced) >= 1
     assert all(r["sentiment"] == "neutral" for r in fenced)
+
+
+def test_full_chain_bronze_to_kpis_reproduces_golden(spark, golden):
+    """VERDICT r10 #7 — the full Bronze→Silver→Gold→KPI chain, driven
+    end-to-end on the canned transport, must reproduce kpis.json
+    exactly (10 videos / 20 comments / both sentiment maps).
+
+    Bronze is reconstructed from the reference's OWN gold files
+    (the reference repo ships no raw fixtures): each gold record's
+    non-enrichment fields are re-nested into the YouTube API response
+    shapes the reference's function_app.py consumed, and the
+    enrichment runs behind a response-replay classifier that serves,
+    per input text, the exact JSON the reference's LLM must have
+    returned for that record.  All four hops are the registered
+    operators: ingest (A1/A2) → bronze_to_silver (A5-A10) →
+    enrich (A11-A13) → kpis (A14-A16)."""
+    import pandas as pd  # noqa: F401 — arrow path sanity
+
+    from youtube_podcast_data_pipeline_azure_spark.enrichment import enrich
+    from youtube_podcast_data_pipeline_azure_spark.enrichment.classifier import Classifier
+    from youtube_podcast_data_pipeline_azure_spark.io import rest
+
+    gold_videos = json.load(open(f"{REF}/videos_with_sentiment.json"))
+    gold_comments = json.load(open(f"{REF}/comments_with_sentiment.json"))[
+        "items"
+    ]
+    expected = json.load(open(f"{REF}/kpis.json"))
+
+    # ---- bronze reconstruction: gold minus enrichment, re-nested ----
+    video_items = {
+        v["video_id"]: {
+            "id": v["video_id"],
+            "snippet": {
+                "title": v["title"],
+                "publishedAt": v["published_at"],
+                "channelTitle": v["channel_title"],
+            },
+            "statistics": {
+                "viewCount": str(v["view_count"]),
+                "likeCount": str(v["like_count"]),
+                "commentCount": str(v["comment_count"]),
+            },
+            "contentDetails": {"duration": v["duration"]},
+        }
+        for v in gold_videos
+    }
+    threads_by_video: dict = {}
+    for c in gold_comments:
+        threads_by_video.setdefault(c["videoId"], []).append(
+            {
+                "snippet": {
+                    "topLevelComment": {
+                        "id": c["commentId"],
+                        "snippet": {
+                            "authorDisplayName": c["author"],
+                            "textDisplay": c["text"],
+                            "likeCount": c["likes"],
+                            "publishedAt": c["publishedAt"],
+                        },
+                    }
+                }
+            }
+        )
+    order = list(video_items)
+    transport = rest.CannedTransport(
+        routes={
+            "channels": lambda p: {
+                "items": [
+                    {
+                        "contentDetails": {
+                            "relatedPlaylists": {"uploads": "UPLOADS"}
+                        }
+                    }
+                ]
+            },
+            "playlistItems": lambda p: {
+                "items": [
+                    {"contentDetails": {"videoId": vid}}
+                    for vid in order[: int(p["maxResults"])]
+                ]
+            },
+            "videos": lambda p: {
+                "items": [video_items[v] for v in p["id"].split(",")]
+            },
+            "commentThreads": lambda p: {
+                "items": threads_by_video.get(p["videoId"], [])[
+                    : int(p["maxResults"])
+                ]
+            },
+        }
+    )
+    source = rest.YouTubeSource(transport, api_key="canned")
+
+    # ---- response-replay classifier: text -> the recorded LLM JSON ----
+    video_raw = {
+        v["title"]: json.dumps(
+            {
+                "sentiment": v["sentiment"],
+                "emotions": v["emotions"],
+                "topics": v["topics"],
+            }
+        )
+        for v in gold_videos
+    }
+    comment_raw = {
+        c["text"].strip(): json.dumps(
+            {
+                "sentiment": c["sentiment"],
+                "sentiment_score": c["sentiment_score"],
+                "emotion": c["emotion"],
+                "summary": c["summary"],
+            }
+        )
+        for c in gold_comments
+    }
+
+    class ReplayClassifier(Classifier):
+        def __init__(self, responses):
+            self.responses = responses
+
+        def classify_batch(self, texts, mode):
+            # unknown text -> invalid JSON, exercising the neutral
+            # fallback (it must never fire in this replay)
+            return [self.responses.get(t, "MISS") for t in texts]
+
+    # ---- hop 1: ingest (canned transport) ----
+    bronze_v = rest.ingest_videos(
+        spark, source, channel_id="UCref", max_results=len(order)
+    )
+    bronze_c = rest.ingest_comments(
+        spark, source, sorted(threads_by_video), max_comments_per_video=50
+    )
+    # ---- hop 2: bronze -> silver ----
+    silver_v = medallion.bronze_videos_to_silver(bronze_v)
+    silver_c = medallion.bronze_comments_to_silver(bronze_c)
+    # ---- hop 3: enrichment (replayed model outputs) ----
+    gold_v = enrich.enrich_videos(silver_v, ReplayClassifier(video_raw))
+    gold_c = enrich.enrich_comments(silver_c, ReplayClassifier(comment_raw))
+    # ---- hop 4: KPI assembly ----
+    row = medallion.kpis(gold_v, gold_c).collect()[0]
+
+    assert row["total_videos"] == expected["total_videos"] == 10
+    assert row["total_comments"] == expected["total_comments"] == 20
+    assert dict(row["video_sentiment_counts"]) == expected[
+        "video_sentiment_counts"
+    ]
+    assert dict(row["comment_sentiment_counts"]) == expected[
+        "comment_sentiment_counts"
+    ]
+    # per-record parity with the reference gold, not just aggregates:
+    # every video/comment carries exactly the recorded enrichment
+    got_v = {
+        r["video_id"]: (r["sentiment"], list(r["emotions"]), list(r["topics"]))
+        for r in gold_v.collect()
+    }
+    for v in gold_videos:
+        assert got_v[v["video_id"]] == (
+            v["sentiment"], v["emotions"], v["topics"],
+        )
+    got_c = {
+        r["commentId"]: (r["sentiment"], r["sentiment_score"], r["emotion"])
+        for r in gold_c.collect()
+    }
+    for c in gold_comments:
+        assert got_c[c["commentId"]] == (
+            c["sentiment"], c["sentiment_score"], c["emotion"],
+        )

@@ -125,6 +125,15 @@ class GoldExportWriter(DataSourceWriter):
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, mpath)
+        # GC stray manifest tmps from crashed commits (invisible to
+        # readers — they resolve only the exact manifest name — but
+        # they'd otherwise accumulate forever)
+        for name in os.listdir(self.path):
+            if name.startswith(MANIFEST + ".") and name.endswith(".tmp"):
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except FileNotFoundError:
+                    pass
         if self.overwrite:
             # only after the manifest swap: drop every part file the new
             # manifest does not list — the superseded generation plus
@@ -254,6 +263,15 @@ class GoldExportStreamWriter(DataSourceStreamWriter):
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, self._manifest_path(batchId))
+        # GC stray manifest tmps a crashed attempt of THIS batch left
+        # behind (reader-invisible; see the batch writer's commit)
+        stem = f"_MANIFEST-{batchId}.json."
+        for name in os.listdir(self.path):
+            if name.startswith(stem) and name.endswith(".tmp"):
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except FileNotFoundError:
+                    pass
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
