@@ -509,12 +509,51 @@ def hamming_pairs(
 # Exact n-gram Jaccard similarity join (prefix filtering)
 # ---------------------------------------------------------------------------
 
+def _prefix_keys(docs, id_col, keys, prefix_len, prefix_order, alias):
+    """Shared prefix-key generator for the PPJoin-family exact joins
+    (:func:`ngram_jaccard_pairs`, :func:`containment_pairs`): each
+    doc's first ``prefix_len`` shingle digests under the chosen global
+    canonical order, as (alias, pkey) rows.
+
+    ``"df"`` ranks digests by ascending (document frequency, digest) —
+    the classic PPJoin frequency order: corpus-hot digests (shared
+    boilerplate) sort last and never enter a prefix, so candidate
+    volume tracks the rare tail instead of Ω(hot_df²) (the hot-prefix
+    pathology, bench_scale ``containment_hot_prefix``).  ``"digest"``
+    slices the md5-sorted array directly — zero pre-join shuffles.
+    Both are lossless: the prefix-filter theorem holds for ANY global
+    total order."""
+    if prefix_order == "df":
+        ex = docs.select(
+            F.col(id_col).alias(alias),
+            prefix_len.alias("_plen"),
+            F.explode(keys).alias("pkey"),
+        )
+        df_tab = ex.groupBy("pkey").agg(F.count(F.lit(1)).alias("_df"))
+        rk_w = Window.partitionBy(alias).orderBy(
+            F.col("_df").asc(), F.col("pkey").asc()
+        )
+        return (
+            ex.join(df_tab, "pkey")
+            .withColumn("_rk", F.row_number().over(rk_w))
+            .where(F.col("_rk") <= F.col("_plen"))
+            .select(alias, "pkey")
+        )
+    if prefix_order == "digest":
+        return docs.select(
+            F.col(id_col).alias(alias),
+            F.explode(F.slice(keys, F.lit(1), prefix_len)).alias("pkey"),
+        )
+    raise ValueError(f"prefix_order must be 'df' or 'digest', got {prefix_order!r}")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    prefix_order: str = "df",
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity join via prefix filtering
     (PPJoin family — Chaudhuri et al. '06 / Bayardo et al. '07).
@@ -524,7 +563,11 @@ def ngram_jaccard_pairs(
     pair with Jaccard >= t must share at least one shingle within each
     side's first ``|s| - ceil(t*|s|) + 1`` shingles (pigeonhole), so
     equi-joining on prefix shingle-hashes generates a candidate superset
-    — then the exact Jaccard filter keeps truth only.
+    — then the exact Jaccard filter keeps truth only.  The theorem
+    holds for ANY global total order, so ``prefix_order`` (see
+    :func:`_prefix_keys` — ascending-df by default since r11, md5
+    digest order as the zero-extra-shuffle dial) changes candidate
+    volume, never output.
 
     Scale shape: shuffle keys are 32-char md5 prefixes (md5 rather than
     xxhash64 so the canonical order is oracle-reproducible in DuckDB);
@@ -549,16 +592,8 @@ def ngram_jaccard_pairs(
     bp = max(int(threshold * 10000) - 1, 0)
     alpha = F.floor((F.lit(bp) * sz + F.lit(9999)) / F.lit(10000.0))
     prefix_len = (sz - alpha + 1).cast("int")
-    pref = docs.select(
-        id_col,
-        F.explode(
-            F.slice(
-                F.array_sort(F.transform("sh", lambda s: F.md5(s))),
-                F.lit(1),
-                prefix_len,
-            )
-        ).alias("pkey"),
-    )
+    keys = F.array_sort(F.transform("sh", lambda s: F.md5(s)))
+    pref = _prefix_keys(docs, id_col, keys, prefix_len, prefix_order, "_pid")
 
     cand = (
         pref.alias("a")
@@ -566,12 +601,12 @@ def ngram_jaccard_pairs(
             pref.alias("b"),
             on=[
                 F.col("a.pkey") == F.col("b.pkey"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                F.col("a._pid") < F.col("b._pid"),
             ],
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._pid").alias("id_a"),
+            F.col("b._pid").alias("id_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -644,8 +679,6 @@ def containment_pairs(
     (id_a, id_b, containment) with id_a ≠ id_b, both directions
     reported independently.
     """
-    if prefix_order not in ("df", "digest"):
-        raise ValueError(f"prefix_order must be 'df' or 'digest', got {prefix_order!r}")
     docs = spread(df.select(id_col, text_col), id_col).select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
     )
@@ -657,33 +690,7 @@ def containment_pairs(
     full = docs.select(
         F.col(id_col).alias("id_b"), F.explode(keys).alias("pkey")
     )
-    if prefix_order == "df":
-        # ascending-frequency canonical order: rank each doc's digests
-        # by (global df, digest) and keep the first prefix_len — hot
-        # digests sort last and never enter a prefix.  df comes from
-        # the same exploded table the index side ships anyway.
-        ex = docs.select(
-            F.col(id_col).alias("id_a"),
-            prefix_len.alias("_plen"),
-            F.explode(keys).alias("pkey"),
-        )
-        df_tab = ex.groupBy("pkey").agg(
-            F.count(F.lit(1)).alias("_df")
-        )
-        rk_w = Window.partitionBy("id_a").orderBy(
-            F.col("_df").asc(), F.col("pkey").asc()
-        )
-        pref = (
-            ex.join(df_tab, "pkey")
-            .withColumn("_rk", F.row_number().over(rk_w))
-            .where(F.col("_rk") <= F.col("_plen"))
-            .select("id_a", "pkey")
-        )
-    else:
-        pref = docs.select(
-            F.col(id_col).alias("id_a"),
-            F.explode(F.slice(keys, F.lit(1), prefix_len)).alias("pkey"),
-        )
+    pref = _prefix_keys(docs, id_col, keys, prefix_len, prefix_order, "id_a")
     cand = (
         pref.join(full, ["pkey"])
         .where(F.col("id_a") != F.col("id_b"))
