@@ -4601,6 +4601,27 @@ def q_nb_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.nb_threshold_curve(labeled, eval_docs)
 
 
+def q_nb_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB filter reliability/calibration table (r11;
+    operators/curation.py:nb_reliability_table): the held-out labeled
+    slice rank-binned into 10 exact-percentile score bins, each
+    reporting size, empirical positive rate (permille), and score
+    range — the monotonicity read a seed-set filter gets BEFORE a
+    cutoff from nb_threshold_curve is trusted (reliability diagrams,
+    rank-binned so every number is integer-exact).  Same fixture
+    convention as nb_threshold_curve (train doc_id%3 != 0, eval %3
+    == 0, label = lang=='en'); one scoring pass + a 1-row percentile
+    aggregate + a 10-row aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.where(F.col("doc_id") % 3 != 0).withColumn(
+        "label", F.col("lang") == "en"
+    )
+    eval_docs = docs.where(F.col("doc_id") % 3 == 0).withColumn(
+        "label", F.col("lang") == "en"
+    )
+    return curation.nb_reliability_table(labeled, eval_docs, n_bins=10)
+
+
 def q_embedding_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka dimension-truncation recall table (r10;
     operators/similarity.py:dim_truncation_report): exact cosine
@@ -5647,6 +5668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_entropy": q_fd_entropy,
         "trimmed_means": q_trimmed_means,
         "language_split": q_language_split,
+        # ===== r11 additions (tail per the rotation protocol) =====
+        "nb_reliability": q_nb_reliability,
     }
     # r11 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -10406,6 +10429,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * c.n_kept // greatest(t.n, 1)
                         AS BIGINT) AS yield_permille
             FROM curve c CROSS JOIN totals t
+        """
+
+    # r11: NB reliability table — same scoring chain, exact decile
+    # edges via quantile_cont on the integer scores (floored, the
+    # token_rarity_bins pattern), bin = 1 + #edges strictly below.
+    _rel_fracs = ", ".join(f"{i / 10:.6f}" for i in range(1, 10))
+    out["nb_reliability"] = f"""
+            {nb_chain.rstrip()},
+            scored AS (
+                SELECT d.doc_id, (d.lang = 'en') AS truth,
+                       CAST(a.ssum + p.pr AS BIGINT) AS score_micro
+                FROM (SELECT doc_id, lang FROM documents
+                      WHERE doc_id % 3 = 0) d
+                LEFT JOIN agg a USING (doc_id)
+                CROSS JOIN prior p),
+            nn AS (
+                SELECT truth, score_micro FROM scored
+                WHERE score_micro IS NOT NULL),
+            cuts AS (
+                SELECT list_transform(
+                           quantile_cont(score_micro,
+                                         [{_rel_fracs}]),
+                           x -> CAST(floor(x) AS BIGINT)) AS cs
+                FROM nn),
+            binned AS (
+                SELECT truth, score_micro,
+                       CAST(1 + len(list_filter(cs,
+                            c -> score_micro > c)) AS BIGINT) AS bin
+                FROM nn CROSS JOIN cuts)
+            SELECT bin,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pos,
+                   CAST(1000 * sum(CASE WHEN truth THEN 1 ELSE 0 END)
+                        // count(*) AS BIGINT) AS pos_permille,
+                   CAST(min(score_micro) AS BIGINT) AS score_min_micro,
+                   CAST(max(score_micro) AS BIGINT) AS score_max_micro
+            FROM binned GROUP BY 1
         """
 
     # r10: matryoshka truncation recall — per (trunc_dim, query),

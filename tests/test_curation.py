@@ -1238,6 +1238,52 @@ def test_nb_threshold_curve_monotone_in_threshold(spark, sf_dir):
         assert 0 <= r.precision_permille <= 1000
 
 
+def test_nb_reliability_table_separates_and_partitions(spark):
+    """nb_reliability_table (r11): on a separable corpus the top bin is
+    all-positive and the bottom bin all-negative; bins partition every
+    NON-NULL-scored eval doc exactly once; zero-token docs are
+    excluded; per-bin score ranges are ordered and disjoint."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        nb_reliability_table,
+    )
+
+    labeled = spark.createDataFrame(
+        [
+            (1, "good clean prose here", True),
+            (2, "more good clean text", True),
+            (3, "spam junk spam junk", False),
+            (4, "junk words junk words", False),
+        ],
+        "doc_id long, text string, label boolean",
+    )
+    eval_rows = [
+        (10 + i, "good clean prose text", True) for i in range(6)
+    ] + [
+        (30 + i, "spam junk words spam", False) for i in range(6)
+    ] + [(99, "", True)]  # zero tokens -> excluded
+    eval_docs = spark.createDataFrame(
+        eval_rows, "doc_id long, text string, label boolean"
+    )
+    rows = sorted(
+        nb_reliability_table(labeled, eval_docs, n_bins=2).collect(),
+        key=lambda r: r.bin,
+    )
+    assert sum(r.n_docs for r in rows) == 12  # empty doc excluded
+    assert rows[0].pos_permille == 0  # bottom bin: all junk
+    assert rows[-1].pos_permille == 1000  # top bin: all good
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.score_max_micro <= cur.score_min_micro
+        assert prev.pos_permille <= cur.pos_permille
+    for r in rows:
+        assert r.score_min_micro <= r.score_max_micro
+        assert 0 <= r.n_pos <= r.n_docs
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        nb_reliability_table(labeled, eval_docs, n_bins=1)
+
+
 def test_domain_blocklist_report_suffix_semantics(spark):
     from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
         domain_blocklist_filter,

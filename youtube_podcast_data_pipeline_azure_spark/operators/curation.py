@@ -1855,6 +1855,93 @@ def nb_threshold_curve(
     )
 
 
+def nb_reliability_table(
+    labeled: DataFrame,
+    docs_eval: DataFrame,
+    n_bins: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    eval_label_col: str = "label",
+) -> DataFrame:
+    """Rank-based reliability (calibration) table for the NB quality
+    filter — the companion read to :func:`nb_threshold_curve` BEFORE
+    trusting its precision numbers: score the held-out labeled slice,
+    split it into ``n_bins`` score bins on exact score percentiles,
+    and report each bin's size, empirical positive rate, and score
+    range.  A healthy ranking shows pos_permille rising monotonically
+    across bins; a flat span means the score carries no signal there
+    (so a cutoff inside it is arbitrary), and non-monotonicity flags
+    training/eval drift (reliability diagrams, Niculescu-Mizil &
+    Caruana '05, rank-binned so everything stays integer-exact).
+
+    Bin edges are ``floor`` of exact score percentiles from a 1-row
+    aggregate (the :func:`token_rarity_bins` tercile pattern — never a
+    global sort/ntile); a doc's bin is 1 + (#edges strictly below its
+    score), so ties share a bin deterministically.  NULL scores
+    (zero-token docs) are EXCLUDED — they carry no calibration
+    information and are never kept by the filter on either engine.
+
+    Scale shape: the :func:`nb_quality_scores` plan + one 1-row
+    percentile aggregate (broadcast as scalars) + one bounded
+    (≤ n_bins)-row aggregate.  Returns (bin, n_docs, n_pos,
+    pos_permille, score_min_micro, score_max_micro).
+    """
+    if not 2 <= int(n_bins) <= 100:
+        raise ValueError(f"n_bins must be in [2, 100], got {n_bins}")
+    scored = (
+        nb_quality_scores(labeled, docs_eval, text_col, id_col, label_col)
+        .join(
+            docs_eval.select(
+                F.col(id_col),
+                F.col(eval_label_col).cast("boolean").alias("_truth"),
+            ),
+            id_col,
+        )
+        .where(F.col("score_micro").isNotNull())
+        .select(id_col, "_truth", "score_micro")
+    )
+    fracs = ", ".join(
+        f"{i / n_bins:.6f}" for i in range(1, int(n_bins))
+    )
+    cuts = scored.agg(
+        F.expr(
+            f"transform(percentile(score_micro, array({fracs})), "
+            "x -> CAST(floor(x) AS BIGINT))"
+        ).alias("_cuts")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(
+            "_truth",
+            "score_micro",
+            F.expr(
+                "1 + aggregate(_cuts, 0, (acc, c) -> acc + "
+                "(CASE WHEN score_micro > c THEN 1 ELSE 0 END))"
+            )
+            .cast("long")
+            .alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("_truth"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.min("score_micro").cast("long").alias("score_min_micro"),
+            F.max("score_micro").cast("long").alias("score_max_micro"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            F.expr("1000 * n_pos div n_docs").alias("pos_permille"),
+            "score_min_micro",
+            "score_max_micro",
+        )
+    )
+
+
 def line_language_report(
     docs: DataFrame,
     text_col: str = "text",
