@@ -94,6 +94,34 @@ def test_minhash_band_join_carries_no_shingles(spark, sf_dir):
     assert all(not shingle_ref.search(ln) for ln in band_joins)
 
 
+def test_ppjoin_candidate_joins_carry_digests_not_shingles(spark, sf_dir):
+    """The PPJoin-family prefix-key joins (ngram_jaccard_pairs and
+    containment_pairs, both prefix orders) must join on (id, pkey)
+    only — shingle arrays and text re-attach at the exact-verify step
+    AFTER candidate dedup, never crossing the candidate exchange
+    (dedup.py:_prefix_keys; the df-order variant additionally joins
+    the digest-frequency table, also (pkey, count)-shaped)."""
+    import re
+
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+    from youtube_podcast_data_pipeline_azure_spark.operators import dedup
+
+    shingle_ref = re.compile(r"(?<![\w])(sh(_[ab])?|text)#")
+    docs = load_table(spark, sf_dir, "documents")
+    for order in ("df", "digest"):
+        for fn in (dedup.ngram_jaccard_pairs, dedup.containment_pairs):
+            df = fn(docs, threshold=0.8, prefix_order=order)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            pkey_joins = [
+                ln
+                for ln in plan.splitlines()
+                if "Join" in ln and "pkey" in ln
+            ]
+            assert pkey_joins, f"{fn.__name__}/{order}: no pkey join"
+            offender = [ln for ln in pkey_joins if shingle_ref.search(ln)]
+            assert not offender, f"{fn.__name__}/{order}: {offender[:1]}"
+
+
 def test_enrichment_udf_not_reordered_before_filter(spark, sf_dir):
     """The cheap empty-text filter must sit below (execute before) the
     nondeterministic enrichment UDF — the reference's
