@@ -5341,7 +5341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification rotation, not taxonomy: the
     driver's per-round correctness check covers the FIRST 50 entries,
     so each round front-loads queries needing driver evidence.
-    Cumulative state at r11 build: 273 registered, 269
+    Cumulative state at r11 build: 274 registered, 270
     DuckDB-oracle-checked, 4 rows-only by documented contract (the
     ``knn_ivf`` and ``knn_ivfpq`` nprobe dials and the two raw
     t-digest sketches — each certified by a hash-checked
