@@ -33,6 +33,9 @@ def main() -> int:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = list(sys.argv[2:])
+    run_all = only == ["--all"]  # capstone mode: the ENTIRE registry
+    if run_all:
+        only = []
 
     # plain session — EXACTLY what the driver builds, no engine confs
     spark = (
@@ -43,7 +46,7 @@ def main() -> int:
     duck = make_duck(sf_dir)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = only if only else list(qs)[:50]
+    names = only if only else (list(qs) if run_all else list(qs)[:50])
     failures = 0
     for name in names:
         if name not in qs:
