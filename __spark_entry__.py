@@ -4200,6 +4200,39 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style corpus-wide exact paragraph dedup, first occurrence
+    survives (r11; operators/curation.py:dedup_paragraphs).
+    Paragraphs here are 3-token chunks (the fixture has no newlines;
+    3-token chunks repeat across documents, exercising both the
+    within-doc and cross-doc removal paths — a different grain than
+    boilerplate_lines' 2-token chunks, and DIFFERENT semantics: the
+    canonical copy survives instead of every copy dropping).  Oracle
+    replays the chunking, the integer occurrence-key min, and the
+    ordered reassembly."""
+    d = _t(spark, sf_dir, "documents")
+    d2 = d.select("doc_id", tokenize(F.col("text")).alias("_toks"))
+    seq = F.sequence(
+        F.lit(0).cast("long"), F.floor((F.size("_toks") - 1) / 3)
+    )
+    paras = F.transform(
+        seq,
+        lambda i: F.array_join(
+            F.slice(F.col("_toks"), (i * 3 + 1).cast("int"), 3), " "
+        ),
+    )
+    # localCheckpoint before the operator's posexplode (re-evaluation
+    # traps #2/#4 — the boilerplate_lines precedent)
+    with_paras = d2.select("doc_id", paras.alias("paras")).localCheckpoint()
+    out = curation.dedup_paragraphs(with_paras, paras_col="paras")
+    return out.select(
+        "doc_id",
+        F.array_join("paras", " | ").alias("kept_text"),
+        "n_paras",
+        "n_paras_removed",
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: deterministic k-means buckets,
     within-cluster cosine, drop-if-lower-id-neighbor.  Oracle-checked
@@ -5341,7 +5374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification rotation, not taxonomy: the
     driver's per-round correctness check covers the FIRST 50 entries,
     so each round front-loads queries needing driver evidence.
-    Cumulative state at r11 build: 274 registered, 270
+    Cumulative state at r11 build: 275 registered, 271
     DuckDB-oracle-checked, 4 rows-only by documented contract (the
     ``knn_ivf`` and ``knn_ivfpq`` nprobe dials and the two raw
     t-digest sketches — each certified by a hash-checked
@@ -5670,6 +5703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_split": q_language_split,
         # ===== r11 additions (tail per the rotation protocol) =====
         "nb_reliability": q_nb_reliability,
+        "paragraph_dedup": q_paragraph_dedup,
     }
     # r11 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -9676,6 +9710,44 @@ def oracle_sql() -> dict[str, str]:
                        AS kept_text,
                    cast(len(d.lines) - coalesce(r.nk, 0) AS bigint)
                        AS n_lines_removed
+            FROM docs d LEFT JOIN reb r USING (doc_id)
+        """,
+        # r11: paragraph dedup — 3-token chunking, integer occurrence
+        # key doc_id*1e6 + 0-based pos (generate_subscripts is
+        # 1-based, hence pos-1), min per digestless paragraph (exact
+        # string grouping replays the md5 grouping), first survives.
+        "paragraph_dedup": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS tokens FROM documents),
+            docs AS (
+                SELECT doc_id,
+                       [array_to_string(tokens[3*i+1 : 3*i+3], ' ')
+                        for i in generate_series(
+                            0, cast(floor((len(tokens)-1) / 3.0)
+                                    AS bigint))] AS paras
+                FROM toks),
+            ex AS (
+                SELECT doc_id, generate_subscripts(paras, 1) AS pos,
+                       unnest(paras) AS para,
+                       doc_id * 1000000
+                           + generate_subscripts(paras, 1) - 1 AS k
+                FROM docs),
+            firsts AS (
+                SELECT para, min(k) AS kmin FROM ex GROUP BY 1),
+            kept AS (
+                SELECT e.doc_id, e.pos, e.para
+                FROM ex e JOIN firsts f
+                  ON e.para = f.para AND e.k = f.kmin),
+            reb AS (
+                SELECT doc_id, list(para ORDER BY pos) AS kparas,
+                       count(*) AS nk
+                FROM kept GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(array_to_string(r.kparas, ' | '), '')
+                       AS kept_text,
+                   cast(len(d.paras) AS bigint) AS n_paras,
+                   cast(len(d.paras) - coalesce(r.nk, 0) AS bigint)
+                       AS n_paras_removed
             FROM docs d LEFT JOIN reb r USING (doc_id)
         """,
         # Same Lloyd-as-CTEs replay as embedding_clusters, then the

@@ -1238,6 +1238,38 @@ def test_nb_threshold_curve_monotone_in_threshold(spark, sf_dir):
         assert 0 <= r.precision_permille <= 1000
 
 
+def test_dedup_paragraphs_first_occurrence_survives(spark):
+    """dedup_paragraphs (r11): the canonical (first) copy of a repeated
+    paragraph survives, every later copy drops — including repeats
+    WITHIN one document; untouched docs round-trip; per-doc order is
+    preserved; counts reconcile."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        dedup_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, ["alpha", "license text", "beta"]),
+            (2, ["license text", "gamma", "license text"]),
+            (3, ["delta"]),
+            (4, []),
+        ],
+        "doc_id long, paras array<string>",
+    )
+    got = {r.doc_id: r for r in dedup_paragraphs(docs).collect()}
+    # doc 1 holds the first occurrence of "license text" -> untouched
+    assert got[1].paras == ["alpha", "license text", "beta"]
+    assert got[1].n_paras_removed == 0
+    # doc 2 loses BOTH its copies (doc 1 owns the canonical one)
+    assert got[2].paras == ["gamma"]
+    assert got[2].n_paras_removed == 2
+    assert got[3].paras == ["delta"] and got[3].n_paras_removed == 0
+    assert got[4].paras == [] and got[4].n_paras == 0
+    # corpus-wide: each distinct paragraph survives exactly once
+    kept_all = [p for r in got.values() for p in r.paras]
+    assert sorted(kept_all) == ["alpha", "beta", "delta", "gamma", "license text"]
+
+
 def test_nb_reliability_table_separates_and_partitions(spark):
     """nb_reliability_table (r11): on a separable corpus the top bin is
     all-positive and the bottom bin all-negative; bins partition every

@@ -1855,6 +1855,74 @@ def nb_threshold_curve(
     )
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    paras_col: str = "paras",
+) -> DataFrame:
+    """Corpus-wide exact paragraph deduplication with FIRST-OCCURRENCE
+    survival — the Dolma paragraph-level dedup pass (Dolma §2.2 runs
+    it with a Bloom filter; this is the exact set-semantics version):
+    every distinct paragraph keeps its first occurrence in (doc id,
+    position) order and every LATER copy drops from its document.
+
+    Complements :func:`remove_boilerplate_lines`, which drops hot
+    lines from EVERY document including the first: here the canonical
+    copy always survives, so the corpus token mass of a syndicated
+    press release / license block / widely-quoted passage collapses to
+    exactly one instance instead of zero — the right semantics when
+    the content itself is wanted once (C4-style hot-line removal is
+    the right call when it is wanted never).
+
+    Winner selection is pure integer arithmetic: occurrence key
+    ``id·10⁶ + pos`` (``id_col`` must be numeric and per-doc paragraph
+    positions below 10⁶ — any realistic grain), one min per paragraph
+    digest, a row survives iff its own key equals its digest's min.
+    Shuffles carry the 32-char digest and two longs; paragraph text
+    moves only on the final per-doc reassembly shuffle.  Returns
+    (id, kept paragraphs in original order, n_paras, n_paras_removed).
+    """
+    lid = F.col(id_col)
+    ex = (
+        df.select(
+            lid, F.posexplode(F.col(paras_col)).alias("_pos", "_p")
+        )
+        .withColumn("_h", F.md5(F.col("_p")))
+        .withColumn(
+            "_k",
+            (lid.cast("long") * F.lit(1_000_000) + F.col("_pos")).cast(
+                "long"
+            ),
+        )
+    )
+    firsts = ex.groupBy("_h").agg(F.min("_k").alias("_kmin"))
+    kept = (
+        ex.join(firsts, "_h")
+        .where(F.col("_k") == F.col("_kmin"))
+        .select(lid, "_pos", "_p")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos"), F.col("_p")))
+            ),
+            lambda s: s.getField("_p"),
+        ).alias(paras_col),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    original = df.select(lid, F.size(F.col(paras_col)).alias("_n_orig"))
+    return original.join(rebuilt, id_col, "left").select(
+        lid,
+        F.coalesce(
+            F.col(paras_col), F.array().cast("array<string>")
+        ).alias(paras_col),
+        F.col("_n_orig").cast("long").alias("n_paras"),
+        (F.col("_n_orig") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_paras_removed"),
+    )
+
+
 def nb_reliability_table(
     labeled: DataFrame,
     docs_eval: DataFrame,
