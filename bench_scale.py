@@ -159,6 +159,11 @@ DOCS_10X = [
     # O(languages) (per-lang keep/drop counters via the batch-twin
     # aggregate), so wall growth must track the scan, never the state
     "streaming_quality_monitor",
+    # r11 additions: paragraph dedup shuffles digests + two longs (one
+    # min per digest, text only on reassembly); the NB reliability
+    # table is the scoring pass + two bounded aggregates
+    "paragraph_dedup",
+    "nb_reliability",
 ]
 # pq_train collects the corpus (linear driver fan-in, vectorized int64
 # numpy); pq_codes is a literal-codebook per-row map; pq_ann adds one
