@@ -4200,6 +4200,19 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (r11;
+    operators/curation.py:cap_per_source): the Gopher/CommonCrawl
+    anti-domination gate — at most 10 docs per source survive, chosen
+    by the deterministic content-free hash order (md5 of the id), so
+    the kept subset is a uniform sample invariant to partitioning and
+    reruns.  One rank window on the source key; (id, source) on the
+    exchange, never text.  Oracle replays the hash order and the rank
+    verdict."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.cap_per_source(docs, cap=10)
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dolma-style corpus-wide exact paragraph dedup, first occurrence
     survives (r11; operators/curation.py:dedup_paragraphs).
@@ -5374,7 +5387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification rotation, not taxonomy: the
     driver's per-round correctness check covers the FIRST 50 entries,
     so each round front-loads queries needing driver evidence.
-    Cumulative state at r11 build: 275 registered, 271
+    Cumulative state at r11 build: 276 registered, 272
     DuckDB-oracle-checked, 4 rows-only by documented contract (the
     ``knn_ivf`` and ``knn_ivfpq`` nprobe dials and the two raw
     t-digest sketches — each certified by a hash-checked
@@ -5704,6 +5717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== r11 additions (tail per the rotation protocol) =====
         "nb_reliability": q_nb_reliability,
         "paragraph_dedup": q_paragraph_dedup,
+        "cap_per_source": q_cap_per_source,
     }
     # r11 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -9711,6 +9725,21 @@ def oracle_sql() -> dict[str, str]:
                    cast(len(d.lines) - coalesce(r.nk, 0) AS bigint)
                        AS n_lines_removed
             FROM docs d LEFT JOIN reb r USING (doc_id)
+        """,
+        # r11: per-source cap — md5-of-id hash order replayed, rank
+        # verdict at cap=10 (hex digests compare identically as
+        # strings on both engines)
+        "cap_per_source": """
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)),
+                                 doc_id) AS BIGINT) AS src_rank,
+                   (row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)),
+                                 doc_id)) <= 10 AS kept
+            FROM documents
         """,
         # r11: paragraph dedup — 3-token chunking, integer occurrence
         # key doc_id*1e6 + 0-based pos (generate_subscripts is

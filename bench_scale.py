@@ -164,6 +164,8 @@ DOCS_10X = [
     # table is the scoring pass + two bounded aggregates
     "paragraph_dedup",
     "nb_reliability",
+    # per-source cap: one rank window on the source key, keys-only
+    "cap_per_source",
 ]
 # pq_train collects the corpus (linear driver fan-in, vectorized int64
 # numpy); pq_codes is a literal-codebook per-row map; pq_ann adds one

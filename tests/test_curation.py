@@ -1238,6 +1238,46 @@ def test_nb_threshold_curve_monotone_in_threshold(spark, sf_dir):
         assert 0 <= r.precision_permille <= 1000
 
 
+def test_cap_per_source_uniform_and_quality_orders(spark):
+    """cap_per_source (r11): exactly min(cap, n) docs kept per source;
+    the default hash order is a deterministic function of ids alone
+    (stable across reruns and input order); order_col keeps the
+    highest-scoring docs; cap < 1 rejects."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import cap_per_source
+
+    rows = [(i, f"s{i % 3}", float(i)) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = {r.doc_id: r for r in cap_per_source(docs, cap=4).collect()}
+    assert len(out) == 30  # flag form: every input doc gets a verdict
+    per_src = {}
+    for r in out.values():
+        per_src.setdefault(r.source, []).append(r)
+    for s, rs in per_src.items():
+        assert sum(r.kept for r in rs) == 4
+        assert sorted(r.src_rank for r in rs) == list(range(1, 11))
+    # determinism: rerun on a reshuffled input -> identical verdicts
+    out2 = {
+        r.doc_id: (r.src_rank, r.kept)
+        for r in cap_per_source(
+            docs.orderBy(F.col("doc_id").desc()).repartition(7), cap=4
+        ).collect()
+    }
+    assert out2 == {k: (v.src_rank, v.kept) for k, v in out.items()}
+    # quality order: the top-score docs survive
+    byq = {
+        r.doc_id: r.kept
+        for r in cap_per_source(docs, cap=2, order_col="score").collect()
+    }
+    for s in range(3):
+        ids = sorted((i for i in range(30) if i % 3 == s), reverse=True)
+        assert all(byq[i] for i in ids[:2]) and not any(byq[i] for i in ids[2:])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cap_per_source(docs, cap=0)
+
+
 def test_dedup_paragraphs_first_occurrence_survives(spark):
     """dedup_paragraphs (r11): the canonical (first) copy of a repeated
     paragraph survives, every later copy drops — including repeats

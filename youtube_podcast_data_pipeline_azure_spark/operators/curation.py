@@ -1855,6 +1855,56 @@ def nb_threshold_curve(
     )
 
 
+def cap_per_source(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 10,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Per-source document cap — the anti-domination step a crawl
+    mixture runs so no single domain/feed floods the corpus (Gopher
+    caps documents per domain; CommonCrawl curation caps per
+    registrable domain for the same reason: a 10⁸-page content farm
+    must not BE the training set).
+
+    Ranking inside each source is deterministic and content-free by
+    default: docs order by ``(md5('cap:<id>'), id)``, so the kept
+    subset is a uniform pseudo-random sample that is invariant to
+    input order, partitioning, and reruns (the ``dataset_split`` hash
+    gate applied at per-source grain).  Pass ``order_col`` (e.g. a
+    quality score — HIGHER kept first, ties by id) when curation
+    should keep the best documents instead of a uniform sample.
+
+    Scale shape: one rank window partitioned on the source key — the
+    single exchange carries (id, source[, order_col]), never text; a
+    hot source is one partition's rank pass, not a collect.  Returns
+    one row per input doc: (id, source, src_rank, kept) — the flag
+    form, so the drop decision composes/audits like the other
+    curation gates.
+    """
+    if int(cap) < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    if order_col is None:
+        order = [
+            F.md5(F.concat(F.lit("cap:"), F.col(id_col).cast("string"))).asc(),
+            F.col(id_col).asc(),
+        ]
+    else:
+        order = [F.col(order_col).desc(), F.col(id_col).asc()]
+    w = Window.partitionBy(source_col).orderBy(*order)
+    return df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.row_number().over(w).cast("long").alias("src_rank"),
+    ).select(
+        id_col,
+        source_col,
+        "src_rank",
+        (F.col("src_rank") <= F.lit(int(cap))).alias("kept"),
+    )
+
+
 def dedup_paragraphs(
     df: DataFrame,
     id_col: str = "doc_id",
