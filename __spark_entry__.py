@@ -4225,9 +4225,15 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered reassembly."""
     d = _t(spark, sf_dir, "documents")
     d2 = d.select("doc_id", tokenize(F.col("text")).alias("_toks"))
-    seq = F.sequence(
-        F.lit(0).cast("long"), F.floor((F.size("_toks") - 1) / 3)
-    )
+    # ADVICE r11: sequence(0, -1) on a zero-token doc yields [0, -1]
+    # (implicit step -1), i.e. two phantom empty paragraphs, while the
+    # oracle's generate_series(0, -1) yields [] — guard the empty case.
+    seq = F.when(
+        F.size("_toks") > 0,
+        F.sequence(
+            F.lit(0).cast("long"), F.floor((F.size("_toks") - 1) / 3)
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     paras = F.transform(
         seq,
         lambda i: F.array_join(

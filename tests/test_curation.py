@@ -5,6 +5,7 @@ covers the fixture-scale hash parity)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from youtube_podcast_data_pipeline_azure_spark.functions.pii import pii_count, redact_pii
@@ -1308,6 +1309,62 @@ def test_dedup_paragraphs_first_occurrence_survives(spark):
     # corpus-wide: each distinct paragraph survives exactly once
     kept_all = [p for r in got.values() for p in r.paras]
     assert sorted(kept_all) == ["alpha", "beta", "delta", "gamma", "license text"]
+
+
+def test_dedup_paragraphs_key_preconditions_enforced(spark):
+    """ADVICE r11: the id·10⁶+pos occurrence key's preconditions are
+    runtime-enforced — a non-numeric id raises instead of silently
+    electing a wrong winner via a null key, and null paragraph
+    elements drop from every doc and count as removed (documented
+    contract)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        dedup_paragraphs,
+    )
+
+    bad = spark.createDataFrame(
+        [("not-a-number", ["alpha"])], "doc_id string, paras array<string>"
+    )
+    with pytest.raises(
+        (SparkRuntimeException, Exception), match="dedup_paragraphs"
+    ):
+        dedup_paragraphs(bad, id_col="doc_id").collect()
+
+    nulls = spark.createDataFrame(
+        [(1, ["alpha", None, "beta"]), (2, [None])],
+        "doc_id long, paras array<string>",
+    )
+    got = {r.doc_id: r for r in dedup_paragraphs(nulls).collect()}
+    assert got[1].paras == ["alpha", "beta"]
+    assert got[1].n_paras == 3 and got[1].n_paras_removed == 1
+    assert got[2].paras == [] and got[2].n_paras_removed == 1
+
+
+def test_paragraph_chunking_empty_doc_yields_no_phantom_paragraphs(spark):
+    """ADVICE r11: sequence(0, floor((size-1)/3)) on a ZERO-token doc
+    is sequence(0,-1) = [0,-1] under Spark's implicit negative step —
+    two phantom empty paragraphs the DuckDB oracle (generate_series →
+    []) would never produce.  The registered query guards it; pin the
+    guarded expression shape on an empty and a 1-token doc."""
+    import __spark_entry__ as entry
+
+    d = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one"), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        d.write.parquet(td + "/documents.parquet")
+        out = {
+            r.doc_id: r
+            for r in entry.queries()["paragraph_dedup"](spark, td).collect()
+        }
+    assert out[1].n_paras == 0 and out[1].kept_text == ""
+    assert out[2].n_paras == 0
+    assert out[3].n_paras == 1 and out[3].kept_text == "one"
+    assert out[4].n_paras == 2
 
 
 def test_nb_reliability_table_separates_and_partitions(spark):

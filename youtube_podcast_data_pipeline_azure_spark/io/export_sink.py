@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -127,11 +128,18 @@ class GoldExportWriter(DataSourceWriter):
         os.replace(tmp, mpath)
         # GC stray manifest tmps from crashed commits (invisible to
         # readers — they resolve only the exact manifest name — but
-        # they'd otherwise accumulate forever)
+        # they'd otherwise accumulate forever).  Only tmps older than
+        # an hour are reaped (ADVICE r11): a concurrent writer's
+        # in-flight tmp is seconds old, and deleting it would make its
+        # os.replace fail — this keeps the GC from widening the
+        # already-racy concurrent-writers window.
+        now = time.time()
         for name in os.listdir(self.path):
             if name.startswith(MANIFEST + ".") and name.endswith(".tmp"):
+                full = os.path.join(self.path, name)
                 try:
-                    os.remove(os.path.join(self.path, name))
+                    if now - os.path.getmtime(full) > 3600:
+                        os.remove(full)
                 except FileNotFoundError:
                     pass
         if self.overwrite:

@@ -1928,11 +1928,22 @@ def dedup_paragraphs(
     ``id·10⁶ + pos`` (``id_col`` must be numeric and per-doc paragraph
     positions below 10⁶ — any realistic grain), one min per paragraph
     digest, a row survives iff its own key equals its digest's min.
+    Both preconditions are ENFORCED at runtime (ADVICE r11): a
+    non-numeric id or a ≥10⁶-paragraph document raises inside the key
+    expression instead of silently electing the wrong winner.  NULL
+    paragraphs (a null array element, not an empty string) are by
+    contract dropped from every document — a null digest never wins
+    the min — and count toward ``n_paras_removed``.
     Shuffles carry the 32-char digest and two longs; paragraph text
     moves only on the final per-doc reassembly shuffle.  Returns
     (id, kept paragraphs in original order, n_paras, n_paras_removed).
     """
     lid = F.col(id_col)
+    # the guard lives INSIDE the key expression (not a dropped
+    # assert_true column, which column pruning would eliminate)
+    _key_ok = lid.cast("long").isNotNull() & (
+        F.col("_pos") < F.lit(1_000_000)
+    )
     ex = (
         df.select(
             lid, F.posexplode(F.col(paras_col)).alias("_pos", "_p")
@@ -1940,8 +1951,24 @@ def dedup_paragraphs(
         .withColumn("_h", F.md5(F.col("_p")))
         .withColumn(
             "_k",
-            (lid.cast("long") * F.lit(1_000_000) + F.col("_pos")).cast(
-                "long"
+            F.when(
+                _key_ok,
+                (
+                    lid.cast("long") * F.lit(1_000_000) + F.col("_pos")
+                ).cast("long"),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "dedup_paragraphs: occurrence key needs a "
+                            "numeric id and <1e6 paragraphs/doc; got "
+                            f"{id_col}="
+                        ),
+                        lid.cast("string"),
+                        F.lit(" _pos="),
+                        F.col("_pos").cast("string"),
+                    )
+                ).cast("long")
             ),
         )
     )
