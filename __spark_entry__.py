@@ -5404,27 +5404,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     then-registered hash-matched) and on the engine session at
     sf0.001.
 
-    The r11 window (``_R11_WINDOW`` below — the dict literal keeps its
+    The r12 window (``_R12_WINDOW`` below — the dict literal keeps its
     historical grouping; the rotation is applied programmatically at
-    the end) executes VERDICT r10's #1: (A) ALL 28 r10-session tail
-    registrations that have never appeared in a driver window
-    (``nb_threshold_curve`` … ``language_split``), which doubles as
-    the re-stamp set for this round's ADVICE fixes (MARKUP_STEPS
-    unescape order → ``markup_extraction``; band-range record linkage
-    → ``entity_resolution``; survivor-count bootstrap ranks →
-    ``bootstrap_mean_ci``/``bootstrap_ci_by_group``; trim_bp guard →
-    ``trimmed_means``); (B) the 22 oldest oracle-stale fills (r5
-    evidence, ledger order).  The rows-only-by-contract dials
-    (``knn_ivf``, ``knn_ivfpq``, ``tdigest_quantiles``,
-    ``tdigest_by_key``) stay out of the window per VERDICT r9/r10 —
-    their hash-checked exhaustive/accuracy twins carry the evidence.
-    Every window query was verified on a PLAIN local[32] session
-    (driver conditions: ANSI on, no engine confs) against the DuckDB
-    oracle at sf0.01 before this registration
-    (``tools/preverify_r11_band.log`` + the post-fix re-verify this
-    session)."""
+    the end) executes VERDICT r11's #1 and #2: (A) the 3 r11-tail
+    registrations with no driver row yet (``nb_reliability``,
+    ``paragraph_dedup``, ``cap_per_source`` — ``paragraph_dedup``
+    re-verified after this round's ADVICE empty-doc chunk guard);
+    (B) the 7 PPJoin prefix-filter consumers whose last driver row
+    predates the r11 ascending-df default flip (``dedup.py:512``):
+    ``ngram_jaccard_pairs``, ``fingerprint_overlap_pairs``,
+    ``contrastive_pairs``, ``duplicate_clusters_star``,
+    ``source_overlap_near``, ``dedup_keep_best``,
+    ``dedup_threshold_curve`` (the other 8 consumers got post-flip
+    PASS rows in CORRECTNESS_r11); (C) the 40 oldest oracle-stale
+    fills (r6/r7 evidence, ledger order per ``tools/staleness.py
+    --plan``).  The rows-only-by-contract dials (``knn_ivf``,
+    ``knn_ivfpq``, ``tdigest_quantiles``, ``tdigest_by_key``) stay
+    out of the window per VERDICT r9/r10 — their hash-checked
+    exhaustive/accuracy twins carry the evidence.  Every window query
+    was verified on a PLAIN local[32] session (driver conditions:
+    ANSI on, no engine confs) against the DuckDB oracle at sf0.01
+    before this registration (``tools/preverify_r12_band.log`` for
+    group C; this session's preverify runs for groups A and B)."""
     out = {
-        # ===== r09 grouping (historical; see _R11_WINDOW below) =====
+        # ===== r09 grouping (historical; see _R12_WINDOW below) =====
         # part A: never driver-checked — the two persistence
         # roundtrips added after the r8 window was spent, plus the
         # six queries NEW this round (Gopher/C4 quality rules,
@@ -5725,82 +5728,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "cap_per_source": q_cap_per_source,
     }
-    # r11 rotation: the driver checks the FIRST 50 entries — front-load
+    # r12 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
     # other entry keeps its relative order behind them.
-    window = set(_R11_WINDOW)
-    if len(_R11_WINDOW) != 50 or not window <= out.keys():
+    window = set(_R12_WINDOW)
+    if len(_R12_WINDOW) != 50 or not window <= out.keys():
         # a plain raise, not assert: stripped asserts under python -O
         # would let a mis-sized band silently shift which queries get
         # driver evidence (the pq_train dim-guard lesson, ADVICE r9)
-        raise ValueError("_R11_WINDOW must be 50 registered query names")
-    return {k: out[k] for k in _R11_WINDOW} | {
+        raise ValueError("_R12_WINDOW must be 50 registered query names")
+    return {k: out[k] for k in _R12_WINDOW} | {
         k: v for k, v in out.items() if k not in window
     }
 
 
-#: r11 driver-check band (VERDICT r10 #1: retire the rotation debt):
-#: (A) ALL 28 r10-session tail registrations with zero driver-side
-#: evidence, in ledger order, including the four ADVICE-r10 fix
-#: consumers (markup_extraction, entity_resolution, bootstrap_mean_ci,
-#: bootstrap_ci_by_group) and trimmed_means; (B) the 22 oldest
-#: oracle-stale fills (r5 evidence, ledger order).  The rows-only
-#: dials (knn_ivf, knn_ivfpq, tdigest_quantiles, tdigest_by_key) stay
-#: OUT per VERDICT r9/r10 #2 — their hash-matched exhaustive/accuracy
-#: twins carry the evidence, so the artifact shows zero `err` rows.
-_R11_WINDOW = [
-    # A: no driver evidence yet (the 28 r10-session additions)
-    "nb_threshold_curve",
-    "embedding_dim_truncation",
-    "quality_signals",
-    "rarity_bins_by_lang",
-    "containment_pairs",
-    "containment_dedup",
-    "streaming_quality_monitor",
-    "knn_sq8_rerank",
-    "image_near_dup",
-    "domain_blocklist",
-    "keyness_terms",
-    "char_entropy",
-    "audio_near_dup",
-    "gopher_rule_attribution",
-    "streaming_near_dup_persisted",
-    "packing_budget_curve",
-    "topic_tags",
-    "pack_documents",
-    "inclusion_dependencies",
-    "bootstrap_mean_ci",
-    "markup_extraction",
-    "shard_manifest",
-    "entity_resolution",
-    "bootstrap_ci_by_group",
-    "contamination_by_eval_set",
-    "fd_entropy",
-    "trimmed_means",
-    "language_split",
-    # B: the 22 oldest oracle-stale fills (r5 ledger order)
-    "string_functions",
-    "date_functions",
-    "math_functions",
-    "case_when_bucketing",
-    "window_lag_lead",
-    "explode_tokens",
-    "json_roundtrip",
-    "salted_distinct_users",
-    "window_ntile_firstlast",
-    "customer_order_distribution",
-    "large_orders",
-    "returned_items",
-    "dedup_corpus",
-    "near_dup_pipeline",
-    "duplicate_clusters",
-    "tfidf_cosine_pairs",
-    "semantic_dedup",
-    "leakage_safe_split",
-    "component_size_report",
-    "dedup_provenance",
-    "minhash_accuracy",
-    "functional_dependencies",
+#: r12 driver-check band (VERDICT r11 #1 + #2): (A) the 3 r11-tail
+#: registrations with no driver row; (B) the 7 PPJoin prefix-filter
+#: consumers whose last driver row predates the r11 df-order flip;
+#: (C) the 40 oldest oracle-stale fills (r6/r7 evidence, ledger
+#: order).  The rows-only dials (knn_ivf, knn_ivfpq,
+#: tdigest_quantiles, tdigest_by_key) stay OUT per VERDICT r9/r10 #2
+#: — their hash-matched exhaustive/accuracy twins carry the evidence,
+#: so the artifact shows zero `err` rows.
+_R12_WINDOW = [
+    # A: r11-tail additions, no driver evidence yet
+    "nb_reliability",
+    "paragraph_dedup",
+    "cap_per_source",
+    # B: df-order-flip consumers needing post-flip driver rows
+    "ngram_jaccard_pairs",
+    "fingerprint_overlap_pairs",
+    "contrastive_pairs",
+    "duplicate_clusters_star",
+    "source_overlap_near",
+    "dedup_keep_best",
+    "dedup_threshold_curve",
+    # C: the 40 oldest oracle-stale fills (r6/r7 ledger order)
+    "join_cardinality",
+    "source_overlap_matrix",
+    "bucketed_join_roundtrip",
+    "cooccurrence_edges",
+    "ngram_diversity",
+    "tokenizer_fertility",
+    "k_anonymity",
+    "python_datasource_stream_sink",
+    "python_datasource_pushdown",
+    "span_corruption",
+    "canonical_dedup",
+    "source_mixture_card",
+    "language_mismatch",
+    "distinctive_terms",
+    "collocations",
+    "token_rarity_bins",
+    "triangle_count",
+    "python_datasource_videos",
+    "python_datasource_videos_stream",
+    "medallion_kpis",
+    "array_agg_functions",
+    "map_functions",
+    "forecast_revenue",
+    "market_share",
+    "product_type_profit",
+    "important_parts",
+    "shipping_delay",
+    "promo_revenue",
+    "top_supplier",
+    "supplier_part_counts",
+    "waiting_suppliers",
+    "dormant_customers",
+    "tumbling_windows",
+    "session_windows",
+    "stream_dedup_counts",
+    "stream_static_enrich",
+    "purchase_view_attribution",
+    "text_stats",
+    "language_id",
+    "quality_scores",
 ]
 
 

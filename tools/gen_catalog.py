@@ -13,8 +13,8 @@ lines = [
     "docstring, plus its correctness check.  \"oracle\" = hash-compared",
     "against DuckDB SQL at sf0.01 by the driver (and locally by",
     "`tests/oracle_mirror.py`); \"rows-only\" = row-count/schema check",
-    "only (3 queries, each with a driver-checked oracle twin pinning its",
-    "machinery).  The first 50 entries form the current driver",
+    f"only ({len(q)-len(o)} queries, each with a driver-checked oracle twin",
+    "pinning its machinery).  The first 50 entries form the current driver",
     "verification window (see `queries()` docstring for the rotation).",
     "",
     "| # | query | check | summary |",
