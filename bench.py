@@ -79,6 +79,12 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # Ambient machine load at run start (VERDICT r11 #3): r11's driver
+    # bench drifted +13% with every trivial query inflated uniformly —
+    # load-shaped, not plan-shaped.  Recording 1/5/15-min loadavg in
+    # the artifact lets round-over-round deltas be dispositioned as
+    # load vs plan without re-running.
+    load_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark(app_name="youtube_podcast_data_pipeline_azure_spark-bench")
 
     qs = entrymod.queries()
@@ -133,6 +139,8 @@ def main() -> None:
                 "runs": runs,
                 "run_totals": run_totals,
                 "spread_sec": round(max(run_totals) - min(run_totals), 3),
+                "loadavg_start": load_start,
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

@@ -661,6 +661,112 @@ def main() -> None:
         }
         shutil.rmtree(dst, ignore_errors=True)
 
+        # hot-digest pathology for dedup_paragraphs (VERDICT r11 #5a):
+        # ONE viral paragraph present in EVERY doc at 10x docs.  The
+        # groupBy(_h).min(_k) has map-side partial aggregation, so the
+        # hot digest reduces to one row per task before the exchange —
+        # the claim under test is ~linear wall in doc count, not
+        # Ω(hot_df) on a single reducer.
+        from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+            cap_per_source as _cap,
+            dedup_paragraphs as _dparas,
+        )
+
+        def _viral_docs(n):
+            return spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                F.concat(
+                    F.array(F.lit("subscribe to our newsletter today")),
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(7)),
+                        lambda i: F.concat(
+                            F.lit("unique para "),
+                            F.col("id").cast("string"),
+                            F.lit(" #"),
+                            i.cast("string"),
+                        ),
+                    ),
+                ).alias("paras"),
+            )
+
+        def _dparas_seconds(n: int) -> float:
+            docs = _viral_docs(n).localCheckpoint()
+            ts = []
+            for i in range(runs + 1):  # first pass warms
+                t0 = time.perf_counter()
+                removed = (
+                    _dparas(docs)
+                    .agg(F.sum("n_paras_removed").alias("r"))
+                    .collect()[0]["r"]
+                )
+                if i:
+                    ts.append(time.perf_counter() - t0)
+                # every doc loses its viral copy except the canonical
+                # first-occurrence holder; unique paras all survive
+                assert removed == n - 1, f"viral dedup wrong: {removed}"
+            return round(_median(ts), 3)
+
+        vb = _dparas_seconds(20_000)
+        vs = _dparas_seconds(200_000)
+        experiments["viral_paragraph:dedup_paragraphs"] = {
+            "growth": "10x docs, one paragraph shared by ALL docs",
+            "growth_factor": 10,
+            "base_sec": vb,
+            "scaled_sec": vs,
+            "ratio": round(vs / max(vb, 1e-9), 2),
+        }
+
+        # hot-source pathology for cap_per_source (VERDICT r11 #5b):
+        # one source owns 90% of the corpus, so the rank window puts
+        # 90% of rows on ONE partition's sort.  Rows on that exchange
+        # are (id, source) only — the claim under test is ~n log n
+        # wall in that partition, with the two-phase hash-bucket
+        # pre-cap as the documented mitigation if this degrades.
+        def _skew_docs(n):
+            return spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                F.when(F.col("id") % 10 < 9, F.lit("hot.example.com"))
+                .otherwise(
+                    F.concat(
+                        F.lit("site"),
+                        # id%10==9 here, so bucket on id//10 to spread
+                        # the cold 10% over 100 distinct sources
+                        ((F.col("id") / 10).cast("long") % 100).cast(
+                            "string"
+                        ),
+                        F.lit(".example.com"),
+                    )
+                )
+                .alias("source"),
+            )
+
+        def _cap_seconds(n: int) -> float:
+            docs = _skew_docs(n).localCheckpoint()
+            ts = []
+            for i in range(runs + 1):
+                t0 = time.perf_counter()
+                kept = (
+                    _cap(docs, cap=10)
+                    .agg(F.sum(F.col("kept").cast("long")).alias("k"))
+                    .collect()[0]["k"]
+                )
+                if i:
+                    ts.append(time.perf_counter() - t0)
+                # hot source keeps 10; each of the 100 cold sources
+                # keeps 10 once it has >= 10 docs (true at both scales)
+                assert kept == 10 * 101, f"cap kept wrong: {kept}"
+            return round(_median(ts), 3)
+
+        kb = _cap_seconds(100_000)
+        ks = _cap_seconds(1_000_000)
+        experiments["hot_source:cap_per_source"] = {
+            "growth": "10x docs, one source owns 90%",
+            "growth_factor": 10,
+            "base_sec": kb,
+            "scaled_sec": ks,
+            "ratio": round(ks / max(kb, 1e-9), 2),
+        }
+
         # pathological graph: a pure chain — diameter = n, the case
         # where iteration-capped label propagation silently mislabels
         # (duplicate_clusters' fallback trigger, fixed r5).  Per-round
@@ -695,16 +801,52 @@ def main() -> None:
             "scaled_sec": round(cs, 3),
             "ratio": round(cs / max(cb, 1e-9), 2),
         }
+
+        def _over(v):
+            return (
+                not v.get("output_bound")
+                and "ratio" in v
+                and v["ratio"] > v.get("growth_factor", 3)
+            )
+
+        # Recheck protocol (r10, native since r12 per VERDICT r11 #7):
+        # in-batch 10x ratios move when the batch list grows — an
+        # untouched query once went 5.5 -> 10.8 after three queries
+        # joined its batch.  Every standard-plan flag gets an ISOLATED
+        # re-measure (fresh corpus build, that query alone) before it
+        # counts as a regression; `flagged` is the post-recheck list,
+        # `flagged_in_batch` preserves the raw batch flags.
+        flagged_in_batch = sorted(
+            k for k, v in experiments.items() if _over(v)
+        )
+        rechecks: dict[str, dict] = {}
+        plan_by_tag = {tag: (b, f) for tag, b, _, _, f in plans}
+        for k in flagged_in_batch:
+            tag, _, name = k.partition(":")
+            if tag not in plan_by_tag:
+                continue  # bespoke experiments carry their own contracts
+            builder, factor = plan_by_tag[tag]
+            dst = os.path.join(work, f"recheck_{tag}_{name}")
+            os.makedirs(dst, exist_ok=True)
+            builder(spark, sf_dir, dst)
+            rb = time_queries(spark, qs, [name], sf_dir, runs)[name]
+            rs = time_queries(spark, qs, [name], dst, runs)[name]
+            rechecks[k] = {
+                "isolated": True,
+                "base_sec": rb,
+                "scaled_sec": rs,
+                "ratio": round(rs / max(rb, 1e-9), 2),
+                "growth_factor": factor,
+            }
+            shutil.rmtree(dst, ignore_errors=True)
+        flagged = sorted(
+            k
+            for k in flagged_in_batch
+            if _over({**experiments[k], **rechecks.get(k, {})})
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
-    flagged = sorted(
-        k
-        for k, v in experiments.items()
-        if not v.get("output_bound")
-        and "ratio" in v
-        and v["ratio"] > v.get("growth_factor", 3)
-    )
     print(
         json.dumps(
             {
@@ -712,6 +854,8 @@ def main() -> None:
                 "sf_dir": sf_dir,
                 "runs": runs,
                 "experiments": experiments,
+                "rechecks": rechecks,
+                "flagged_in_batch": flagged_in_batch,
                 "flagged_over_3x": flagged,
             }
         )
