@@ -4213,6 +4213,35 @@ def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.cap_per_source(docs, cap=10)
 
 
+def q_cap_per_source_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed per-source cap, batch twin (r12;
+    streaming/docs_stream.py:cap_per_source_windowed — VERDICT r11
+    #8): the crawl-frontier admission gate.  At most 3 docs admitted
+    per (source, 1-hour tumbling ingest window), chosen by the same
+    content-free (md5('cap:<id>'), id) order as cap_per_source, so
+    the admitted set is arrival-order/partitioning/replay invariant —
+    which is exactly what makes the STREAMING mode (bounded
+    applyInPandasWithState, state = best-cap pairs per live group,
+    emission at watermark close) oracle-checkable: stream/batch
+    parity is pinned in test_streaming.py.  Ingest timestamps are
+    synthesized arithmetically from doc_id (the fixture has no ts on
+    documents): epoch-aligned instants, identical expression in the
+    DuckDB twin."""
+    from youtube_podcast_data_pipeline_azure_spark.streaming.docs_stream import (
+        cap_per_source_windowed,
+    )
+
+    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.timestamp_micros(
+            F.lit(base_us) + (F.col("doc_id") % 720) * F.lit(60_000_000)
+        ).alias("ts"),
+    )
+    return cap_per_source_windowed(d, window_dur="1 hour", cap=3)
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dolma-style corpus-wide exact paragraph dedup, first occurrence
     survives (r11; operators/curation.py:dedup_paragraphs).
@@ -5393,7 +5422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification rotation, not taxonomy: the
     driver's per-round correctness check covers the FIRST 50 entries,
     so each round front-loads queries needing driver evidence.
-    Cumulative state at r11 build: 276 registered, 272
+    Cumulative state at r12 build: 277 registered, 273
     DuckDB-oracle-checked, 4 rows-only by documented contract (the
     ``knn_ivf`` and ``knn_ivfpq`` nprobe dials and the two raw
     t-digest sketches — each certified by a hash-checked
@@ -5727,6 +5756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_reliability": q_nb_reliability,
         "paragraph_dedup": q_paragraph_dedup,
         "cap_per_source": q_cap_per_source,
+        # ===== r12 additions (tail per the rotation protocol) =====
+        "cap_per_source_windowed": q_cap_per_source_windowed,
     }
     # r12 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -9749,6 +9780,29 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)),
                                  doc_id)) <= 10 AS kept
             FROM documents
+        """,
+        # r12: windowed per-source cap — ts synthesized arithmetically
+        # from doc_id (absolute instants), epoch-aligned hour floor on
+        # epoch micros (identical to the operator's arithmetic window),
+        # same (md5, id) rank as cap_per_source, admitted rows only
+        "cap_per_source_windowed": """
+            WITH stamped AS (
+                SELECT doc_id, source,
+                       make_timestamp(
+                           ((1704067200000000
+                             + (doc_id % 720) * 60000000)
+                            // 3600000000) * 3600000000
+                       ) AS window_start
+                FROM documents),
+            ranked AS (
+                SELECT doc_id, source, window_start,
+                       CAST(row_number() OVER (
+                            PARTITION BY source, window_start
+                            ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS BIGINT) AS src_rank
+                FROM stamped)
+            SELECT doc_id, source, window_start, src_rank
+            FROM ranked WHERE src_rank <= 3
         """,
         # r11: paragraph dedup — 3-token chunking, integer occurrence
         # key doc_id*1e6 + 0-based pos (generate_subscripts is

@@ -593,3 +593,89 @@ def test_quality_monitor_stream_equals_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM quality_monitor_stream").collect()
     }
     assert streamed == batch
+
+
+def test_cap_per_source_windowed_stream_equals_batch(spark, tmp_path):
+    """cap_per_source_windowed (r12): the streaming admitted set —
+    per-(source, tumbling window) best-`cap` docs by the content-free
+    hash order, finalized by event-time timeout at window close — must
+    equal the batch rank-window twin exactly, ranks included,
+    regardless of micro-batch boundaries.  Also pins the bounded-state
+    contract's observable half: emission happens ONLY at window close
+    (append mode), so no provisional admission ever escapes."""
+    import datetime
+    import time as _time
+
+    from youtube_podcast_data_pipeline_azure_spark.streaming.docs_stream import (
+        cap_per_source_windowed,
+    )
+
+    out = str(tmp_path / "cap_docs")
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (
+            i,
+            f"src{i % 7}",
+            t0 + datetime.timedelta(minutes=(i * 7) % 720),
+        )
+        for i in range(300)
+    ]
+    schema = "doc_id long, source string, ts timestamp"
+    df = spark.createDataFrame(rows, schema).orderBy("ts")
+    # four time-ordered files so the file source replays them as a feed
+    n = df.count()
+    collected = df.collect()
+    for c in range(4):
+        chunk = collected[c * n // 4 : (c + 1) * n // 4]
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(out)
+        _time.sleep(1.1)
+    batch = {
+        (r["doc_id"], r["source"], r["window_start"], r["src_rank"])
+        for r in cap_per_source_windowed(
+            spark.read.parquet(out), window_dur="1 hour", cap=3
+        ).collect()
+    }
+    assert batch, "batch twin admitted nothing — test corpus is wrong"
+    # every (source, window) admits at most cap
+    from collections import Counter
+
+    per_group = Counter((s, w) for _, s, w, _ in batch)
+    assert max(per_group.values()) <= 3
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    q = (
+        cap_per_source_windowed(
+            stream, window_dur="1 hour", cap=3, watermark="1 hour"
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cap_windowed_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # two flush sentinels: the first advances the watermark past
+        # every window end; the second forces one more micro-batch so
+        # the event-time timeouts actually fire
+        for j in (1, 2):
+            spark.createDataFrame(
+                [(10_000_000 + j, "flush", t0 + datetime.timedelta(days=30 + j))],
+                schema,
+            ).coalesce(1).write.mode("append").parquet(out)
+            _time.sleep(1.1)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        (r["doc_id"], r["source"], r["window_start"], r["src_rank"])
+        for r in spark.sql("SELECT * FROM cap_windowed_out").collect()
+        if r["source"] != "flush"
+    }
+    assert streamed == batch
