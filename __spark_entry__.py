@@ -4242,6 +4242,21 @@ def q_cap_per_source_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_source_windowed(d, window_dur="1 hour", cap=3)
 
 
+def q_cap_per_source_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase per-source cap (r12;
+    operators/curation.py:cap_per_source_two_phase — the VERDICT r11
+    #5b mitigation, registered as a first-class scale path): phase 1
+    ranks within (source, xxhash64-bucket) and keeps each bucket's
+    best `cap`, phase 2 ranks the ≤ buckets·cap survivors exactly —
+    so a source owning 90% of a 100 TB crawl is never one executor's
+    sort.  The admitted set and kept ranks are provably identical to
+    cap_per_source (equivalence pinned in tests); eliminated rows
+    carry NULL rank by contract, which the oracle replays with a CASE
+    on the one-window rank."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.cap_per_source_two_phase(docs, cap=10, buckets=64)
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dolma-style corpus-wide exact paragraph dedup, first occurrence
     survives (r11; operators/curation.py:dedup_paragraphs).
@@ -5422,7 +5437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification rotation, not taxonomy: the
     driver's per-round correctness check covers the FIRST 50 entries,
     so each round front-loads queries needing driver evidence.
-    Cumulative state at r12 build: 277 registered, 273
+    Cumulative state at r12 build: 278 registered, 274
     DuckDB-oracle-checked, 4 rows-only by documented contract (the
     ``knn_ivf`` and ``knn_ivfpq`` nprobe dials and the two raw
     t-digest sketches — each certified by a hash-checked
@@ -5758,6 +5773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source": q_cap_per_source,
         # ===== r12 additions (tail per the rotation protocol) =====
         "cap_per_source_windowed": q_cap_per_source_windowed,
+        "cap_per_source_skew": q_cap_per_source_skew,
     }
     # r12 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -9780,6 +9796,24 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)),
                                  doc_id)) <= 10 AS kept
             FROM documents
+        """,
+        # r12: skew-safe two-phase cap — kept set and kept ranks are
+        # provably the one-window operator's (never-eliminates-a-winner
+        # argument in the operator docstring), so the oracle is the
+        # one-window rank with the contract's NULL beyond cap
+        "cap_per_source_skew": """
+            WITH ranked AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                            PARTITION BY source
+                            ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rn
+                FROM documents)
+            SELECT doc_id, source,
+                   CASE WHEN rn <= 10 THEN CAST(rn AS BIGINT)
+                        ELSE NULL END AS src_rank,
+                   rn <= 10 AS kept
+            FROM ranked
         """,
         # r12: windowed per-source cap — ts synthesized arithmetically
         # from doc_id (absolute instants), epoch-aligned hour floor on

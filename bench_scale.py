@@ -767,6 +767,40 @@ def main() -> None:
             "ratio": round(ks / max(kb, 1e-9), 2),
         }
 
+        # A/B the skew-safe two-phase variant on the same corpus: its
+        # bucket pre-cap bounds any single partition's sort at
+        # buckets·cap rows per source (the cluster-memory claim), and
+        # it must not cost materially more wall here than the
+        # one-window form it replaces under skew
+        from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+            cap_per_source_two_phase as _cap2,
+        )
+
+        def _cap2_seconds(n: int) -> float:
+            docs = _skew_docs(n).localCheckpoint()
+            ts = []
+            for i in range(runs + 1):
+                t0 = time.perf_counter()
+                kept = (
+                    _cap2(docs, cap=10, buckets=64)
+                    .agg(F.sum(F.col("kept").cast("long")).alias("k"))
+                    .collect()[0]["k"]
+                )
+                if i:
+                    ts.append(time.perf_counter() - t0)
+                assert kept == 10 * 101, f"two-phase kept wrong: {kept}"
+            return round(_median(ts), 3)
+
+        k2b = _cap2_seconds(100_000)
+        k2s = _cap2_seconds(1_000_000)
+        experiments["hot_source:cap_per_source_two_phase"] = {
+            "growth": "10x docs, one source owns 90%",
+            "growth_factor": 10,
+            "base_sec": k2b,
+            "scaled_sec": k2s,
+            "ratio": round(k2s / max(k2b, 1e-9), 2),
+        }
+
         # pathological graph: a pure chain — diameter = n, the case
         # where iteration-capped label propagation silently mislabels
         # (duplicate_clusters' fallback trigger, fixed r5).  Per-round

@@ -1586,3 +1586,38 @@ def test_split_by_line_language_ordered_rebuild(spark):
     assert out[en_key[0]].text == f"{en1}\n{en2}"  # original order
     fr_key = [k for k in out if out[k].n_lines == 1][0]
     assert out[fr_key].text == fr
+
+
+def test_cap_per_source_two_phase_equals_one_window(spark):
+    """cap_per_source_two_phase (r12): the bucket pre-cap must admit
+    EXACTLY the one-window operator's kept set with identical ranks
+    for kept rows (the phase-1 never-eliminates-a-winner argument),
+    including under extreme skew, at cap boundaries, and with buckets
+    both fewer and more than per-source doc counts; eliminated rows
+    report NULL rank by contract."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        cap_per_source,
+        cap_per_source_two_phase,
+    )
+
+    rows = [(i, "hot" if i % 10 < 9 else f"s{i % 3}") for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    for cap, buckets in ((10, 64), (1, 4), (7, 3), (25, 200)):
+        base = {
+            (r.doc_id, r.source): (r.src_rank, r.kept)
+            for r in cap_per_source(docs, cap=cap).collect()
+        }
+        two = {
+            (r.doc_id, r.source): (r.src_rank, r.kept)
+            for r in cap_per_source_two_phase(
+                docs, cap=cap, buckets=buckets
+            ).collect()
+        }
+        assert set(base) == set(two)
+        for k, (rank, kept) in two.items():
+            brank, bkept = base[k]
+            assert kept == bkept, (cap, buckets, k)
+            if kept:
+                assert rank == brank, (cap, buckets, k)
+            else:
+                assert rank is None

@@ -1905,6 +1905,74 @@ def cap_per_source(
     )
 
 
+def cap_per_source_two_phase(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 10,
+    buckets: int = 64,
+) -> DataFrame:
+    """Skew-safe twin of :func:`cap_per_source` — the two-phase
+    hash-bucket pre-cap (VERDICT r11 #5b's documented mitigation).
+    :func:`cap_per_source`'s single rank window puts a hot source's
+    ENTIRE row set on one partition's sort: correct, and fine at any
+    wall-clock the local bench can see, but on a 1000-executor cluster
+    a source owning 90% of a 100 TB crawl is one executor sorting
+    90 TB of keys — a memory ceiling, not a speed problem.
+
+    Phase 1 ranks within (source, ``pmod(xxhash64(id), buckets)``) —
+    ``buckets``× more, ``buckets``× smaller partitions — and keeps
+    each bucket's best ``cap``.  Phase 2 ranks the ≤ ``buckets·cap``
+    survivors per source exactly.  The admitted set is IDENTICAL to
+    the one-window operator's: a doc in the global best-``cap`` is
+    necessarily in its bucket's best-``cap`` (its bucket holds ≤ cap-1
+    better docs in total, let alone locally), so phase 1 never
+    eliminates a global winner, and phase 2's order is the same
+    (md5('cap:<id>'), id) order over a superset of the winners.
+    Survivor ranks 1..cap are therefore exact global ranks.
+
+    What the bounded state COSTS is the audit tail: eliminated rows
+    get ``kept = false`` with ``src_rank = NULL`` (their exact global
+    rank is unknowable without the full sort that this operator exists
+    to avoid); phase-2 survivors beyond ``cap`` also report NULL
+    rather than a rank that is only exact among survivors.  Use the
+    one-window form when the full rank audit matters and skew does
+    not.  Equivalence of the kept set (and of kept ranks) is pinned in
+    tests/test_curation.py.
+    """
+    if int(cap) < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    if int(buckets) < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    order = [
+        F.md5(F.concat(F.lit("cap:"), F.col(id_col).cast("string"))).asc(),
+        F.col(id_col).asc(),
+    ]
+    w1 = Window.partitionBy(
+        source_col, F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(buckets)))
+    ).orderBy(*order)
+    survivors = (
+        df.select(F.col(id_col), F.col(source_col))
+        .withColumn("_br", F.row_number().over(w1))
+        .where(F.col("_br") <= F.lit(int(cap)))
+        .drop("_br")
+    )
+    w2 = Window.partitionBy(source_col).orderBy(*order)
+    ranked = survivors.select(
+        id_col,
+        source_col,
+        F.row_number().over(w2).cast("long").alias("_r2"),
+    ).where(F.col("_r2") <= F.lit(int(cap)))
+    return df.select(F.col(id_col), F.col(source_col)).join(
+        ranked, [id_col, source_col], "left"
+    ).select(
+        id_col,
+        source_col,
+        F.col("_r2").alias("src_rank"),
+        F.col("_r2").isNotNull().alias("kept"),
+    )
+
+
 def dedup_paragraphs(
     df: DataFrame,
     id_col: str = "doc_id",
