@@ -982,3 +982,35 @@ def test_multimodal_near_dup_exchanges_never_carry_payloads(spark, sf_dir):
             inspected += 1
             assert not payload_ref.search(payload), (name, head, payload)
     assert inspected >= 2, inspected
+
+
+def test_cap_per_source_windowed_exchange_carries_no_text(spark, sf_dir):
+    """cap_per_source_windowed (r12): the batch twin's single rank
+    window must exchange only (doc_id, source, window_start, hash) —
+    never document text — and there must be exactly one shuffle (the
+    rank window's hash partitioning on (source, window_start))."""
+    plan = _plan(spark, sf_dir, "cap_per_source_windowed")
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 1, plan
+    assert all("text" not in ln for ln in exchanges)
+    assert "ReadSchema" in plan and "text" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_cap_per_source_skew_bounds_partitions_and_prunes_text(spark, sf_dir):
+    """cap_per_source_skew (r12): the two-phase form must (a) never
+    scan text (column pruning to (doc_id, source)), (b) partition the
+    phase-1 window on (source, bucket) — the skew-defeating key —
+    and (c) carry only ids/sources/ranks on every exchange."""
+    plan = _plan(spark, sf_dir, "cap_per_source_skew")
+    # phase-1 hash partitioning includes the xxhash bucket expression
+    assert "pmod" in plan and "xxhash64" in plan, plan
+    scan_schemas = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ]
+    assert scan_schemas and all("text" not in ln for ln in scan_schemas)
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange" in ln
+    ]
+    assert exchanges and all("text" not in ln for ln in exchanges)
