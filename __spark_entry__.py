@@ -4296,6 +4296,36 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_paragraph_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-occurrence paragraph registry (r12;
+    operators/curation.py:paragraph_registry): the persisted state an
+    incremental Dolma-style paragraph-dedup pass maintains — one row
+    per distinct paragraph (3-token chunks, the paragraph_dedup grain)
+    with its first (doc, pos) occurrence and repeat count.  Winner
+    selection shares dedup_paragraphs' guarded integer occurrence key;
+    min and count are commutative, so the SAME plan runs as an
+    update-mode streaming aggregate with order-invariant convergence
+    (parity in test_streaming.py).  Only (digest, long, long) cross
+    the exchange; the oracle replays chunking, md5, min-key decode via
+    integer div/mod, and the count."""
+    d = _t(spark, sf_dir, "documents")
+    d2 = d.select("doc_id", tokenize(F.col("text")).alias("_toks"))
+    seq = F.when(
+        F.size("_toks") > 0,
+        F.sequence(
+            F.lit(0).cast("long"), F.floor((F.size("_toks") - 1) / 3)
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    paras = F.transform(
+        seq,
+        lambda i: F.array_join(
+            F.slice(F.col("_toks"), (i * 3 + 1).cast("int"), 3), " "
+        ),
+    )
+    with_paras = d2.select("doc_id", paras.alias("paras")).localCheckpoint()
+    return curation.paragraph_registry(with_paras, paras_col="paras")
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: deterministic k-means buckets,
     within-cluster cosine, drop-if-lower-id-neighbor.  Oracle-checked
@@ -5437,7 +5467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification rotation, not taxonomy: the
     driver's per-round correctness check covers the FIRST 50 entries,
     so each round front-loads queries needing driver evidence.
-    Cumulative state at r12 build: 278 registered, 274
+    Cumulative state at r12 build: 279 registered, 275
     DuckDB-oracle-checked, 4 rows-only by documented contract (the
     ``knn_ivf`` and ``knn_ivfpq`` nprobe dials and the two raw
     t-digest sketches — each certified by a hash-checked
@@ -5774,6 +5804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== r12 additions (tail per the rotation protocol) =====
         "cap_per_source_windowed": q_cap_per_source_windowed,
         "cap_per_source_skew": q_cap_per_source_skew,
+        "paragraph_registry": q_paragraph_registry,
     }
     # r12 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -9842,6 +9873,31 @@ def oracle_sql() -> dict[str, str]:
         # key doc_id*1e6 + 0-based pos (generate_subscripts is
         # 1-based, hence pos-1), min per digestless paragraph (exact
         # string grouping replays the md5 grouping), first survives.
+        # r12: paragraph registry — same chunking + occurrence key as
+        # paragraph_dedup, grouped by digest; integer // and % match
+        # Spark's div/pmod on the non-negative keys
+        "paragraph_registry": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS tokens FROM documents),
+            docs AS (
+                SELECT doc_id,
+                       [array_to_string(tokens[3*i+1 : 3*i+3], ' ')
+                        for i in generate_series(
+                            0, cast(floor((len(tokens)-1) / 3.0)
+                                    AS bigint))] AS paras
+                FROM toks),
+            ex AS (
+                SELECT doc_id, generate_subscripts(paras, 1) AS pos,
+                       unnest(paras) AS para,
+                       doc_id * 1000000
+                           + generate_subscripts(paras, 1) - 1 AS k
+                FROM docs)
+            SELECT md5(para) AS para_digest,
+                   CAST(min(k) // 1000000 AS BIGINT) AS first_doc_id,
+                   CAST(min(k) % 1000000 AS BIGINT) AS first_pos,
+                   CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM ex GROUP BY 1
+        """,
         "paragraph_dedup": f"""
             WITH toks AS (
                 SELECT doc_id, {tokens} AS tokens FROM documents),

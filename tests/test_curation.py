@@ -1621,3 +1621,57 @@ def test_cap_per_source_two_phase_equals_one_window(spark):
                 assert rank == brank, (cap, buckets, k)
             else:
                 assert rank is None
+
+
+def test_paragraph_registry_matches_dedup_winners(spark):
+    """paragraph_registry (r12): first_doc_id/first_pos must be exactly
+    the copies dedup_paragraphs keeps (shared occurrence key);
+    n_occurrences counts every non-null copy; null paragraph elements
+    index nothing."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        dedup_paragraphs,
+        paragraph_registry,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, ["alpha", "license text", "beta"]),
+            (2, ["license text", "gamma", "license text", None]),
+            (3, ["alpha"]),
+        ],
+        "doc_id long, paras array<string>",
+    )
+    reg = {
+        (r.first_doc_id, r.first_pos): r.n_occurrences
+        for r in paragraph_registry(docs).collect()
+    }
+    # one row per distinct non-null paragraph: alpha, license text,
+    # beta, gamma — firsts in (doc, pos) order
+    assert reg == {
+        (1, 0): 2,   # alpha: docs 1 and 3
+        (1, 1): 3,   # license text: doc1 + twice in doc2
+        (1, 2): 1,   # beta
+        (2, 1): 1,   # gamma
+    }
+    # winners agree with dedup_paragraphs survivors position-by-position
+    kept = {
+        r.doc_id: r.paras for r in dedup_paragraphs(docs).collect()
+    }
+    survivors = {
+        (d, p)
+        for d, paras in kept.items()
+        for p, _ in enumerate(paras)
+    }
+    # registry winners are a subset claim modulo position shifts from
+    # removed earlier paragraphs; check via the paragraph text instead
+    texts = {}
+    for d, paras in (
+        (1, ["alpha", "license text", "beta"]),
+        (2, ["license text", "gamma", "license text", None]),
+        (3, ["alpha"]),
+    ):
+        for p, t in enumerate(paras):
+            texts[(d, p)] = t
+    assert sorted(
+        texts[k] for k in reg
+    ) == sorted(t for ps in kept.values() for t in ps)

@@ -679,3 +679,72 @@ def test_cap_per_source_windowed_stream_equals_batch(spark, tmp_path):
         if r["source"] != "flush"
     }
     assert streamed == batch
+
+
+def test_paragraph_registry_stream_equals_batch(spark, tmp_path):
+    """paragraph_registry (r12): the update-mode streaming aggregate's
+    LATEST row per digest must equal the batch registry exactly — min
+    and count are commutative, so convergence holds on any micro-batch
+    arrival order (here: four file-source triggers)."""
+    import time as _time
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        paragraph_registry,
+    )
+
+    out = str(tmp_path / "para_docs")
+    rows = [
+        (
+            i,
+            [
+                "shared boilerplate opener",
+                f"unique body {i}",
+                f"unique tail {i % 50}",
+            ],
+        )
+        for i in range(200)
+    ]
+    schema = "doc_id long, paras array<string>"
+    for c in range(4):
+        spark.createDataFrame(
+            rows[c * 50 : (c + 1) * 50], schema
+        ).coalesce(1).write.mode("append").parquet(out)
+        _time.sleep(1.1)
+
+    batch = {
+        r.para_digest: (r.first_doc_id, r.first_pos, r.n_occurrences)
+        for r in paragraph_registry(spark.read.parquet(out)).collect()
+    }
+    assert len(batch) == 1 + 200 + 50
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    q = (
+        paragraph_registry(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("para_registry_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode re-emits a digest's row whenever its group updates;
+    # n_occurrences is monotonic and the occurrence-key min is
+    # non-increasing, so the converged row per digest is the max-count
+    # (min-key on ties) one — no reliance on sink row order
+    latest: dict = {}
+    for r in spark.sql("SELECT * FROM para_registry_out").collect():
+        cur = latest.get(r.para_digest)
+        cand = (r.n_occurrences, -r.first_doc_id * 1_000_000 - r.first_pos)
+        if cur is None or cand > (cur[2], -cur[0] * 1_000_000 - cur[1]):
+            latest[r.para_digest] = (
+                r.first_doc_id,
+                r.first_pos,
+                r.n_occurrences,
+            )
+    assert latest == batch

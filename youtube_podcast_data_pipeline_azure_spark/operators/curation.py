@@ -1973,6 +1973,103 @@ def cap_per_source_two_phase(
     )
 
 
+def _occurrence_key(lid: Column, id_col: str) -> Column:
+    """The paragraph occurrence key ``id·10⁶ + _pos`` with its
+    preconditions ENFORCED inside the expression (ADVICE r11): a
+    non-numeric id or a ≥10⁶-paragraph document raises instead of
+    silently electing a wrong winner via a null key.  The guard lives
+    in the key expression itself — a dropped assert_true column would
+    be eliminated by column pruning.  Shared by
+    :func:`dedup_paragraphs` and :func:`paragraph_registry` so the two
+    surfaces cannot disagree on winner selection."""
+    key_ok = lid.cast("long").isNotNull() & (
+        F.col("_pos") < F.lit(1_000_000)
+    )
+    return F.when(
+        key_ok,
+        (lid.cast("long") * F.lit(1_000_000) + F.col("_pos")).cast("long"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "dedup_paragraphs: occurrence key needs a "
+                    f"numeric id and <1e6 paragraphs/doc; got {id_col}="
+                ),
+                lid.cast("string"),
+                F.lit(" _pos="),
+                F.col("_pos").cast("string"),
+            )
+        ).cast("long")
+    )
+
+
+def paragraph_registry(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    paras_col: str = "paras",
+) -> DataFrame:
+    """The canonical-occurrence PARAGRAPH REGISTRY — the state a
+    continuously-ingesting Dolma-style pipeline persists so paragraph
+    dedup never re-scans the standing corpus (Dolma §2.2 keeps this as
+    a Bloom filter; this is the exact, auditable form — the
+    paragraph-grain sibling of ``dedup.incremental_dedup``'s document
+    fingerprint index): one row per distinct paragraph with where it
+    first occurred and how often it repeats.
+
+    Winner selection is the SAME integer occurrence-key min as
+    :func:`dedup_paragraphs` (shared :func:`_occurrence_key`, guards
+    included), so ``first_doc_id/first_pos`` are exactly the copies
+    that operator keeps; ``n_occurrences`` is the repeat mass a
+    boilerplate report reads.  NULL paragraph elements are skipped (a
+    null digest indexes nothing) — consistent with the dedup
+    operator's drop-null contract.
+
+    Both aggregates (min, count) are commutative, so the SAME plan
+    runs as a Structured Streaming update-mode aggregate whose state
+    converges to the batch answer on ANY micro-batch arrival order —
+    the property that makes the streaming run oracle-checkable
+    (latest update per digest == the batch row; parity pinned in
+    tests/test_streaming.py).  Streaming state is O(distinct
+    paragraphs), unbounded by design exactly like
+    ``streaming/docs_stream.py:dedup_against_corpus`` — corpus
+    membership has no expiry.
+
+    Scale shape: explode → map-side partial (min, count) per digest →
+    one digest-keyed exchange carrying (digest, long, long); paragraph
+    text never shuffles.  Returns (para_digest, first_doc_id,
+    first_pos, n_occurrences).
+    """
+    lid = F.col(id_col)
+    ex = (
+        df.select(
+            lid, F.posexplode(F.col(paras_col)).alias("_pos", "_p")
+        )
+        .where(F.col("_p").isNotNull())
+        .select(
+            F.md5(F.col("_p")).alias("para_digest"),
+            _occurrence_key(lid, id_col).alias("_k"),
+        )
+    )
+    # integer `div`, not float division: keys near id·10⁶ exceed 2⁵³
+    # for snowflake-scale ids and a double round-trip would corrupt
+    # the decode
+    return (
+        ex.groupBy("para_digest")
+        .agg(
+            F.min("_k").alias("_kmin"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .select(
+            "para_digest",
+            F.expr("_kmin div 1000000").cast("long").alias("first_doc_id"),
+            F.pmod(F.col("_kmin"), F.lit(1_000_000))
+            .cast("long")
+            .alias("first_pos"),
+            "n_occurrences",
+        )
+    )
+
+
 def dedup_paragraphs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -2007,38 +2104,12 @@ def dedup_paragraphs(
     (id, kept paragraphs in original order, n_paras, n_paras_removed).
     """
     lid = F.col(id_col)
-    # the guard lives INSIDE the key expression (not a dropped
-    # assert_true column, which column pruning would eliminate)
-    _key_ok = lid.cast("long").isNotNull() & (
-        F.col("_pos") < F.lit(1_000_000)
-    )
     ex = (
         df.select(
             lid, F.posexplode(F.col(paras_col)).alias("_pos", "_p")
         )
         .withColumn("_h", F.md5(F.col("_p")))
-        .withColumn(
-            "_k",
-            F.when(
-                _key_ok,
-                (
-                    lid.cast("long") * F.lit(1_000_000) + F.col("_pos")
-                ).cast("long"),
-            ).otherwise(
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "dedup_paragraphs: occurrence key needs a "
-                            "numeric id and <1e6 paragraphs/doc; got "
-                            f"{id_col}="
-                        ),
-                        lid.cast("string"),
-                        F.lit(" _pos="),
-                        F.col("_pos").cast("string"),
-                    )
-                ).cast("long")
-            ),
-        )
+        .withColumn("_k", _occurrence_key(lid, id_col))
     )
     firsts = ex.groupBy("_h").agg(F.min("_k").alias("_kmin"))
     kept = (
