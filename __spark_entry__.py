@@ -4326,6 +4326,43 @@ def q_paragraph_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.paragraph_registry(with_paras, paras_col="paras")
 
 
+def q_paragraph_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental paragraph dedup against the persisted registry
+    (r12; operators/curation.py:dedup_paragraphs_incremental): the
+    even-id half of documents is the STANDING corpus — participating
+    only as its paragraph_registry digest set, never re-chunked — and
+    the odd-id half is the arriving shard.  A shard paragraph survives
+    iff its digest is absent from the registry and it is the shard's
+    own first occurrence (the guarded occurrence key).  Oracle replays
+    the split, the registry digest set, the within-shard min, and the
+    ordered reassembly."""
+    d = _t(spark, sf_dir, "documents")
+    d2 = d.select("doc_id", tokenize(F.col("text")).alias("_toks"))
+    seq = F.when(
+        F.size("_toks") > 0,
+        F.sequence(
+            F.lit(0).cast("long"), F.floor((F.size("_toks") - 1) / 3)
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    paras = F.transform(
+        seq,
+        lambda i: F.array_join(
+            F.slice(F.col("_toks"), (i * 3 + 1).cast("int"), 3), " "
+        ),
+    )
+    with_paras = d2.select("doc_id", paras.alias("paras")).localCheckpoint()
+    standing = with_paras.where(F.col("doc_id") % 2 == 0)
+    arriving = with_paras.where(F.col("doc_id") % 2 == 1)
+    reg = curation.paragraph_registry(standing, paras_col="paras")
+    out = curation.dedup_paragraphs_incremental(arriving, reg, paras_col="paras")
+    return out.select(
+        "doc_id",
+        F.array_join("paras", " | ").alias("kept_text"),
+        "n_paras",
+        "n_paras_removed",
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: deterministic k-means buckets,
     within-cluster cosine, drop-if-lower-id-neighbor.  Oracle-checked
@@ -5467,7 +5504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a verification rotation, not taxonomy: the
     driver's per-round correctness check covers the FIRST 50 entries,
     so each round front-loads queries needing driver evidence.
-    Cumulative state at r12 build: 279 registered, 275
+    Cumulative state at r12 build: 280 registered, 276
     DuckDB-oracle-checked, 4 rows-only by documented contract (the
     ``knn_ivf`` and ``knn_ivfpq`` nprobe dials and the two raw
     t-digest sketches — each certified by a hash-checked
@@ -5805,6 +5842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source_windowed": q_cap_per_source_windowed,
         "cap_per_source_skew": q_cap_per_source_skew,
         "paragraph_registry": q_paragraph_registry,
+        "paragraph_dedup_incremental": q_paragraph_dedup_incremental,
     }
     # r12 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -9873,6 +9911,51 @@ def oracle_sql() -> dict[str, str]:
         # key doc_id*1e6 + 0-based pos (generate_subscripts is
         # 1-based, hence pos-1), min per digestless paragraph (exact
         # string grouping replays the md5 grouping), first survives.
+        # r12: incremental paragraph dedup — even ids are the standing
+        # registry (digest set only), odd ids the arriving shard;
+        # registry hit OR a later within-shard copy drops
+        "paragraph_dedup_incremental": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS tokens FROM documents),
+            docs AS (
+                SELECT doc_id,
+                       [array_to_string(tokens[3*i+1 : 3*i+3], ' ')
+                        for i in generate_series(
+                            0, cast(floor((len(tokens)-1) / 3.0)
+                                    AS bigint))] AS paras
+                FROM toks),
+            ex AS (
+                SELECT doc_id, generate_subscripts(paras, 1) AS pos,
+                       unnest(paras) AS para,
+                       doc_id * 1000000
+                           + generate_subscripts(paras, 1) - 1 AS k
+                FROM docs),
+            registry AS (
+                SELECT DISTINCT para FROM ex WHERE doc_id % 2 = 0),
+            shard AS (
+                SELECT * FROM ex WHERE doc_id % 2 = 1),
+            fresh AS (
+                SELECT s.* FROM shard s
+                WHERE s.para NOT IN (SELECT para FROM registry)),
+            firsts AS (
+                SELECT para, min(k) AS kmin FROM fresh GROUP BY 1),
+            kept AS (
+                SELECT e.doc_id, e.pos, e.para
+                FROM fresh e JOIN firsts f
+                  ON e.para = f.para AND e.k = f.kmin),
+            reb AS (
+                SELECT doc_id, list(para ORDER BY pos) AS kparas,
+                       count(*) AS nk
+                FROM kept GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(array_to_string(r.kparas, ' | '), '')
+                       AS kept_text,
+                   cast(len(d.paras) AS bigint) AS n_paras,
+                   cast(len(d.paras) - coalesce(r.nk, 0) AS bigint)
+                       AS n_paras_removed
+            FROM docs d LEFT JOIN reb r USING (doc_id)
+            WHERE d.doc_id % 2 = 1
+        """,
         # r12: paragraph registry — same chunking + occurrence key as
         # paragraph_dedup, grouped by digest; integer // and % match
         # Spark's div/pmod on the non-negative keys

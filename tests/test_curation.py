@@ -1675,3 +1675,52 @@ def test_paragraph_registry_matches_dedup_winners(spark):
     assert sorted(
         texts[k] for k in reg
     ) == sorted(t for ps in kept.values() for t in ps)
+
+
+def test_dedup_paragraphs_incremental_against_registry(spark):
+    """dedup_paragraphs_incremental (r12): registry hits drop from
+    EVERY arriving doc (the corpus holds the canonical copy); fresh
+    repeated paragraphs keep their shard-first occurrence only; the
+    composition equals running batch dedup_paragraphs over
+    standing ∪ arriving and restricting to the arriving ids —
+    the incremental-equals-batch invariant."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        dedup_paragraphs,
+        dedup_paragraphs_incremental,
+        paragraph_registry,
+    )
+
+    standing = spark.createDataFrame(
+        [(1, ["license text", "old body"]), (2, ["alpha"])],
+        "doc_id long, paras array<string>",
+    )
+    arriving = spark.createDataFrame(
+        [
+            (10, ["license text", "new body", "shared new"]),
+            (11, ["shared new", "alpha", "tail 11"]),
+            (12, [None, "tail 12"]),
+        ],
+        "doc_id long, paras array<string>",
+    )
+    reg = paragraph_registry(standing)
+    got = {
+        r.doc_id: r
+        for r in dedup_paragraphs_incremental(arriving, reg).collect()
+    }
+    assert got[10].paras == ["new body", "shared new"]
+    assert got[10].n_paras_removed == 1  # license text: registry hit
+    assert got[11].paras == ["tail 11"]  # shared new: doc10 first; alpha: registry
+    assert got[11].n_paras_removed == 2
+    assert got[12].paras == ["tail 12"] and got[12].n_paras_removed == 1
+
+    # incremental == batch-over-union restricted to arriving ids
+    union = standing.unionByName(arriving)
+    batch = {
+        r.doc_id: (r.paras, r.n_paras, r.n_paras_removed)
+        for r in dedup_paragraphs(union).collect()
+        if r.doc_id >= 10
+    }
+    inc = {
+        d: (r.paras, r.n_paras, r.n_paras_removed) for d, r in got.items()
+    }
+    assert inc == batch

@@ -2070,6 +2070,71 @@ def paragraph_registry(
     )
 
 
+def dedup_paragraphs_incremental(
+    new_docs: DataFrame,
+    registry: DataFrame,
+    id_col: str = "doc_id",
+    paras_col: str = "paras",
+) -> DataFrame:
+    """Incremental paragraph dedup of an ARRIVING shard against the
+    standing :func:`paragraph_registry` — the production consumer of
+    the persisted index (the paragraph-grain sibling of
+    ``dedup.incremental_dedup``): a paragraph survives iff its digest
+    is absent from the registry (the standing corpus already holds a
+    canonical copy) AND it is the shard's own first occurrence (same
+    guarded integer key as :func:`dedup_paragraphs`, so within-shard
+    semantics are identical to the batch operator's).
+
+    This is why the registry exists: the standing corpus participates
+    ONLY as its digest set — never re-chunked, never re-scanned — so
+    per-shard cost is O(shard) plus one digest-keyed anti-join however
+    large the corpus grows.  NULL paragraphs drop as in the batch
+    operator.  Returns (id, kept paragraphs in original order,
+    n_paras, n_paras_removed) for the arriving shard.
+    """
+    lid = F.col(id_col)
+    ex = (
+        new_docs.select(
+            lid, F.posexplode(F.col(paras_col)).alias("_pos", "_p")
+        )
+        .withColumn("_h", F.md5(F.col("_p")))
+        .withColumn("_k", _occurrence_key(lid, id_col))
+    )
+    fresh = ex.join(
+        registry.select(F.col("para_digest").alias("_h")),
+        "_h",
+        "left_anti",
+    )
+    firsts = fresh.groupBy("_h").agg(F.min("_k").alias("_kmin"))
+    kept = (
+        fresh.join(firsts, "_h")
+        .where(F.col("_k") == F.col("_kmin"))
+        .select(lid, "_pos", "_p")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos"), F.col("_p")))
+            ),
+            lambda s: s.getField("_p"),
+        ).alias(paras_col),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    original = new_docs.select(
+        lid, F.size(F.col(paras_col)).alias("_n_orig")
+    )
+    return original.join(rebuilt, id_col, "left").select(
+        lid,
+        F.coalesce(
+            F.col(paras_col), F.array().cast("array<string>")
+        ).alias(paras_col),
+        F.col("_n_orig").cast("long").alias("n_paras"),
+        (F.col("_n_orig") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_paras_removed"),
+    )
+
+
 def dedup_paragraphs(
     df: DataFrame,
     id_col: str = "doc_id",
