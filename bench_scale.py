@@ -166,6 +166,17 @@ DOCS_10X = [
     "nb_reliability",
     # per-source cap: one rank window on the source key, keys-only
     "cap_per_source",
+    # r12 additions, all keys-only on the exchange: the registry is
+    # the paragraph_dedup shape minus the text-reassembly shuffle
+    # (digest + two longs end-to-end); the incremental twin adds one
+    # digest anti-join; the windowed cap is one rank window on
+    # (source, window_start); the two-phase cap replaces a hot
+    # partition's sort with buckets× smaller ones (its skew behavior
+    # has a dedicated hot_source experiment below)
+    "paragraph_registry",
+    "paragraph_dedup_incremental",
+    "cap_per_source_windowed",
+    "cap_per_source_skew",
 ]
 # pq_train collects the corpus (linear driver fan-in, vectorized int64
 # numpy); pq_codes is a literal-codebook per-row map; pq_ann adds one
