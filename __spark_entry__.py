@@ -5515,30 +5515,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     then-registered hash-matched) and on the engine session at
     sf0.001.
 
-    The r12 window (``_R12_WINDOW`` below — the dict literal keeps its
+    The r13 window (``_R13_WINDOW`` below — the dict literal keeps its
     historical grouping; the rotation is applied programmatically at
-    the end) executes VERDICT r11's #1 and #2: (A) the 3 r11-tail
-    registrations with no driver row yet (``nb_reliability``,
-    ``paragraph_dedup``, ``cap_per_source`` — ``paragraph_dedup``
-    re-verified after this round's ADVICE empty-doc chunk guard);
-    (B) the 7 PPJoin prefix-filter consumers whose last driver row
-    predates the r11 ascending-df default flip (``dedup.py:512``):
-    ``ngram_jaccard_pairs``, ``fingerprint_overlap_pairs``,
-    ``contrastive_pairs``, ``duplicate_clusters_star``,
-    ``source_overlap_near``, ``dedup_keep_best``,
-    ``dedup_threshold_curve`` (the other 8 consumers got post-flip
-    PASS rows in CORRECTNESS_r11); (C) the 40 oldest oracle-stale
-    fills (r6/r7 evidence, ledger order per ``tools/staleness.py
-    --plan``).  The rows-only-by-contract dials (``knn_ivf``,
-    ``knn_ivfpq``, ``tdigest_quantiles``, ``tdigest_by_key``) stay
-    out of the window per VERDICT r9/r10 — their hash-checked
-    exhaustive/accuracy twins carry the evidence.  Every window query
-    was verified on a PLAIN local[32] session (driver conditions:
-    ANSI on, no engine confs) against the DuckDB oracle at sf0.01
-    before this registration (``tools/preverify_r12_band.log`` for
-    group C; this session's preverify runs for groups A and B)."""
+    the end) executes VERDICT r12's #1: (A) the 4 r12-tail
+    registrations with no driver row yet (``cap_per_source_windowed``,
+    ``cap_per_source_skew``, ``paragraph_registry``,
+    ``paragraph_dedup_incremental``); (B) the 46 oldest oracle-stale
+    fills in ledger order per ``tools/staleness.py --plan`` (r7/r8
+    evidence, ending at ``incremental_agg``).  The
+    rows-only-by-contract dials (``knn_ivf``, ``knn_ivfpq``,
+    ``tdigest_quantiles``, ``tdigest_by_key``) stay out of the window
+    per VERDICT r9/r10 — their hash-checked exhaustive/accuracy twins
+    carry the evidence.  Every window query was pre-verified on a
+    PLAIN local[32] session (driver conditions: ANSI on, no engine
+    confs) against the DuckDB oracle at sf0.01 at r12 close
+    (``tools/preverify_r13_band.log``, 50/50)."""
     out = {
-        # ===== r09 grouping (historical; see _R12_WINDOW below) =====
+        # ===== r09 grouping (historical; see _R13_WINDOW below) =====
         # part A: never driver-checked — the two persistence
         # roundtrips added after the r8 window was spent, plus the
         # six queries NEW this round (Gopher/C4 quality rules,
@@ -5847,79 +5840,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r12 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
     # other entry keeps its relative order behind them.
-    window = set(_R12_WINDOW)
-    if len(_R12_WINDOW) != 50 or not window <= out.keys():
+    window = set(_R13_WINDOW)
+    if len(_R13_WINDOW) != 50 or not window <= out.keys():
         # a plain raise, not assert: stripped asserts under python -O
         # would let a mis-sized band silently shift which queries get
         # driver evidence (the pq_train dim-guard lesson, ADVICE r9)
-        raise ValueError("_R12_WINDOW must be 50 registered query names")
-    return {k: out[k] for k in _R12_WINDOW} | {
+        raise ValueError("_R13_WINDOW must be 50 registered query names")
+    return {k: out[k] for k in _R13_WINDOW} | {
         k: v for k, v in out.items() if k not in window
     }
 
 
-#: r12 driver-check band (VERDICT r11 #1 + #2): (A) the 3 r11-tail
-#: registrations with no driver row; (B) the 7 PPJoin prefix-filter
-#: consumers whose last driver row predates the r11 df-order flip;
-#: (C) the 40 oldest oracle-stale fills (r6/r7 evidence, ledger
-#: order).  The rows-only dials (knn_ivf, knn_ivfpq,
-#: tdigest_quantiles, tdigest_by_key) stay OUT per VERDICT r9/r10 #2
-#: — their hash-matched exhaustive/accuracy twins carry the evidence,
-#: so the artifact shows zero `err` rows.
-_R12_WINDOW = [
-    # A: r11-tail additions, no driver evidence yet
-    "nb_reliability",
-    "paragraph_dedup",
-    "cap_per_source",
-    # B: df-order-flip consumers needing post-flip driver rows
-    "ngram_jaccard_pairs",
-    "fingerprint_overlap_pairs",
-    "contrastive_pairs",
-    "duplicate_clusters_star",
-    "source_overlap_near",
-    "dedup_keep_best",
-    "dedup_threshold_curve",
-    # C: the 40 oldest oracle-stale fills (r6/r7 ledger order)
-    "join_cardinality",
-    "source_overlap_matrix",
-    "bucketed_join_roundtrip",
-    "cooccurrence_edges",
-    "ngram_diversity",
-    "tokenizer_fertility",
-    "k_anonymity",
-    "python_datasource_stream_sink",
-    "python_datasource_pushdown",
-    "span_corruption",
-    "canonical_dedup",
-    "source_mixture_card",
-    "language_mismatch",
-    "distinctive_terms",
-    "collocations",
-    "token_rarity_bins",
-    "triangle_count",
-    "python_datasource_videos",
-    "python_datasource_videos_stream",
-    "medallion_kpis",
-    "array_agg_functions",
-    "map_functions",
-    "forecast_revenue",
-    "market_share",
-    "product_type_profit",
-    "important_parts",
-    "shipping_delay",
-    "promo_revenue",
-    "top_supplier",
-    "supplier_part_counts",
-    "waiting_suppliers",
-    "dormant_customers",
-    "tumbling_windows",
-    "session_windows",
-    "stream_dedup_counts",
-    "stream_static_enrich",
-    "purchase_view_attribution",
-    "text_stats",
-    "language_id",
-    "quality_scores",
+#: r13 driver-check band (VERDICT r12 #1): (A) the 4 r12-tail
+#: registrations with no driver row; (B) the 46 oldest oracle-stale
+#: fills (r7/r8 evidence, ledger order).  Entire band pre-verified at
+#: r12 close on a plain ANSI local[32] session at sf0.01
+#: (tools/preverify_r13_band.log, 50/50).  Rows-only dials stay out
+#: per VERDICT r9/r10.
+_R13_WINDOW = [
+    # A: r12-tail additions, no driver evidence yet
+    "cap_per_source_windowed",
+    "cap_per_source_skew",
+    "paragraph_registry",
+    "paragraph_dedup_incremental",
+    # B: the 46 oldest oracle-stale fills (r7/r8 ledger order)
+    "winnowing_fingerprints",
+    "embedding_norms",
+    "knn_bruteforce",
+    "knn_label_accuracy",
+    "hash_sample",
+    "weighted_sample",
+    "chunk_documents",
+    "pack_sequences",
+    "media_features",
+    "media_frame_sample",
+    "higher_order_funcs",
+    "csv_roundtrip",
+    "clustered_roundtrip",
+    "schema_evolution",
+    "value_outliers",
+    "cohort_retention",
+    "funnel_conversion",
+    "fuzzy_vocab",
+    "session_conversion",
+    "zorder_key",
+    "scd2_intervals",
+    "upsert_latest_wins",
+    "profile_table",
+    "enrich_documents",
+    "enrich_video_titles",
+    "mixture_plan",
+    "mg_heavy_hitters_by_key",
+    "python_datasource_sink",
+    "rest_ingest_videos",
+    "rest_ingest_comments",
+    "cms_heavy_hitters",
+    "mg_heavy_hitters",
+    "dq_report",
+    "zipf_fit",
+    "length_drift",
+    "dq_referential_orphans",
+    "dq_unique_violations",
+    "table_fingerprint",
+    "snapshot_diff",
+    "volume_shipping",
+    "small_quantity_revenue",
+    "disjunctive_revenue",
+    "promo_part_suppliers",
+    "sql_api_top_orders",
+    "udtf_sentences",
+    "incremental_agg",
 ]
 
 
