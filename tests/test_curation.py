@@ -1340,6 +1340,18 @@ def test_dedup_paragraphs_key_preconditions_enforced(spark):
     assert got[1].n_paras == 3 and got[1].n_paras_removed == 1
     assert got[2].paras == [] and got[2].n_paras_removed == 1
 
+    # ADVICE r12: a NEGATIVE id encodes to a negative key that the
+    # registry decoder (truncating div + non-negative pmod) would
+    # silently decode to a wrong (first_doc_id, first_pos) — it must
+    # raise like the other precondition violations
+    negative = spark.createDataFrame(
+        [(-1, ["alpha"])], "doc_id long, paras array<string>"
+    )
+    with pytest.raises(
+        (SparkRuntimeException, Exception), match="dedup_paragraphs"
+    ):
+        dedup_paragraphs(negative).collect()
+
 
 def test_paragraph_chunking_empty_doc_yields_no_phantom_paragraphs(spark):
     """ADVICE r11: sequence(0, floor((size-1)/3)) on a ZERO-token doc
@@ -1621,6 +1633,39 @@ def test_cap_per_source_two_phase_equals_one_window(spark):
                 assert rank == brank, (cap, buckets, k)
             else:
                 assert rank is None
+
+
+def test_cap_per_source_two_phase_duplicate_rows(spark):
+    """ADVICE r12: duplicate (doc_id, source) input rows must yield
+    exactly one output row per input row — the old join-back-by-key
+    form fanned out (2 input x 2 ranked = 4 output) where the
+    one-window twin emits one row per row.  Multisets of (id, source,
+    kept) and of kept ranks must match the one-window operator
+    (duplicate copies tie on the sort key and occupy adjacent
+    ranks in both forms)."""
+    from collections import Counter
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        cap_per_source,
+        cap_per_source_two_phase,
+    )
+
+    # ids 0..4, four copies each, plus one singleton in another source
+    rows = [(i % 5, "dup") for i in range(20)] + [(99, "solo")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    for cap, buckets in ((3, 4), (10, 2), (1, 8)):
+        base = cap_per_source(docs, cap=cap).collect()
+        two = cap_per_source_two_phase(docs, cap=cap, buckets=buckets).collect()
+        assert len(two) == len(rows), (cap, buckets)
+        assert Counter(
+            (r.doc_id, r.source, r.kept) for r in two
+        ) == Counter((r.doc_id, r.source, r.kept) for r in base), (cap, buckets)
+        assert Counter(
+            (r.doc_id, r.source, r.src_rank) for r in two if r.kept
+        ) == Counter(
+            (r.doc_id, r.source, r.src_rank) for r in base if r.kept
+        ), (cap, buckets)
+
 
 
 def test_paragraph_registry_matches_dedup_winners(spark):

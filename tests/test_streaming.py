@@ -595,14 +595,7 @@ def test_quality_monitor_stream_equals_batch(spark, sf_dir, tmp_path):
     assert streamed == batch
 
 
-def test_cap_per_source_windowed_stream_equals_batch(spark, tmp_path):
-    """cap_per_source_windowed (r12): the streaming admitted set —
-    per-(source, tumbling window) best-`cap` docs by the content-free
-    hash order, finalized by event-time timeout at window close — must
-    equal the batch rank-window twin exactly, ranks included,
-    regardless of micro-batch boundaries.  Also pins the bounded-state
-    contract's observable half: emission happens ONLY at window close
-    (append mode), so no provisional admission ever escapes."""
+def _run_cap_windowed_parity(spark, tmp_path):
     import datetime
     import time as _time
 
@@ -679,6 +672,34 @@ def test_cap_per_source_windowed_stream_equals_batch(spark, tmp_path):
         if r["source"] != "flush"
     }
     assert streamed == batch
+
+
+def test_cap_per_source_windowed_stream_equals_batch(spark, tmp_path):
+    """cap_per_source_windowed (r12): the streaming admitted set —
+    per-(source, tumbling window) best-`cap` docs by the content-free
+    hash order, finalized by event-time timeout at window close — must
+    equal the batch rank-window twin exactly, ranks included,
+    regardless of micro-batch boundaries.  Also pins the bounded-state
+    contract's observable half: emission happens ONLY at window close
+    (append mode), so no provisional admission ever escapes."""
+    _run_cap_windowed_parity(spark, tmp_path)
+
+
+def test_cap_per_source_windowed_non_utc_session(spark, tmp_path):
+    """ADVICE r12 regression: the event-time timeout must come from the
+    timezone-free epoch-micros key column, never from the rendered
+    window_start timestamp.  Before the fix, a non-UTC session timezone
+    shifted every timeout by the UTC offset (windows finalized hours
+    early/late; early finalization let a late-but-valid row re-create
+    the group and double-emit, or die setting a below-watermark
+    timeout).  Run the full stream/batch parity under a UTC-8 session —
+    any key-derived epoch would shift by 8 h and break parity."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        _run_cap_windowed_parity(spark, tmp_path)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
 
 
 def test_paragraph_registry_stream_equals_batch(spark, tmp_path):

@@ -1939,6 +1939,14 @@ def cap_per_source_two_phase(
     one-window form when the full rank audit matters and skew does
     not.  Equivalence of the kept set (and of kept ranks) is pinned in
     tests/test_curation.py.
+
+    Rows are ranked DIRECTLY and the two branches unioned — never
+    joined back to ``df`` by (id, source) (ADVICE r12): a key join
+    would fan out on duplicate (id, source) input rows (2 input × 2
+    ranked = 4 output) where the one-window twin emits exactly one row
+    per input row.  Row-direct ranking keeps that one-row-per-row
+    contract: duplicate rows tie on the sort key, occupy adjacent
+    ranks, and the output multiset matches the one-window form.
     """
     if int(cap) < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
@@ -1951,26 +1959,31 @@ def cap_per_source_two_phase(
     w1 = Window.partitionBy(
         source_col, F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(buckets)))
     ).orderBy(*order)
-    survivors = (
-        df.select(F.col(id_col), F.col(source_col))
-        .withColumn("_br", F.row_number().over(w1))
-        .where(F.col("_br") <= F.lit(int(cap)))
-        .drop("_br")
+    marked = df.select(F.col(id_col), F.col(source_col)).withColumn(
+        "_br", F.row_number().over(w1)
+    )
+    # phase-1 eliminated rows exit here with the contractual NULL rank;
+    # only the ≤ buckets·cap survivors per source reach the exact sort
+    eliminated = marked.where(F.col("_br") > F.lit(int(cap))).select(
+        id_col,
+        source_col,
+        F.lit(None).cast("long").alias("src_rank"),
+        F.lit(False).alias("kept"),
     )
     w2 = Window.partitionBy(source_col).orderBy(*order)
-    ranked = survivors.select(
-        id_col,
-        source_col,
-        F.row_number().over(w2).cast("long").alias("_r2"),
-    ).where(F.col("_r2") <= F.lit(int(cap)))
-    return df.select(F.col(id_col), F.col(source_col)).join(
-        ranked, [id_col, source_col], "left"
-    ).select(
-        id_col,
-        source_col,
-        F.col("_r2").alias("src_rank"),
-        F.col("_r2").isNotNull().alias("kept"),
+    survivors = (
+        marked.where(F.col("_br") <= F.lit(int(cap)))
+        .withColumn("_r2", F.row_number().over(w2).cast("long"))
+        .select(
+            id_col,
+            source_col,
+            F.when(F.col("_r2") <= F.lit(int(cap)), F.col("_r2")).alias(
+                "src_rank"
+            ),
+            (F.col("_r2") <= F.lit(int(cap))).alias("kept"),
+        )
     )
+    return survivors.unionByName(eliminated)
 
 
 def _occurrence_key(lid: Column, id_col: str) -> Column:
@@ -1982,8 +1995,15 @@ def _occurrence_key(lid: Column, id_col: str) -> Column:
     be eliminated by column pruning.  Shared by
     :func:`dedup_paragraphs` and :func:`paragraph_registry` so the two
     surfaces cannot disagree on winner selection."""
-    key_ok = lid.cast("long").isNotNull() & (
-        F.col("_pos") < F.lit(1_000_000)
+    key_ok = (
+        lid.cast("long").isNotNull()
+        # a negative id would make the key negative, and the decoder's
+        # truncating `div` + non-negative `pmod` would silently decode
+        # it to a WRONG (first_doc_id, first_pos) — e.g. id=-1, pos=5
+        # encodes to -999995, which decodes to (0, 5).  Raise instead
+        # (ADVICE r12), like the other precondition violations.
+        & (lid.cast("long") >= F.lit(0))
+        & (F.col("_pos") < F.lit(1_000_000))
     )
     return F.when(
         key_ok,
@@ -1993,7 +2013,8 @@ def _occurrence_key(lid: Column, id_col: str) -> Column:
             F.concat(
                 F.lit(
                     "dedup_paragraphs: occurrence key needs a "
-                    f"numeric id and <1e6 paragraphs/doc; got {id_col}="
+                    f"non-negative numeric id and <1e6 paragraphs/doc; "
+                    f"got {id_col}="
                 ),
                 lid.cast("string"),
                 F.lit(" _pos="),

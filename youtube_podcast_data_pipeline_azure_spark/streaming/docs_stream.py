@@ -271,14 +271,24 @@ def cap_per_source_windowed(
         "day": 86400,
     }[m.group(2)] * 1_000_000
 
-    win_start = F.timestamp_micros(
-        (F.unix_micros(F.col(ts_col)) / dur_us).cast("long") * dur_us
-    )
+    win_bucket = (F.unix_micros(F.col(ts_col)) / dur_us).cast("long")
+    win_start = F.timestamp_micros(win_bucket * dur_us)
+    # Window END carried as epoch-micros computed with the SAME
+    # unix_micros arithmetic as win_start (ADVICE r12): the stateful
+    # update must set its event-time timeout in epoch millis, and
+    # recovering that epoch from the rendered group-key timestamp
+    # (.timestamp() on a tz-naive value) silently shifts by the session
+    # timezone's UTC offset on any non-UTC session — windows would
+    # finalize early and late-but-valid rows could re-create the group
+    # (double emission / below-watermark timeout).  An explicit long
+    # column is timezone-free by construction.
+    win_end_us = (win_bucket + 1) * dur_us
     hashed = docs.select(
         F.col(id_col),
         F.col(source_col),
         F.col(ts_col),
         win_start.alias("window_start"),
+        win_end_us.alias("_win_end_us"),
         F.md5(
             F.concat(F.lit("cap:"), F.col(id_col).cast("string"))
         ).alias("_h"),
@@ -316,7 +326,7 @@ def cap_per_source_windowed(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        source, window_start = key
+        source, window_start, win_end_us = key
         if state.hasTimedOut:
             hs, ids = state.get
             state.remove()
@@ -334,21 +344,25 @@ def cap_per_source_windowed(
             pairs.extend(zip(pdf["_h"].tolist(), pdf[id_col].tolist()))
         # best-cap by the deterministic (hash, id) order; merging then
         # truncating is associative, so any arrival order converges on
-        # the same admitted set
-        pairs = sorted(set(pairs))[: int(cap)]
+        # the same admitted set.  Duplicate (hash, id) pairs are KEPT
+        # (no set()) — the batch rank-window twin gives duplicate input
+        # rows adjacent ranks and counts each against the cap, and each
+        # physical row arrives in exactly one micro-batch, so keeping
+        # duplicates is what preserves stream/batch parity (ADVICE r12)
+        pairs = sorted(pairs)[: int(cap)]
         state.update((
             [h for h, _ in pairs],
             [i for _, i in pairs],
         ))
-        # finalize when the watermark passes this window's end
-        state.setTimeoutTimestamp(
-            int(window_start.timestamp() * 1000) + dur_us // 1000
-        )
+        # finalize when the watermark passes this window's end — epoch
+        # millis from the timezone-free long key column, never from the
+        # rendered window_start timestamp (ADVICE r12)
+        state.setTimeoutTimestamp(int(win_end_us) // 1000)
         yield from ()
 
     return (
         hashed.withWatermark(ts_col, watermark)
-        .groupBy(source_col, "window_start")
+        .groupBy(source_col, "window_start", "_win_end_us")
         .applyInPandasWithState(
             update,
             outputStructType=out_schema,
