@@ -70,6 +70,12 @@ HEADLINE = [
     # families — first r10 measurements are their BASELINE.md rows
     "knn_sq8_rerank",
     "image_near_dup",
+    # r13 additions (VERDICT r12 #4): one representative each for the
+    # r11/r12 curation families — the Dolma-style paragraph dedup and
+    # the per-source anti-domination cap — first r13 idle measurements
+    # are their BASELINE.md rows
+    "paragraph_dedup",
+    "cap_per_source",
 ]
 
 
