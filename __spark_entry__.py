@@ -4363,6 +4363,58 @@ def q_paragraph_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _corpus_runs(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Two deterministic curation 'runs' derived from documents for the
+    corpus-versioning queries (r13): run 1 is the corpus as-is; run 2
+    drops ids %17=0 (evicted), edits text on %13=0 (re-filtered), moves
+    %23=0 to source 'remix', and admits %19=0 re-keyed (+1e7) under
+    source 'synthetic' (newly crawled)."""
+    old = d.select("doc_id", "source", "text")
+    surv = old.where(F.col("doc_id") % 17 != 0)
+    new = surv.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 23 == 0, F.lit("remix"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit(" [r2]")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).unionByName(
+        old.where(F.col("doc_id") % 19 == 0).select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+            F.lit("synthetic").alias("source"),
+            "text",
+        )
+    )
+    return old, new
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run corpus versioning (r13, VERDICT r12 #7;
+    operators/quality.py:corpus_diff): doc-grain added/removed/changed
+    between two curation runs, compared via content fingerprints so the
+    full-outer join ships ids + one long per side — text never
+    shuffles.  The two runs are derived deterministically from
+    documents (see _corpus_runs); the oracle replays the derivation
+    and the null-safe (source, text) comparison directly."""
+    old, new = _corpus_runs(_t(spark, sf_dir, "documents"))
+    return quality.corpus_diff(old, new)
+
+
+def q_corpus_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source churn rollup between two curation runs (r13;
+    operators/quality.py:corpus_churn): run sizes, the four change
+    counts, and the exact integer churn rate per source — the
+    promotion-gate report.  Source moves bucket under the NEW source;
+    churn_permille is pure integer arithmetic (oracle-reproducible
+    bit-for-bit)."""
+    old, new = _corpus_runs(_t(spark, sf_dir, "documents"))
+    return quality.corpus_churn(old, new)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: deterministic k-means buckets,
     within-cluster cosine, drop-if-lower-id-neighbor.  Oracle-checked
@@ -5836,6 +5888,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source_skew": q_cap_per_source_skew,
         "paragraph_registry": q_paragraph_registry,
         "paragraph_dedup_incremental": q_paragraph_dedup_incremental,
+        # ===== r13 additions (tail per the rotation protocol) =====
+        "corpus_diff": q_corpus_diff,
+        "corpus_churn": q_corpus_churn,
     }
     # r12 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -10266,6 +10321,74 @@ def oracle_sql() -> dict[str, str]:
                    cast(bit_xor(fp) AS bigint) AS xor_fp,
                    cast(sum(fp % 1048576) AS bigint) AS sum_low20
             FROM f
+        """,
+        # r13: corpus versioning — the two runs are re-derived inline;
+        # change detection is the null-safe (source, text) compare (the
+        # Spark side compares md5-int56 fingerprints, equal iff the
+        # serialized values are equal); churn is exact integer math
+        "corpus_diff": """
+            WITH old AS (SELECT doc_id, source, text FROM documents),
+            new AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 23 = 0 THEN 'remix'
+                            ELSE source END AS source,
+                       CASE WHEN doc_id % 13 = 0 THEN text || ' [r2]'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 17 <> 0
+                UNION ALL
+                SELECT doc_id + 10000000, 'synthetic', text
+                FROM documents WHERE doc_id % 19 = 0)
+            SELECT doc_id, source, change_type FROM (
+                SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                       coalesce(n.source, o.source) AS source,
+                       CASE WHEN o.doc_id IS NULL THEN 'added'
+                            WHEN n.doc_id IS NULL THEN 'removed'
+                            WHEN o.source IS DISTINCT FROM n.source
+                              OR o.text IS DISTINCT FROM n.text
+                            THEN 'changed' END AS change_type
+                FROM old o FULL JOIN new n ON o.doc_id = n.doc_id)
+            WHERE change_type IS NOT NULL
+        """,
+        "corpus_churn": """
+            WITH old AS (SELECT doc_id, source, text FROM documents),
+            new AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 23 = 0 THEN 'remix'
+                            ELSE source END AS source,
+                       CASE WHEN doc_id % 13 = 0 THEN text || ' [r2]'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 17 <> 0
+                UNION ALL
+                SELECT doc_id + 10000000, 'synthetic', text
+                FROM documents WHERE doc_id % 19 = 0),
+            j AS (
+                SELECT coalesce(n.source, o.source) AS source,
+                       o.doc_id IS NOT NULL AS has_old,
+                       n.doc_id IS NOT NULL AS has_new,
+                       (o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+                        AND (o.source IS DISTINCT FROM n.source
+                             OR o.text IS DISTINCT FROM n.text)) AS chg
+                FROM old o FULL JOIN new n ON o.doc_id = n.doc_id),
+            agg AS (
+                SELECT source,
+                       sum(CASE WHEN has_old THEN 1 ELSE 0 END)::BIGINT
+                           AS n_old,
+                       sum(CASE WHEN has_new THEN 1 ELSE 0 END)::BIGINT
+                           AS n_new,
+                       sum(CASE WHEN NOT has_old THEN 1 ELSE 0 END)::BIGINT
+                           AS n_added,
+                       sum(CASE WHEN NOT has_new THEN 1 ELSE 0 END)::BIGINT
+                           AS n_removed,
+                       sum(CASE WHEN chg THEN 1 ELSE 0 END)::BIGINT
+                           AS n_changed,
+                       sum(CASE WHEN has_old AND has_new AND NOT chg
+                                THEN 1 ELSE 0 END)::BIGINT AS n_stable
+                FROM j GROUP BY source)
+            SELECT source, n_old, n_new, n_added, n_removed, n_changed,
+                   n_stable,
+                   ((n_added + n_removed + n_changed) * 1000
+                    // (n_old + n_added))::BIGINT AS churn_permille
+            FROM agg
         """,
         "snapshot_diff": """
             WITH old AS (

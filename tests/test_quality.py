@@ -328,3 +328,57 @@ def test_trimmed_mean_rank_semantics(spark):
         df.repartition(5), "v", "id", "src", trim_bp=500
     ).collect()[0]
     assert tuple(again) == tuple(out)
+
+
+def test_corpus_diff_and_churn(spark):
+    """corpus_diff/corpus_churn (r13, VERDICT r12 #7): doc-grain
+    added/removed/changed between two curation runs, and the per-source
+    rollup with exact integer churn rates.  A source MOVE counts as
+    'changed' and buckets under the NEW source in both outputs."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.quality import (
+        corpus_churn,
+        corpus_diff,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, "web", "alpha"),
+            (2, "web", "beta"),
+            (3, "web", "gamma"),
+            (4, "wiki", "delta"),
+            (5, "wiki", "epsilon"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "web", "alpha"),          # stable
+            (2, "web", "beta EDITED"),    # changed (text)
+            (4, "web", "delta"),          # changed (source move wiki->web)
+            (5, "wiki", "epsilon"),       # stable
+            (6, "wiki", "zeta"),          # added
+        ],                                 # 3 removed from old
+        "doc_id long, source string, text string",
+    )
+    diff = {
+        r.doc_id: (r.source, r.change_type)
+        for r in corpus_diff(old, new).collect()
+    }
+    assert diff == {
+        2: ("web", "changed"),
+        3: ("web", "removed"),
+        4: ("web", "changed"),
+        6: ("wiki", "added"),
+    }
+    churn = {r.source: r.asDict() for r in corpus_churn(old, new).collect()}
+    web = churn["web"]
+    # doc 4 buckets under web (its NEW source): n_old counts it here too
+    assert (web["n_old"], web["n_new"]) == (4, 3)
+    assert (web["n_added"], web["n_removed"], web["n_changed"]) == (0, 1, 2)
+    assert web["n_stable"] == 1
+    assert web["churn_permille"] == 3 * 1000 // 4
+    wiki = churn["wiki"]
+    assert (wiki["n_old"], wiki["n_new"]) == (1, 2)
+    assert (wiki["n_added"], wiki["n_removed"], wiki["n_changed"]) == (1, 0, 0)
+    assert wiki["n_stable"] == 1
+    assert wiki["churn_permille"] == 1000 // 2
