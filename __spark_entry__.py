@@ -4363,6 +4363,76 @@ def q_paragraph_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_paragraph_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental paragraph dedup (r13, VERDICT r12 #8;
+    streaming/sinks.py:incremental_paragraph_dedup_sink): the odd-id
+    half of documents arrives as FOUR mtime-ordered shards
+    (doc_id % 8 ∈ {1,3,5,7}) drained availableNow through the
+    foreachBatch sink — each shard deduped against the persisted
+    registry of the even-id standing corpus PLUS every earlier shard's
+    landed delta, exactly-once via the _SUCCESS-guarded per-batch
+    directories (batch 0 is hand-replayed to exercise the guard).  The
+    oracle replays the shard sequence: a paragraph survives iff its
+    digest is absent from the standing registry, its shard is the
+    EARLIEST arriving shard holding it, and it is that shard's own
+    first occurrence (the guarded key)."""
+    import tempfile
+    import time as _time
+
+    from youtube_podcast_data_pipeline_azure_spark.streaming import sinks
+
+    d = _t(spark, sf_dir, "documents")
+    d2 = d.select("doc_id", tokenize(F.col("text")).alias("_toks"))
+    seq = F.when(
+        F.size("_toks") > 0,
+        F.sequence(
+            F.lit(0).cast("long"), F.floor((F.size("_toks") - 1) / 3)
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    paras = F.transform(
+        seq,
+        lambda i: F.array_join(
+            F.slice(F.col("_toks"), (i * 3 + 1).cast("int"), 3), " "
+        ),
+    )
+    with_paras = d2.select("doc_id", paras.alias("paras")).localCheckpoint()
+    standing = with_paras.where(F.col("doc_id") % 2 == 0)
+    arriving = with_paras.where(F.col("doc_id") % 2 == 1)
+    reg_path = tempfile.mkdtemp(prefix="spark_graft_pds_reg_")
+    curation.paragraph_registry(standing, paras_col="paras").write.mode(
+        "overwrite"
+    ).parquet(reg_path)
+    src = tempfile.mkdtemp(prefix="spark_graft_pds_src_")
+    out = tempfile.mkdtemp(prefix="spark_graft_pds_out_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_pds_ckpt_")
+    for shard_idx in range(4):
+        arriving.where(
+            F.pmod(F.col("doc_id"), F.lit(8)) == 2 * shard_idx + 1
+        ).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.05)  # distinct mtimes: file order IS shard order
+    sink = sinks.incremental_paragraph_dedup_sink(reg_path, out)
+    q = (
+        spark.readStream.schema("doc_id long, paras array<string>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # simulate the failure-replay path: re-deliver batch 0 in full — the
+    # committed-batch guard must make it a no-op or the oracle mismatches
+    sink(arriving.where(F.pmod(F.col("doc_id"), F.lit(8)) == 1), 0)
+    back = spark.read.parquet(out + "/kept")
+    return back.select(
+        "doc_id",
+        F.array_join("paras", " | ").alias("kept_text"),
+        "n_paras",
+        "n_paras_removed",
+    )
+
+
 def _corpus_runs(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Two deterministic curation 'runs' derived from documents for the
     corpus-versioning queries (r13): run 1 is the corpus as-is; run 2
@@ -5891,6 +5961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ===== r13 additions (tail per the rotation protocol) =====
         "corpus_diff": q_corpus_diff,
         "corpus_churn": q_corpus_churn,
+        "paragraph_dedup_stream": q_paragraph_dedup_stream,
     }
     # r12 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -9988,6 +10059,58 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.doc_id, e.pos, e.para
                 FROM fresh e JOIN firsts f
                   ON e.para = f.para AND e.k = f.kmin),
+            reb AS (
+                SELECT doc_id, list(para ORDER BY pos) AS kparas,
+                       count(*) AS nk
+                FROM kept GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(array_to_string(r.kparas, ' | '), '')
+                       AS kept_text,
+                   cast(len(d.paras) AS bigint) AS n_paras,
+                   cast(len(d.paras) - coalesce(r.nk, 0) AS bigint)
+                       AS n_paras_removed
+            FROM docs d LEFT JOIN reb r USING (doc_id)
+            WHERE d.doc_id % 2 = 1
+        """,
+        # r13: streaming incremental paragraph dedup — the shard
+        # sequence replayed in SQL: survive iff absent from the
+        # standing (even-id) registry, in the earliest shard holding
+        # the digest, and that shard's own first occurrence
+        "paragraph_dedup_stream": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS tokens FROM documents),
+            docs AS (
+                SELECT doc_id,
+                       [array_to_string(tokens[3*i+1 : 3*i+3], ' ')
+                        for i in generate_series(
+                            0, cast(floor((len(tokens)-1) / 3.0)
+                                    AS bigint))] AS paras
+                FROM toks),
+            ex AS (
+                SELECT doc_id, generate_subscripts(paras, 1) AS pos,
+                       unnest(paras) AS para,
+                       doc_id * 1000000
+                           + generate_subscripts(paras, 1) - 1 AS k
+                FROM docs),
+            registry AS (
+                SELECT DISTINCT para FROM ex WHERE doc_id % 2 = 0),
+            fresh AS (
+                SELECT s.*, (s.doc_id % 8 - 1) // 2 AS shard_idx
+                FROM ex s
+                WHERE s.doc_id % 2 = 1
+                  AND s.para NOT IN (SELECT para FROM registry)),
+            mins AS (
+                SELECT para, min(shard_idx) AS ms FROM fresh GROUP BY 1),
+            firsts AS (
+                SELECT f.para, f.shard_idx, min(f.k) AS kmin
+                FROM fresh f JOIN mins m
+                  ON f.para = m.para AND f.shard_idx = m.ms
+                GROUP BY 1, 2),
+            kept AS (
+                SELECT e.doc_id, e.pos, e.para
+                FROM fresh e JOIN firsts f
+                  ON e.para = f.para AND e.shard_idx = f.shard_idx
+                 AND e.k = f.kmin),
             reb AS (
                 SELECT doc_id, list(para ORDER BY pos) AS kparas,
                        count(*) AS nk

@@ -769,3 +769,100 @@ def test_paragraph_registry_stream_equals_batch(spark, tmp_path):
                 r.n_occurrences,
             )
     assert latest == batch
+
+
+def test_incremental_paragraph_dedup_stream_equals_sequential_batch(
+    spark, tmp_path
+):
+    """incremental_paragraph_dedup_sink (r13, VERDICT r12 #8): draining
+    shards through the foreachBatch sink must equal applying
+    dedup_paragraphs_incremental sequentially — each shard against the
+    base registry plus every earlier shard's delta — and a hand replay
+    of batch 0 (the failure-recovery path) must change nothing in
+    either directory."""
+    import time as _time
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        dedup_paragraphs_incremental,
+        paragraph_registry,
+    )
+    from youtube_podcast_data_pipeline_azure_spark.streaming.sinks import (
+        incremental_paragraph_dedup_sink,
+    )
+
+    schema = "doc_id long, paras array<string>"
+    standing = spark.createDataFrame(
+        [(100, ["corpus para", "shared a"])], schema
+    )
+    shards = [
+        # shard 0: registry hit ('corpus para'), within-shard dup
+        # ('dup x' twice -> lower key wins), fresh 'alpha'
+        [(1, ["alpha", "dup x", "corpus para"]), (2, ["dup x"])],
+        # shard 1: cross-shard dup ('alpha' seen in shard 0 -> drops),
+        # fresh 'beta', registry hit ('shared a')
+        [(3, ["beta", "alpha", "shared a"])],
+        # shard 2: cross-shard dup of shard 1 ('beta'), fresh 'gamma'
+        [(4, ["gamma", "beta", "dup x"])],
+    ]
+    reg_path = str(tmp_path / "base_registry")
+    paragraph_registry(standing).write.parquet(reg_path)
+    src = str(tmp_path / "shards")
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "ckpt")
+    for rows in shards:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.1)  # distinct mtimes: file order IS shard order
+
+    sink = incremental_paragraph_dedup_sink(reg_path, out)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def _norm(rows):
+        return {
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in rows
+        }
+
+    def _snap(path):
+        return _norm(
+            spark.read.parquet(path).drop("batch_id").collect()
+        )
+
+    streamed_kept = _snap(out + "/kept")
+    streamed_delta = _snap(out + "/registry_delta")
+
+    # sequential batch application — the ground truth
+    expected_kept = set()
+    registry = spark.read.parquet(reg_path)
+    for rows in shards:
+        shard_df = spark.createDataFrame(rows, schema)
+        kept = dedup_paragraphs_incremental(shard_df, registry)
+        expected_kept |= _norm(kept.collect())
+        delta = paragraph_registry(shard_df).join(
+            registry.select("para_digest"), "para_digest", "left_anti"
+        )
+        registry = registry.unionByName(delta).localCheckpoint()
+    assert streamed_kept == expected_kept
+    # spot-check semantics: alpha kept once (doc 1), beta kept once
+    # (doc 3), registry hits dropped everywhere
+    by_doc = {t[0]: t for t in streamed_kept}
+    assert by_doc[1][1] == ("alpha", "dup x")
+    assert by_doc[2][1] == ()
+    assert by_doc[3][1] == ("beta",)
+    assert by_doc[4][1] == ("gamma",)
+
+    # failure replay of batch 0: must be a committed no-op
+    first_rows = shards[0]
+    sink(spark.createDataFrame(first_rows, schema), 0)
+    assert _snap(out + "/kept") == streamed_kept
+    assert _snap(out + "/registry_delta") == streamed_delta

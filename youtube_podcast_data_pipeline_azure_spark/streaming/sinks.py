@@ -121,3 +121,86 @@ def read_merged_summary(
 
     parts = spark.read.parquet(out_path).drop("batch_id")
     return incremental.merge_summaries([parts], keys, spec)
+
+
+def incremental_paragraph_dedup_sink(
+    base_registry_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    paras_col: str = "paras",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function running INCREMENTAL PARAGRAPH DEDUP as a
+    stream (VERDICT r12 #8) — the production form of
+    ``operators/curation.py:dedup_paragraphs_incremental``: every
+    micro-batch (an arriving shard of (id, paragraphs) docs) is deduped
+    against the PERSISTED registry — the base
+    :func:`~..operators.curation.paragraph_registry` parquet plus the
+    registry DELTAS landed by every earlier batch — and two artifacts
+    land per batch, each replay-safe:
+
+    - ``<out>/kept/batch_id=N`` — the shard's surviving docs, exactly
+      the batch operator's output against that registry state;
+    - ``<out>/registry_delta/batch_id=N`` — registry rows for the
+      digests this batch introduced (first (doc, pos) and repeat count
+      WITHIN the batch), so later batches dedup against corpus + all
+      prior shards without ever re-chunking either.
+
+    Exactly-once follows the same contract as
+    :func:`idempotent_batch_writer`: a batch with ``_SUCCESS`` in BOTH
+    directories is committed and replays skip it; otherwise the batch
+    recomputes — deterministically, because its registry view is the
+    base plus deltas with ``batch_id`` strictly below its own — and
+    overwrites both.  Storing deltas instead of read-modify-writing one
+    registry keeps the sink transaction-log-free (the
+    :func:`incremental_summary_sink` argument: replays of committed
+    batches are no-ops, there is no in-place merge to double-apply);
+    ``n_occurrences`` in a delta counts the batch's own repeat mass
+    only — the digest SET (the Bloom-sibling contract) is what
+    downstream dedup consumes.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from youtube_podcast_data_pipeline_azure_spark.operators import curation
+
+        spark = batch_df.sparkSession
+        root = out_path.rstrip("/")
+        kept_target = f"{root}/kept/batch_id={batch_id}"
+        delta_target = f"{root}/registry_delta/batch_id={batch_id}"
+        if _hadoop_exists(spark, f"{kept_target}/_SUCCESS") and _hadoop_exists(
+            spark, f"{delta_target}/_SUCCESS"
+        ):
+            return  # committed by a previous attempt — replay is a no-op
+        registry = spark.read.parquet(base_registry_path)
+        delta_root = f"{root}/registry_delta"
+        if _hadoop_exists(spark, delta_root):
+            # strictly-earlier deltas only: a replayed batch must see
+            # exactly the registry state its first attempt saw (its own
+            # partial delta, if any, is excluded and overwritten)
+            prior = (
+                spark.read.parquet(delta_root)
+                .where(F.col("batch_id") < F.lit(int(batch_id)))
+                .drop("batch_id")
+            )
+            registry = registry.unionByName(prior)
+        # the batch's registry delta: digests absent from the standing
+        # view, with first occurrence / repeat count within the batch.
+        # localCheckpoint cuts the lineage back to delta_root before we
+        # write UNDER delta_root (self-read-while-write guard); the
+        # materialized rows are one per batch-fresh digest — bounded by
+        # the shard, not the corpus.
+        delta = (
+            curation.paragraph_registry(
+                batch_df, id_col=id_col, paras_col=paras_col
+            )
+            .join(registry.select("para_digest"), "para_digest", "left_anti")
+            .localCheckpoint()
+        )
+        kept = curation.dedup_paragraphs_incremental(
+            batch_df, registry, id_col=id_col, paras_col=paras_col
+        )
+        kept.write.mode("overwrite").parquet(kept_target)
+        delta.write.mode("overwrite").parquet(delta_target)
+
+    return write
