@@ -177,6 +177,17 @@ DOCS_10X = [
     "paragraph_dedup_incremental",
     "cap_per_source_windowed",
     "cap_per_source_skew",
+    # r13 additions: corpus versioning ships ids + one md5-int56 long
+    # per side on the full-outer exchange (text fingerprinted at the
+    # scan) — linear by construction; the churn rollup replaces the
+    # change rows with one conditional aggregate.  The streaming
+    # paragraph-dedup sink is 4 bounded availableNow micro-batches
+    # (per-batch registry read + digest anti-join) — linear in shard
+    # rows, constant batch count, ~4 s of mtime-ordering sleeps in the
+    # constant term.
+    "corpus_diff",
+    "corpus_churn",
+    "paragraph_dedup_stream",
 ]
 # pq_train collects the corpus (linear driver fan-in, vectorized int64
 # numpy); pq_codes is a literal-codebook per-row map; pq_ann adds one

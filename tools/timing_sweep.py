@@ -42,6 +42,9 @@ STREAMING = {
     "streaming_near_dup",
     "incremental_agg",
     "incremental_dedup",
+    # r13: drains 4 availableNow micro-batches + ~4 s of mtime-ordering
+    # sleeps per call — wall clock is trigger/sleep latency, not plan
+    "paragraph_dedup_stream",
 }
 #: quadratic BY CONTRACT (exact pair listers / registered rationale in
 #: BASELINE.md) — reported, higher flag bar (10 s)
