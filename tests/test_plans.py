@@ -1037,3 +1037,18 @@ def test_blocked_baseline_contract_stays_half_slice(spark, sf_dir):
         .count()
     )
     assert sliced <= n_docs // 2 + 1, (sliced, n_docs)
+
+
+def test_corpus_diff_exchanges_carry_fingerprints_not_text(spark, sf_dir):
+    """corpus_diff/corpus_churn (r13): the full-outer join must ship
+    ids + one md5-int56 long per side — document text is consumed by
+    the fingerprint expression AT THE SCAN and never appears on an
+    exchange.  (Text does appear in ReadSchema — it is hashed — the
+    invariant is about what shuffles.)"""
+    for name in ("corpus_diff", "corpus_churn"):
+        plan = _plan(spark, sf_dir, name)
+        exchanges = [
+            ln for ln in plan.splitlines() if "Exchange" in ln
+        ]
+        assert exchanges, name
+        assert all("text" not in ln for ln in exchanges), (name, exchanges)
