@@ -4433,6 +4433,70 @@ def q_paragraph_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_index_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR delete + vacuum on the persisted MinHash band index (r13;
+    operators/dedup.py:minhash_index_delete/minhash_index_vacuum):
+    build the standing index, TOMBSTONE every corpus doc with
+    doc_id%7==0 (merge-on-read — no rewrite; the band table's range
+    clustering scatters one doc across every file, so physical
+    per-delete rewrites are the pathology delete_by_key avoids on
+    partitioned sinks), then VACUUM (physical fold + re-cluster +
+    tombstone clear) and probe the arriving batch.  Tombstone-probe ==
+    vacuum-probe == rebuild-without-deleted is pinned in
+    tests/test_dedup_similarity.py; the oracle is the exact-Jaccard
+    pair truth over the corpus MINUS the deleted docs."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    path = tempfile.mkdtemp(prefix="spark_graft_mhdel_")
+    dedup.minhash_index_write(corpus, path)
+    dedup.minhash_index_delete(
+        corpus.where(F.col("doc_id") % 7 == 0).select("doc_id"), path
+    )
+    dedup.minhash_index_vacuum(spark, path)
+    out = dedup.near_dup_from_minhash_index(
+        docs.where(F.col("doc_id") % 5 == 0), spark, path
+    )
+    return out.select(
+        "in_id", "corpus_id", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def q_paragraph_registry_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Associative registry merge (r13;
+    operators/curation.py:merge_paragraph_registries): build the
+    paragraph registry independently over three doc_id%3 shards of
+    documents, then fold them — the compaction primitive for the
+    streaming sink's per-batch deltas.  The oracle is the FULL-corpus
+    registry SQL verbatim: merge(shard registries) must be bit-equal
+    to one recompute over everything (min of re-encoded occurrence
+    keys + summed counts are commutative monoids)."""
+    d = _t(spark, sf_dir, "documents")
+    d2 = d.select("doc_id", tokenize(F.col("text")).alias("_toks"))
+    seq = F.when(
+        F.size("_toks") > 0,
+        F.sequence(
+            F.lit(0).cast("long"), F.floor((F.size("_toks") - 1) / 3)
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    paras = F.transform(
+        seq,
+        lambda i: F.array_join(
+            F.slice(F.col("_toks"), (i * 3 + 1).cast("int"), 3), " "
+        ),
+    )
+    with_paras = d2.select("doc_id", paras.alias("paras")).localCheckpoint()
+    regs = [
+        curation.paragraph_registry(
+            with_paras.where(F.pmod(F.col("doc_id"), F.lit(3)) == k),
+            paras_col="paras",
+        )
+        for k in range(3)
+    ]
+    return curation.merge_paragraph_registries(*regs)
+
+
 def _corpus_runs(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Two deterministic curation 'runs' derived from documents for the
     corpus-versioning queries (r13): run 1 is the corpus as-is; run 2
@@ -5962,6 +6026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "corpus_churn": q_corpus_churn,
         "paragraph_dedup_stream": q_paragraph_dedup_stream,
+        "paragraph_registry_merge": q_paragraph_registry_merge,
+        "minhash_index_delete_probe": q_minhash_index_delete_probe,
     }
     # r12 rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
@@ -10127,6 +10193,30 @@ def oracle_sql() -> dict[str, str]:
         # r12: paragraph registry — same chunking + occurrence key as
         # paragraph_dedup, grouped by digest; integer // and % match
         # Spark's div/pmod on the non-negative keys
+        # r13: registry merge — same oracle as paragraph_registry
+        # (the merged shard registries must equal one full recompute)
+        "paragraph_registry_merge": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS tokens FROM documents),
+            docs AS (
+                SELECT doc_id,
+                       [array_to_string(tokens[3*i+1 : 3*i+3], ' ')
+                        for i in generate_series(
+                            0, cast(floor((len(tokens)-1) / 3.0)
+                                    AS bigint))] AS paras
+                FROM toks),
+            ex AS (
+                SELECT doc_id, generate_subscripts(paras, 1) AS pos,
+                       unnest(paras) AS para,
+                       doc_id * 1000000
+                           + generate_subscripts(paras, 1) - 1 AS k
+                FROM docs)
+            SELECT md5(para) AS para_digest,
+                   CAST(min(k) // 1000000 AS BIGINT) AS first_doc_id,
+                   CAST(min(k) % 1000000 AS BIGINT) AS first_pos,
+                   CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM ex GROUP BY 1
+        """,
         "paragraph_registry": f"""
             WITH toks AS (
                 SELECT doc_id, {tokens} AS tokens FROM documents),
@@ -11603,6 +11693,12 @@ def oracle_sql() -> dict[str, str]:
     # so the oracle is shared verbatim (the bm25_search_persisted
     # pattern).
     out["streaming_near_dup_persisted"] = out["streaming_near_dup"]
+
+    # r13: index delete/vacuum probe — the same exact-Jaccard truth
+    # with the tombstoned (doc_id%7==0) docs erased from the corpus
+    out["minhash_index_delete_probe"] = out["streaming_near_dup"].replace(
+        "WHERE doc_id % 5 <> 0", "WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 0"
+    )
 
     # r10: packed-sequence materialization — pack_sequences window +
     # id-ordered string_agg per bin.

@@ -1769,3 +1769,53 @@ def test_dedup_paragraphs_incremental_against_registry(spark):
         d: (r.paras, r.n_paras, r.n_paras_removed) for d, r in got.items()
     }
     assert inc == batch
+
+
+def test_merge_paragraph_registries_equals_full_recompute(spark):
+    """merge_paragraph_registries (r13): folding shard registries must
+    be bit-equal to recomputing over the concatenated corpus — min of
+    re-encoded occurrence keys picks the global first, counts sum —
+    for any shard split, including digests spanning shards and
+    3-way merges."""
+    from youtube_podcast_data_pipeline_azure_spark.operators.curation import (
+        merge_paragraph_registries,
+        paragraph_registry,
+    )
+
+    schema = "doc_id long, paras array<string>"
+    shards = [
+        spark.createDataFrame(
+            [(1, ["alpha", "shared"]), (2, ["shared", "beta"])], schema
+        ),
+        spark.createDataFrame([(3, ["shared", "gamma"])], schema),
+        spark.createDataFrame(
+            [(4, ["alpha"]), (5, ["delta", "delta"])], schema
+        ),
+    ]
+    full = shards[0]
+    for sh in shards[1:]:
+        full = full.unionByName(sh)
+    want = {tuple(r) for r in paragraph_registry(full).collect()}
+    got = {
+        tuple(r)
+        for r in merge_paragraph_registries(
+            *[paragraph_registry(sh) for sh in shards]
+        ).collect()
+    }
+    assert got == want
+    # merge is associative: ((r0+r1)+r2) == (r0+(r1+r2))
+    left = merge_paragraph_registries(
+        merge_paragraph_registries(
+            paragraph_registry(shards[0]), paragraph_registry(shards[1])
+        ),
+        paragraph_registry(shards[2]),
+    )
+    right = merge_paragraph_registries(
+        paragraph_registry(shards[0]),
+        merge_paragraph_registries(
+            paragraph_registry(shards[1]), paragraph_registry(shards[2])
+        ),
+    )
+    assert {tuple(r) for r in left.collect()} == {
+        tuple(r) for r in right.collect()
+    } == want

@@ -1782,3 +1782,61 @@ def test_minhash_index_append_equals_rebuild(spark, sf_dir, tmp_path):
         for r in near_dup_from_minhash_index(incoming, spark, p2).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_minhash_index_delete_and_vacuum(spark, sf_dir, tmp_path):
+    """minhash_index_delete/vacuum (r13): tombstoned docs must vanish
+    from probe results exactly as if the index were rebuilt without
+    them (merge-on-read); vacuum folds tombstones in physically with
+    IDENTICAL probe results, clears the tombstone dir, and is a no-op
+    when nothing is tombstoned.  Double-delete of the same ids is
+    idempotent."""
+    from youtube_podcast_data_pipeline_azure_spark.io.readers import load_table
+    from youtube_podcast_data_pipeline_azure_spark.operators.dedup import (
+        minhash_index_delete,
+        minhash_index_vacuum,
+        minhash_index_write,
+        near_dup_from_minhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+
+    def probe(path):
+        return {
+            (r.in_id, r.corpus_id, round(r.jaccard, 4))
+            for r in near_dup_from_minhash_index(
+                incoming, spark, path
+            ).collect()
+        }
+
+    path = str(tmp_path / "mh_index")
+    minhash_index_write(corpus, path, num_hashes=64, bands=16)
+    full = probe(path)
+    doomed = corpus.where(F.col("doc_id") % 7 == 0).select("doc_id")
+    doomed_ids = {r.doc_id for r in doomed.collect()}
+    # ground truth: rebuild without the doomed docs
+    ref_path = str(tmp_path / "mh_ref")
+    minhash_index_write(
+        corpus.join(doomed, "doc_id", "left_anti"),
+        ref_path,
+        num_hashes=64,
+        bands=16,
+    )
+    want = probe(ref_path)
+    assert want != full, "delete set hit no pairs — weak fixture"
+    minhash_index_delete(doomed, path)
+    assert probe(path) == want
+    assert all(c not in doomed_ids for _, c, _ in probe(path))
+    # idempotent re-delete
+    minhash_index_delete(doomed, path)
+    assert probe(path) == want
+    # vacuum: physical fold, identical probe, tombstones cleared
+    n = minhash_index_vacuum(spark, path)
+    assert n == len(doomed_ids)
+    assert probe(path) == want
+    import os
+
+    assert not os.path.exists(path + "/tombstones")
+    assert minhash_index_vacuum(spark, path) == 0

@@ -2091,6 +2091,54 @@ def paragraph_registry(
     )
 
 
+def merge_paragraph_registries(*registries: DataFrame) -> DataFrame:
+    """Associative MERGE of :func:`paragraph_registry` outputs — the
+    compaction/combine primitive of the registry lifecycle (r13): fold
+    any number of shard/partial registries into one, bit-equal to
+    recomputing the registry over the concatenated corpora.
+
+    Correctness rests on both aggregates being commutative monoids
+    over the registry rows: the canonical first occurrence is
+    ``min(first_doc_id·10⁶ + first_pos)`` (the same guarded occurrence
+    key order the per-corpus registry used — re-encoding is exact
+    because :func:`_occurrence_key` already enforced non-negative ids
+    and ``pos < 10⁶``) and repeat mass is ``sum(n_occurrences)``.
+    This is the identity that makes the update-mode STREAMING registry
+    converge order-invariantly (tests/test_streaming.py) and lets the
+    streaming sink's per-batch deltas compact periodically without
+    changing reader semantics.
+
+    Scale shape: union → digest-keyed partial (min, sum) — one
+    exchange carrying (digest, long, long); input registries are
+    already digest-grain, so the merge is linear in registry rows and
+    never touches documents.
+    """
+    if not registries:
+        raise ValueError("merge_paragraph_registries needs >= 1 registry")
+    u = registries[0]
+    for r in registries[1:]:
+        u = u.unionByName(r)
+    key = (
+        F.col("first_doc_id") * F.lit(1_000_000) + F.col("first_pos")
+    ).cast("long")
+    return (
+        u.select("para_digest", key.alias("_k"), "n_occurrences")
+        .groupBy("para_digest")
+        .agg(
+            F.min("_k").alias("_kmin"),
+            F.sum("n_occurrences").cast("long").alias("n_occurrences"),
+        )
+        .select(
+            "para_digest",
+            F.expr("_kmin div 1000000").cast("long").alias("first_doc_id"),
+            F.pmod(F.col("_kmin"), F.lit(1_000_000))
+            .cast("long")
+            .alias("first_pos"),
+            "n_occurrences",
+        )
+    )
+
+
 def dedup_paragraphs_incremental(
     new_docs: DataFrame,
     registry: DataFrame,

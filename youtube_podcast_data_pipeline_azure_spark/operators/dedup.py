@@ -2166,6 +2166,7 @@ def near_dup_from_minhash_index(
     )
 
     index, sh, meta = minhash_index_load(spark, path)
+    index, sh = _apply_tombstones(spark, path, index, sh, meta["id_col"])
     return near_dup_against_corpus(
         incoming,
         index,
@@ -2345,3 +2346,83 @@ def minhash_index_append(
     )
     index.write.mode("append").parquet(f"{path}/bands")
     sh.write.mode("append").parquet(f"{path}/shingles")
+
+
+def _index_path_exists(spark, path: str) -> bool:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def _apply_tombstones(spark, path: str, index, sh, id_col: str):
+    """Merge-on-read: filter tombstoned doc ids out of the loaded band
+    and shingle tables.  The tombstone set is broadcast (bounded by
+    deletions, not corpus) and applied as two anti-joins — probes see
+    post-delete state without any index rewrite."""
+    tpath = f"{path}/tombstones"
+    if not _index_path_exists(spark, tpath):
+        return index, sh
+    tombs = F.broadcast(
+        spark.read.parquet(tpath).select(id_col).distinct()
+    )
+    return (
+        index.join(tombs, id_col, "left_anti"),
+        sh.join(tombs, id_col, "left_anti"),
+    )
+
+
+def minhash_index_delete(ids: DataFrame, path: str) -> None:
+    """GDPR / right-to-erasure maintenance for the persisted MinHash
+    index (r13): record the doomed doc ids as TOMBSTONES —
+    ``{path}/tombstones``, appended, deduplicated at read — instead of
+    rewriting the band table, whose (band_id, band_hash) range
+    clustering scatters any one document's rows across every file
+    (a physical delete would rewrite the whole index to erase one
+    document, the exact pathology ``io/writers.py:delete_by_key``
+    exists to avoid on partitioned sinks).  This is merge-on-read
+    delete-file semantics: probes anti-join the broadcast tombstone
+    set (O(deleted) extra work per probe, zero write amplification);
+    :func:`minhash_index_vacuum` folds tombstones in physically when
+    their count warrants it.  Appending the same id twice is
+    harmless (the read path is a distinct + anti-join), so retries
+    are idempotent by construction."""
+    spark = ids.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    id_col = meta["id_col"]
+    ids.select(F.col(id_col)).distinct().write.mode("append").parquet(
+        f"{path}/tombstones"
+    )
+
+
+def minhash_index_vacuum(spark, path: str) -> int:
+    """Fold accumulated tombstones into the persisted MinHash index
+    physically: rewrite bands (restoring the range clustering the
+    original write had) and shingles WITHOUT the tombstoned ids, then
+    drop the tombstone directory.  Probe results are identical before
+    and after (pinned in tests) — vacuum changes storage, never
+    semantics.  Returns the number of distinct ids vacuumed."""
+    tpath = f"{path}/tombstones"
+    if not _index_path_exists(spark, tpath):
+        return 0
+    index, sh, meta = minhash_index_load(spark, path)
+    id_col = meta["id_col"]
+    tombs = spark.read.parquet(tpath).select(id_col).distinct()
+    n = tombs.count()
+    # materialize OFF the paths being rewritten before overwriting them
+    new_index = index.join(
+        F.broadcast(tombs), id_col, "left_anti"
+    ).localCheckpoint()
+    new_sh = sh.join(F.broadcast(tombs), id_col, "left_anti").localCheckpoint()
+    (
+        new_index.repartitionByRange(4, "band_id", "band_hash")
+        .sortWithinPartitions("band_id", "band_hash")
+        .write.mode("overwrite")
+        .parquet(f"{path}/bands")
+    )
+    new_sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(tpath)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+    return int(n)
