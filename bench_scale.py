@@ -188,6 +188,13 @@ DOCS_10X = [
     "corpus_diff",
     "corpus_churn",
     "paragraph_dedup_stream",
+    # r13 late additions: the registry merge is digest-grain in,
+    # digest-grain out (one (digest, long, long) exchange — linear in
+    # registry rows); the index delete probe is the persisted-probe
+    # shape plus a bounded tombstone anti-join and one vacuum rewrite
+    # (construct includes the index build, like its persisted sibling)
+    "paragraph_registry_merge",
+    "minhash_index_delete_probe",
 ]
 # pq_train collects the corpus (linear driver fan-in, vectorized int64
 # numpy); pq_codes is a literal-codebook per-row map; pq_ann adds one
