@@ -2888,13 +2888,17 @@ def q_retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-free exact-substring dedup (Lee et al. 2022): maximal
-    repeated spans of >= 8 tokens anywhere in the corpus, via
-    distributed prefix-doubling suffix ranks — after the initial token
-    ranking only integer rank triples shuffle, never the text
+    repeated spans of >= 8 tokens anywhere in the corpus.  Since r13
+    the marking step groups positions by the exact 8-token gram
+    directly (one count window; two hash exchanges total, no Python
+    pass, no construct-time rounds — see the operator docstring for
+    the shuffle-bytes argument); the prefix-doubling suffix ranks
+    remain the length-free/persisted-index path
     (operators/suffix.py:exact_substring_spans).  Oracle: the
-    provably-equivalent repeated-8-gram interval merge (the two
-    formulations mark identical position sets; hash-equality of
-    different algorithms is the construction's correctness proof)."""
+    repeated-8-gram interval merge — previously the provably-
+    equivalent twin of the rank formulation, now also structurally
+    aligned; the rank-vs-gram equivalence stays pinned by
+    tests/test_suffix.py."""
     return suffix.exact_substring_spans(
         _t(spark, sf_dir, "documents"), min_len=8
     )

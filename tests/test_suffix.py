@@ -98,6 +98,26 @@ def test_exact_substring_spans_match_ngram_formulation(docs, L):
     assert got == _py_spans(CORPUS, L)
 
 
+@pytest.mark.parametrize("L", [3, 8])
+def test_gram_marking_equals_rank_marking(docs, L):
+    """Optimization r13: exact_substring_spans now marks repeats by
+    grouping the exact L-gram directly (one count window) instead of
+    running prefix-doubling dense-rank rounds at construct time.  Pin
+    the two in-plan formulations equal row-for-row (the persisted-index
+    path keeps the rank formulation, so this is the seam that must not
+    drift)."""
+    from youtube_podcast_data_pipeline_azure_spark.operators import suffix
+
+    got = sorted(
+        tuple(r)
+        for r in suffix.exact_substring_spans(docs, min_len=L).collect()
+    )
+    ranked = suffix._repeated_spans_from_rank_l(
+        suffix._rank_at_length(docs, "text", "doc_id", L), "doc_id", L
+    )
+    assert got == sorted(tuple(r) for r in ranked.collect())
+
+
 def test_spans_cover_within_doc_repeats(spark):
     from youtube_podcast_data_pipeline_azure_spark.operators import suffix
 
