@@ -741,28 +741,29 @@ def test_bm25_queries_stay_within_shuffle_budget(spark, sf_dir):
     is eagerly checkpointed at construct (its four consumers previously
     pasted the corpus explode+aggregate: 10 parquet scans in one plan),
     so the FINAL plan runs on the materialized (doc, term, tf) table —
-    6 hash exchanges unpruned (dl, df_t, candidate term join, scores
-    agg, top-k window + qterms distinct), 5 pruned (the corpus scalars
-    fold in as literals, dropping the stats join), and the only
-    single-partition exchange is the unpruned 1-row stats aggregate.
-    Text never shuffles: the candidate join carries (id, term, tf)."""
-    plan = _plan(spark, sf_dir, "bm25_search")
-    assert plan.count("Exchange hashpartitioning") == 6
-    assert plan.count("Exchange SinglePartition") == 1  # 1-row stats agg
-    assert "SortMergeJoin" not in plan
-    plan = _plan(spark, sf_dir, "bm25_search_pruned")
-    assert plan.count("Exchange hashpartitioning") == 5
-    assert "Exchange SinglePartition" not in plan
-    assert "SortMergeJoin" not in plan
+    5 hash exchanges (dl, df_t, candidate term join, scores agg,
+    top-k window + qterms distinct): since optimization r13 BOTH the
+    unpruned and pruned paths fold the corpus scalars (N, Σdl) in as
+    literals via one bounded 1-row collect at construct, dropping the
+    stats join whose subplan duplicated the dl aggregate chain (the
+    old unpruned plan had a 6th exchange + a single-partition stats
+    aggregate).  Text never shuffles: the candidate join carries
+    (id, term, tf)."""
+    for name in ("bm25_search", "bm25_search_pruned"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("Exchange hashpartitioning") == 5, name
+        assert "Exchange SinglePartition" not in plan, name
+        assert "SortMergeJoin" not in plan, name
 
 
 def test_hybrid_rrf_stays_within_shuffle_budget(spark, sf_dir):
-    """RRF fusion (r7, pinned r8): BM25@20's six exchanges plus the
-    dense ranking and the fusion's (query, doc) aggregate + per-query
-    window — 8 hash exchanges total; fusion inputs are per-query top-k
-    tables, so nothing corpus-sized reaches the fuse."""
+    """RRF fusion (r7, pinned r8; re-pinned r13 when BM25 dropped its
+    stats join): BM25@20's five exchanges plus the dense ranking and
+    the fusion's (query, doc) aggregate + per-query window — 7 hash
+    exchanges total; fusion inputs are per-query top-k tables, so
+    nothing corpus-sized reaches the fuse."""
     plan = _plan(spark, sf_dir, "hybrid_retrieval_rrf")
-    assert plan.count("Exchange hashpartitioning") == 8
+    assert plan.count("Exchange hashpartitioning") == 7
     assert plan.count("Exchange SinglePartition") <= 1
     assert "SortMergeJoin" not in plan
 

@@ -881,48 +881,40 @@ def _bm25_from_postings(
         F.col(query_id_col),
         F.explode(tokenize(F.col(text_col))).alias("_t"),
     ).distinct()
-    if scalars is None and max_df_permille is not None:
+    if scalars is None:
         # scalar probe over the already-materialized postings
-        # checkpoint — no extra corpus scan (see the prune note below)
+        # checkpoint — no extra corpus scan (see the prune note below).
+        # Since r13 the UNPRUNED path folds (N, Σdl) in as literals
+        # too: the previous broadcast-stats join evaluated the
+        # dl→postings aggregate chain a second time inside the main
+        # plan (one duplicated exchange + aggregate + a broadcast
+        # build per run), where this bounded 1-row collect prices the
+        # same two stages once at construct and drops the join.
         row = dl.agg(
             F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_s")
         ).collect()[0]
         # sum() over zero rows is NULL — an empty corpus must yield an
         # empty ranking, not a TypeError at plan-build time (ADVICE r8)
         scalars = (int(row["_n"]), int(row["_s"] or 0))
-    if scalars is not None:
-        # integer contract: keep terms with df·1000 <= permille·N —
-        # exact at any corpus size, replayable on any engine.  The two
-        # corpus scalars fold in as plan LITERALS: threading `stats`
-        # into the dictionary filter as a subplan instead PASTES the
-        # dl→postings aggregate chain per consumer, measured 2x SLOWER
-        # than unpruned at 4x scale despite 8x fewer candidates (the
-        # multi-consumer trap, r8).  Pruned terms die at the pipelined
-        # dictionary probe BEFORE the scores shuffle — the only
-        # exchange that carries candidates.
-        n_docs_col = F.lit(int(scalars[0])).cast("long")
-        sum_dl_col = F.lit(int(scalars[1])).cast("long")
-        if max_df_permille is not None:
-            df_t = df_t.where(
-                F.col("_df") * 1000
-                <= F.lit(int(max_df_permille)) * n_docs_col
-            )
-        joined = (
-            qterms.join(postings, "_t").join(df_t, "_t").join(dl, id_col)
+    # integer contract: keep terms with df·1000 <= permille·N —
+    # exact at any corpus size, replayable on any engine.  The two
+    # corpus scalars fold in as plan LITERALS: threading `stats`
+    # into the dictionary filter as a subplan instead PASTES the
+    # dl→postings aggregate chain per consumer, measured 2x SLOWER
+    # than unpruned at 4x scale despite 8x fewer candidates (the
+    # multi-consumer trap, r8).  Pruned terms die at the pipelined
+    # dictionary probe BEFORE the scores shuffle — the only
+    # exchange that carries candidates.
+    n_docs_col = F.lit(int(scalars[0])).cast("long")
+    sum_dl_col = F.lit(int(scalars[1])).cast("long")
+    if max_df_permille is not None:
+        df_t = df_t.where(
+            F.col("_df") * 1000
+            <= F.lit(int(max_df_permille)) * n_docs_col
         )
-    else:
-        stats = dl.agg(
-            F.count(F.lit(1)).alias("_n_docs"),
-            F.sum("_dl").alias("_sum_dl"),
-        )
-        n_docs_col = F.col("_n_docs")
-        sum_dl_col = F.col("_sum_dl")
-        joined = (
-            qterms.join(postings, "_t")
-            .join(df_t, "_t")
-            .join(dl, id_col)
-            .join(F.broadcast(stats))
-        )
+    joined = (
+        qterms.join(postings, "_t").join(df_t, "_t").join(dl, id_col)
+    )
     idf = F.log(
         F.lit(1.0)
         + (n_docs_col - F.col("_df") + F.lit(0.5))
