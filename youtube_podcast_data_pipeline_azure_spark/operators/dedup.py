@@ -358,19 +358,27 @@ def simhash(
     if token_hash is None:
         token_hash = F.xxhash64
     toks = tokenize(col)
+    # Hash each token ONCE (optimization r13): the bit expressions
+    # below reference the hash ``bits`` times, and with the hash
+    # inlined per bit Catalyst evaluated the md5/xxhash subtree once
+    # PER BIT per token — 56 md5+conv evaluations per token on the
+    # oracle seam, measured as the dominant cost of simhash_near_dup
+    # (~9 s fresh at sf0.1; ~1.4 s after).  A ``transform`` stages the
+    # per-token hash as a long array; the per-bit ``shiftright`` then
+    # costs an integer op, not a digest.
+    hashes = F.transform(toks, lambda t: token_hash(t))
     # shiftright needs a *literal* shift amount, so the per-bit expressions
     # are built in a Python loop (constant-folded by Catalyst), not via a
     # higher-order-function index column.
     counters = F.aggregate(
-        toks,
+        hashes,
         F.array_repeat(F.lit(0), bits),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
                     F.when(
-                        F.shiftright(token_hash(t), j).bitwiseAND(F.lit(1))
-                        == 1,
+                        F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
                         F.lit(1),
                     ).otherwise(F.lit(-1))
                     for j in range(bits)
@@ -465,7 +473,19 @@ def hamming_pairs(
     chunk_bits = bits // blocks
     mask = (1 << chunk_bits) - 1
 
-    sigs = sigs.select(F.col(id_col), F.col(sig_col).alias("sig"))
+    # Multi-consumer rule (r8; applied here in optimization r13): the
+    # chunk self-join consumes the signature table TWICE, and when the
+    # planner broadcasts one side the two subtrees materialize
+    # SEPARATELY (no exchange reuse) — the whole upstream signature
+    # pipeline (multimodal decode→fingerprint Python kernels, simhash
+    # md5 folds) ran once per side, measured 4 MapInPandas evaluations
+    # in one image_near_dup plan.  The materialized state is (id, sig)
+    # — 16 bytes per asset, the "decide on small rows" proxy of guide
+    # §8 — so the checkpoint is bounded at any corpus size and the
+    # payload-bearing upstream runs exactly once.
+    sigs = sigs.select(
+        F.col(id_col), F.col(sig_col).alias("sig")
+    ).localCheckpoint(eager=True)
     # literal shift amounts per chunk (shiftright requires int literals)
     chunked = sigs.select(
         id_col,
