@@ -2233,25 +2233,39 @@ def q_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
     multi-supplier finished orders.  The classic EXISTS / NOT-EXISTS
-    pair collapses to one per-order aggregate (distinct suppliers,
-    distinct LATE suppliers) joined back to the late lines — one
-    shuffle on orderkey instead of three correlated scans; "late" =
+    pair collapses to per-order distinct-supplier counts; since
+    optimization r13 those are WINDOW expressions over the joined
+    lines (size of collect_set over the orderkey partition) instead of
+    a separate aggregate joined back — the join-back re-evaluated the
+    lineitem⋈orders subplan a second time (two fact scans + a second
+    fact-to-fact join per run); the window computes both counts in the
+    single orderkey exchange the join already established.  "late" =
     shipped >90 days after order date."""
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     li = _t(spark, sf_dir, "lineitem")
     lif = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
         "is_late", li.l_shipdate > F.date_add(o.o_orderdate, 90)
     )
-    per_order = lif.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("is_late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
-    )
+    w = Window.partitionBy("l_orderkey")
+    # collect_set drops nulls, so the conditional late-supplier set has
+    # exactly countDistinct(when(is_late, suppkey)) semantics
     sole_late = (
-        lif.where(F.col("is_late"))
-        .join(per_order, F.col("l_orderkey") == F.col("agg_orderkey"))
-        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        lif.withColumn(
+            "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+        )
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .where(
+            F.col("is_late")
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
     )
     supp = _t(spark, sf_dir, "supplier")
     return (

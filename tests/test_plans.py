@@ -150,11 +150,16 @@ def test_waiting_suppliers_broadcasts_dims_and_pushes_filters(spark, sf_dir):
     """TPC-H Q21 shape: dimension sides broadcast and the F-status
     filter reaches the orders scan.  Exactly one SortMergeJoin is
     allowed — the lineitem↔orders fact-to-fact join, where a broadcast
-    would be wrong at scale."""
+    would be wrong at scale.  Since optimization r13 the per-order
+    distinct counts are window expressions over that join's orderkey
+    exchange (no aggregate joined back), so the plan has exactly one
+    fact-to-fact join and one supplier broadcast — lineitem is scanned
+    once."""
     plan = _plan(spark, sf_dir, "waiting_suppliers")
-    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("BroadcastHashJoin") >= 1  # supplier dim (+ o at fixture)
     assert plan.count("SortMergeJoin") <= 1
     assert "EqualTo(o_orderstatus,F)" in plan
+    assert plan.count("Scan parquet") <= 3  # lineitem + orders + supplier
 
 
 def test_market_share_broadcasts_dims_and_pushes_date_range(spark, sf_dir):
