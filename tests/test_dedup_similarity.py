@@ -1235,6 +1235,42 @@ def test_pq_codes_are_nearest_codebook_entries(spark):
             assert got[r.vec_id][m] == dists.index(min(dists))
 
 
+def test_pq_arrow_kernel_equals_expression_form(spark):
+    """Optimization r13: pq code assignment moved from interpreted
+    higher-order-function folds to a vectorized Arrow kernel
+    (_pq_codes_map).  Pin the kernel bit-equal to the original
+    expression form (_micro_vec slices + _sub_codes argmin), which
+    stays in the module as the certified reference."""
+    from pyspark.sql import functions as F
+
+    from youtube_podcast_data_pipeline_azure_spark.operators import (
+        similarity as sim,
+    )
+
+    df = _pq_fixture(spark)
+    cb = sim.pq_train(df, m_subspaces=2, k_centroids=4, iters=2)
+    d = len(cb[0][0])
+    staged = df.select(
+        F.col("vec_id"), sim._micro_vec(F.col("embedding")).alias("_vm")
+    ).select(
+        "vec_id",
+        *[
+            F.slice(F.col("_vm"), m * d + 1, d).alias(f"_s{m}")
+            for m in range(len(cb))
+        ],
+    )
+    expr_form = {
+        r.vec_id: list(r.codes)
+        for r in staged.select(
+            "vec_id", F.array(*sim._sub_codes(cb)).alias("codes")
+        ).collect()
+    }
+    kernel_form = {
+        r.vec_id: list(r.codes) for r in sim.pq_codes(df, cb).collect()
+    }
+    assert kernel_form == expr_form
+
+
 def test_pq_ann_equals_bruteforce_adc(spark):
     """pq_ann's broadcast-LUT plan returns exactly the brute-force
     asymmetric-distance ranking (integer ADC, ties by vec_id)."""

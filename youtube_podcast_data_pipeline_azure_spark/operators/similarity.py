@@ -163,10 +163,14 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane bucket id: sign bit per plane packed into a long."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
+        # one array literal per plane (optimization r13): F.lit(list)
+        # is a single py4j call where F.array(*[F.lit(p) ...]) paid
+        # one JVM roundtrip per element — dim·n_planes calls per
+        # bucket expression at construct time
         dot = F.aggregate(
             F.zip_with(
                 vec,
-                F.array(*[F.lit(p) for p in plane]),
+                F.lit([float(p) for p in plane]),
                 lambda x, p: x.cast("double") * p,
             ),
             F.lit(0.0),
@@ -394,11 +398,16 @@ def _centroid_literal(cents: "np.ndarray") -> Column:
     # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND (reproduced on Spark 4.1).
     # The py4j build cost (~2 s at k=80·dim=64) is driver-side, paid
     # once per query, and k stays small wherever replicas collapse.
+    # F.lit(list) folds each centroid vector in ONE py4j call
+    # (optimization r13) — the per-element F.array(*[F.lit(v) ...])
+    # form paid k·dim JVM roundtrips at construct time (~2 s at
+    # k=80·dim=64).  Still a plain literal tree (no HOF lambdas), so
+    # the checkpoint-reanalysis constraint above holds unchanged.
     return F.array(
         *[
             F.struct(
                 F.lit(int(j)).cast("int").alias("centroid_id"),
-                F.array(*[F.lit(float(v)) for v in cents[j]]).alias("vec"),
+                F.lit([float(v) for v in cents[j]]).alias("vec"),
             )
             for j in range(len(cents))
         ]
