@@ -173,6 +173,56 @@ def _values(spark, n=20_000, parts=8):
     )
 
 
+def test_tdigest_vectorized_compress_is_bit_identical(spark):
+    """Optimization r13: _tdigest_compress precomputes the k1 scale
+    function vectorized when weights are integer-valued (always true
+    in the two-pass pipeline).  Integer cumulative sums are exact, so
+    the vector path must reproduce the scalar reference loop
+    bit-for-bit — centroid means AND weights — at every size,
+    including re-compression of merged centroids."""
+    import numpy as np
+
+    from youtube_podcast_data_pipeline_azure_spark.operators.sketches import (
+        _tdigest_compress,
+    )
+
+    def reference(means, weights, compression):
+        order = np.argsort(means, kind="stable")
+        means = np.asarray(means, float)[order]
+        weights = np.asarray(weights, float)[order]
+        total = weights.sum()
+
+        def k1(q):
+            return (compression / (2 * np.pi)) * np.arcsin(
+                np.clip(2 * q - 1, -1.0, 1.0)
+            )
+
+        out_m, out_w = [], []
+        acc_m, acc_w, w_before = means[0] * weights[0], weights[0], 0.0
+        for m, w in zip(means[1:], weights[1:]):
+            if k1((w_before + acc_w + w) / total) - k1(w_before / total) <= 1.0:
+                acc_m += m * w
+                acc_w += w
+            else:
+                out_m.append(acc_m / acc_w)
+                out_w.append(acc_w)
+                w_before += acc_w
+                acc_m, acc_w = m * w, w
+        out_m.append(acc_m / acc_w)
+        out_w.append(acc_w)
+        return out_m, out_w
+
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 37, 5000):
+        vals = rng.normal(1000.0, 250.0, n)
+        got = _tdigest_compress(vals, np.ones(n), 100)
+        exp = reference(vals, np.ones(n), 100)
+        assert got == tuple(exp) or (got[0] == exp[0] and got[1] == exp[1])
+        got2 = _tdigest_compress(np.array(got[0]), np.array(got[1]), 100)
+        exp2 = reference(np.array(exp[0]), np.array(exp[1]), 100)
+        assert got2[0] == exp2[0] and got2[1] == exp2[1]
+
+
 def test_tdigest_state_is_bounded(spark):
     vals = _values(spark)
     d = tdigest_partition_digests(vals, "v", compression=100)

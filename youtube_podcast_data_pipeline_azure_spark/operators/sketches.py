@@ -131,6 +131,40 @@ def _tdigest_compress(means, weights, compression: int):
             np.clip(2 * q - 1, -1.0, 1.0)
         )
 
+    if np.all(weights == np.floor(weights)):
+        # Vectorized scale-function path (optimization r13).  Weights
+        # are integer-valued here by construction (pass 1 starts from
+        # unit weights; merged weights are sums of integers), so EVERY
+        # cumulative weight sum is exact regardless of grouping — the
+        # loop's q_right = (w_before + acc_w + w)/total is bit-for-bit
+        # cum[j]/total, and its q_left is cum[start-1]/total.  That
+        # makes one vectorized arcsin over the cumulative ranks
+        # reproduce the scalar path's k1 values EXACTLY (same ufunc,
+        # same float64 inputs), where the scalar path paid two Python
+        # np.arcsin calls per point — the dominant cost of the whole
+        # t-digest family (~6 s of the 7.6 s tdigest_quantiles fresh
+        # run at sf0.1).  Mean accumulation keeps the identical
+        # left-fold order, so centroids are bit-identical; the scalar
+        # loop below remains the reference (and the fallback for
+        # non-integer weights).
+        k = k1(np.cumsum(weights) / total)
+        k_zero = k1(0.0)
+        out_m, out_w = [], []
+        acc_m, acc_w = means[0] * weights[0], weights[0]
+        k_left = k_zero
+        for j in range(1, len(means)):
+            if k[j] - k_left <= 1.0:
+                acc_m += means[j] * weights[j]
+                acc_w += weights[j]
+            else:
+                out_m.append(acc_m / acc_w)
+                out_w.append(acc_w)
+                k_left = k[j - 1]
+                acc_m, acc_w = means[j] * weights[j], weights[j]
+        out_m.append(acc_m / acc_w)
+        out_w.append(acc_w)
+        return out_m, out_w
+
     out_m, out_w = [], []
     acc_m, acc_w, w_before = means[0] * weights[0], weights[0], 0.0
     for m, w in zip(means[1:], weights[1:]):
