@@ -15,6 +15,8 @@ canonical flat shape.
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -34,6 +36,23 @@ TABLES = (
 )
 
 
+#: Per-session memo of analyzed scan DataFrames (optimization r13).
+#: ``spark.read.parquet`` pays file listing + footer schema inference +
+#: analysis on EVERY call (~0.1 s here), and a query touches up to six
+#: tables per construct — so repeated constructs (bench runs, the
+#: driver's per-query calls) spent a visible fraction of their wall in
+#: re-deriving identical scan plans.  The memo caches the immutable
+#: DataFrame per (session, dir, table): this is PLAN caching only —
+#: every action on the cached frame still scans the parquet inputs
+#: (no persist(), no materialized results).  WeakKeyDictionary caveat:
+#: the cached frames reference their session, so entries die with the
+#: interpreter rather than the session — a few dozen analyzed plans
+#: per session, negligible.
+_SCAN_CACHE: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table: columnar Parquet, pushdown-capable.
 
@@ -43,6 +62,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TimestampType at the scan edge so every downstream operator sees a
     proper event-time column.
     """
+    per_session = _SCAN_CACHE.get(spark)
+    if per_session is None:
+        per_session = {}
+        _SCAN_CACHE[spark] = per_session
+    cached = per_session.get((sf_dir, name))
+    if cached is not None:
+        return cached
     # Defensive: the caller may hand us a session built without the
     # engine's factory (e.g. the driver harness) — the nanos conf is
     # runtime-settable and required before the scan is planned.
@@ -53,6 +79,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+    per_session[(sf_dir, name)] = df
     return df
 
 
