@@ -750,29 +750,31 @@ def test_bm25_queries_stay_within_shuffle_budget(spark, sf_dir):
     is eagerly checkpointed at construct (its four consumers previously
     pasted the corpus explode+aggregate: 10 parquet scans in one plan),
     so the FINAL plan runs on the materialized (doc, term, tf) table —
-    5 hash exchanges (dl, df_t, candidate term join, scores agg,
-    top-k window + qterms distinct): since optimization r13 BOTH the
-    unpruned and pruned paths fold the corpus scalars (N, Σdl) in as
-    literals via one bounded 1-row collect at construct, dropping the
-    stats join whose subplan duplicated the dl aggregate chain (the
-    old unpruned plan had a 6th exchange + a single-partition stats
-    aggregate).  Text never shuffles: the candidate join carries
-    (id, term, tf)."""
+    4 hash exchanges (df_t, scores agg, top-k window + qterms
+    distinct): since optimization r13 BOTH paths fold the corpus
+    scalars (N, Σdl) in as literals via one bounded 1-row collect at
+    construct (dropping the stats join whose subplan duplicated the dl
+    aggregate chain — the old unpruned plan had 6 exchanges + a
+    single-partition stats aggregate), and the postings checkpoint
+    carries the document length as a column, so the per-run dl
+    aggregate AND the id-keyed dl join of the candidate set are gone —
+    at scale that join shuffled candidate volume by doc id.  Text
+    never shuffles: the candidate join carries (id, term, tf, dl)."""
     for name in ("bm25_search", "bm25_search_pruned"):
         plan = _plan(spark, sf_dir, name)
-        assert plan.count("Exchange hashpartitioning") == 5, name
+        assert plan.count("Exchange hashpartitioning") == 4, name
         assert "Exchange SinglePartition" not in plan, name
         assert "SortMergeJoin" not in plan, name
 
 
 def test_hybrid_rrf_stays_within_shuffle_budget(spark, sf_dir):
     """RRF fusion (r7, pinned r8; re-pinned r13 when BM25 dropped its
-    stats join): BM25@20's five exchanges plus the dense ranking and
-    the fusion's (query, doc) aggregate + per-query window — 7 hash
-    exchanges total; fusion inputs are per-query top-k tables, so
-    nothing corpus-sized reaches the fuse."""
+    stats join and dl join): BM25@20's four exchanges plus the dense
+    ranking and the fusion's (query, doc) aggregate + per-query window
+    — 6 hash exchanges total; fusion inputs are per-query top-k
+    tables, so nothing corpus-sized reaches the fuse."""
     plan = _plan(spark, sf_dir, "hybrid_retrieval_rrf")
-    assert plan.count("Exchange hashpartitioning") == 7
+    assert plan.count("Exchange hashpartitioning") == 6
     assert plan.count("Exchange SinglePartition") <= 1
     assert "SortMergeJoin" not in plan
 

@@ -775,22 +775,37 @@ def language_mismatch_matrix(
     )
 
 
-def _bm25_postings(docs, text_col: str, id_col: str) -> DataFrame:
+def _bm25_postings(
+    docs, text_col: str, id_col: str, with_dl: bool = False
+) -> DataFrame:
     """The (doc, term, tf) postings table — ONE corpus explode +
     aggregate, eagerly checkpointed.  Multi-consumer rule: postings
     feeds dl, stats, df_t AND the candidate join — without the
     checkpoint Catalyst pastes the corpus explode+aggregate per
     consumer (measured: 10 parquet scans of the corpus in one bm25
-    plan, r8).  This is also exactly the table
-    :func:`bm25_index_write` persists for the build-once path."""
-    return (
+    plan, r8).  With ``with_dl=False`` this is also exactly the table
+    :func:`bm25_index_write` persists for the build-once path.
+
+    ``with_dl`` (optimization r13): additionally carry the document
+    length as a ``_dl`` column (one window over the doc key inside the
+    SAME materialization).  The in-plan search path previously
+    re-aggregated dl from the checkpoint every run and broadcast-joined
+    it back — one extra exchange + aggregate + broadcast build per
+    query; with the column materialized those disappear from the
+    scoring plan entirely.
+    """
+    postings = (
         docs.select(
             F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("_t")
         )
         .groupBy(id_col, "_t")
         .agg(F.count(F.lit(1)).alias("_tf"))
-        .localCheckpoint(eager=True)
     )
+    if with_dl:
+        postings = postings.withColumn(
+            "_dl", F.sum("_tf").over(Window.partitionBy(id_col))
+        )
+    return postings.localCheckpoint(eager=True)
 
 
 def bm25_topk(
@@ -850,7 +865,7 @@ def bm25_topk(
     oracle replays exactly.  Default ``None`` = the exact unpruned
     ranking.
     """
-    postings = _bm25_postings(docs, text_col, id_col)
+    postings = _bm25_postings(docs, text_col, id_col, with_dl=True)
     return _bm25_from_postings(
         postings, queries, text_col, id_col, query_id_col,
         k, k1, b, max_df_permille,
@@ -875,7 +890,15 @@ def _bm25_from_postings(
     optionally supplies (n_docs, sum_dl) as known exact ints (a
     persisted index records them at build time), which folds them in
     as plan literals and drops the stats join entirely."""
-    dl = postings.groupBy(id_col).agg(F.sum("_tf").alias("_dl"))
+    # a with_dl=True postings checkpoint already carries the document
+    # length; only derive (and later join) the dl table when it does
+    # not (the persisted-index path keeps the original layout)
+    has_dl = "_dl" in postings.columns
+    dl = (
+        None
+        if has_dl
+        else postings.groupBy(id_col).agg(F.sum("_tf").alias("_dl"))
+    )
     df_t = postings.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
     qterms = queries.select(
         F.col(query_id_col),
@@ -890,9 +913,17 @@ def _bm25_from_postings(
         # plan (one duplicated exchange + aggregate + a broadcast
         # build per run), where this bounded 1-row collect prices the
         # same two stages once at construct and drops the join.
-        row = dl.agg(
-            F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_s")
-        ).collect()[0]
+        probe = (
+            postings.agg(
+                F.count_distinct(F.col(id_col)).alias("_n"),
+                F.sum("_tf").alias("_s"),
+            )
+            if has_dl
+            else dl.agg(
+                F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_s")
+            )
+        )
+        row = probe.collect()[0]
         # sum() over zero rows is NULL — an empty corpus must yield an
         # empty ranking, not a TypeError at plan-build time (ADVICE r8)
         scalars = (int(row["_n"]), int(row["_s"] or 0))
@@ -912,9 +943,9 @@ def _bm25_from_postings(
             F.col("_df") * 1000
             <= F.lit(int(max_df_permille)) * n_docs_col
         )
-    joined = (
-        qterms.join(postings, "_t").join(df_t, "_t").join(dl, id_col)
-    )
+    joined = qterms.join(postings, "_t").join(df_t, "_t")
+    if not has_dl:
+        joined = joined.join(dl, id_col)
     idf = F.log(
         F.lit(1.0)
         + (n_docs_col - F.col("_df") + F.lit(0.5))
