@@ -76,6 +76,26 @@ def test_md5_int56_matches_python_and_is_nonnegative(spark):
         )
 
 
+def test_md5_int56_byte_swap_form(spark):
+    """The r13 shift-based byte reversal is bit-identical to the
+    original hex-pair-reversed conv form (the optimization changed the
+    expression tree, never the value — every md5_int56 consumer's
+    oracle parity depends on this)."""
+    df = spark.range(0, 5000).select(
+        F.concat(F.lit("k:"), F.col("id").cast("string")).alias("s")
+    )
+    h = F.md5("s")
+    legacy = F.conv(
+        F.concat(*[F.substring(h, i, 2) for i in (13, 11, 9, 7, 5, 3, 1)]),
+        16,
+        10,
+    ).cast("long")
+    diff = df.select(
+        legacy.alias("o"), md5_int56("s").alias("n")
+    ).where("o IS DISTINCT FROM n")
+    assert diff.count() == 0
+
+
 # ---------------------------------------------------------------------------
 # Misra-Gries two-pass exact heavy hitters
 # ---------------------------------------------------------------------------
