@@ -793,6 +793,15 @@ def _bm25_postings(
     it back — one extra exchange + aggregate + broadcast build per
     query; with the column materialized those disappear from the
     scoring plan entirely.
+
+    KEEP the window form: an A/B'd r13 variant derived ``_dl`` as
+    ``size(tokens)`` folded into the (id, term) aggregate, saving the
+    window exchange in the build (~0.1 s at sf0.1) — but the window's
+    doc-key SORT is load-bearing downstream: scoring over the sorted
+    checkpoint is ~0.45 s faster per run than over hash-agg row order
+    (in-process interleaved A/B, 6 runs each; doc-clustered candidate
+    rows keep the per-(query, doc) partial aggregate's hash table
+    local).  Sorted-fold ties the window build; unsorted-fold loses.
     """
     postings = (
         docs.select(
@@ -899,6 +908,13 @@ def _bm25_from_postings(
         if has_dl
         else postings.groupBy(id_col).agg(F.sum("_tf").alias("_dl"))
     )
+    # df stays a full-vocab aggregate over the checkpoint: restricting
+    # it to query terms first (broadcast semi probe) was A/B'd in r13
+    # and REJECTED — the extra serial broadcast wave cost +0.4-0.5 s
+    # per search locally while the shuffle saving is map-side-bounded
+    # anyway (partial aggregation caps the df exchange at distinct
+    # terms per partition); the pruned dial below remains the
+    # registered hot-vocabulary scale path.
     df_t = postings.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
     qterms = queries.select(
         F.col(query_id_col),
