@@ -529,6 +529,27 @@ def hamming_pairs(
 # Exact n-gram Jaccard similarity join (prefix filtering)
 # ---------------------------------------------------------------------------
 
+def _prefix_key_col(s):
+    """Canonical 128-bit prefix-filter key for one shingle: a pair of
+    independent xxhash64 values as a struct — lexicographically total-
+    ordered and collision-free in practice (the SAME 128-bit
+    no-collision assumption the previous 32-char md5-hex key made; a
+    collision on the full pair would be needed to break order
+    totality, and a collision on h1 alone only ADDS candidates, never
+    hides one, because truth pairs share the exact shingle and hence
+    the exact key).  16 fixed bytes instead of a 32-char string, so
+    every prefix-filter exchange, sort, aggregate and self-join runs
+    on narrow fixed-width keys (optimization r13, guide §2.3) — and
+    two xxhash64 calls are cheaper than one md5-to-hex.  Output
+    invariance: the prefix-filter theorem holds for ANY global total
+    order, so changing the canonical order changes candidate volume
+    only; the exact verify step fixes the same final rows (the DuckDB
+    oracle generates candidates under its own md5 order and matches)."""
+    return F.struct(
+        F.xxhash64(s).alias("h1"), F.xxhash64(s, F.lit(1)).alias("h2")
+    )
+
+
 def _prefix_keys(docs, id_col, keys, prefix_len, prefix_order, alias):
     """Shared prefix-key generator for the PPJoin-family exact joins
     (:func:`ngram_jaccard_pairs`, :func:`containment_pairs`): each
@@ -540,13 +561,19 @@ def _prefix_keys(docs, id_col, keys, prefix_len, prefix_order, alias):
     boilerplate) sort last and never enter a prefix, so candidate
     volume tracks the rare tail instead of Ω(hot_df²) (the hot-prefix
     pathology, bench_scale ``containment_hot_prefix``).  ``"digest"``
-    slices the md5-sorted array directly — zero pre-join shuffles.
+    slices the key-sorted array directly — zero pre-join shuffles.
     Both are lossless: the prefix-filter theorem holds for ANY global
-    total order."""
+    total order.
+
+    Rows also carry ``_sz`` — the doc's shingle-set size — so callers
+    can apply the lossless PPJoin LENGTH filter inside the candidate
+    join (optimization r13): a narrow long per row, far cheaper than
+    the candidate fan-out it prunes."""
     if prefix_order == "df":
         ex = docs.select(
             F.col(id_col).alias(alias),
             prefix_len.alias("_plen"),
+            F.size("sh").cast("long").alias("_sz"),
             F.explode(keys).alias("pkey"),
         )
         df_tab = ex.groupBy("pkey").agg(F.count(F.lit(1)).alias("_df"))
@@ -557,13 +584,14 @@ def _prefix_keys(docs, id_col, keys, prefix_len, prefix_order, alias):
             ex.join(df_tab, "pkey")
             .withColumn("_rk", F.row_number().over(rk_w))
             .where(F.col("_rk") <= F.col("_plen"))
-            .select(alias, "pkey")
+            .select(alias, "pkey", "_sz")
         )
     if prefix_order == "digest":
         return docs.select(
             F.col(id_col).alias(alias),
+            F.size("sh").cast("long").alias("_sz"),
             F.explode(F.slice(keys, F.lit(1), prefix_len)).alias("pkey"),
-        )
+        ).select(alias, "pkey", "_sz")
     raise ValueError(f"prefix_order must be 'df' or 'digest', got {prefix_order!r}")
 
 
@@ -585,14 +613,17 @@ def ngram_jaccard_pairs(
     equi-joining on prefix shingle-hashes generates a candidate superset
     — then the exact Jaccard filter keeps truth only.  The theorem
     holds for ANY global total order, so ``prefix_order`` (see
-    :func:`_prefix_keys` — ascending-df by default since r11, md5
-    digest order as the zero-extra-shuffle dial) changes candidate
+    :func:`_prefix_keys` — ascending-df by default since r11, plain
+    key order as the zero-extra-shuffle dial) changes candidate
     volume, never output.
 
-    Scale shape: shuffle keys are 32-char md5 prefixes (md5 rather than
-    xxhash64 so the canonical order is oracle-reproducible in DuckDB);
-    candidate volume is O(matching prefixes), not O(n²), and shrinks as
-    the threshold rises.  Returns (id_a, id_b, jaccard), id_a < id_b.
+    Scale shape: shuffle keys are 16-byte (h1, h2) xxhash64 pairs
+    (:func:`_prefix_key_col`; the order needn't be oracle-reproducible
+    because the output is order-invariant — the oracle generates its
+    candidate superset under its own md5 order and the exact verify
+    fixes the same rows); candidate volume is O(matching prefixes),
+    not O(n²), and shrinks as the threshold rises.  Returns
+    (id_a, id_b, jaccard), id_a < id_b.
     """
     docs = spread(df.select(id_col, text_col), id_col).select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
@@ -612,7 +643,7 @@ def ngram_jaccard_pairs(
     bp = max(int(threshold * 10000) - 1, 0)
     alpha = F.floor((F.lit(bp) * sz + F.lit(9999)) / F.lit(10000.0))
     prefix_len = (sz - alpha + 1).cast("int")
-    keys = F.array_sort(F.transform("sh", lambda s: F.md5(s)))
+    keys = F.array_sort(F.transform("sh", _prefix_key_col))
     pref = _prefix_keys(docs, id_col, keys, prefix_len, prefix_order, "_pid")
 
     cand = (
@@ -622,6 +653,14 @@ def ngram_jaccard_pairs(
             on=[
                 F.col("a.pkey") == F.col("b.pkey"),
                 F.col("a._pid") < F.col("b._pid"),
+                # PPJoin LENGTH filter (lossless, optimization r13):
+                # j <= min(|A|,|B|)/max(|A|,|B|), so a pair can only
+                # reach round(j,4) >= t when min*1e4 >= bp*max — prune
+                # it inside the join, before the candidate dedup and
+                # the shingle-array verify fan-out (sf0.1: 409k -> far
+                # fewer verified pairs for the same output).
+                F.col("a._sz") * 10000 >= F.lit(bp) * F.col("b._sz"),
+                F.col("b._sz") * 10000 >= F.lit(bp) * F.col("a._sz"),
             ],
         )
         .select(
@@ -688,13 +727,13 @@ def containment_pairs(
       extra (digest, df) aggregate + a per-doc rank window — linear,
       and the candidate savings dominate at any corpus with shared
       boilerplate.
-    * ``"digest"`` — plain md5 order, zero pre-join shuffles: the
+    * ``"digest"`` — plain key order, zero pre-join shuffles: the
       cheap dial for corpora known to have no hot shingles (e.g.
       disjoint-vocabulary synthetics).
 
     Scale shape: the probe side explodes only prefixes (shrinks as t
     rises); the index side is the standard full inverted index — both
-    shuffle 32-char digests, never text; candidate volume is
+    shuffle 16-byte keys, never text; candidate volume is
     O(matching prefix keys), not O(n²).  Returns
     (id_a, id_b, containment) with id_a ≠ id_b, both directions
     reported independently.
@@ -706,14 +745,20 @@ def containment_pairs(
     bp = max(int(threshold * 10000) - 1, 0)
     alpha = F.floor((F.lit(bp) * sz + F.lit(9999)) / F.lit(10000.0))
     prefix_len = (sz - alpha + 1).cast("int")
-    keys = F.array_sort(F.transform("sh", lambda s: F.md5(s)))
+    keys = F.array_sort(F.transform("sh", _prefix_key_col))
     full = docs.select(
-        F.col(id_col).alias("id_b"), F.explode(keys).alias("pkey")
+        F.col(id_col).alias("id_b"),
+        F.size("sh").cast("long").alias("_szb"),
+        F.explode(keys).alias("pkey"),
     )
     pref = _prefix_keys(docs, id_col, keys, prefix_len, prefix_order, "id_a")
     cand = (
         pref.join(full, ["pkey"])
         .where(F.col("id_a") != F.col("id_b"))
+        # asymmetric LENGTH filter (lossless, optimization r13):
+        # c(a→b) <= |B|/|A|, so round(c,4) >= t is only reachable when
+        # |B|*1e4 >= bp*|A| — prune before the dedup + verify fan-out.
+        .where(F.col("_szb") * 10000 >= F.lit(bp) * F.col("_sz"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -1600,7 +1645,8 @@ def _exact_pair_sizes(
     threshold boundary, reproducible bit-for-bit in any engine).
 
     Same PPJoin prefix-filter shape as :func:`ngram_jaccard_pairs`
-    (md5 canonical order, candidates O(matching prefixes)); kept
+    (xxhash64-pair canonical order, candidates O(matching prefixes));
+    kept
     separate because the audit operators below need the raw
     intersection/union counts, not the rounded ratio.
     """
@@ -1617,9 +1663,10 @@ def _exact_pair_sizes(
     prefix_len = (sz - alpha + 1).cast("int")
     pref = docs.select(
         id_col,
+        F.size("sh").cast("long").alias("_sz"),
         F.explode(
             F.slice(
-                F.array_sort(F.transform("sh", lambda s: F.md5(s))),
+                F.array_sort(F.transform("sh", _prefix_key_col)),
                 F.lit(1),
                 prefix_len,
             )
@@ -1632,6 +1679,10 @@ def _exact_pair_sizes(
             on=[
                 F.col("a.pkey") == F.col("b.pkey"),
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                # lossless PPJoin length filter — same bound as
+                # ngram_jaccard_pairs, in base_bp integer form
+                F.col("a._sz") * 10000 >= F.lit(base_bp) * F.col("b._sz"),
+                F.col("b._sz") * 10000 >= F.lit(base_bp) * F.col("a._sz"),
             ],
         )
         .select(
