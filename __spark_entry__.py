@@ -5095,8 +5095,16 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes.  49 bits (12-bit chunks) rather than 36 (9-bit): block-join
     candidates scale as blocks·n²/2^(bits/blocks) — the 36-bit form
     measured 3.1× wall on the 10× bench corpus, 49-bit stays
-    collision-sparse (the audio_near_dup sizing rule)."""
-    d = _t(spark, sf_dir, "documents")
+    collision-sparse (the audio_near_dup sizing rule).
+
+    spread() before the synth (optimization r14, guide §2.5): the ten
+    md5-per-doc payload synth and the downstream decode kernel hang off
+    a single-split local scan — one partition, one core — and the
+    union pastes the md5 subtree per branch; a narrow (id, text)
+    repartition before it unlocks the pool (no-op on cluster scans)."""
+    d = spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     hs = F.substring(
         F.concat(
             *[

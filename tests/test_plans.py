@@ -359,7 +359,9 @@ def test_r07_suffix_queries_stay_within_shuffle_budget(spark, sf_dir):
     rep table (2).  No single-partition exchange may ever appear (the
     scalability invariant of the two-phase dense rank)."""
     for name, budget in {
-        "exact_substring_spans": 2,
+        # r14: +1 for the spread() repartition before the L-gram fold
+        # (narrow id+text rows; no-op on multi-split cluster scans)
+        "exact_substring_spans": 3,
         "longest_repeated_substrings": 2,
         # side-tag join broadcasts at the fixture SF (4 at sf0.1 where
         # the sides shuffle); the spans machinery itself is identical
@@ -759,10 +761,16 @@ def test_bm25_queries_stay_within_shuffle_budget(spark, sf_dir):
     carries the document length as a column, so the per-run dl
     aggregate AND the id-keyed dl join of the candidate set are gone —
     at scale that join shuffled candidate volume by doc id.  Text
-    never shuffles: the candidate join carries (id, term, tf, dl)."""
+    never shuffles: the candidate join carries (id, term, tf, dl).
+    r14: 4 -> 2 — query-term DISTINCT became a doc-local
+    array_distinct (the workload is one row per query, so the global
+    distinct's exchange deduped within single rows), and the
+    per-(query, doc) score aggregate + per-query top-k window now
+    share ONE query-keyed repartition exchange (guide §2.4) instead
+    of a (query, doc) exchange followed by a query exchange."""
     for name in ("bm25_search", "bm25_search_pruned"):
         plan = _plan(spark, sf_dir, name)
-        assert plan.count("Exchange hashpartitioning") == 4, name
+        assert plan.count("Exchange hashpartitioning") == 2, name
         assert "Exchange SinglePartition" not in plan, name
         assert "SortMergeJoin" not in plan, name
 
@@ -771,10 +779,11 @@ def test_hybrid_rrf_stays_within_shuffle_budget(spark, sf_dir):
     """RRF fusion (r7, pinned r8; re-pinned r13 when BM25 dropped its
     stats join and dl join): BM25@20's four exchanges plus the dense
     ranking and the fusion's (query, doc) aggregate + per-query window
-    — 6 hash exchanges total; fusion inputs are per-query top-k
-    tables, so nothing corpus-sized reaches the fuse."""
+    — 6 hash exchanges total (4 since r14: BM25@20 dropped its qterms
+    distinct and merged its score/top-k exchanges); fusion inputs are
+    per-query top-k tables, so nothing corpus-sized reaches the fuse."""
     plan = _plan(spark, sf_dir, "hybrid_retrieval_rrf")
-    assert plan.count("Exchange hashpartitioning") == 6
+    assert plan.count("Exchange hashpartitioning") == 4
     assert plan.count("Exchange SinglePartition") <= 1
     assert "SortMergeJoin" not in plan
 
@@ -915,13 +924,19 @@ def test_registry_plan_invariants_hold_everywhere(spark, sf_dir):
 
 
 def test_quality_signals_is_single_scan_zero_exchange(spark, sf_dir):
-    """quality_signals (r10): the fused Dolma-style attribute vector
-    must stay ONE scan with NO exchange — every signal is doc-local;
-    a shuffle or second scan here means the fusion regressed to the
-    multi-pass shape it exists to replace."""
+    """quality_signals (r10; re-pinned r14): the fused Dolma-style
+    attribute vector must stay ONE scan — every signal is doc-local;
+    a second scan, a join, or an aggregate exchange here means the
+    fusion regressed to the multi-pass shape it exists to replace.
+    Since r14 the one allowed exchange is the spread() repartition
+    BEFORE the heavy per-row map (narrow id+text rows; a no-op on
+    multi-split cluster scans) — the signals themselves still never
+    shuffle."""
     plan = _plan(spark, sf_dir, "quality_signals")
     assert plan.count("Scan parquet") == 1, plan
-    assert "Exchange" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+    assert "Join" not in plan, plan
+    assert "Aggregate" not in plan, plan
 
 
 def test_pq_family_exchanges_never_carry_vectors(spark, sf_dir):

@@ -1439,9 +1439,19 @@ def quality_signals(
     `pii_count` expression functions), so a signal read from this
     table always agrees with the dedicated report.
     """
+    from .util import spread
+
     c = F.col(text_col)
+    # spread() before the fused signal map (optimization r14, guide
+    # §2.5): this is the single heaviest per-row expression pipeline in
+    # the engine (tokenize + 10+ regex scans + HOF folds per document),
+    # and a single-file parquet scan is ONE partition locally — the
+    # whole pass ran on one core.  On a multi-split cluster scan
+    # spread() is a no-op, so the fused table keeps its "scan's own
+    # parallelism" contract; locally it is one narrow (id, text)
+    # exchange BEFORE the heavy map, never after it.
     return _gopher_derived(
-        docs,
+        spread(docs.select(id_col, text_col), id_col),
         text_col,
         id_col,
         extra=(

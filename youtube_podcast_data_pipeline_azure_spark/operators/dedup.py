@@ -625,14 +625,26 @@ def ngram_jaccard_pairs(
     not O(n²), and shrinks as the threshold rises.  Returns
     (id_a, id_b, jaccard), id_a < id_b.
     """
-    docs = spread(df.select(id_col, text_col), id_col).select(
-        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+    # Eager checkpoint of the (id, shingles) table (optimization r14,
+    # guide §3.3 "materialise an intermediate so consumers don't
+    # recompute the expensive upstream"): the shingle pipeline
+    # (tokenize + zip_with 3-gram fold + array_distinct) feeds FIVE
+    # consumers — both prefix-gen sides, the digest-df aggregate, and
+    # both verify sides.  Only the spread() EXCHANGE was reused across
+    # them; everything downstream of it (the shingling itself, the
+    # dominant per-row cost) re-ran per consumer — 14 parquet scans /
+    # 5 shingle evaluations in one r13 plan.  The materialized state is
+    # O(corpus tokens) shingle strings — the same footprint class as
+    # the accepted BM25 postings checkpoint (term strings per
+    # occurrence), released when the query's lineage is GC'd, unlike a
+    # session-lifetime persist().
+    docs = (
+        spread(df.select(id_col, text_col), id_col)
+        .select(
+            F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+        )
+        .localCheckpoint(eager=True)
     )
-    # No persist() — same reasoning as minhash_lsh_pairs above: all
-    # three consumers (prefix gen + both verify sides) share ONE final
-    # plan, so the spread() exchange is reused; a persist here cached
-    # full shingle arrays for the session lifetime (never unpersisted)
-    # and would spill cluster-wide at 100 TB.
 
     sz = F.size("sh")
     # Integer prefix bound (no float ceil — see _exact_pair_sizes).

@@ -422,6 +422,7 @@ def _hashed_grams(
     """
     from ..functions.text import positional_ngrams, tokenize
     from .sketches import md5_int56
+    from .util import spread
 
     toks = tokenize(F.col(text_col))
     # explicit feature map: unigrams for >= 1 token, bigrams for >= 2
@@ -431,7 +432,13 @@ def _hashed_grams(
         F.size(toks) >= 2, positional_ngrams(toks, 2)
     ).otherwise(F.array().cast("array<string>"))
     grams = F.concat(toks, bigrams)
-    exploded = docs.select(
+    # spread() before the gram explode+hash (optimization r14, guide
+    # §2.5 input skew): a single-file parquet scan is ONE partition
+    # locally, so the md5-per-gram-occurrence pipeline — the dominant
+    # DSIR cost on the oracle seam — ran on one core.  On a multi-split
+    # cluster scan spread() is a no-op; here it is a narrow (id, text)
+    # shuffle that unlocks the executor pool.
+    exploded = spread(docs.select(id_col, text_col), id_col).select(
         F.col(id_col), F.explode(grams).alias("_gram")
     )
     if hasher == "md5":

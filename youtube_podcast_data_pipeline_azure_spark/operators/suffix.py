@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from ..functions.text import positional_ngrams, tokenize
+from .util import spread
 
 __all__ = [
     "contamination_spans",
@@ -297,7 +298,13 @@ def exact_substring_spans(
     (:func:`exact_substring_spans_from_index`, :func:`doc_suffix_ranks`
     consumers), where the prefix-doubled ranks are the point.
     """
-    toks = docs.select(F.col(id_col), tokenize(F.col(text_col)).alias("_tk"))
+    # spread() before the L-gram fold (optimization r14, guide §2.5):
+    # the zip_with gram construction is the dominant per-row cost and a
+    # single-file local scan is ONE partition — one core.  No-op on
+    # multi-split cluster scans; locally one narrow (id, text) exchange.
+    toks = spread(docs.select(id_col, text_col), id_col).select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_tk")
+    )
     grams = toks.select(
         F.col(id_col),
         F.size("_tk").alias("_n"),

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from youtube_podcast_data_pipeline_azure_spark.functions.text import tokenize
+from youtube_podcast_data_pipeline_azure_spark.operators.util import spread
 
 
 def distinctive_terms(
@@ -803,8 +804,13 @@ def _bm25_postings(
     rows keep the per-(query, doc) partial aggregate's hash table
     local).  Sorted-fold ties the window build; unsorted-fold loses.
     """
+    # spread() before the token explode (optimization r14, guide §2.5):
+    # a single-file parquet scan is ONE partition locally, so the
+    # tokenize+explode+partial-aggregate feeding the build exchange ran
+    # on one core.  No-op on a multi-split cluster scan.
     postings = (
-        docs.select(
+        spread(docs.select(id_col, text_col), id_col)
+        .select(
             F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("_t")
         )
         .groupBy(id_col, "_t")
@@ -916,10 +922,19 @@ def _bm25_from_postings(
     # terms per partition); the pruned dial below remains the
     # registered hot-vocabulary scale path.
     df_t = postings.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    # DISTINCT query terms via a doc-local array_distinct before the
+    # explode (optimization r14, guide §2.4): the workload contract is
+    # one text row per query_id, so per-array dedup equals the global
+    # (query_id, term) DISTINCT — without the distinct's partial/final
+    # aggregate pair and its exchange (one full AQE stage round less
+    # per search; the old shape shuffled the exploded terms only to
+    # dedup within what was already a single row's array).
     qterms = queries.select(
         F.col(query_id_col),
-        F.explode(tokenize(F.col(text_col))).alias("_t"),
-    ).distinct()
+        F.explode(
+            F.array_distinct(tokenize(F.col(text_col)))
+        ).alias("_t"),
+    )
     if scalars is None:
         # scalar probe over the already-materialized postings
         # checkpoint — no extra corpus scan (see the prune note below).
@@ -980,8 +995,20 @@ def _bm25_from_postings(
         .cast("long")
         .alias("_c_micro"),
     )
-    scores = contrib.groupBy(query_id_col, id_col).agg(
-        F.sum("_c_micro").cast("long").alias("score_micro")
+    # ONE candidate exchange for both the per-(query, doc) sum and the
+    # per-query top-k window (optimization r14, guide §2.4 "two
+    # operations keyed the same way share one exchange"): repartition
+    # by query_id, which satisfies the groupBy's (query, doc)
+    # clustering AND the window's query clustering — the old shape
+    # paid a (query, doc) hash exchange for the aggregate and then a
+    # second query-keyed exchange for the window.  The single exchange
+    # still carries only Ω(candidates) narrow (query, doc, int) rows;
+    # per-reducer volume is per-query candidate volume, the same bound
+    # the top-k window already imposed.
+    scores = (
+        contrib.repartition(query_id_col)
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("_c_micro").cast("long").alias("score_micro"))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score_micro").desc(), F.col(id_col).asc()

@@ -15,6 +15,11 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     an id-hash repartition is a cheap narrow-data shuffle that unlocks
     the whole executor pool.
     """
+    if df.isStreaming:
+        # a stream's parallelism comes from its source partitions and
+        # ``.rdd`` is undefined on streaming plans — no-op (r14, when
+        # spread() reached operators shared with streaming twins)
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= max(2, target // 2):
         return df
