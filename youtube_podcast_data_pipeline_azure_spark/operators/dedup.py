@@ -227,21 +227,30 @@ def minhash_lsh_pairs(
             f"bands {bands} must divide num_hashes {num_hashes}"
         )
 
-    docs = spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
-        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+    # Eager checkpoints (optimization r14, guide §3.3 — the
+    # hamming_pairs/ngram_jaccard_pairs pattern): the (id, shingles)
+    # projection feeds three consumers (banding + both verify sides)
+    # and the banded keys feed both self-join legs.  Only the spread()
+    # EXCHANGE was reused across them — the shingle pipeline re-ran
+    # per consumer and the 96-lane signature fold (the heaviest
+    # interpreted HOF in the engine) re-ran once per self-join side.
+    # Materialized state: shingle strings are O(corpus tokens) (the
+    # BM25-postings footprint class); band keys are an id + two longs
+    # per band — both released with the query's lineage, unlike a
+    # session-lifetime persist().
+    docs = (
+        spread(df.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(
+            F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+        )
+        .localCheckpoint(eager=True)
     )
-    # The (id, shingles) projection is consumed three times (banding +
-    # both sides of the exact verify).  No persist(): at 100 TB caching
-    # full shingle arrays would spill cluster-wide, and all three
-    # consumers sit in ONE final plan, so the spread() shuffle is
-    # computed once and reused (ReusedExchange with AQE off; AQE's
-    # stage cache otherwise — verified: 4 of 10 stages skipped, one
-    # scan).  Only the cheap shingle projection above the exchange is
-    # re-evaluated per consumer.
 
     # Band keys only — the heavy shingle arrays must NOT ride through the
     # band explode + self-join shuffle (ids and two longs do).
-    banded = minhash_band_keys(docs, id_col, num_hashes, bands)
+    banded = minhash_band_keys(docs, id_col, num_hashes, bands).localCheckpoint(
+        eager=True
+    )
 
     cand = (
         banded.alias("a")
@@ -625,26 +634,21 @@ def ngram_jaccard_pairs(
     not O(n²), and shrinks as the threshold rises.  Returns
     (id_a, id_b, jaccard), id_a < id_b.
     """
-    # Eager checkpoint of the (id, shingles) table (optimization r14,
-    # guide §3.3 "materialise an intermediate so consumers don't
-    # recompute the expensive upstream"): the shingle pipeline
-    # (tokenize + zip_with 3-gram fold + array_distinct) feeds FIVE
-    # consumers — both prefix-gen sides, the digest-df aggregate, and
-    # both verify sides.  Only the spread() EXCHANGE was reused across
-    # them; everything downstream of it (the shingling itself, the
-    # dominant per-row cost) re-ran per consumer — 14 parquet scans /
-    # 5 shingle evaluations in one r13 plan.  The materialized state is
-    # O(corpus tokens) shingle strings — the same footprint class as
-    # the accepted BM25 postings checkpoint (term strings per
-    # occurrence), released when the query's lineage is GC'd, unlike a
-    # session-lifetime persist().
-    docs = (
-        spread(df.select(id_col, text_col), id_col)
-        .select(
-            F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
-        )
-        .localCheckpoint(eager=True)
+    docs = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
     )
+    # No persist()/checkpoint — same reasoning as minhash_lsh_pairs:
+    # all consumers (prefix gen + both verify sides) share ONE final
+    # plan, so the spread() exchange is reused and AQE's stage cache
+    # dedupes the repeated subtrees at runtime; a persist here cached
+    # full shingle arrays for the session lifetime (never unpersisted)
+    # and would spill cluster-wide at 100 TB.  Re-measured in r14
+    # (tools/ab_ngram_r14.py, 5-run medians at sf0.1): no-checkpoint
+    # 2.23 s vs (id, sh)-checkpoint 3.41 s vs prefix-table checkpoint
+    # 6.48 s — materializing either intermediate LOSES because the
+    # checkpoint forces a full write of the arrays while the AQE stage
+    # cache was already skipping the "recomputed" subtrees, and the
+    # checkpointed LogicalRDD hides size stats from the join planner.
 
     sz = F.size("sh")
     # Integer prefix bound (no float ceil — see _exact_pair_sizes).
