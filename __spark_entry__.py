@@ -5097,14 +5097,13 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 3.1× wall on the 10× bench corpus, 49-bit stays
     collision-sparse (the audio_near_dup sizing rule).
 
-    spread() before the synth (optimization r14, guide §2.5): the ten
-    md5-per-doc payload synth and the downstream decode kernel hang off
-    a single-split local scan — one partition, one core — and the
-    union pastes the md5 subtree per branch; a narrow (id, text)
-    repartition before it unlocks the pool (no-op on cluster scans)."""
-    d = spread(
-        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
-    )
+    NO spread() here (optimization r14, measured): fanning the tiny
+    asset table across 32 partitions made the mapInPandas kernel pass
+    SLOWER (1.36 s vs 0.89 s — 32 Python worker streams + per-partition
+    Arrow setup dominate 1.5k rows), unlike the pure-JVM expression
+    pipelines where spread() wins; at scale media scans are multi-split
+    already and the kernel parallelism comes from the source."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     hs = F.substring(
         F.concat(
             *[

@@ -495,19 +495,24 @@ def dsir_importance_weights(
     tgt_grams = _hashed_grams(target, text_col, id_col, n_buckets, hasher)
     q = raw_grams.groupBy("_b").agg(F.count("*").alias("_q"))
     p = tgt_grams.groupBy("_b").agg(F.count("*").alias("_p"))
-    # gram totals come from the ALREADY-AGGREGATED bucket tables via
-    # single-partition windows — those tables are <= n_buckets rows by
-    # construction, so the single partition is bounded, and no extra
-    # corpus scan (or eager driver collect) happens for the scalars
+    # Gram totals: ONE full-outer bucket join + a single bounded
+    # single-partition window stage computes both totals (optimization
+    # r14) — the previous shape paid THREE sequential single-partition
+    # window stages (q total, p total, then the post-join max rescue
+    # for target mass in buckets the raw corpus lacks).  sum(_q)/
+    # sum(_p) over the full join see exactly the q/p tables' rows
+    # (nulls ignored), so both totals are the same int64s and every
+    # downstream double is bit-identical.  (An r14 A/B also folded the
+    # collected ratio vector in as a plan-literal array to drop the
+    # scoring broadcast-join — REJECTED: 2.47 s vs 1.72 s fresh at
+    # sf0.1; the 2048-long literal costs more in codegen/plan handling
+    # per construct than the broadcast build it replaced.)
     w_all = Window.partitionBy()
-    q = q.withColumn("_n_raw", F.sum("_q").over(w_all))
-    p = p.withColumn("_n_tgt", F.sum("_p").over(w_all))
-    # buckets absent from the raw corpus can never be probed by a raw
-    # document, so the q-keyed left join covers the scoring domain; the
-    # target total must still reach rows whose bucket the target lacks
-    # (their _n_tgt is null after the join) — one more bounded window
-    joined = q.join(p, "_b", "left").withColumn(
-        "_t_all", F.coalesce(F.max("_n_tgt").over(w_all), F.lit(0))
+    joined = (
+        q.join(p, "_b", "full")
+        .withColumn("_n_raw", F.sum("_q").over(w_all))
+        .withColumn("_t_all", F.coalesce(F.sum("_p").over(w_all), F.lit(0)))
+        .where(F.col("_q").isNotNull())
     )
     ratio = joined.select(
         "_b",
