@@ -908,18 +908,42 @@ def test_registry_plan_invariants_hold_everywhere(spark, sf_dir):
     single-task-meltdown guard: Spark funnels an unpartitioned window
     into ONE task, fine over an n_buckets-row aggregate, fatal over a
     corpus scan."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from tools.plan_invariants import (
         result_schema_hazards,
         unbounded_global_windows,
     )
 
-    bad: list[str] = []
-    for name, fn in entry.queries().items():
+    def check(item):
+        name, fn = item
+        out = []
         df = fn(spark, sf_dir)
         for col in result_schema_hazards(df):
-            bad.append(f"{name}: array/map result column {col}")
+            out.append(f"{name}: array/map result column {col}")
         for v in unbounded_global_windows(df):
-            bad.append(f"{name}: {v}")
+            out.append(f"{name}: {v}")
+        return out
+
+    # constructs are independent (some run eager bounded jobs — guide
+    # §2.6: overlap them); 6 threads cut the sweep ~4x with identical
+    # coverage, and failures aggregate deterministically via sorted().
+    # Python-data-source queries register a session-level source name
+    # at construct, which races under threads — anything that throws in
+    # the pool is retried serially, so a genuine failure still fails.
+    def safe_check(item):
+        try:
+            return check(item), None
+        except Exception:  # noqa: BLE001 — retried serially below
+            return None, item
+
+    items = list(entry.queries().items())
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        results = list(pool.map(safe_check, items))
+    msgs = [m for msgs, _ in results if msgs for m in msgs]
+    for item in (it for _, it in results if it is not None):
+        msgs.extend(check(item))
+    bad = sorted(msgs)
     assert not bad, "\n".join(bad)
 
 
