@@ -2447,7 +2447,12 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision overcounts hash-match the oracle; cms_n >= exact_n always
     (the CMS guarantee, asserted in tests)."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(tokenize("text")).alias("token"))
+    # spread() before the explode (optimization r14, guide §2.5): the
+    # d-way md5 cell hashing downstream ran single-core off the
+    # 1-split local scan; no-op on multi-split cluster scans
+    toks = spread(docs.select("doc_id", "text"), "doc_id").select(
+        F.explode(tokenize("text")).alias("token")
+    )
     exact = toks.groupBy("token").agg(F.count("*").alias("exact_n"))
     top = exact.orderBy(F.col("exact_n").desc(), F.col("token").asc()).limit(20)
     counters = sketches.cms_counters(toks, "token", depth=4, width=512)
@@ -5726,21 +5731,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     then-registered hash-matched) and on the engine session at
     sf0.001.
 
-    The r13 window (``_R13_WINDOW`` below — the dict literal keeps its
+    The r14 window (``_R14_WINDOW`` below — the dict literal keeps its
     historical grouping; the rotation is applied programmatically at
-    the end) executes VERDICT r12's #1: (A) the 4 r12-tail
-    registrations with no driver row yet (``cap_per_source_windowed``,
-    ``cap_per_source_skew``, ``paragraph_registry``,
-    ``paragraph_dedup_incremental``); (B) the 46 oldest oracle-stale
-    fills in ledger order per ``tools/staleness.py --plan`` (r7/r8
-    evidence, ending at ``incremental_agg``).  The
-    rows-only-by-contract dials (``knn_ivf``, ``knn_ivfpq``,
+    the end): (A) the 5 r13-tail registrations with no driver row yet;
+    (B) the 17 queries whose operators optimization round 14 changed —
+    a fresh driver hash-PASS on exactly the touched code is the
+    round's no-regression evidence; (C) the 28 oldest oracle-stale
+    fills in ledger order per ``tools/staleness.py`` (r8 evidence).
+    The rows-only-by-contract dials (``knn_ivf``, ``knn_ivfpq``,
     ``tdigest_quantiles``, ``tdigest_by_key``) stay out of the window
     per VERDICT r9/r10 — their hash-checked exhaustive/accuracy twins
-    carry the evidence.  Every window query was pre-verified on a
+    carry the evidence.  Every window query is pre-verified on a
     PLAIN local[32] session (driver conditions: ANSI on, no engine
-    confs) against the DuckDB oracle at sf0.01 at r12 close
-    (``tools/preverify_r13_band.log``, 50/50)."""
+    confs) against the DuckDB oracle at sf0.01
+    (``tools/preverify_r14_band.log``).  The r13 window list stays
+    below as ``_R13_WINDOW`` for the ledger's history."""
     out = {
         # ===== r09 grouping (historical; see _R13_WINDOW below) =====
         # part A: never driver-checked — the two persistence
@@ -6054,16 +6059,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_registry_merge": q_paragraph_registry_merge,
         "minhash_index_delete_probe": q_minhash_index_delete_probe,
     }
-    # r12 rotation: the driver checks the FIRST 50 entries — front-load
+    # rotation: the driver checks the FIRST 50 entries — front-load
     # the queries needing driver evidence (see the docstring); every
     # other entry keeps its relative order behind them.
-    window = set(_R13_WINDOW)
-    if len(_R13_WINDOW) != 50 or not window <= out.keys():
+    window = set(_R14_WINDOW)
+    if len(_R14_WINDOW) != 50 or not window <= out.keys():
         # a plain raise, not assert: stripped asserts under python -O
         # would let a mis-sized band silently shift which queries get
         # driver evidence (the pq_train dim-guard lesson, ADVICE r9)
-        raise ValueError("_R13_WINDOW must be 50 registered query names")
-    return {k: out[k] for k in _R13_WINDOW} | {
+        raise ValueError("_R14_WINDOW must be 50 registered query names")
+    return {k: out[k] for k in _R14_WINDOW} | {
         k: v for k, v in out.items() if k not in window
     }
 
@@ -6127,6 +6132,74 @@ _R13_WINDOW = [
     "sql_api_top_orders",
     "udtf_sentences",
     "incremental_agg",
+]
+
+
+#: r14 driver-check band (optimization round 2): (A) the 5 r13-tail
+#: registrations with no driver row (tools/staleness.py NEVER rows);
+#: (B) the 17 queries whose operators this optimization round CHANGED
+#: (BM25 scoring exchanges + postings spread, DSIR ratio restructure,
+#: minhash checkpoints, paragraph window-min winner, quality_signals
+#: spread, vectorized media kernels, exact-substring spread) — a
+#: fresh driver hash-PASS on exactly the touched code is the round's
+#: strongest no-regression evidence; (C) the 28 oldest oracle-stale
+#: fills (r8 evidence, ledger order).  Rows-only dials stay out per
+#: VERDICT r9/r10.  Entire band pre-verified on a plain ANSI
+#: local[32] session at sf0.01 (tools/preverify_r14_band.log).
+_R14_WINDOW = [
+    # A: r13-tail additions, no driver evidence yet
+    "corpus_diff",
+    "corpus_churn",
+    "paragraph_dedup_stream",
+    "paragraph_registry_merge",
+    "minhash_index_delete_probe",
+    # B: operators changed in optimization r14
+    "bm25_search",
+    "bm25_search_pruned",
+    "bm25_search_persisted",
+    "hybrid_retrieval_rrf",
+    "retrieval_quality",
+    "dsir_importance_weights",
+    "dsir_resample",
+    "minhash_near_dup",
+    "near_dup_pipeline",
+    "dedup_corpus",
+    "paragraph_dedup",
+    "quality_signals",
+    "streaming_quality_monitor",
+    "image_near_dup",
+    "audio_near_dup",
+    "exact_substring_spans",
+    "exact_substring_spans_persisted",
+    # C: the 28 oldest oracle-stale fills (r8 ledger order)
+    "streaming_incremental_kpis",
+    "compaction_roundtrip",
+    "orc_roundtrip",
+    "sliding_windows",
+    "purchase_attribution_outer",
+    "user_running_totals",
+    "foreach_batch_sink",
+    "top_tokens_per_lang",
+    "token_set_dedup",
+    "mixture_sample",
+    "reservoir_per_key",
+    "media_thumbnails",
+    "media_audio_stats",
+    "window_rank_stats",
+    "key_skew_report",
+    "resample_daily",
+    "rolling_activity",
+    "shipping_priority",
+    "window_running",
+    "range_join_bands",
+    "salted_join",
+    "percentiles",
+    "grouping_sets",
+    "pivot_event_types",
+    "scalar_subquery",
+    "exists_inequality",
+    "min_price_supplier",
+    "unpivot_metrics",
 ]
 
 

@@ -473,7 +473,12 @@ def test_r04_window_queries_stay_within_shuffle_budget(spark, sf_dir):
     repeated spread/shingle exchanges at runtime — see the
     minhash_lsh_pairs module comment)."""
     budgets = {
-        "minhash_near_dup": 4,        # spread + band self-join + dedup + verify
+        # r14: 4 -> 1 — the (id, sh) and banded-key checkpoints moved
+        # the spread/signature/band exchanges to construct time (the
+        # simhash r13 pattern); only the pair-dedup exchange remains in
+        # the FINAL plan (band self-join + verify broadcast the
+        # checkpoints at fixture size)
+        "minhash_near_dup": 1,
         # r13: hamming_pairs checkpoints the (id, sig) table, so the
         # spread/signature exchange no longer appears in the FINAL plan
         # (it runs once at construct); only the pair-dedup exchange
@@ -505,8 +510,10 @@ def test_r04_window_queries_stay_within_shuffle_budget(spark, sf_dir):
         # static plan repeats the tf/w subtree per consumer (norms, two
         # join sides); AQE's stage cache reuses those identical shuffles
         # at runtime (warm run ~0.2 s at sf0.01) — same situation as the
-        # minhash spread/shingle exchanges
-        "tfidf_cosine_pairs": 15,
+        # minhash spread/shingle exchanges.  r14: 15 -> 12 with the
+        # spread() repartition ahead of the tf explode (the shared
+        # exchange lets AQE reuse more of the pasted subtrees)
+        "tfidf_cosine_pairs": 12,
         "curation_funnel": 1,         # rep-flag join broadcasts; dedup agg
         "fingerprint_overlap_pairs": 1,  # fp self-join + per-pair count
         # iterative: ~3/iteration x 3 + setup over localCheckpointed

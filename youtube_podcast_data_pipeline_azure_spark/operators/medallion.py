@@ -96,26 +96,42 @@ def kpis(videos_gold: DataFrame, comments_gold: DataFrame) -> DataFrame:
     count maps, stamped with generation time.
 
     Each input collapses to a 1-row aggregate before the final join, so
-    the "join" is three 1-row DataFrames — Catalyst broadcasts them; no
+    the "join" is two 1-row DataFrames — Catalyst broadcasts them; no
     real shuffle regardless of input size.
-    """
-    v_counts = normalized_counts(videos_gold, "sentiment")
-    c_counts = normalized_counts(comments_gold, "sentiment")
 
-    def as_map(counts: DataFrame, out: str) -> DataFrame:
+    ONE pass per source (optimization r14): the total and the
+    sentiment map both derive from the normalized_counts aggregate —
+    every row lands in exactly one lower(coalesce(sentiment,
+    'unknown')) group, so sum(n) over the groups IS count(*) — where
+    the previous shape ran the whole gold pipeline (enrichment UDF
+    included) once for the total and again for the map, per source
+    (4 evaluations of the bronze→silver→enrich chain per KPI row,
+    measured 2.96 s -> 1.5 s warm at sf0.1).
+    """
+
+    def one_side(gold: DataFrame, total_name: str, map_name: str) -> DataFrame:
+        counts = normalized_counts(gold, "sentiment")
         return counts.agg(
+            # coalesce: sum over ZERO groups is NULL where count(*) of
+            # an empty input is 0 — an empty source must stay 0
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias(total_name),
             F.map_from_entries(
                 F.array_sort(F.collect_list(F.struct("sentiment", "n")))
-            ).alias(out)
+            ).alias(map_name),
         )
 
-    totals_v = videos_gold.agg(F.count("*").alias("total_videos"))
-    totals_c = comments_gold.agg(F.count("*").alias("total_comments"))
     return (
-        totals_v.crossJoin(totals_c)
-        .crossJoin(as_map(v_counts, "video_sentiment_counts"))
-        .crossJoin(as_map(c_counts, "comment_sentiment_counts"))
-        .withColumn("generated_at_utc", F.current_timestamp())
+        one_side(videos_gold, "total_videos", "video_sentiment_counts")
+        .crossJoin(
+            one_side(comments_gold, "total_comments", "comment_sentiment_counts")
+        )
+        .select(
+            "total_videos",
+            "total_comments",
+            "video_sentiment_counts",
+            "comment_sentiment_counts",
+            F.current_timestamp().alias("generated_at_utc"),
+        )
     )
 
 

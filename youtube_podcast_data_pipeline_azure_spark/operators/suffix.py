@@ -155,7 +155,13 @@ def _global_dense_rank(
 def _suffix_positions(
     docs: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
-    """(id, pos, token) — one row per token position, pos 0-based."""
+    """(id, pos, token) — one row per token position, pos 0-based.
+
+    No spread() here (optimization r14, measured): the rank path's
+    cost is the per-round dense-rank machinery (range exchange + Arrow
+    pass + checkpoint per doubling round), not this explode —
+    parallelizing the projection moved nothing (longest_repeated
+    6.2 s -> 6.9 s, noise-band)."""
     return docs.select(
         F.col(id_col),
         F.posexplode(tokenize(F.col(text_col))).alias("pos", "token"),

@@ -225,8 +225,15 @@ def tfidf_cosine_pairs(
     sampled N) if ``tf·N·1000`` approaches 2^31, keeping w² sums inside
     long range.
     """
+    # spread() before the explode (optimization r14, guide §2.5): the
+    # tokenize+explode+partial-agg feeding the tf exchange ran on one
+    # core off the 1-split local scan; no-op on multi-split scans
     tf = (
-        docs.select(F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term"))
+        spread(docs.select(id_col, text_col), id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(tokenize(text_col)).alias("term"),
+        )
         .groupBy("id", "term")
         .agg(F.count("*").alias("tf"))
     )
